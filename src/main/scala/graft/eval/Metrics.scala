@@ -1,0 +1,114 @@
+package graft.eval
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Evaluation operators (SURVEY.md §2.11 E1-E7) as set-oriented queries.
+  *
+  * Everything is a single-pass aggregate or a window query — no
+  * driver-side loops over thresholds (the reference's O(T·N) sweep,
+  * `src/evaluation/metrics.py:155-175`, becomes one sorted pass).
+  */
+object Metrics {
+
+  /** E3/E4/A10: confusion counts + point metrics + cost at threshold τ,
+    * in ONE pass of conditional aggregates.
+    * Cost model: fn·costFn + fp·costFp (`config/config.yaml:90-93`). */
+  def confusionAt(df: DataFrame, label: Column, score: Column, tau: Double,
+                  costFn: Double = 1000.0, costFp: Double = 10.0): DataFrame = {
+    val pred = (score >= tau).cast("int")
+    val agg = df.agg(
+      sum(when(label === 1 && pred === 1, 1L).otherwise(0L)).as("tp"),
+      sum(when(label === 0 && pred === 1, 1L).otherwise(0L)).as("fp"),
+      sum(when(label === 1 && pred === 0, 1L).otherwise(0L)).as("fn"),
+      sum(when(label === 0 && pred === 0, 1L).otherwise(0L)).as("tn"))
+    val tp = col("tp"); val fp = col("fp"); val fn_ = col("fn"); val tn = col("tn")
+    val precision = when(tp + fp > 0, tp / (tp + fp)).otherwise(0.0)
+    val recall    = when(tp + fn_ > 0, tp / (tp + fn_)).otherwise(0.0)
+    agg.select(
+      tp, fp, fn_, tn,
+      precision.as("precision"),
+      recall.as("recall"),
+      when(precision + recall > 0, lit(2.0) * precision * recall / (precision + recall))
+        .otherwise(0.0).as("f1"),
+      ((tp + tn) / (tp + fp + fn_ + tn)).as("accuracy"),
+      when(tn + fp > 0, tn / (tn + fp)).otherwise(0.0).as("specificity"),
+      (fn_ * costFn + fp * costFp).as("cost"))
+  }
+
+  /** E1: exact ROC-AUC via the rank-sum (Mann-Whitney) identity with
+    * average ranks for ties — numerically identical to sklearn's
+    * trapezoidal `roc_auc_score`.
+    * AUC = (Σ avgrank(pos) − P(P+1)/2) / (P·N).
+    *
+    * Scale design: aggregate to distinct scores FIRST (shuffle on score),
+    * so the single-partition rank window runs over |distinct scores| rows,
+    * not |rows| — the only global sort is over the (much smaller) score
+    * histogram. avgrank of a tie group = rows_below + (cnt+1)/2; all terms
+    * are multiples of 0.5 < 2^53 so the float sums are exact and
+    * order-independent (deterministic under parallel aggregation). */
+  def rocAuc(df: DataFrame, label: Column, score: Column): DataFrame = {
+    val byScore = df.groupBy(score.as("s"))
+      .agg(count(lit(1)).as("cnt"), sum(label.cast("long")).as("pos"))
+    val wBelow = Window.orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byScore
+      .withColumn("below", coalesce(sum(col("cnt")).over(wBelow), lit(0L)))
+      .agg(
+        sum(col("pos")).cast("double").as("p"),
+        sum(col("cnt")).cast("double").as("n"),
+        sum(col("pos") * (col("below") + (col("cnt") + 1) / 2.0)).as("rp"))
+      .select(((col("rp") - col("p") * (col("p") + 1) / 2.0) /
+               (col("p") * (col("n") - col("p")))).as("roc_auc"))
+  }
+
+  /** E5: PR curve — precision/recall at every distinct score, descending.
+    * cumTP/cumFP via one cumulative window over the score-sorted stream.
+    * Ties collapse to the tie-group's last row (sklearn semantics). */
+  def prCurve(df: DataFrame, label: Column, score: Column): DataFrame = {
+    val w = Window.orderBy(desc("s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = df.select(score.as("s"), label.cast("long").as("y"))
+      .groupBy(col("s"))
+      .agg(sum(col("y")).as("pos"), count(lit(1)).as("cnt"))
+    val totPos = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    base.select(
+        col("s"),
+        sum(col("pos")).over(w).as("cum_tp"),
+        (sum(col("cnt")).over(w) - sum(col("pos")).over(w)).as("cum_fp"),
+        sum(col("pos")).over(totPos).as("tot_pos"))
+      .select(
+        col("s").as("threshold"),
+        (col("cum_tp") / (col("cum_tp") + col("cum_fp"))).as("precision"),
+        (col("cum_tp") / col("tot_pos")).as("recall"))
+  }
+
+  /** E6: best-F1 threshold — derived from the PR curve in the same pass,
+    * O(distinct scores · log), not the reference's O(T·N) loop. */
+  def bestF1Threshold(df: DataFrame, label: Column, score: Column): DataFrame = {
+    val p = col("precision"); val r = col("recall")
+    // guard 0/0 (ANSI mode errors on divide-by-zero)
+    val f1 = when(p + r > 0, lit(2.0) * p * r / (p + r)).otherwise(0.0)
+    prCurve(df, label, score)
+      .select(col("threshold"), f1.as("f1"))
+      .orderBy(desc("f1"), col("threshold"))
+      .limit(1)
+  }
+
+  /** E7: metrics at a grid of thresholds via explode — one shuffle-free
+    * pass over (rows × |grid|) conditional sums. */
+  def thresholdGrid(df: DataFrame, label: Column, score: Column,
+                    taus: Seq[Double]): DataFrame = {
+    val tagged = df.select(label.cast("long").as("y"), score.as("s"))
+      .withColumn("tau", explode(array(taus.map(lit): _*)))
+    tagged.groupBy("tau").agg(
+        sum(when(col("y") === 1 && col("s") >= col("tau"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("y") === 0 && col("s") >= col("tau"), 1L).otherwise(0L)).as("fp"),
+        sum(when(col("y") === 1 && col("s") <  col("tau"), 1L).otherwise(0L)).as("fn"))
+      .select(col("tau"),
+        when(col("tp") + col("fp") > 0, col("tp") / (col("tp") + col("fp"))).as("precision"),
+        when(col("tp") + col("fn") > 0, col("tp") / (col("tp") + col("fn"))).as("recall"))
+      .orderBy("tau")
+  }
+}

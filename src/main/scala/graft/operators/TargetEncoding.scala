@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Target / risk encoding (SURVEY.md §2.4 A1 + §2.3 J2).
+  *
+  * Capability match for the reference's merchant/product/card fraud-rate
+  * encodings (`src/features/engineer.py:159-172`): fit a small per-key
+  * aggregate table on the TRAIN slice only (leakage discipline), then
+  * broadcast-join it onto any slice with a default for unseen keys.
+  *
+  * Scale design: the encoding table is |distinct keys| rows — tiny next to
+  * the fact table — so transform is a broadcast hash join: no shuffle of
+  * the big side, plan stays in one stage.
+  */
+object TargetEncoding {
+
+  /** Fit: per-key mean of the target over the training slice. */
+  def fit(train: DataFrame, key: String, target: Column): DataFrame =
+    train.groupBy(col(key)).agg(avg(target).as(s"${key}_enc"))
+
+  /** Transform: attach the encoding with a broadcast left join; unseen
+    * keys (and null keys) get `default` — matches the reference's
+    * `.map(rates).fillna(default)`. */
+  def transform(df: DataFrame, encoding: DataFrame, key: String,
+                default: Double): DataFrame = {
+    val encCol = encoding.columns.filter(_ != key).head
+    df.join(broadcast(encoding), Seq(key), "left")
+      .withColumn(encCol, coalesce(col(encCol), lit(default)))
+  }
+
+  def fitTransform(train: DataFrame, applyTo: DataFrame, key: String,
+                   target: Column, default: Double): DataFrame =
+    transform(applyTo, fit(train, key, target), key, default)
+}

@@ -1,0 +1,266 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.operators.TargetEncoding
+import Util.{Q, qz}
+
+/** Scan / projection / aggregation / join / set-op queries
+  * (SURVEY.md §2.1-2.4, §2.6-2.7) with DuckDB oracle SQL.
+  *
+  * Float-determinism policy for oracle parity: money-scale sums round to
+  * 2 decimals, means/derived ratios to 6; counts stay exact integers and
+  * all integer outputs are BIGINT on both sides. Every query carries a
+  * deterministic total ORDER BY.
+  */
+object CoreQueries {
+
+  def queries: Map[String, Q] = Map(
+    // A1-A4: TPC-H Q1-style grouped multi-aggregate (partial+final hash agg)
+    "q01_pricing_summary" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          qz(sum("l_quantity"), 2).as("sum_qty"),
+          qz(sum("l_extendedprice"), 2).as("sum_base_price"),
+          qz(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+          qz(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+          qz(avg("l_quantity"), 6).as("avg_qty"),
+          qz(avg("l_extendedprice"), 6).as("avg_price"),
+          qz(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // P1/P4/P7: predicate + projection — filters push to the parquet scan
+    "q02_filter_project" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00"))
+          && col("l_quantity") > 45)
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_quantity"),
+          qz(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("net"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // O3: top-k by aggregate → TakeOrderedAndProject, no global sort
+    "q03_topk_users" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(qz(sum("value"), 2).as("total_value"), count(lit(1)).as("n_events"))
+        .orderBy(desc("total_value"), col("user_id"))
+        .limit(10)
+    }),
+
+    // A2: histogram
+    "q04_event_histogram" -> ((s, dir) => {
+      Tables.events(s, dir).groupBy("event_type").agg(count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
+    // A3: grouped describe incl. exact interpolated median
+    "q05_describe_by_type" -> ((s, dir) => {
+      Tables.events(s, dir).groupBy("event_type")
+        .agg(
+          count(lit(1)).as("cnt"),
+          qz(avg("value"), 6).as("mean_value"),
+          qz(stddev_samp(col("value")), 6).as("std_value"),
+          min("value").as("min_value"),
+          max("value").as("max_value"),
+          qz(expr("percentile(value, 0.5)"), 6).as("median_value"))
+        .orderBy("event_type")
+    }),
+
+    // A5/P5: one-pass per-column null counts over the full width
+    "q06_null_counts" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      e.agg(
+        count(lit(1)).as("n_rows"),
+        e.columns.map(c => count(when(col(c).isNull, lit(1))).as(s"null_$c")).toSeq: _*)
+    }),
+
+    // A6/A7: exact distinct count per group (+ totals)
+    "q07_distinct_per_group" -> ((s, dir) => {
+      Tables.events(s, dir).groupBy("user_id")
+        .agg(countDistinct("event_type").as("n_types"),
+          count(lit(1)).as("n_events"),
+          qz(sum("value"), 4).as("total_value"))
+        .orderBy("user_id")
+    }),
+
+    // J1: left outer equi-join, fact side large → shuffle join on key
+    "q08_join_left" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"), "left")
+        .groupBy(coalesce(col("c_mktsegment"), lit("missing")).as("segment"))
+        .agg(count(lit(1)).as("n_orders"), qz(sum("o_totalprice"), 2).as("total"))
+        .orderBy("segment")
+    }),
+
+    // left-semi (EXISTS)
+    "q09_join_semi" -> ((s, dir) => {
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_nationkey").cast("long").as("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"))
+        .orderBy("c_nationkey")
+    }),
+
+    // left-anti (NOT EXISTS)
+    "q10_join_anti" -> ((s, dir) => {
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_cust"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // multiway join with explicitly broadcast dims — fact shuffles at most
+    // once (for the agg); dim joins are broadcast hash joins
+    "q11_join_multiway" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_orders"), qz(sum("o_totalprice"), 2).as("revenue"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // set ops: INTERSECT / EXCEPT over distinct keys
+    "q12_set_ops" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      def users(t: String) = e.filter(col("event_type") === t).select("user_id").distinct()
+      val both = users("click").intersect(users("purchase"))
+        .withColumn("op", lit("click_and_purchase"))
+      val diff = users("click").except(users("error"))
+        .withColumn("op", lit("click_not_error"))
+      both.unionByName(diff).select("op", "user_id").orderBy("op", "user_id")
+    }),
+
+    // A1+J2: target encoding fit on the chronological "train" slice only,
+    // broadcast-joined back with a default for unseen keys
+    "q13_target_encoding" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val train = o.filter(col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1999-01-01 00:00:00")))
+      val target = when(col("o_totalprice") > 200000, 1.0).otherwise(0.0)
+      val enc = TargetEncoding.fit(train, "o_orderpriority", target)
+      TargetEncoding.transform(o, enc, "o_orderpriority", default = 0.035)
+        .select(col("o_orderkey"), qz(col("o_orderpriority_enc"), 6).as("prio_enc"))
+        .orderBy("o_orderkey")
+    }),
+
+    // JSON extraction from string props + grouped agg
+    "q14_json_extract" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), qz(avg("k"), 6).as("avg_k"),
+          sum("k").as("sum_k"))
+        .orderBy("event_type")
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round((sum(l_quantity)) * 100.0) / 100.0 AS sum_qty,
+        | round((sum(l_extendedprice)) * 100.0) / 100.0 AS sum_base_price,
+        | round((sum(l_extendedprice*(1-l_discount))) * 100.0) / 100.0 AS sum_disc_price,
+        | round((sum(l_extendedprice*(1-l_discount)*(1+l_tax))) * 100.0) / 100.0 AS sum_charge,
+        | round((avg(l_quantity)) * 1000000.0) / 1000000.0 AS avg_qty,
+        | round((avg(l_extendedprice)) * 1000000.0) / 1000000.0 AS avg_price,
+        | round((avg(l_discount)) * 1000000.0) / 1000000.0 AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_project" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity,
+        | round((l_extendedprice*(1-l_discount)) * 10000.0) / 10000.0 AS net
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00' AND l_quantity > 45
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q03_topk_users" ->
+      """SELECT user_id, round((sum(value)) * 100.0) / 100.0 AS total_value, count(*) AS n_events
+        |FROM events GROUP BY user_id
+        |ORDER BY total_value DESC, user_id LIMIT 10""".stripMargin,
+
+    "q04_event_histogram" ->
+      "SELECT event_type, count(*) AS n FROM events GROUP BY event_type ORDER BY event_type",
+
+    "q05_describe_by_type" ->
+      """SELECT event_type, count(*) AS cnt,
+        | round((avg(value)) * 1000000.0) / 1000000.0 AS mean_value,
+        | round((stddev_samp(value)) * 1000000.0) / 1000000.0 AS std_value,
+        | min(value) AS min_value, max(value) AS max_value,
+        | round((median(value)) * 1000000.0) / 1000000.0 AS median_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q06_null_counts" ->
+      """SELECT count(*) AS n_rows,
+        | count(*) FILTER (WHERE event_id IS NULL) AS null_event_id,
+        | count(*) FILTER (WHERE ts IS NULL) AS null_ts,
+        | count(*) FILTER (WHERE user_id IS NULL) AS null_user_id,
+        | count(*) FILTER (WHERE event_type IS NULL) AS null_event_type,
+        | count(*) FILTER (WHERE value IS NULL) AS null_value,
+        | count(*) FILTER (WHERE props IS NULL) AS null_props
+        |FROM events""".stripMargin,
+
+    "q07_distinct_per_group" ->
+      """SELECT user_id, count(DISTINCT event_type) AS n_types, count(*) AS n_events,
+        | round((sum(value)) * 10000.0) / 10000.0 AS total_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q08_join_left" ->
+      """SELECT coalesce(c_mktsegment,'missing') AS segment, count(*) AS n_orders,
+        | round((sum(o_totalprice)) * 100.0) / 100.0 AS total
+        |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY segment""".stripMargin,
+
+    "q09_join_semi" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, count(*) AS n_cust
+        |FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "q10_join_anti" ->
+      """SELECT c_mktsegment, count(*) AS n_cust
+        |FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q11_join_multiway" ->
+      """SELECT r_name, n_name, count(*) AS n_orders, round((sum(o_totalprice)) * 100.0) / 100.0 AS revenue
+        |FROM orders
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q12_set_ops" ->
+      """SELECT 'click_and_purchase' AS op, user_id FROM
+        | (SELECT DISTINCT user_id FROM events WHERE event_type='click'
+        |  INTERSECT SELECT DISTINCT user_id FROM events WHERE event_type='purchase')
+        |UNION ALL
+        |SELECT 'click_not_error' AS op, user_id FROM
+        | (SELECT DISTINCT user_id FROM events WHERE event_type='click'
+        |  EXCEPT SELECT DISTINCT user_id FROM events WHERE event_type='error')
+        |ORDER BY op, user_id""".stripMargin,
+
+    "q13_target_encoding" ->
+      """WITH enc AS (
+        | SELECT o_orderpriority,
+        |  avg(CASE WHEN o_totalprice > 200000 THEN 1.0 ELSE 0.0 END) AS rate
+        | FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+        | GROUP BY o_orderpriority)
+        |SELECT o_orderkey, round((coalesce(rate, 0.035)) * 1000000.0) / 1000000.0 AS prio_enc
+        |FROM orders LEFT JOIN enc USING (o_orderpriority)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q14_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        | round((avg(CAST(json_extract_string(props,'$.k') AS BIGINT))) * 1000000.0) / 1000000.0 AS avg_k,
+        | CAST(sum(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+}

@@ -1,0 +1,155 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.eval.Metrics
+import Util.{Q, qz}
+
+/** Evaluation-operator queries (SURVEY.md §2.11 E1-E7) with DuckDB oracle
+  * SQL. Labels/scores are derived deterministically from `events`:
+  * label = (event_type = 'error'), score = value-based.
+  */
+object EvalQueries {
+
+  private def labeled(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.events(s, dir).select(
+      (col("event_type") === "error").cast("int").as("label"),
+      col("value").as("score"))
+
+  def queries: Map[String, Q] = Map(
+    // A10/E3/E4: confusion + point metrics + cost model at τ, one pass
+    "q40_confusion" -> ((s, dir) => {
+      val df = Tables.events(s, dir)
+      Metrics.confusionAt(df,
+          (col("event_type") === "error").cast("int"), col("value") / 500.0, 0.2)
+        .select(col("tp"), col("fp"), col("fn"), col("tn"),
+          qz(col("precision"), 6).as("prec"),
+          qz(col("recall"), 6).as("rec"),
+          qz(col("f1"), 6).as("f1"),
+          qz(col("accuracy"), 6).as("accuracy"),
+          qz(col("specificity"), 6).as("specificity"),
+          qz(col("cost"), 2).as("cost"))
+    }),
+
+    // E1: exact ROC-AUC (rank-sum identity, distinct-score aggregation)
+    "q41_roc_auc" -> ((s, dir) => {
+      Metrics.rocAuc(labeled(s, dir), col("label"), col("score"))
+        .select(qz(col("roc_auc"), 6).as("roc_auc"))
+    }),
+
+    // E5: PR curve — top 20 thresholds descending
+    "q42_pr_curve" -> ((s, dir) => {
+      Metrics.prCurve(labeled(s, dir), col("label"), col("score"))
+        .select(qz(col("threshold"), 6).as("threshold"),
+          qz(col("precision"), 6).as("prec"),
+          qz(col("recall"), 6).as("rec"))
+        .orderBy(desc("threshold")).limit(20)
+    }),
+
+    // E6: best-F1 threshold from one sorted pass (not an O(T·N) loop)
+    "q43_best_f1" -> ((s, dir) => {
+      Metrics.bestF1Threshold(labeled(s, dir), col("label"), col("score"))
+        .select(qz(col("threshold"), 6).as("threshold"),
+          qz(col("f1"), 6).as("f1"))
+    }),
+
+    // E7: threshold grid via explode + grouped conditional aggregates
+    "q44_threshold_grid" -> ((s, dir) => {
+      Metrics.thresholdGrid(labeled(s, dir),
+          col("label"), col("score") / 500.0,
+          Seq(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9))
+        .select(col("tau"),
+          qz(coalesce(col("precision"), lit(0.0)), 6).as("prec"),
+          qz(coalesce(col("recall"), lit(0.0)), 6).as("rec"))
+        .orderBy("tau")
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q40_confusion" ->
+      """WITH c AS (
+        | SELECT
+        |  count(*) FILTER (WHERE event_type = 'error' AND value/500.0 >= 0.2) AS tp,
+        |  count(*) FILTER (WHERE event_type <> 'error' AND value/500.0 >= 0.2) AS fp,
+        |  count(*) FILTER (WHERE event_type = 'error' AND value/500.0 < 0.2) AS fn,
+        |  count(*) FILTER (WHERE event_type <> 'error' AND value/500.0 < 0.2) AS tn
+        | FROM events)
+        |SELECT tp, fp, fn, tn,
+        | round((CASE WHEN tp+fp > 0 THEN CAST(tp AS DOUBLE)/(tp+fp) ELSE 0.0 END) * 1000000.0) / 1000000.0 AS prec,
+        | round((CASE WHEN tp+fn > 0 THEN CAST(tp AS DOUBLE)/(tp+fn) ELSE 0.0 END) * 1000000.0) / 1000000.0 AS rec,
+        | round((CASE WHEN (CASE WHEN tp+fp > 0 THEN CAST(tp AS DOUBLE)/(tp+fp) ELSE 0.0 END)
+        |          + (CASE WHEN tp+fn > 0 THEN CAST(tp AS DOUBLE)/(tp+fn) ELSE 0.0 END) > 0
+        |   THEN 2.0 * (CASE WHEN tp+fp > 0 THEN CAST(tp AS DOUBLE)/(tp+fp) ELSE 0.0 END)
+        |            * (CASE WHEN tp+fn > 0 THEN CAST(tp AS DOUBLE)/(tp+fn) ELSE 0.0 END)
+        |          / ((CASE WHEN tp+fp > 0 THEN CAST(tp AS DOUBLE)/(tp+fp) ELSE 0.0 END)
+        |           + (CASE WHEN tp+fn > 0 THEN CAST(tp AS DOUBLE)/(tp+fn) ELSE 0.0 END))
+        |   ELSE 0.0 END) * 1000000.0) / 1000000.0 AS f1,
+        | round((CAST(tp+tn AS DOUBLE)/(tp+fp+fn+tn)) * 1000000.0) / 1000000.0 AS accuracy,
+        | round((CASE WHEN tn+fp > 0 THEN CAST(tn AS DOUBLE)/(tn+fp) ELSE 0.0 END) * 1000000.0) / 1000000.0 AS specificity,
+        | round((fn*1000.0 + fp*10.0) * 100.0) / 100.0 AS cost
+        |FROM c""".stripMargin,
+
+    "q41_roc_auc" ->
+      """WITH by_score AS (
+        | SELECT value AS s, count(*) AS cnt,
+        |  sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS pos
+        | FROM events GROUP BY value),
+        |ranked AS (
+        | SELECT s, cnt, pos,
+        |  coalesce(sum(cnt) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+        | FROM by_score),
+        |agg AS (
+        | SELECT CAST(sum(pos) AS DOUBLE) AS p, CAST(sum(cnt) AS DOUBLE) AS n,
+        |  CAST(sum(pos*(below + (cnt+1)/2.0)) AS DOUBLE) AS rp
+        | FROM ranked)
+        |SELECT round(((rp - p*(p+1)/2.0) / (p*(n-p))) * 1000000.0) / 1000000.0 AS roc_auc FROM agg""".stripMargin,
+
+    "q42_pr_curve" ->
+      """WITH by_score AS (
+        | SELECT value AS s, count(*) AS cnt,
+        |  sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS pos
+        | FROM events GROUP BY value),
+        |c AS (
+        | SELECT s,
+        |  sum(pos) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tp,
+        |  sum(cnt) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+        |  sum(pos) OVER () AS tot_pos
+        | FROM by_score)
+        |SELECT round((s) * 1000000.0) / 1000000.0 AS threshold,
+        | round((CAST(cum_tp AS DOUBLE)/cum_n) * 1000000.0) / 1000000.0 AS prec,
+        | round((CAST(cum_tp AS DOUBLE)/tot_pos) * 1000000.0) / 1000000.0 AS rec
+        |FROM c ORDER BY threshold DESC LIMIT 20""".stripMargin,
+
+    "q43_best_f1" ->
+      """WITH by_score AS (
+        | SELECT value AS s, count(*) AS cnt,
+        |  sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS pos
+        | FROM events GROUP BY value),
+        |c AS (
+        | SELECT s,
+        |  sum(pos) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tp,
+        |  sum(cnt) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+        |  sum(pos) OVER () AS tot_pos
+        | FROM by_score),
+        |f AS (
+        | SELECT s AS threshold,
+        |  coalesce(2.0 * (CAST(cum_tp AS DOUBLE)/cum_n) * (CAST(cum_tp AS DOUBLE)/tot_pos)
+        |   / ((CAST(cum_tp AS DOUBLE)/cum_n) + (CAST(cum_tp AS DOUBLE)/tot_pos)), 0.0) AS f1
+        | FROM c)
+        |SELECT round((threshold) * 1000000.0) / 1000000.0 AS threshold, round((f1) * 1000000.0) / 1000000.0 AS f1
+        |FROM f ORDER BY f1 DESC, threshold LIMIT 1""".stripMargin,
+
+    "q44_threshold_grid" ->
+      """WITH g AS (SELECT unnest([0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS tau),
+        |m AS (
+        | SELECT tau,
+        |  count(*) FILTER (WHERE event_type='error' AND value/500.0 >= tau) AS tp,
+        |  count(*) FILTER (WHERE event_type<>'error' AND value/500.0 >= tau) AS fp,
+        |  count(*) FILTER (WHERE event_type='error' AND value/500.0 < tau) AS fn
+        | FROM events CROSS JOIN g GROUP BY tau)
+        |SELECT tau,
+        | round((coalesce(CAST(tp AS DOUBLE)/nullif(tp+fp,0), 0.0)) * 1000000.0) / 1000000.0 AS prec,
+        | round((coalesce(CAST(tp AS DOUBLE)/nullif(tp+fn,0), 0.0)) * 1000000.0) / 1000000.0 AS rec
+        |FROM m ORDER BY tau""".stripMargin
+  )
+}

@@ -1,0 +1,138 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.{AmountFeatures, TimeFeatures}
+import graft.serve.RiskScore
+import Util.{Q, qz}
+
+/** Scalar-function and serving-scorer queries (SURVEY.md §2.8 F1-F9,
+  * §2.10 H1-H4) with DuckDB oracle SQL. All stay in whole-stage codegen.
+  */
+object FeatureQueries {
+
+  def queries: Map[String, Q] = Map(
+    // F1-F4: date parts (pandas dow parity), cyclical encodings, flags
+    "q30_time_features" -> ((s, dir) => {
+      val ts = col("ts")
+      Tables.events(s, dir).select(
+        col("event_id"),
+        hour(ts).cast("long").as("hour"),
+        TimeFeatures.pandasDayOfWeek(ts).cast("long").as("dow"),
+        dayofmonth(ts).cast("long").as("day"),
+        month(ts).cast("long").as("month"),
+        qz(TimeFeatures.cyclicalSin(hour(ts).cast("double"), 24.0), 6).as("hour_sin"),
+        qz(TimeFeatures.cyclicalCos(hour(ts).cast("double"), 24.0), 6).as("hour_cos"),
+        qz(TimeFeatures.cyclicalSin(TimeFeatures.pandasDayOfWeek(ts).cast("double"), 7.0), 6).as("dow_sin"),
+        qz(TimeFeatures.cyclicalCos(TimeFeatures.pandasDayOfWeek(ts).cast("double"), 7.0), 6).as("dow_cos"),
+        TimeFeatures.isWeekend(ts).cast("long").as("is_weekend"),
+        TimeFeatures.isNight(ts).cast("long").as("is_night"),
+        TimeFeatures.isBusinessHours(ts).cast("long").as("is_business"),
+        TimeFeatures.isMonthStart(ts).cast("long").as("is_month_start"),
+        TimeFeatures.isMonthEnd(ts).cast("long").as("is_month_end")
+      ).orderBy("event_id")
+    }),
+
+    // F5-F7 + P6: log scale, right-closed pd.cut bins, round-number flags,
+    // conditional banding
+    "q31_amount_features" -> ((s, dir) => {
+      val v = col("value")
+      Tables.events(s, dir).select(
+        col("event_id"),
+        qz(AmountFeatures.logAmount(v), 6).as("log_amt"),
+        AmountFeatures.cutRightClosed(v, Seq(50, 100, 200, 500, 1000, 5000))
+          .cast("long").as("amt_bin"),
+        AmountFeatures.hasDecimal(v).cast("long").as("has_decimal"),
+        AmountFeatures.isRound(v, 10.0).cast("long").as("is_round_10"),
+        when(v > 100, "high").when(v > 10, "mid").otherwise("low").as("band")
+      ).orderBy("event_id")
+    }),
+
+    // H1-H4: heuristic scorer + blend + bucketing + confidence + reasons,
+    // one set-oriented select (vs the reference's per-request loop)
+    "q32_risk_score" -> ((s, dir) => {
+      val amt = col("value") * 20.0
+      val h = hour(col("ts"))
+      val devMissing = col("event_type") === "error"
+      val risky = col("event_type") === "signup"
+      val heuristic = RiskScore.heuristicScore(amt, h, devMissing, risky)
+      val model = least(lit(1.0), amt / 10000.0)
+      val blended = RiskScore.blend(model, heuristic)
+      Tables.events(s, dir).select(
+        col("event_id"),
+        qz(heuristic, 6).as("heuristic"),
+        qz(blended, 6).as("blended"),
+        RiskScore.riskLevel(blended).as("risk_level"),
+        RiskScore.isFraud(blended).cast("long").as("is_fraud"),
+        qz(RiskScore.confidence(blended), 6).as("confidence"),
+        RiskScore.reasons(amt, h, devMissing, risky).as("reasons")
+      ).orderBy("event_id")
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q30_time_features" ->
+      """SELECT event_id,
+        | CAST(hour(ts) AS BIGINT) AS hour,
+        | CAST(isodow(ts) - 1 AS BIGINT) AS dow,
+        | CAST(day(ts) AS BIGINT) AS day,
+        | CAST(month(ts) AS BIGINT) AS month,
+        | round((sin(2*pi()*hour(ts)/24)) * 1000000.0) / 1000000.0 AS hour_sin,
+        | round((cos(2*pi()*hour(ts)/24)) * 1000000.0) / 1000000.0 AS hour_cos,
+        | round((sin(2*pi()*(isodow(ts)-1)/7)) * 1000000.0) / 1000000.0 AS dow_sin,
+        | round((cos(2*pi()*(isodow(ts)-1)/7)) * 1000000.0) / 1000000.0 AS dow_cos,
+        | CAST(CASE WHEN isodow(ts)-1 >= 5 THEN 1 ELSE 0 END AS BIGINT) AS is_weekend,
+        | CAST(CASE WHEN hour(ts) >= 22 OR hour(ts) <= 6 THEN 1 ELSE 0 END AS BIGINT) AS is_night,
+        | CAST(CASE WHEN hour(ts) BETWEEN 9 AND 17 THEN 1 ELSE 0 END AS BIGINT) AS is_business,
+        | CAST(CASE WHEN day(ts) <= 5 THEN 1 ELSE 0 END AS BIGINT) AS is_month_start,
+        | CAST(CASE WHEN day(ts) >= 25 THEN 1 ELSE 0 END AS BIGINT) AS is_month_end
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q31_amount_features" ->
+      """SELECT event_id,
+        | round((ln(1+value)) * 1000000.0) / 1000000.0 AS log_amt,
+        | CAST(CASE WHEN value <= 50 THEN 0 WHEN value <= 100 THEN 1
+        |   WHEN value <= 200 THEN 2 WHEN value <= 500 THEN 3
+        |   WHEN value <= 1000 THEN 4 WHEN value <= 5000 THEN 5
+        |   ELSE 6 END AS BIGINT) AS amt_bin,
+        | CAST(CASE WHEN fmod(value, 1.0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS has_decimal,
+        | CAST(CASE WHEN fmod(value, 10.0) = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_round_10,
+        | CASE WHEN value > 100 THEN 'high' WHEN value > 10 THEN 'mid' ELSE 'low' END AS band
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q32_risk_score" ->
+      """WITH base AS (
+        | SELECT event_id, value*20.0 AS amt, hour(ts) AS h,
+        |  (event_type = 'error') AS dev_missing,
+        |  (event_type = 'signup') AS risky
+        | FROM events),
+        |scored AS (
+        | SELECT event_id, amt, h, dev_missing, risky,
+        |  least(1.0, greatest(0.0,
+        |   1.0/(1.0 + exp(-0.003*(amt - 500.0)))
+        |   + CASE WHEN amt > 5000 THEN 0.15 ELSE 0.0 END
+        |   + CASE WHEN amt > 1000 AND amt <= 5000 THEN 0.08 ELSE 0.0 END
+        |   + CASE WHEN dev_missing THEN 0.05 ELSE 0.0 END
+        |   + CASE WHEN risky THEN 0.05 ELSE 0.0 END
+        |   + CASE WHEN h < 5 OR h > 23 THEN 0.07 ELSE 0.0 END)) AS heuristic,
+        |  least(1.0, amt/10000.0) AS model
+        | FROM base),
+        |blended AS (
+        | SELECT event_id, amt, h, dev_missing, risky, heuristic,
+        |  least(1.0, greatest(0.0, model*0.4 + heuristic*0.6)) AS b
+        | FROM scored)
+        |SELECT event_id, round((heuristic) * 1000000.0) / 1000000.0 AS heuristic, round((b) * 1000000.0) / 1000000.0 AS blended,
+        | CASE WHEN b < 0.2 THEN 'MINIMAL' WHEN b < 0.4 THEN 'LOW'
+        |      WHEN b < 0.6 THEN 'MEDIUM' WHEN b < 0.8 THEN 'HIGH'
+        |      ELSE 'CRITICAL' END AS risk_level,
+        | CAST(CASE WHEN b >= 0.6 THEN 1 ELSE 0 END AS BIGINT) AS is_fraud,
+        | round((abs(b - 0.5)*2) * 1000000.0) / 1000000.0 AS confidence,
+        | concat_ws(',',
+        |  CASE WHEN amt > 5000 THEN 'very_high_amount' END,
+        |  CASE WHEN amt > 1000 AND amt <= 5000 THEN 'high_amount' END,
+        |  CASE WHEN dev_missing THEN 'missing_device' END,
+        |  CASE WHEN risky THEN 'risky_product' END,
+        |  CASE WHEN h < 5 OR h > 23 THEN 'unusual_hour' END) AS reasons
+        |FROM blended ORDER BY event_id""".stripMargin
+  )
+}

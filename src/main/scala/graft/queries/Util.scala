@@ -1,0 +1,28 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+object Util {
+  /** A registered query: (session, sfDir) => result DataFrame. */
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Cross-engine deterministic quantization to `digits` decimals:
+    * round(x·10ᵈ)/10ᵈ as plain double ops. Unlike decimal-string rounding
+    * (Spark's round(col, d)), this agrees bit-for-bit with DuckDB's
+    * round(x·10ᵈ)/10ᵈ because both sides see the identical double y=x·10ᵈ
+    * and integer-round it with the same half-away-from-zero rule at
+    * representable halves. Used on every float output in the oracle
+    * queries. */
+  def qz(c: Column, digits: Int): Column = {
+    import org.apache.spark.sql.functions.round
+    val f = math.pow(10, digits)
+    round(c * f, 0) / f
+  }
+
+  /** Append derived (name, expr) pairs in ONE select — avoids the
+    * chained-withColumn analysis blowup on wide schemas (SURVEY.md §4.1). */
+  def addCols(df: DataFrame, feats: Seq[(String, Column)]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.select(df.columns.map(col).toSeq ++ feats.map { case (n, c) => c.as(n) }: _*)
+  }
+}

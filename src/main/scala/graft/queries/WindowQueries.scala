@@ -1,0 +1,204 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+import graft.operators.{BehaviorWindows, TimeSplit}
+import Util.{Q, addCols, qz}
+
+/** Window-function queries (SURVEY.md §2.5 W1-W13) over `events`
+  * ((user_id, ts, value) ≅ the reference's (card1, TransactionDT,
+  * TransactionAmt)). All windows share one (user_id) hash exchange —
+  * Spark reuses the Exchange+Sort across same-keyed window specs.
+  */
+object WindowQueries {
+
+  private val C = BehaviorWindows.Cols()
+
+  def queries: Map[String, Q] = Map(
+    // W1-W6, W8, W12: inclusive expanding frames per user
+    "q20_cum_features" -> ((s, dir) => {
+      val feats = BehaviorWindows.cumulativeFeatures(C)
+      addCols(Tables.events(s, dir), feats)
+        .select(col("event_id"),
+          col("prior_count").cast("long").as("prior_count"),
+          qz(col("cum_sum"), 4).as("cum_sum"),
+          qz(qz(col("cum_sum"), 4) / (col("prior_count") + 1), 6).as("cum_mean"),
+          qz(col("cum_std"), 6).as("cum_std"),
+          col("cum_max"), col("cum_min"),
+          qz(col("amt_deviation"), 6).as("amt_deviation"),
+          col("is_first").cast("long").as("is_first"),
+          // derive from the quantized cum_sum: the raw running sums differ
+          // across engines by 1 ulp (different accumulation trees) and
+          // cum_sum/n lands exactly on 6-decimal halves
+          qz(qz(col("cum_sum"), 4) / (col("prior_count") + 1), 6).as("amt_velocity"))
+        .orderBy("event_id")
+    }),
+
+    // W7, W11: lag diffs, inter-arrival time, spending rate/acceleration
+    "q21_lag_features" -> ((s, dir) => {
+      val feats = BehaviorWindows.lagFeatures(C)
+      addCols(Tables.events(s, dir), feats)
+        .select(col("event_id"),
+          qz(col("time_diff"), 6).as("time_diff"),
+          qz(col("value_diff"), 6).as("value_diff"),
+          qz(col("spending_rate"), 6).as("spending_rate"),
+          qz(col("acceleration"), 6).as("acceleration"))
+        .orderBy("event_id")
+    }),
+
+    // W10: pandas rank(pct=True) parity (average-rank / group-size)
+    "q22_pct_rank_pandas" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          qz(BehaviorWindows.pandasPctRank(C), 6).as("pct_rank"))
+        .orderBy("event_id")
+    }),
+
+    // range frame over trailing 24h of event time (micros precision)
+    "q23_trailing_24h" -> ((s, dir) => {
+      val feats = BehaviorWindows.trailingFeatures(C, 86400L, "24h")
+      addCols(Tables.events(s, dir), feats)
+        .select(col("event_id"), col("cnt_24h"),
+          qz(col("sum_24h"), 4).as("sum_24h"),
+          qz(col("avg_24h"), 6).as("avg_24h"))
+        .orderBy("event_id")
+    }),
+
+    // session assignment (gap > 30 min) + per-session aggregates
+    "q24_sessionize" -> ((s, dir) => {
+      BehaviorWindows.withSessionId(Tables.events(s, dir), C, gapSeconds = 1800L)
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          qz(sum("value"), 4).as("sum_value"),
+          min("ts").as("min_ts"), max("ts").as("max_ts"))
+        .orderBy("user_id", "session_id")
+    }),
+
+    // W14 (aggregate view): sliding last-3 frame, full windows only,
+    // users with ≥5 events (group-size predicate via window count)
+    "q25_sliding_window" -> ((s, dir) => {
+      val w3 = BehaviorWindows.ordered(C).rowsBetween(-2, 0)
+      val byUser = Window.partitionBy(col("user_id"))
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          sum("value").over(w3).as("sum3"),
+          count(lit(1)).over(w3).as("cnt3"),
+          count(lit(1)).over(byUser).as("nu"))
+        .filter(col("cnt3") === 3 && col("nu") >= 5)
+        .select(col("event_id"), qz(col("sum3"), 4).as("sum3"), col("cnt3"))
+        .orderBy("event_id")
+    }),
+
+    // W13: chronological 70/15/15 split without a global single-partition sort
+    "q26_time_split" -> ((s, dir) => {
+      TimeSplit.assign(Tables.events(s, dir), col("ts"), col("event_id"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_rows"),
+          min("event_id").as("min_id"), max("event_id").as("max_id"),
+          min("ts").as("min_ts"), max("ts").as("max_ts"))
+        .orderBy("split")
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q20_cum_features" ->
+      """WITH f AS (
+        | SELECT event_id,
+        |  CAST(row_number() OVER w - 1 AS BIGINT) AS prior_count,
+        |  sum(value) OVER wc AS cum_sum,
+        |  (round((sum(value) OVER wc) * 10000.0) / 10000.0) / (row_number() OVER w) AS cum_mean,
+        |  stddev_samp(value) OVER wc AS cum_std,
+        |  max(value) OVER wc AS cum_max,
+        |  min(value) OVER wc AS cum_min,
+        |  (value - avg(value) OVER wc) / (coalesce(stddev_samp(value) OVER wc, 1.0) + 1) AS amt_deviation,
+        |  CAST(CASE WHEN row_number() OVER w = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_first,
+        |  (round((sum(value) OVER wc) * 10000.0) / 10000.0) / (row_number() OVER w) AS amt_velocity
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+        |  wc AS (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, prior_count, round((cum_sum) * 10000.0) / 10000.0 AS cum_sum,
+        | round((cum_mean) * 1000000.0) / 1000000.0 AS cum_mean, round((cum_std) * 1000000.0) / 1000000.0 AS cum_std,
+        | cum_max, cum_min, round((amt_deviation) * 1000000.0) / 1000000.0 AS amt_deviation,
+        | is_first, round((amt_velocity) * 1000000.0) / 1000000.0 AS amt_velocity
+        |FROM f ORDER BY event_id""".stripMargin,
+
+    "q21_lag_features" ->
+      """WITH t AS (
+        | SELECT event_id, user_id, ts, value, epoch_us(ts)/1e6 AS ts_sec FROM events),
+        |f AS (
+        | SELECT event_id, user_id, ts,
+        |  coalesce(ts_sec - lag(ts_sec) OVER w, 0.0) AS time_diff,
+        |  coalesce(value - lag(value) OVER w, 0.0) AS value_diff,
+        |  value / (CASE WHEN coalesce(ts_sec - lag(ts_sec) OVER w, 0.0) = 0 THEN 1.0
+        |           ELSE coalesce(ts_sec - lag(ts_sec) OVER w, 0.0) END + 1.0) AS spending_rate
+        | FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (
+        | SELECT event_id, time_diff, value_diff, spending_rate,
+        |  coalesce(spending_rate - lag(spending_rate) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id), 0.0) AS acceleration
+        | FROM f)
+        |SELECT event_id, round((time_diff) * 1000000.0) / 1000000.0 AS time_diff, round((value_diff) * 1000000.0) / 1000000.0 AS value_diff,
+        | round((spending_rate) * 1000000.0) / 1000000.0 AS spending_rate, round((acceleration) * 1000000.0) / 1000000.0 AS acceleration
+        |FROM g ORDER BY event_id""".stripMargin,
+
+    "q22_pct_rank_pandas" ->
+      """SELECT event_id,
+        | round(((CAST(rank() OVER (PARTITION BY user_id ORDER BY value) AS DOUBLE)
+        |   + (count(*) OVER (PARTITION BY user_id, value) - 1) / 2.0)
+        |  / count(*) OVER (PARTITION BY user_id)) * 1000000.0) / 1000000.0 AS pct_rank
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q23_trailing_24h" ->
+      """SELECT event_id,
+        | CAST(count(*) OVER w AS BIGINT) AS cnt_24h,
+        | round((sum(value) OVER w) * 10000.0) / 10000.0 AS sum_24h,
+        | round((avg(value) OVER w) * 1000000.0) / 1000000.0 AS avg_24h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    "q24_sessionize" ->
+      """WITH flagged AS (
+        | SELECT user_id, ts, event_id, value,
+        |  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |       THEN 1 ELSE 0 END AS is_start
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        | SELECT user_id, ts, value,
+        |  CAST(sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        | FROM flagged)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        | round((sum(value)) * 10000.0) / 10000.0 AS sum_value, min(ts) AS min_ts, max(ts) AS max_ts
+        |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+
+    "q25_sliding_window" ->
+      """WITH f AS (
+        | SELECT event_id,
+        |  sum(value) OVER w3 AS sum3,
+        |  CAST(count(*) OVER w3 AS BIGINT) AS cnt3,
+        |  count(*) OVER (PARTITION BY user_id) AS nu
+        | FROM events
+        | WINDOW w3 AS (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, round((sum3) * 10000.0) / 10000.0 AS sum3, cnt3
+        |FROM f WHERE cnt3 = 3 AND nu >= 5 ORDER BY event_id""".stripMargin,
+
+    "q26_time_split" ->
+      """WITH ranked AS (
+        | SELECT event_id, ts,
+        |  row_number() OVER (ORDER BY ts, event_id) AS rn,
+        |  count(*) OVER () AS n
+        | FROM events)
+        |SELECT CASE WHEN rn <= floor(0.70*n) THEN 'train'
+        |            WHEN rn <= floor(0.85*n) THEN 'val'
+        |            ELSE 'test' END AS split,
+        | count(*) AS n_rows, min(event_id) AS min_id, max(event_id) AS max_id,
+        | min(ts) AS min_ts, max(ts) AS max_ts
+        |FROM ranked GROUP BY 1 ORDER BY split""".stripMargin
+  )
+}

@@ -1,0 +1,70 @@
+package graft.serve
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.functions.AmountFeatures
+
+/** Heuristic risk scorer + bucketing (SURVEY.md §2.10 H1-H4).
+  *
+  * Capability match for the reference's serving scorer
+  * (`api/main.py:199-221, 333-355`; duplicated `streamlit_app.py:166-246`):
+  * sigmoid base on amount, additive rule bumps with reason strings, risk
+  * bucketing at 0.2/0.4/0.6/0.8, fraud flag at ≥0.6, confidence
+  * |score−0.5|·2. Entirely Column expressions — set-oriented batch scoring
+  * is one `select` over any DataFrame (vs the reference's per-request
+  * Python loop, `api/main.py:360-376`), and the same expressions serve a
+  * single driver-local row for request/response latency.
+  */
+object RiskScore {
+
+  /** Base score: sigmoid(0.003·(amount−500)) (`api/main.py:201`). */
+  def baseScore(amount: Column): Column =
+    AmountFeatures.sigmoid(amount, 0.003, 500.0)
+
+  /** Rule bumps (`api/main.py:203-221`): each condition adds a fixed bump.
+    * deviceInfo/hour may be null columns from the caller. */
+  def ruleBumps(amount: Column, hour: Column, deviceMissing: Column,
+                riskyProduct: Column): Column = {
+    val b1 = when(amount > 5000, 0.15).otherwise(0.0)
+    val b2 = when(amount > 1000 && amount <= 5000, 0.08).otherwise(0.0)
+    val b3 = when(deviceMissing, 0.05).otherwise(0.0)
+    val b4 = when(riskyProduct, 0.05).otherwise(0.0)
+    val b5 = when(hour < 5 || hour > 23, 0.07).otherwise(0.0)
+    b1 + b2 + b3 + b4 + b5
+  }
+
+  /** Heuristic score clipped to [0,1]. */
+  def heuristicScore(amount: Column, hour: Column, deviceMissing: Column,
+                     riskyProduct: Column): Column =
+    least(lit(1.0),
+      greatest(lit(0.0),
+        baseScore(amount) + ruleBumps(amount, hour, deviceMissing, riskyProduct)))
+
+  /** Blend 0.4·model + 0.6·heuristic, clipped (`api/main.py:272,284`). */
+  def blend(model: Column, heuristic: Column): Column =
+    least(lit(1.0), greatest(lit(0.0), model * 0.4 + heuristic * 0.6))
+
+  /** Risk bucket at 0.2/0.4/0.6/0.8 (`api/main.py:333-342`). */
+  def riskLevel(score: Column): Column =
+    when(score < 0.2, "MINIMAL")
+      .when(score < 0.4, "LOW")
+      .when(score < 0.6, "MEDIUM")
+      .when(score < 0.8, "HIGH")
+      .otherwise("CRITICAL")
+
+  def isFraud(score: Column): Column = (score >= 0.6).cast("int")
+
+  /** Confidence = |score − 0.5|·2 (`api/main.py:355`). */
+  def confidence(score: Column): Column = abs(score - 0.5) * 2
+
+  /** Human-readable reasons as a comma-joined string (deterministic order,
+    * mirrors the reference's append order). */
+  def reasons(amount: Column, hour: Column, deviceMissing: Column,
+              riskyProduct: Column): Column =
+    concat_ws(",",
+      when(amount > 5000, "very_high_amount"),
+      when(amount > 1000 && amount <= 5000, "high_amount"),
+      when(deviceMissing, "missing_device"),
+      when(riskyProduct, "risky_product"),
+      when(hour < 5 || hour > 23, "unusual_hour"))
+}

@@ -1,0 +1,38 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Loaders for the harness star schema (TESTDATA.md).
+  *
+  * One parquet file per table; schemas are fixed by the driver so we read
+  * them as-is (Parquet self-describes; Catalyst prunes columns and pushes
+  * predicates into the scan). At cluster scale the same loaders work on a
+  * directory of many files — nothing here assumes a single file.
+  */
+object Tables {
+  private def read(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame     = read(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame       = read(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame     = read(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame     = read(spark, dir, "region")
+  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects. Read nanos as long (legacy conf) and
+    * truncate to microseconds — the same ns→µs floor DuckDB applies when
+    * it loads the file, so both engines see identical event times. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = read(spark, dir, "events")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
+}

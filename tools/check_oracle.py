@@ -1,0 +1,64 @@
+#!/usr/bin/env python3
+"""Dev-only harness: compare Verify output parquet against DuckDB oracle SQL.
+
+Mimics the driver's t2 gate: for each query, run the oracle SQL in DuckDB
+over views of the sf parquet tables, sort columns by name, sort rows, and
+compare values. Usage: check_oracle.py <sfdir> <verify_out_dir>
+"""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+def main(sfdir, outdir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(os.listdir(outdir)):
+        d = os.path.join(outdir, name)
+        if not os.path.isdir(d):
+            continue
+        files = glob.glob(f"{d}/*.parquet")
+        spark_df = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+        if name not in oracle:
+            print(f"  [rows-only] {name}: {len(spark_df)} rows")
+            continue
+        duck_df = con.execute(oracle[name]).df()
+        try:
+            a, b = norm(spark_df), norm(duck_df)
+            if list(a.columns) != list(b.columns):
+                raise AssertionError(f"columns differ: {list(a.columns)} vs {list(b.columns)}")
+            if len(a) != len(b):
+                raise AssertionError(f"row count {len(a)} vs {len(b)}")
+            for c in a.columns:
+                av, bv = a[c], b[c]
+                if av.dtype.kind == 'f' or bv.dtype.kind == 'f':
+                    ok = np.allclose(av.astype(float), bv.astype(float),
+                                     rtol=0, atol=0, equal_nan=True)
+                else:
+                    ok = (av.astype(str) == bv.astype(str)).all()
+                if not ok:
+                    diffs = (av != bv)
+                    raise AssertionError(
+                        f"col {c} mismatch; dtype {av.dtype}/{bv.dtype}; "
+                        f"first diffs:\n{pd.DataFrame({'spark': av[diffs], 'duck': bv[diffs]}).head(5)}")
+            print(f"  [PASS] {name} ({len(a)} rows)")
+            n_pass += 1
+        except AssertionError as e:
+            print(f"  [FAIL] {name}: {e}")
+            n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
