@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.BehaviorWindows
-import graft.queries.{CoreQueries, EvalQueries, FeatureQueries, WindowQueries, Util}
+import graft.queries.{CoreQueries, EmbeddingQueries, EvalQueries, FeatureQueries, TextQueries, WindowQueries, Util}
 import graft.serve.RiskScore
 import graft.sources.Tables
 
@@ -37,11 +37,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ WindowQueries.queries ++
-      FeatureQueries.queries ++ EvalQueries.queries
+      FeatureQueries.queries ++ EvalQueries.queries ++
+      TextQueries.queries ++ EmbeddingQueries.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the
     * same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracle ++ WindowQueries.oracle ++
-      FeatureQueries.oracle ++ EvalQueries.oracle
+      FeatureQueries.oracle ++ EvalQueries.oracle ++
+      TextQueries.oracle ++ EmbeddingQueries.oracle
 }

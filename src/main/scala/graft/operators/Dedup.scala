@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection at scale: MinHash+LSH banding, SimHash, and
+  * winnowing-style document fingerprints (SURVEY.md §7 extensions).
+  *
+  * Design for 100 TB: all signatures are computed per-row with codegen'd
+  * array expressions (xxhash64 is a native Catalyst expression); the
+  * quadratic step only happens *within LSH buckets* (band self-join), so
+  * the candidate set is |pairs sharing a band-bucket|, not n². All
+  * hashing is seed-deterministic — no RNG at execution time.
+  */
+object Dedup {
+
+  /** token shingles of length `n` joined by a space; empty when the doc
+    * has fewer than `n` tokens. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = TextOps.tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array())
+  }
+
+  /** 64-bit base hashes of each shingle (xxhash64: stable, codegen'd). */
+  def shingleHashes(text: Column, n: Int): Column =
+    transform(shingles(text, n), s => xxhash64(s))
+
+  /** Mersenne prime 2^31−1: affine hashes stay under 2^62 — no long
+    * overflow (ANSI mode errors on wraparound multiplies). */
+  private val MersenneP = 2147483647L
+
+  /** Deterministic affine hash family params mod p (seeded, fixed). */
+  private def hashFamily(k: Int, seed: Long): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(k)((1L + rnd.nextInt((MersenneP - 1).toInt),
+      rnd.nextInt(MersenneP.toInt).toLong))
+  }
+
+  /** MinHash signature: array of k minima of affine-permuted shingle
+    * hashes, computed mod 2^31−1 (31-bit values, overflow-free). */
+  def minHashSignature(text: Column, shingleLen: Int = 3, k: Int = 32,
+                       seed: Long = 42L): Column = {
+    val hs = shingleHashes(text, shingleLen)
+    val mins = hashFamily(k, seed).map { case (a, b) =>
+      array_min(transform(hs, h => pmod(pmod(h, lit(MersenneP)) * a + b, lit(MersenneP))))
+    }
+    array(mins: _*)
+  }
+
+  /** LSH candidate pairs: split the signature into `bands` bands, hash
+    * each band, self-join on (band index, band hash). Returns
+    * (doc1, doc2, est_jaccard) where est_jaccard = fraction of equal
+    * minhash components. */
+  def minHashCandidates(docs: DataFrame, id: String, text: String,
+                        shingleLen: Int = 3, k: Int = 32, bands: Int = 8,
+                        seed: Long = 42L): DataFrame = {
+    require(k % bands == 0)
+    val r = k / bands
+    val sig = docs.select(col(id).as("doc_id"),
+      minHashSignature(col(text), shingleLen, k, seed).as("mh"))
+    val banded = sig.select(col("doc_id"), col("mh"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"), hash(slice(col("mh"), b * r + 1, lit(r))).as("bucket"))))
+        .as("bb"))
+      .select(col("doc_id"), col("mh"), col("bb.band"), col("bb.bucket"))
+    val l = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("doc1"), col("mh").as("mh1"))
+    val rgt = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("doc2"), col("mh").as("mh2"))
+    l.join(rgt, Seq("band", "bucket"))
+      .filter(col("doc1") < col("doc2"))
+      .select(col("doc1"), col("doc2"),
+        (aggregate(zip_with(col("mh1"), col("mh2"), (a, b) => when(a === b, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") / k).as("est_jaccard"))
+      .distinct()
+  }
+
+  /** 32-bit SimHash from token hashes: bit b is the sign of
+    * Σ_tokens (2·bit_b(h) − 1). */
+  def simHash(text: Column): Column = {
+    val hs = transform(TextOps.tokens(text), t => xxhash64(t))
+    val bits = (0 until 32).map { b =>
+      val vote = aggregate(hs, lit(0),
+        (acc, h) => acc + when(h.bitwiseAND(lit(1L) * lit(1L << b)) =!= 0, 1).otherwise(-1))
+      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** SimHash near-dup pairs within a blocking key: hamming distance of
+    * signatures ≤ maxDist. */
+  def simHashPairs(docs: DataFrame, id: String, text: String,
+                   blockKey: String, maxDist: Int): DataFrame = {
+    val sig = docs.select(col(blockKey).as("bk"), col(id).as("doc_id"),
+      simHash(col(text)).as("sh"))
+    val l = sig.select(col("bk"), col("doc_id").as("doc1"), col("sh").as("sh1"))
+    val r = sig.select(col("bk"), col("doc_id").as("doc2"), col("sh").as("sh2"))
+    l.join(r, Seq("bk"))
+      .filter(col("doc1") < col("doc2"))
+      .withColumn("hamming", bit_count(col("sh1").bitwiseXOR(col("sh2"))))
+      .filter(col("hamming") <= maxDist)
+      .select("doc1", "doc2", "hamming")
+  }
+
+  /** Winnowing-style fingerprint: the minimum shingle hash — one stable
+    * 64-bit fingerprint per document (plus shingle cardinality). */
+  def fingerprint(docs: DataFrame, id: String, text: String,
+                  shingleLen: Int = 8): DataFrame =
+    docs.select(col(id).as("doc_id"),
+      array_min(shingleHashes(col(text), shingleLen)).as("fingerprint"),
+      size(array_distinct(shingleHashes(col(text), shingleLen))).cast("long").as("n_shingles"))
+}

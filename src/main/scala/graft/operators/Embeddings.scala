@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector operators: norms, brute-force cosine top-k, and a
+  * random-hyperplane LSH variant as the scale path (SURVEY.md §7).
+  *
+  * All vector math is higher-order array expressions in double precision
+  * (left-to-right folds — deterministic). Brute force broadcasts the
+  * (small) query side so the corpus never shuffles; the LSH variant
+  * bounds the candidate set by bucket before exact scoring.
+  */
+object Embeddings {
+
+  /** Σ aᵢ·bᵢ in double (fold over zip — codegen'd, deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm2(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
+
+  /** Per-vector stats: L2 norm, mean, min, max. */
+  def stats(df: DataFrame, id: String, vec: String): DataFrame = {
+    val v = col(vec)
+    df.select(col(id),
+      norm2(v).as("l2_norm"),
+      (aggregate(v, lit(0.0), (a, x) => a + x.cast("double")) / size(v)).as("mean"),
+      array_min(v).cast("double").as("min_v"),
+      array_max(v).cast("double").as("max_v"))
+  }
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest
+    * corpus vectors (self excluded). Queries are broadcast; ranking
+    * shuffles only (query_id, sim) pairs. `quantize` stabilizes ranking
+    * ties across engines/runs. */
+  def cosineTopK(queries: DataFrame, corpus: DataFrame, qid: String,
+                 cid: String, vec: String, k: Int): DataFrame = {
+    val q = queries.select(col(qid).as("query_id"), col(vec).as("qv"))
+    val c = corpus.select(col(cid).as("neighbor_id"), col(vec).as("cv"))
+    val sims = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", round(cosine(col("qv"), col("cv")) * 1e6) / 1e6)
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("neighbor_id"))
+    sims.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("query_id", "neighbor_id", "sim")
+  }
+
+  /** Deterministic random hyperplanes: planes(i)(j) ∈ [-0.5, 0.5). */
+  private def planes(nPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextDouble() - 0.5))
+  }
+
+  /** Sign-random-projection bucket id (nPlanes-bit signature). Vectors
+    * in the same bucket are near-duplicate candidates. */
+  def srpBucket(vec: Column, nPlanes: Int, dim: Int, seed: Long = 42L): Column =
+    planes(nPlanes, dim, seed).zipWithIndex.map { case (p, i) =>
+      val proj = dot(vec, array(p.map(lit): _*))
+      when(proj > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed near-neighbor pairs: exact cosine computed only inside
+    * buckets (the 100 TB path: candidate generation is a shuffle on the
+    * bucket id, not an n² cross join). */
+  def lshNeighborPairs(df: DataFrame, id: String, vec: String,
+                       nPlanes: Int = 12, dim: Int = 64,
+                       minSim: Double = 0.0, seed: Long = 42L): DataFrame = {
+    val sig = df.select(col(id).as("vid"), col(vec).as("v"),
+      srpBucket(col(vec), nPlanes, dim, seed).as("bucket"))
+    val l = sig.select(col("bucket"), col("vid").as("id1"), col("v").as("v1"))
+    val r = sig.select(col("bucket"), col("vid").as("id2"), col("v").as("v2"))
+    l.join(r, Seq("bucket"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("sim", round(cosine(col("v1"), col("v2")) * 1e6) / 1e6)
+      .filter(col("sim") >= minSim)
+      .select("id1", "id2", "sim")
+  }
+}

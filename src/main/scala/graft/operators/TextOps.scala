@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (SURVEY.md §7 extensions): tokenization, quality stats, heuristic
+  * language ID, exact dedup, n-gram Jaccard pair similarity.
+  *
+  * Everything is built from codegen'd Column expressions (split /
+  * higher-order array functions) — no UDFs — so the ops scale linearly
+  * and stay inside whole-stage codegen. Pairwise ops join within a
+  * blocking key (`source`) to bound the candidate set.
+  */
+object TextOps {
+
+  /** Whitespace tokenization, trim first (parity with DuckDB
+    * regexp_split_to_array(trim(x), '\s+')). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def nTokens(text: Column): Column = size(tokens(text))
+
+  /** Total characters across tokens (fold — exact integer). */
+  def charSum(text: Column): Column =
+    aggregate(transform(tokens(text), t => length(t)), lit(0), (a, x) => a + x)
+
+  /** Count of tokens contained in `words` (duplicates counted). */
+  def hitCount(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isInCollection(words)))
+
+  def punctCount(text: Column): Column = regexp_count(text, lit("[.,;:!?]"))
+
+  /** Composite quality score ∈ [0,1]: length component + stopword
+    * density + punctuation sparsity (deterministic arithmetic). */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val n = nTokens(text).cast("double")
+    val lenScore = least(lit(1.0), n / 100.0)
+    val stopRatio = hitCount(text, stopwords).cast("double") / n
+    val punctRatio = punctCount(text).cast("double") / n
+    lit(0.4) * lenScore + lit(0.3) * stopRatio + lit(0.3) * (lit(1.0) - least(lit(1.0), punctRatio))
+  }
+
+  /** Per-language stopword lists for the n-gram/stopword language-ID
+    * heuristic. Deterministic tie-break: first language in this order
+    * with the (weakly) max hit count wins; zero hits → "unknown". */
+  val langWords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "to", "and", "is", "in"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "est"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "ist"),
+    "es" -> Seq("el", "los", "de", "y", "un", "es"))
+
+  def langHits(text: Column): Seq[(String, Column)] =
+    langWords.map { case (l, ws) => l -> hitCount(text, ws) }
+
+  def predictLang(text: Column): Column = {
+    val hits = langHits(text)
+    val maxHits = greatest(hits.map(_._2): _*)
+    hits.foldRight(lit("unknown"): Column) { case ((l, h), acc) =>
+      when(h > 0 && h === maxHits, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Exact-duplicate summary: docs sharing identical text (also by md5
+    * content hash — the form that scales to a shuffle on a 32-char key
+    * instead of full text). */
+  def exactDupSummary(docs: DataFrame, text: Column): DataFrame =
+    docs.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(text).as("n_distinct_text"),
+      countDistinct(md5(text)).as("n_distinct_md5"))
+
+  /** Keeper (min doc_id) per duplicated text group. */
+  def dupGroups(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.groupBy(md5(text).as("content_hash"))
+      .agg(min(id).as("keep_id"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+
+  /** Distinct-token-set Jaccard over all doc pairs inside a blocking key.
+    * Exact set semantics (array_intersect/array_union dedup) — matches
+    * DuckDB list_intersect / list_distinct(list_concat). */
+  def jaccardPairs(docs: DataFrame, id: String, text: String,
+                   blockKey: String, threshold: Double): DataFrame = {
+    val toks = array_distinct(tokens(col(text)))
+    val left = docs.select(col(blockKey).as("bk"), col(id).as("doc1"), toks.as("t1"))
+    val right = docs.select(col(blockKey).as("bk"), col(id).as("doc2"), toks.as("t2"))
+    left.join(right, Seq("bk"))
+      .filter(col("doc1") < col("doc2"))
+      .withColumn("jaccard",
+        size(array_intersect(col("t1"), col("t2"))).cast("double") /
+          size(array_union(col("t1"), col("t2"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc1"), col("doc2"), col("jaccard"))
+  }
+}

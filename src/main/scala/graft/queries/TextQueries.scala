@@ -1,0 +1,165 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.operators.{Dedup, TextOps}
+import Util.{Q, qz}
+
+/** Text-pipeline queries over `documents` (SURVEY.md §7 extensions):
+  * dedup (exact, MinHash-LSH, SimHash, fingerprint), quality stats,
+  * language ID, n-gram Jaccard. Hash-based ops (xxhash64) have no DuckDB
+  * equivalent → rows-only checks; everything else is oracle-checked.
+  */
+object TextQueries {
+
+  def queries: Map[String, Q] = Map(
+    // exact dedup summary (count + md5 content-hash form)
+    "q50_exact_dedup" -> ((s, dir) =>
+      TextOps.exactDupSummary(Tables.documents(s, dir), col("text"))),
+
+    // per-doc token/quality stats
+    "q51_text_stats" -> ((s, dir) => {
+      val t = col("text")
+      val stop = TextOps.langWords.head._2
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextOps.nTokens(t).cast("long").as("n_tokens"),
+        TextOps.charSum(t).cast("long").as("char_sum"),
+        qz(TextOps.charSum(t).cast("double") / TextOps.nTokens(t), 6).as("avg_token_len"),
+        TextOps.hitCount(t, stop).cast("long").as("stop_hits"),
+        qz(TextOps.qualityScore(t, stop), 6).as("quality")
+      ).orderBy("doc_id")
+    }),
+
+    // heuristic language ID (deterministic stopword-hit argmax)
+    "q52_lang_id" -> ((s, dir) => {
+      val t = col("text")
+      val hits = TextOps.langHits(t)
+      Tables.documents(s, dir).select(
+        Seq(col("doc_id")) ++
+          hits.map { case (l, c) => c.cast("long").as(s"hits_$l") } ++
+          Seq(TextOps.predictLang(t).as("pred_lang"),
+            (TextOps.predictLang(t) === col("lang")).cast("long").as("is_match")): _*)
+        .orderBy("doc_id")
+    }),
+
+    // n-gram (token-set) Jaccard similarity pairs, blocked by source
+    "q53_jaccard_pairs" -> ((s, dir) => {
+      TextOps.jaccardPairs(Tables.documents(s, dir),
+          "doc_id", "text", "source", threshold = 0.30)
+        .select(col("doc1"), col("doc2"), qz(col("jaccard"), 6).as("jaccard"))
+        .orderBy("doc1", "doc2")
+    }),
+
+    // duplicated-content groups (md5 key; empty at sf where no dups)
+    "q61_dup_groups" -> ((s, dir) =>
+      TextOps.dupGroups(Tables.documents(s, dir), col("doc_id"), col("text"))
+        .orderBy("keep_id")),
+
+    // token-class counts (whitespace + BPE-ish regex token census)
+    "q60_token_classes" -> ((s, dir) => {
+      val t = col("text")
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextOps.nTokens(t).cast("long").as("n_ws_tokens"),
+        regexp_count(t, lit("[a-z]+")).cast("long").as("n_alpha"),
+        regexp_count(t, lit("[0-9]+")).cast("long").as("n_num"),
+        regexp_count(t, lit("[^a-z0-9\\s]")).cast("long").as("n_other")
+      ).orderBy("doc_id")
+    }),
+
+    // MinHash + LSH banding near-dup candidates (xxhash64 — rows-only)
+    "q54_minhash_lsh" -> ((s, dir) =>
+      Dedup.minHashCandidates(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc1", "doc2")),
+
+    // SimHash near-dup pairs within source (rows-only)
+    "q55_simhash_pairs" -> ((s, dir) =>
+      Dedup.simHashPairs(Tables.documents(s, dir), "doc_id", "text",
+        "source", maxDist = 10)
+        .orderBy("doc1", "doc2")),
+
+    // winnowing fingerprints (rows-only)
+    "q56_fingerprint" -> ((s, dir) =>
+      Dedup.fingerprint(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id"))
+  )
+
+  private val stopList = "['the','a','of','to','and','is','in']"
+
+  def oracle: Map[String, String] = Map(
+    "q50_exact_dedup" ->
+      """SELECT count(*) AS n_docs, count(DISTINCT text) AS n_distinct_text,
+        | count(DISTINCT md5(text)) AS n_distinct_md5
+        |FROM documents""".stripMargin,
+
+    "q51_text_stats" ->
+      s"""WITH t AS (
+         | SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks,
+         |  len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct
+         | FROM documents),
+         |f AS (
+         | SELECT doc_id,
+         |  len(toks) AS n_tokens,
+         |  CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS char_sum,
+         |  len(list_filter(toks, x -> list_contains($stopList, x))) AS stop_hits,
+         |  n_punct
+         | FROM t)
+         |SELECT doc_id, n_tokens, char_sum,
+         | round((CAST(char_sum AS DOUBLE)/n_tokens) * 1000000.0) / 1000000.0 AS avg_token_len,
+         | stop_hits,
+         | round((0.4*least(1.0, CAST(n_tokens AS DOUBLE)/100.0)
+         |  + 0.3*(CAST(stop_hits AS DOUBLE)/n_tokens)
+         |  + 0.3*(1.0 - least(1.0, CAST(n_punct AS DOUBLE)/n_tokens))) * 1000000.0) / 1000000.0 AS quality
+         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q52_lang_id" ->
+      """WITH t AS (
+        | SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS toks
+        | FROM documents),
+        |h AS (
+        | SELECT doc_id, lang,
+        |  len(list_filter(toks, x -> list_contains(['the','a','of','to','and','is','in'], x))) AS hits_en,
+        |  len(list_filter(toks, x -> list_contains(['le','la','de','et','un','est'], x))) AS hits_fr,
+        |  len(list_filter(toks, x -> list_contains(['der','die','das','und','ein','ist'], x))) AS hits_de,
+        |  len(list_filter(toks, x -> list_contains(['el','los','de','y','un','es'], x))) AS hits_es
+        | FROM t),
+        |p AS (
+        | SELECT doc_id, lang, hits_en, hits_fr, hits_de, hits_es,
+        |  CASE WHEN hits_en > 0 AND hits_en >= greatest(hits_fr, hits_de, hits_es) THEN 'en'
+        |       WHEN hits_fr > 0 AND hits_fr >= greatest(hits_de, hits_es) THEN 'fr'
+        |       WHEN hits_de > 0 AND hits_de >= hits_es THEN 'de'
+        |       WHEN hits_es > 0 THEN 'es'
+        |       ELSE 'unknown' END AS pred_lang
+        | FROM h)
+        |SELECT doc_id, hits_en, hits_fr, hits_de, hits_es, pred_lang,
+        | CAST(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END AS BIGINT) AS is_match
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    "q53_jaccard_pairs" ->
+      """WITH t AS (
+        | SELECT doc_id, source,
+        |  list_distinct(regexp_split_to_array(trim(text), '\s+')) AS toks
+        | FROM documents)
+        |SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+        | round((CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |  / len(list_distinct(list_concat(a.toks, b.toks)))) * 1000000.0) / 1000000.0 AS jaccard
+        |FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |  / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.30
+        |ORDER BY doc1, doc2""".stripMargin,
+
+    "q61_dup_groups" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) HAVING count(*) > 1
+        |ORDER BY keep_id""".stripMargin,
+
+    "q60_token_classes" ->
+      """SELECT doc_id,
+        | len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,
+        | len(regexp_extract_all(text, '[a-z]+')) AS n_alpha,
+        | len(regexp_extract_all(text, '[0-9]+')) AS n_num,
+        | len(regexp_extract_all(text, '[^a-z0-9\s]')) AS n_other
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
