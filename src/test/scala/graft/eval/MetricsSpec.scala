@@ -1,0 +1,62 @@
+package graft.eval
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class MetricsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (label, score): 3 pos, 3 neg with one tie across classes
+  private lazy val scored = Seq(
+    (1, 0.9), (1, 0.8), (1, 0.4), (0, 0.4), (0, 0.3), (0, 0.1)
+  ).toDF("label", "score")
+
+  test("confusion + point metrics + cost at τ=0.5, one pass") {
+    val r = Metrics.confusionAt(scored, $"label", $"score", 0.5).collect()(0)
+    assert(r.getAs[Long]("tp") == 2 && r.getAs[Long]("fp") == 0)
+    assert(r.getAs[Long]("fn") == 1 && r.getAs[Long]("tn") == 3)
+    assert(r.getAs[Double]("precision") == 1.0)
+    assert(math.abs(r.getAs[Double]("recall") - 2.0 / 3) < 1e-12)
+    assert(r.getAs[Double]("cost") == 1000.0) // 1 fn * 1000 + 0 fp * 10
+  }
+
+  test("ROC-AUC via rank-sum matches hand-computed value with ties") {
+    // ranks asc: 0.1->1, 0.3->2, 0.4 tie -> avg 3.5, 0.8->5, 0.9->6
+    // R_pos = 3.5+5+6 = 14.5; AUC = (14.5 - 3*4/2) / (3*3) = 8.5/9
+    val auc = Metrics.rocAuc(scored, $"label", $"score").collect()(0).getDouble(0)
+    assert(math.abs(auc - 8.5 / 9.0) < 1e-12)
+  }
+
+  test("perfect separation gives AUC 1.0, inverted gives 0.0") {
+    val perfect = Seq((1, 0.9), (1, 0.8), (0, 0.2), (0, 0.1)).toDF("label", "score")
+    assert(Metrics.rocAuc(perfect, $"label", $"score").collect()(0).getDouble(0) == 1.0)
+    val inverted = perfect.withColumn("score", lit(1.0) - $"score")
+    assert(Metrics.rocAuc(inverted, $"label", $"score").collect()(0).getDouble(0) == 0.0)
+  }
+
+  test("PR curve: precision/recall per distinct threshold descending") {
+    val pr = Metrics.prCurve(scored, $"label", $"score")
+      .orderBy(desc("threshold")).collect()
+    // thresholds: 0.9, 0.8, 0.4, 0.3, 0.1
+    assert(pr.length == 5)
+    assert(pr(0).getAs[Double]("precision") == 1.0 &&
+      math.abs(pr(0).getAs[Double]("recall") - 1.0 / 3) < 1e-12)
+    // at 0.4: tp=3 (all pos), fp=1 -> precision 0.75, recall 1.0
+    assert(math.abs(pr(2).getAs[Double]("precision") - 0.75) < 1e-12)
+    assert(pr(2).getAs[Double]("recall") == 1.0)
+  }
+
+  test("best F1 threshold picked from the curve") {
+    val r = Metrics.bestF1Threshold(scored, $"label", $"score").collect()(0)
+    // f1 at 0.4: p=.75 r=1 -> 6/7 ≈ .857 — the max
+    assert(r.getAs[Double]("threshold") == 0.4)
+    assert(math.abs(r.getAs[Double]("f1") - 6.0 / 7) < 1e-12)
+  }
+
+  test("threshold grid is ANSI-safe when a cell has no predictions") {
+    val g = Metrics.thresholdGrid(scored, $"label", $"score", Seq(0.05, 0.95))
+      .orderBy("tau").collect()
+    assert(g(0).getAs[Double]("recall") == 1.0)  // everything predicted pos
+    assert(g(1).isNullAt(1) || g(1).getAs[Double]("precision") == 0.0) // no preds ≥ .95
+  }
+}

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class EmbeddingsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(2.0f, 0.0f, 0.0f)),  // parallel to 0
+    (2L, Array(0.0f, 1.0f, 0.0f)),  // orthogonal to 0
+    (3L, Array(-1.0f, 0.0f, 0.0f)), // opposite to 0
+    (4L, Array(1.0f, 1.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("dot/norm/cosine on known vectors") {
+    val out = vecs.filter($"vec_id" === 4)
+      .select(Embeddings.norm2($"embedding")).collect()(0).getDouble(0)
+    assert(math.abs(out - math.sqrt(2)) < 1e-12)
+  }
+
+  test("cosine top-k ranks parallel > diagonal > orthogonal > opposite") {
+    val q = vecs.filter($"vec_id" === 0)
+    val out = Embeddings.cosineTopK(q, vecs, "vec_id", "vec_id", "embedding", k = 4)
+      .orderBy(desc("sim"), $"neighbor_id").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 4L, 2L, 3L))
+    assert(out(0).getDouble(2) == 1.0)
+    assert(math.abs(out(1).getDouble(2) - math.sqrt(0.5)) < 1e-4)
+    assert(out(2).getDouble(2) == 0.0)
+    assert(out(3).getDouble(2) == -1.0)
+  }
+
+  test("LSH buckets: identical vectors collide; pairs carry exact cosine") {
+    val dup = Seq((10L, Array(1.0f, 2.0f, 3.0f)), (11L, Array(1.0f, 2.0f, 3.0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Embeddings.lshNeighborPairs(dup, "vec_id", "embedding",
+      nPlanes = 8, dim = 3, minSim = 0.9)
+      .collect()
+    assert(pairs.length == 1 && pairs(0).getLong(0) == 10L && pairs(0).getDouble(2) == 1.0)
+  }
+
+  test("stats: norm/mean/min/max") {
+    val r = Embeddings.stats(vecs.filter($"vec_id" === 4), "vec_id", "embedding")
+      .collect()(0)
+    assert(math.abs(r.getAs[Double]("l2_norm") - math.sqrt(2)) < 1e-12)
+    assert(math.abs(r.getAs[Double]("mean") - 2.0 / 3) < 1e-12)
+    assert(r.getAs[Double]("min_v") == 0.0 && r.getAs[Double]("max_v") == 1.0)
+  }
+}

@@ -1,0 +1,39 @@
+package graft.operators
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SplitEncodingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("TimeSplit: exact positional 70/15/15 by (ts, id)") {
+    val rows = (1 to 20).map(i =>
+      (i.toLong, Timestamp.valueOf(f"2024-01-${i}%02d 00:00:00")))
+    val df = rows.toDF("id", "ts")
+    val out = TimeSplit.assign(df, $"ts", $"id")
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // floor(.7*20)=14 train, floor(.85*20)=17 -> 3 val, 3 test
+    assert(out == Map("train" -> 14L, "val" -> 3L, "test" -> 3L))
+  }
+
+  test("TimeSplit: chronological — max(train ts) < min(test ts)") {
+    val rows = (1 to 50).map(i => (i.toLong,
+      new Timestamp(1700000000000L + (i * 7919 % 50) * 86400000L)))
+    val df = rows.toDF("id", "ts")
+    val agg = TimeSplit.assign(df, $"ts", $"id").groupBy("split")
+      .agg(min("ts").as("mn"), max("ts").as("mx")).collect()
+      .map(r => r.getString(0) -> (r.getTimestamp(1), r.getTimestamp(2))).toMap
+    assert(!agg("train")._2.after(agg("val")._1))
+    assert(!agg("val")._2.after(agg("test")._1))
+  }
+
+  test("TargetEncoding: train-only fit, broadcast join back, default for unseen") {
+    val train = Seq(("a", 1.0), ("a", 0.0), ("b", 1.0)).toDF("k", "y")
+    val apply = Seq("a", "b", "c").toDF("k")
+    val out = TargetEncoding.fitTransform(train, apply, "k", $"y", default = 0.25)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out("a") == 0.5 && out("b") == 1.0 && out("c") == 0.25)
+  }
+}

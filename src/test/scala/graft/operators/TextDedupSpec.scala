@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "a"),
+    (2L, "the quick brown fox jumps over the lazy dog", "a"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat", "a"), // near dup
+    (4L, "completely different words entirely here now", "a"),
+    (5L, "unrelated text in another block", "b")
+  ).toDF("doc_id", "text", "source")
+
+  test("tokens + stats") {
+    val out = docs.filter($"doc_id" === 1)
+      .select(TextOps.nTokens($"text"), TextOps.charSum($"text"),
+        TextOps.hitCount($"text", Seq("the", "fox"))).collect()(0)
+    assert(out.getInt(0) == 9)
+    assert(out.getInt(1) == 35) // total chars across the 9 tokens
+    assert(out.getInt(2) == 3) // 'the' twice + 'fox'
+  }
+
+  test("exact dedup summary and groups") {
+    val s = TextOps.exactDupSummary(docs, $"text").collect()(0)
+    assert(s.getAs[Long]("n_docs") == 5 && s.getAs[Long]("n_distinct_text") == 4)
+    val g = TextOps.dupGroups(docs, $"doc_id", $"text").collect()
+    assert(g.length == 1 && g(0).getAs[Long]("keep_id") == 1 &&
+      g(0).getAs[Long]("n_copies") == 2)
+  }
+
+  test("jaccard pairs: identical docs = 1.0; near dup high; blocked by source") {
+    val pairs = TextOps.jaccardPairs(docs, "doc_id", "text", "source", 0.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs((1L, 3L)) > 0.7) // 7 shared of 9 union (dog/cat differ)
+    assert(!pairs.contains((4L, 5L))) // cross-source blocked
+  }
+
+  test("minhash: identical docs share full signature; est_jaccard = 1") {
+    val cands = Dedup.minHashCandidates(docs, "doc_id", "text")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(cands((1L, 2L)) == 1.0)
+  }
+
+  test("simhash: identical docs at hamming 0; near dups close") {
+    val pairs = Dedup.simHashPairs(docs, "doc_id", "text", "source", maxDist = 32)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs((1L, 2L)) == 0)
+    assert(pairs((1L, 3L)) < pairs.getOrElse((1L, 4L), 33))
+  }
+
+  test("fingerprint: deterministic, equal for identical docs") {
+    val fp = Dedup.fingerprint(docs, "doc_id", "text", shingleLen = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(4L))
+  }
+
+  test("language id: deterministic argmax with priority tie-break") {
+    val d = Seq((1L, "the cat is on the mat", "en"),
+      (2L, "le chat est la", "fr"),
+      (3L, "xyzzy qwerty", "zh")).toDF("doc_id", "text", "lang")
+    val out = d.select($"doc_id", TextOps.predictLang($"text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en" && out(2L) == "fr" && out(3L) == "unknown")
+  }
+}
