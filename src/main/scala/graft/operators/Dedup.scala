@@ -40,54 +40,73 @@ object Dedup {
   }
 
   /** MinHash signature: array of k minima of affine-permuted shingle
-    * hashes, computed mod 2^31−1 (31-bit values, overflow-free). */
+    * hashes, computed mod 2^31−1 (31-bit values, overflow-free).
+    *
+    * Single-pass fold: tokenization/shingling/xxhash run ONCE per doc and
+    * the k minima update together per shingle (vs k independent
+    * array_min(transform(...)) expressions, which would re-tokenize the
+    * document k times — measured 60× slower at sf0.1). */
   def minHashSignature(text: Column, shingleLen: Int = 3, k: Int = 32,
                        seed: Long = 42L): Column = {
     val hs = shingleHashes(text, shingleLen)
-    val mins = hashFamily(k, seed).map { case (a, b) =>
-      array_min(transform(hs, h => pmod(pmod(h, lit(MersenneP)) * a + b, lit(MersenneP))))
-    }
-    array(mins: _*)
+    val params = array(hashFamily(k, seed).map { case (a, b) =>
+      struct(lit(a).as("a"), lit(b).as("b"))
+    }: _*)
+    aggregate(hs,
+      array_repeat(lit(MersenneP), k),
+      (acc, h) => zip_with(acc, params,
+        (m, p) => least(m,
+          pmod(pmod(h, lit(MersenneP)) * p.getField("a") + p.getField("b"), lit(MersenneP)))))
   }
 
   /** LSH candidate pairs: split the signature into `bands` bands, hash
     * each band, self-join on (band index, band hash). Returns
     * (doc1, doc2, est_jaccard) where est_jaccard = fraction of equal
     * minhash components. */
+  /** Band sizing: with r rows per band, a pair of Jaccard j collides in
+    * a band with probability j^r. The default r=8 rejects a ~0.55
+    * baseline-similarity corpus (0.55^8 ≈ 0.8% per band) while keeping
+    * true near-dups (j ≥ 0.9: ≈43% per band, ≥90% over 4 bands). */
   def minHashCandidates(docs: DataFrame, id: String, text: String,
-                        shingleLen: Int = 3, k: Int = 32, bands: Int = 8,
+                        shingleLen: Int = 3, k: Int = 32, bands: Int = 4,
                         seed: Long = 42L): DataFrame = {
     require(k % bands == 0)
     val r = k / bands
     val sig = docs.select(col(id).as("doc_id"),
       minHashSignature(col(text), shingleLen, k, seed).as("mh"))
-    val banded = sig.select(col("doc_id"), col("mh"),
+    // band join carries only (band, bucket, id) — signatures stay out of
+    // the shuffle; they're joined back to the deduped candidate pairs
+    val banded = sig.select(col("doc_id"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"), hash(slice(col("mh"), b * r + 1, lit(r))).as("bucket"))))
         .as("bb"))
-      .select(col("doc_id"), col("mh"), col("bb.band"), col("bb.bucket"))
-    val l = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("doc1"), col("mh").as("mh1"))
-    val rgt = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("doc2"), col("mh").as("mh2"))
-    l.join(rgt, Seq("band", "bucket"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+    val cands = banded.select(col("band"), col("bucket"), col("doc_id").as("doc1"))
+      .join(banded.select(col("band"), col("bucket"), col("doc_id").as("doc2")),
+        Seq("band", "bucket"))
       .filter(col("doc1") < col("doc2"))
+      .select("doc1", "doc2").distinct()
+    cands
+      .join(sig.select(col("doc_id").as("doc1"), col("mh").as("mh1")), Seq("doc1"))
+      .join(sig.select(col("doc_id").as("doc2"), col("mh").as("mh2")), Seq("doc2"))
       .select(col("doc1"), col("doc2"),
         (aggregate(zip_with(col("mh1"), col("mh2"), (a, b) => when(a === b, 1).otherwise(0)),
           lit(0), (acc, x) => acc + x).cast("double") / k).as("est_jaccard"))
-      .distinct()
   }
 
   /** 32-bit SimHash from token hashes: bit b is the sign of
-    * Σ_tokens (2·bit_b(h) − 1). */
+    * Σ_tokens (2·bit_b(h) − 1). Single-pass fold: one tokenization, all
+    * 32 bit-votes updated together per token. */
   def simHash(text: Column): Column = {
     val hs = transform(TextOps.tokens(text), t => xxhash64(t))
-    val bits = (0 until 32).map { b =>
-      val vote = aggregate(hs, lit(0),
-        (acc, h) => acc + when(h.bitwiseAND(lit(1L) * lit(1L << b)) =!= 0, 1).otherwise(-1))
-      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
+    val bitVals = array((0 until 32).map(b => lit(1L << b)): _*)
+    val votes = aggregate(hs,
+      array_repeat(lit(0L), 32),
+      (acc, h) => zip_with(acc, bitVals,
+        (v, bv) => v + when(h.bitwiseAND(bv) =!= 0, 1L).otherwise(-1L)))
+    aggregate(zip_with(votes, bitVals,
+      (v, bv) => when(v > 0, bv).otherwise(0L)),
+      lit(0L), (acc, x) => acc + x)
   }
 
   /** SimHash near-dup pairs within a blocking key: hamming distance of
@@ -110,6 +129,8 @@ object Dedup {
   def fingerprint(docs: DataFrame, id: String, text: String,
                   shingleLen: Int = 8): DataFrame =
     docs.select(col(id).as("doc_id"),
-      array_min(shingleHashes(col(text), shingleLen)).as("fingerprint"),
-      size(array_distinct(shingleHashes(col(text), shingleLen))).cast("long").as("n_shingles"))
+        shingleHashes(col(text), shingleLen).as("sh")) // computed once
+      .select(col("doc_id"),
+        array_min(col("sh")).as("fingerprint"),
+        size(array_distinct(col("sh"))).cast("long").as("n_shingles"))
 }

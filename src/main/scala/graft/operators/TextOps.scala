@@ -80,14 +80,18 @@ object TextOps {
     * DuckDB list_intersect / list_distinct(list_concat). */
   def jaccardPairs(docs: DataFrame, id: String, text: String,
                    blockKey: String, threshold: Double): DataFrame = {
+    // tokenize once per doc (before the pair join); |A∪B| = |A|+|B|−|A∩B|
+    // so only the intersection is computed per pair
     val toks = array_distinct(tokens(col(text)))
-    val left = docs.select(col(blockKey).as("bk"), col(id).as("doc1"), toks.as("t1"))
-    val right = docs.select(col(blockKey).as("bk"), col(id).as("doc2"), toks.as("t2"))
+    val left = docs.select(col(blockKey).as("bk"), col(id).as("doc1"),
+      toks.as("t1"), size(toks).as("n1"))
+    val right = docs.select(col(blockKey).as("bk"), col(id).as("doc2"),
+      toks.as("t2"), size(toks).as("n2"))
+    val inter = size(array_intersect(col("t1"), col("t2")))
     left.join(right, Seq("bk"))
       .filter(col("doc1") < col("doc2"))
       .withColumn("jaccard",
-        size(array_intersect(col("t1"), col("t2"))).cast("double") /
-          size(array_union(col("t1"), col("t2"))))
+        inter.cast("double") / (col("n1") + col("n2") - inter))
       .filter(col("jaccard") >= threshold)
       .select(col("doc1"), col("doc2"), col("jaccard"))
   }
