@@ -1,0 +1,97 @@
+package graft.ml
+
+import org.apache.spark.ml.{Pipeline, PipelineModel}
+import org.apache.spark.ml.classification.{GBTClassificationModel, GBTClassifier, LogisticRegression}
+import org.apache.spark.ml.feature.{StandardScaler, VectorAssembler}
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** ML operator surface (SURVEY.md §2.9 M1-M9) on Spark MLlib.
+  *
+  * Capability match for the reference's three GBDT engines + ensemble
+  * (reference `src/models/` modules): calibrated probability scoring
+  * of imbalanced binary labels with class weighting, thresholding,
+  * feature importance, scaling fit on train only, and stacking — all as
+  * Pipeline stages so train/apply keep the reference's leakage
+  * discipline (fit on train, transform anywhere).
+  */
+object FraudModel {
+
+  /** Class-weight column: positives get (1−p)/p (LightGBM
+    * scale_pos_weight, `src/models/lightgbm_model.py:81-84`), one pass. */
+  def withClassWeight(df: DataFrame, label: Column,
+                      weightCol: String = "class_weight"): DataFrame = {
+    val p = df.agg(avg(label.cast("double"))).first().getDouble(0)
+    val w = if (p > 0 && p < 1) (1.0 - p) / p else 1.0
+    df.withColumn(weightCol, when(label === 1, w).otherwise(1.0))
+  }
+
+  /** M1-M3: assembler → GBT with class weights. One model type — the
+    * reference's 3 engines are hyperparameter variants of the same
+    * capability. */
+  def gbtPipeline(featureCols: Seq[String], labelCol: String,
+                  maxIter: Int = 50, maxDepth: Int = 5,
+                  weightCol: String = "class_weight"): Pipeline = {
+    val assembler = new VectorAssembler()
+      .setInputCols(featureCols.toArray).setOutputCol("features")
+      .setHandleInvalid("keep")
+    val gbt = new GBTClassifier()
+      .setLabelCol(labelCol).setFeaturesCol("features")
+      .setWeightCol(weightCol)
+      .setMaxIter(maxIter).setMaxDepth(maxDepth)
+      .setStepSize(0.1).setSubsamplingRate(0.8)
+      .setSeed(42L)
+    new Pipeline().setStages(Array(assembler, gbt))
+  }
+
+  /** M9: standard scaling fit on train only (leakage discipline). */
+  def scalerPipeline(featureCols: Seq[String]): Pipeline = {
+    val assembler = new VectorAssembler()
+      .setInputCols(featureCols.toArray).setOutputCol("raw_features")
+      .setHandleInvalid("keep")
+    val scaler = new StandardScaler()
+      .setInputCol("raw_features").setOutputCol("features")
+      .setWithMean(true).setWithStd(true)
+    new Pipeline().setStages(Array(assembler, scaler))
+  }
+
+  /** M4: P(fraud) from the probability vector. */
+  def withProbability(scored: DataFrame, out: String = "p_fraud"): DataFrame =
+    scored.withColumn(out, element_at(vector_to_array(col("probability")), 2))
+
+  /** M5: thresholded 0/1 prediction. */
+  def thresholded(p: Column, tau: Double): Column = (p >= tau).cast("int")
+
+  /** M6: feature importance table (top-n), from the trained GBT. */
+  def featureImportance(model: PipelineModel, featureCols: Seq[String],
+                        topN: Int = 20): Seq[(String, Double)] = {
+    val gbt = model.stages.last.asInstanceOf[GBTClassificationModel]
+    featureCols.zip(gbt.featureImportances.toArray)
+      .sortBy(-_._2).take(topN)
+  }
+
+  /** M7: stacking — base-model prediction columns → logistic-regression
+    * meta-model with class weights; returns (model, learned weights). */
+  def stackingEnsemble(df0: DataFrame, predCols: Seq[String], labelCol: String,
+                       weightCol: String = "class_weight"): (PipelineModel, Seq[(String, Double)]) = {
+    // drop base-model output columns that would collide with the meta-model's
+    val df = df0.drop("prediction", "rawPrediction", "probability", "features")
+    val assembler = new VectorAssembler()
+      .setInputCols(predCols.toArray).setOutputCol("meta_features")
+    val lr = new LogisticRegression()
+      .setLabelCol(labelCol).setFeaturesCol("meta_features")
+      .setWeightCol(weightCol).setMaxIter(100)
+    val model = new Pipeline().setStages(Array(assembler, lr)).fit(df)
+    val coefs = model.stages.last
+      .asInstanceOf[org.apache.spark.ml.classification.LogisticRegressionModel]
+      .coefficients.toArray
+    (model, predCols.zip(coefs))
+  }
+
+  /** M8: weighted-average ensemble as a column expression. */
+  def weightedEnsemble(preds: Seq[(Column, Double)]): Column = {
+    val totalW = preds.map(_._2).sum
+    preds.map { case (c, w) => c * w }.reduce(_ + _) / totalW
+  }
+}

@@ -1,0 +1,61 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ml.FraudModel
+import graft.operators.{BehaviorWindows, Multimodal, Sequences, TimeSplit}
+import graft.sources.{SyntheticData, Tables}
+import graft.eval.Metrics
+import Util.Q
+
+/** ML / sequence / multimodal queries (SURVEY.md §2.9, W14-W15, §7).
+  * Not SQL-expressible → rows-only checks; correctness is covered by the
+  * ScalaTest specs (FraudModelSpec, SequenceMultimodalSpec).
+  */
+object MlQueries {
+
+  def queries: Map[String, Q] = Map(
+    // W14/W15: sliding sequences over events (arrays of feature rows)
+    "q27_sequences" -> ((s, dir) => {
+      val seqs = Sequences.sliding(Tables.events(s, dir),
+        BehaviorWindows.Cols(), Seq("value"), len = 5, minEvents = 5)
+      seqs.select(col("event_id"), col("user_id"),
+          size(col("seq")).as("seq_len"),
+          Sequences.padPre(col("seq"), 8, 1).as("padded"))
+        .select(col("event_id"), col("user_id"), col("seq_len"),
+          size(col("padded")).as("padded_len"))
+        .orderBy("event_id")
+    }),
+
+    // M1-M6 + E1: synthetic fraud data -> chronological split -> class-
+    // weighted GBT -> held-out AUC + confusion; one metrics row out
+    "q70_ml_fraud" -> ((s, _) => {
+      val featureCols = Seq("transaction_amt", "v1", "v2", "v3")
+      val data = SyntheticData.transactions(s, 8000L)
+        .withColumn("ts", timestamp_seconds(col("transaction_dt")))
+      val split = TimeSplit.assign(data, col("ts"), col("transaction_id"))
+      val train = FraudModel.withClassWeight(
+        split.filter(col("split") === "train"), col("is_fraud"))
+      val test = split.filter(col("split") === "test")
+      val model = FraudModel.gbtPipeline(featureCols, "is_fraud", maxIter = 8)
+        .fit(train)
+      val scored = FraudModel.withProbability(model.transform(test))
+      val auc = Metrics.rocAuc(scored, col("is_fraud"), col("p_fraud"))
+        .first().getDouble(0)
+      val topFeature = FraudModel.featureImportance(model, featureCols).head
+      Metrics.confusionAt(scored, col("is_fraud"), col("p_fraud"), 0.5)
+        .withColumn("roc_auc", lit(auc))
+        .withColumn("top_feature", lit(topFeature._1))
+    }),
+
+    // §7 multimodal: opaque binary blobs + batched stub feature extraction
+    "q80_multimodal" -> ((s, dir) => {
+      val media = Multimodal.asMediaTable(Tables.documents(s, dir),
+        col("doc_id"), col("text"), "text_blob")
+      Multimodal.extractFeatures(media, dim = 16)
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          size(col("features")).as("feat_dim"),
+          element_at(col("features"), 1).as("f0"))
+        .orderBy("media_id")
+    })
+  )
+}

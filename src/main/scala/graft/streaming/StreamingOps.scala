@@ -1,0 +1,58 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupState
+
+/** Structured Streaming surface (SURVEY.md §2.10).
+  *
+  * The reference's "real-time" is request/response plus global counters
+  * (`api/main.py:30-32,344-346`); the idiomatic Spark form is a streaming
+  * query: running aggregates in update mode (H6), event-time windows with
+  * watermarks (beyond-reference, flagged in SURVEY §2.10), and custom
+  * per-key state via mapGroupsWithState. All transforms below work on
+  * both batch and streaming DataFrames — same Column expressions, which
+  * is the point: score logic written once (serve/RiskScore) runs in
+  * either mode.
+  */
+object StreamingOps {
+
+  /** H6: running prediction-count / fraud-rate / latency stats.
+    * On a stream: outputMode("update"), one global row. */
+  def runningStats(scored: DataFrame, scoreCol: String = "risk_score",
+                   latencyCol: String = "latency_ms"): DataFrame =
+    scored.agg(
+      count(lit(1)).as("prediction_count"),
+      avg(col(latencyCol)).as("avg_latency_ms"),
+      sum((col(scoreCol) >= 0.6).cast("long")).as("fraud_count"),
+      avg(col(scoreCol)).as("avg_score"))
+
+  /** Event-time tumbling-window counts with a watermark for late data. */
+  def windowedCounts(events: DataFrame, tsCol: String = "ts",
+                     watermarkDelay: String = "10 minutes",
+                     windowLen: String = "5 minutes"): DataFrame =
+    events.withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("n"), col("total_value"))
+
+  // -- custom keyed state: running per-user profile ------------------------
+
+  case class Event(user_id: Long, ts: Timestamp, value: Double)
+  case class UserProfile(user_id: Long, n: Long, total: Double, maxValue: Double)
+
+  /** mapGroupsWithState updater: the streaming analog of the batch
+    * expanding-window features (W1-W5) — per-user running count/sum/max
+    * maintained incrementally across micro-batches. */
+  def updateProfile(userId: Long, events: Iterator[Event],
+                    state: GroupState[UserProfile]): UserProfile = {
+    val prev = state.getOption.getOrElse(UserProfile(userId, 0L, 0.0, Double.MinValue))
+    val next = events.foldLeft(prev) { (p, e) =>
+      UserProfile(userId, p.n + 1, p.total + e.value, math.max(p.maxValue, e.value))
+    }
+    state.update(next)
+    next
+  }
+}

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+import graft.SparkSpec
+
+class StreamingOpsSpec extends SparkSpec {
+  import spark.implicits._
+  import StreamingOps._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowed counts with watermark over a memory stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val q = windowedCounts(events, watermarkDelay = "10 minutes", windowLen = "5 minutes")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:01:00"), "click", 1.0),
+        (ts("2024-01-01 10:02:00"), "click", 2.0),
+        (ts("2024-01-01 10:07:00"), "view", 5.0),
+        // advance watermark far enough to close the earlier windows
+        (ts("2024-01-01 11:00:00"), "click", 1.0))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 12:00:00"), "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_counts")
+        .orderBy("window_start", "event_type").collect()
+      val clicks = rows.find(r => r.getString(1) == "click" &&
+        r.getTimestamp(0) == ts("2024-01-01 10:00:00")).get
+      assert(clicks.getLong(2) == 2 && clicks.getDouble(3) == 3.0)
+      val views = rows.find(_.getString(1) == "view").get
+      assert(views.getLong(2) == 1 && views.getTimestamp(0) == ts("2024-01-01 10:05:00"))
+    } finally q.stop()
+  }
+
+  test("running stats in update mode (H6 analog)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Double, Double)]
+    val scored = input.toDF().toDF("risk_score", "latency_ms")
+    val q = runningStats(scored)
+      .writeStream.format("memory").queryName("run_stats")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData((0.9, 5.0), (0.1, 7.0), (0.7, 6.0))
+      q.processAllAvailable()
+      val r = spark.table("run_stats").collect()(0)
+      assert(r.getAs[Long]("prediction_count") == 3)
+      assert(r.getAs[Long]("fraud_count") == 2)
+      assert(math.abs(r.getAs[Double]("avg_latency_ms") - 6.0) < 1e-12)
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState maintains per-user running profile across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = input.toDS()
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(updateProfile)
+      .writeStream.format("memory").queryName("profiles")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(Event(1L, ts("2024-01-01 10:00:00"), 10.0),
+        Event(1L, ts("2024-01-01 10:01:00"), 20.0))
+      q.processAllAvailable()
+      input.addData(Event(1L, ts("2024-01-01 10:05:00"), 5.0))
+      q.processAllAvailable()
+      val r = spark.table("profiles").orderBy(desc("n")).collect()(0)
+      assert(r.getAs[Long]("n") == 3 && r.getAs[Double]("total") == 35.0 &&
+        r.getAs[Double]("maxValue") == 20.0)
+    } finally q.stop()
+  }
+}
