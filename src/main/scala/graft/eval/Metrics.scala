@@ -96,6 +96,25 @@ object Metrics {
       .limit(1)
   }
 
+  /** E2: sklearn-style average precision (step-wise, no interpolation):
+    * AP = Σ_thresholds ΔRecall·Precision. Over distinct scores the recall
+    * step of a tie-group is pos_g/P, so AP = Σ_g (pos_g/P)·(cumTP_g/cumN_g)
+    * — same distinct-score frame as the PR curve, no lag needed. */
+  def averagePrecision(df: DataFrame, label: Column, score: Column): DataFrame = {
+    val byScore = df.groupBy(score.as("s"))
+      .agg(count(lit(1)).as("cnt"), sum(label.cast("long")).as("pos"))
+    val w = Window.orderBy(desc("s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    byScore.select(
+        col("pos"),
+        sum(col("pos")).over(w).as("cum_tp"),
+        sum(col("cnt")).over(w).as("cum_n"),
+        sum(col("pos")).over(tot).as("tot_pos"))
+      .agg(sum(col("pos").cast("double") / col("tot_pos") *
+        col("cum_tp") / col("cum_n")).as("avg_precision"))
+  }
+
   /** E7: metrics at a grid of thresholds via explode — one shuffle-free
     * pass over (rows × |grid|) conditional sums. */
   def thresholdGrid(df: DataFrame, label: Column, score: Column,

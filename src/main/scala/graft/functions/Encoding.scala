@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Categorical encodings (SURVEY.md §2.8 F11-F12, §2.2 P5 + F8).
+  *
+  * Label encoding keeps pandas `.cat.codes` parity: codes are the
+  * 0-based rank of the sorted distinct values, null → −1
+  * (`src/data/preprocessor.py:124-127`). The dictionary is built with a
+  * window over the DISTINCT values only — dictionary-sized, so the
+  * single-partition sort is over |categories| rows, never |data| — and
+  * broadcast-joined back.
+  */
+object Encoding {
+
+  /** Dictionary (value, code) for a column's distinct non-null values. */
+  def labelDictionary(df: DataFrame, colName: String): DataFrame =
+    df.select(col(colName)).filter(col(colName).isNotNull).distinct()
+      .withColumn("code",
+        (row_number().over(Window.orderBy(col(colName))) - 1).cast("long"))
+
+  /** F11: attach pandas-parity codes; null → −1. */
+  def labelEncode(df: DataFrame, colName: String,
+                  out: String): DataFrame = {
+    val dict = labelDictionary(df, colName)
+    df.join(broadcast(dict), Seq(colName), "left")
+      .withColumn(out, coalesce(col("code"), lit(-1L))).drop("code")
+  }
+
+  /** F12: one-hot / dummy counts via pivot with explicit values (plan
+    * stays a single aggregate; explicit values avoid the extra distinct
+    * pass and keep the output schema deterministic). */
+  def oneHotCounts(df: DataFrame, key: String, cat: String,
+                   values: Seq[String]): DataFrame =
+    df.groupBy(col(key)).pivot(cat, values)
+      .agg(count(lit(1)))
+      .na.fill(0, values)
+
+  /** P5 + F8: missing indicators then sentinel imputation, one select. */
+  def imputeWithIndicators(df: DataFrame, cols: Seq[String],
+                           sentinel: Double): DataFrame = {
+    val keep = df.columns.filterNot(cols.contains).map(col)
+    val imputed = cols.flatMap { c =>
+      Seq(coalesce(col(c), lit(sentinel)).as(c),
+        col(c).isNull.cast("long").as(s"${c}_missing"))
+    }
+    df.select(keep.toSeq ++ imputed: _*)
+  }
+}

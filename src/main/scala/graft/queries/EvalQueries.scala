@@ -53,6 +53,12 @@ object EvalQueries {
           qz(col("f1"), 6).as("f1"))
     }),
 
+    // E2: sklearn-style average precision (step-wise)
+    "q45_avg_precision" -> ((s, dir) => {
+      Metrics.averagePrecision(labeled(s, dir), col("label"), col("score"))
+        .select(qz(col("avg_precision"), 6).as("avg_precision"))
+    }),
+
     // E7: threshold grid via explode + grouped conditional aggregates
     "q44_threshold_grid" -> ((s, dir) => {
       Metrics.thresholdGrid(labeled(s, dir),
@@ -138,6 +144,20 @@ object EvalQueries {
         | FROM c)
         |SELECT round((threshold) * 1000000.0) / 1000000.0 AS threshold, round((f1) * 1000000.0) / 1000000.0 AS f1
         |FROM f ORDER BY f1 DESC, threshold LIMIT 1""".stripMargin,
+
+    "q45_avg_precision" ->
+      """WITH by_score AS (
+        | SELECT value AS s, count(*) AS cnt,
+        |  sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS pos
+        | FROM events GROUP BY value),
+        |c AS (
+        | SELECT pos,
+        |  sum(pos) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tp,
+        |  sum(cnt) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+        |  sum(pos) OVER () AS tot_pos
+        | FROM by_score)
+        |SELECT round((sum(CAST(pos AS DOUBLE)/tot_pos * cum_tp/cum_n)) * 1000000.0) / 1000000.0 AS avg_precision
+        |FROM c""".stripMargin,
 
     "q44_threshold_grid" ->
       """WITH g AS (SELECT unnest([0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS tau),

@@ -48,6 +48,30 @@ object FeatureQueries {
       ).orderBy("event_id")
     }),
 
+    // F11: label encoding with pandas .cat.codes parity (sorted distinct,
+    // 0-based, null -> -1), dictionary broadcast back
+    "q33_label_encode" -> ((s, dir) => {
+      graft.functions.Encoding.labelEncode(Tables.events(s, dir), "event_type", "type_code")
+        .select(col("event_id"), col("event_type"), col("type_code"))
+        .orderBy("event_id")
+    }),
+
+    // F12: one-hot/dummy counts via pivot with explicit values
+    "q34_onehot" -> ((s, dir) => {
+      graft.functions.Encoding.oneHotCounts(Tables.events(s, dir), "user_id",
+          "event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .orderBy("user_id")
+    }),
+
+    // P5+F8: missing indicators + sentinel imputation (nulls simulated
+    // by masking small values)
+    "q35_impute" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("event_id"),
+        when(col("value") < 5, lit(null)).otherwise(col("value")).as("v_sparse"))
+      graft.functions.Encoding.imputeWithIndicators(e, Seq("v_sparse"), -999.0)
+        .orderBy("event_id")
+    }),
+
     // H1-H4: heuristic scorer + blend + bucketing + confidence + reasons,
     // one set-oriented select (vs the reference's per-request loop)
     "q32_risk_score" -> ((s, dir) => {
@@ -98,6 +122,30 @@ object FeatureQueries {
         | CAST(CASE WHEN fmod(value, 1.0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS has_decimal,
         | CAST(CASE WHEN fmod(value, 10.0) = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_round_10,
         | CASE WHEN value > 100 THEN 'high' WHEN value > 10 THEN 'mid' ELSE 'low' END AS band
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q33_label_encode" ->
+      """WITH dict AS (
+        | SELECT event_type,
+        |  CAST(row_number() OVER (ORDER BY event_type) - 1 AS BIGINT) AS type_code
+        | FROM (SELECT DISTINCT event_type FROM events WHERE event_type IS NOT NULL))
+        |SELECT event_id, e.event_type, coalesce(type_code, -1) AS type_code
+        |FROM events e LEFT JOIN dict USING (event_type)
+        |ORDER BY event_id""".stripMargin,
+
+    "q34_onehot" ->
+      """SELECT user_id,
+        | count(*) FILTER (WHERE event_type = 'click') AS click,
+        | count(*) FILTER (WHERE event_type = 'error') AS error,
+        | count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        | count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        | count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q35_impute" ->
+      """SELECT event_id,
+        | coalesce(CASE WHEN value < 5 THEN NULL ELSE value END, -999.0) AS v_sparse,
+        | CAST(CASE WHEN value < 5 THEN 1 ELSE 0 END AS BIGINT) AS v_sparse_missing
         |FROM events ORDER BY event_id""".stripMargin,
 
     "q32_risk_score" ->

@@ -90,6 +90,21 @@ object WindowQueries {
         .orderBy("event_id")
     }),
 
+    // ranking suite: rank/dense_rank/ntile/lead/first_value/cume_dist
+    "q28_rank_suite" -> ((s, dir) => {
+      val wVal = Window.partitionBy(col("user_id")).orderBy(col("value"))
+      val wFull = Window.partitionBy(col("user_id")).orderBy(col("value"), col("event_id"))
+      Tables.events(s, dir).select(
+        col("event_id"),
+        rank().over(wVal).cast("long").as("rnk"),
+        dense_rank().over(wVal).cast("long").as("drnk"),
+        ntile(4).over(wFull).cast("long").as("quartile"),
+        lead(col("value"), 1).over(wFull).as("next_value"),
+        first(col("value")).over(wFull).as("min_value"),
+        qz(cume_dist().over(wVal), 6).as("cume")
+      ).orderBy("event_id")
+    }),
+
     // W13: chronological 70/15/15 split without a global single-partition sort
     "q26_time_split" -> ((s, dir) => {
       TimeSplit.assign(Tables.events(s, dir), col("ts"), col("event_id"))
@@ -187,6 +202,19 @@ object WindowQueries {
         |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
         |SELECT event_id, round((sum3) * 10000.0) / 10000.0 AS sum3, cnt3
         |FROM f WHERE cnt3 = 3 AND nu >= 5 ORDER BY event_id""".stripMargin,
+
+    "q28_rank_suite" ->
+      """SELECT event_id,
+        | CAST(rank() OVER wv AS BIGINT) AS rnk,
+        | CAST(dense_rank() OVER wv AS BIGINT) AS drnk,
+        | CAST(ntile(4) OVER wf AS BIGINT) AS quartile,
+        | lead(value, 1) OVER wf AS next_value,
+        | first_value(value) OVER wf AS min_value,
+        | round((cume_dist() OVER wv) * 1000000.0) / 1000000.0 AS cume
+        |FROM events
+        |WINDOW wv AS (PARTITION BY user_id ORDER BY value),
+        | wf AS (PARTITION BY user_id ORDER BY value, event_id)
+        |ORDER BY event_id""".stripMargin,
 
     "q26_time_split" ->
       """WITH ranked AS (
