@@ -41,6 +41,7 @@ object FraudModel {
       .setWeightCol(weightCol)
       .setMaxIter(maxIter).setMaxDepth(maxDepth)
       .setStepSize(0.1).setSubsamplingRate(0.8)
+      .setMinInstancesPerNode(10) // prune noise-driven leaves
       .setSeed(42L)
     new Pipeline().setStages(Array(assembler, gbt))
   }

@@ -150,6 +150,27 @@ object CoreQueries {
         .orderBy("o_orderkey")
     }),
 
+    // A9: correlation aggregates (Pearson, sample covariance) per group
+    "q16_correlation" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_type"), col("value"),
+          get_json_object(col("props"), "$.k").cast("double").as("k"))
+        .groupBy("event_type")
+        .agg(qz(corr(col("value"), col("k")), 6).as("corr_vk"),
+          qz(covar_samp(col("value"), col("k")), 4).as("covar_vk"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
+    // A6 scale path: exact vs approximate (HLL) distinct counts
+    // (approx side has no cross-engine oracle -> rows-only)
+    "q17_approx_distinct" -> ((s, dir) => {
+      Tables.events(s, dir).groupBy("event_type")
+        .agg(countDistinct("user_id").as("exact_users"),
+          approx_count_distinct("user_id", 0.02).as("approx_users"))
+        .orderBy("event_type")
+    }),
+
     // JSON extraction from string props + grouped agg
     "q14_json_extract" -> ((s, dir) => {
       Tables.events(s, dir)
@@ -256,6 +277,13 @@ object CoreQueries {
         |SELECT o_orderkey, round((coalesce(rate, 0.035)) * 1000000.0) / 1000000.0 AS prio_enc
         |FROM orders LEFT JOIN enc USING (o_orderpriority)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q16_correlation" ->
+      """SELECT event_type,
+        | round((corr(value, CAST(json_extract_string(props,'$.k') AS DOUBLE))) * 1000000.0) / 1000000.0 AS corr_vk,
+        | round((covar_samp(value, CAST(json_extract_string(props,'$.k') AS DOUBLE))) * 10000.0) / 10000.0 AS covar_vk,
+        | count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q14_json_extract" ->
       """SELECT event_type, count(*) AS n,

@@ -90,6 +90,19 @@ object WindowQueries {
         .orderBy("event_id")
     }),
 
+    // W9: multi-key windows — same ops partitioned by (user, type)
+    "q29_two_key_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir).select(
+        col("event_id"),
+        (row_number().over(w) - 1).cast("long").as("prior_combo_count"),
+        qz(sum(col("value")).over(wc), 4).as("combo_cum_sum"),
+        (row_number().over(w) === 1).cast("long").as("is_first_combo")
+      ).orderBy("event_id")
+    }),
+
     // ranking suite: rank/dense_rank/ntile/lead/first_value/cume_dist
     "q28_rank_suite" -> ((s, dir) => {
       val wVal = Window.partitionBy(col("user_id")).orderBy(col("value"))
@@ -202,6 +215,17 @@ object WindowQueries {
         |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
         |SELECT event_id, round((sum3) * 10000.0) / 10000.0 AS sum3, cnt3
         |FROM f WHERE cnt3 = 3 AND nu >= 5 ORDER BY event_id""".stripMargin,
+
+    "q29_two_key_window" ->
+      """SELECT event_id,
+        | CAST(row_number() OVER w - 1 AS BIGINT) AS prior_combo_count,
+        | round((sum(value) OVER wc) * 10000.0) / 10000.0 AS combo_cum_sum,
+        | CAST(CASE WHEN row_number() OVER w = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_first_combo
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id),
+        | wc AS (PARTITION BY user_id, event_type ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
 
     "q28_rank_suite" ->
       """SELECT event_id,

@@ -1,0 +1,35 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Readers/writers (SURVEY.md §2.1 S1-S2).
+  *
+  * CSV is the reference's only format (`src/data/loader.py:41`); Parquet
+  * is this engine's primary format (columnar, pushdown, statistics).
+  * CSV reads take an EXPLICIT schema — inferSchema costs a full extra
+  * pass at 100 TB and is reserved for ad-hoc exploration.
+  */
+object Io {
+
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+
+  /** Ad-hoc only: schema inference double-reads the data. */
+  def readCsvInferred(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** Parquet sink, optionally partitioned — partition columns become
+    * directory pruning keys for downstream readers. */
+  def writeParquet(df: DataFrame, path: String,
+                   partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+}

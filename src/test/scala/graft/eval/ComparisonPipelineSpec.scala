@@ -1,0 +1,48 @@
+package graft.eval
+
+import java.nio.file.Files
+import org.apache.spark.ml.PipelineModel
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, TrainPipeline}
+import graft.ml.FraudModel
+import graft.sources.SyntheticData
+
+class ComparisonPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("leaderboard: one row per model, sorted by ROC-AUC desc (E8)") {
+    val good = Seq((1, 0.9), (1, 0.8), (0, 0.2), (0, 0.1)).toDF("y", "p")
+    val bad = good.withColumn("p", lit(1.0) - $"p")
+    val board = Comparison.leaderboard(
+      Seq("good" -> good, "bad" -> bad), $"y", $"p").collect()
+    assert(board.map(_.getString(0)).toSeq == Seq("good", "bad"))
+    assert(board(0).getAs[Double]("roc_auc") == 1.0)
+    assert(board(1).getAs[Double]("roc_auc") == 0.0)
+  }
+
+  test("model artifact save/load roundtrip predicts identically (S5)") {
+    val dir = Files.createTempDirectory("graft_model").toString
+    val data = FraudModel.withClassWeight(
+      SyntheticData.transactions(spark, 3000L), col("is_fraud"))
+    val cols = Seq("transaction_amt", "v1", "v2", "v3")
+    val model = FraudModel.gbtPipeline(cols, "is_fraud", maxIter = 5).fit(data)
+    model.write.overwrite().save(s"$dir/m")
+    val loaded = PipelineModel.load(s"$dir/m")
+    val a = FraudModel.withProbability(model.transform(data))
+      .agg(sum($"p_fraud")).first().getDouble(0)
+    val b = FraudModel.withProbability(loaded.transform(data))
+      .agg(sum($"p_fraud")).first().getDouble(0)
+    assert(a == b)
+  }
+
+  test("TrainPipeline end-to-end: artifacts written, leaderboard non-trivial (M11)") {
+    val dir = Files.createTempDirectory("graft_train").toString
+    TrainPipeline.run(spark, dir, 4000L)
+    val board = spark.read.parquet(s"$dir/leaderboard")
+    assert(board.count() == 2)
+    assert(board.agg(max($"roc_auc")).first().getDouble(0) > 0.8)
+    val imp = spark.read.parquet(s"$dir/feature_importance")
+    assert(imp.count() > 5)
+    assert(PipelineModel.load(s"$dir/model_gbt_shallow").stages.length == 2)
+  }
+}
