@@ -150,6 +150,18 @@ object CoreQueries {
         .orderBy("o_orderkey")
     }),
 
+    // skew path: two-phase salted aggregation — must equal a plain
+    // GROUP BY (the oracle IS the unsalted form)
+    "q18_salted_agg" -> ((s, dir) => {
+      graft.operators.Salting.saltedAgg(Tables.events(s, dir),
+          key = "event_type", idCol = "event_id", valueCol = "value")
+        .select(col("event_type"), col("n"),
+          qz(col("total"), 4).as("total"),
+          col("min_value"), col("max_value"),
+          qz(qz(col("total"), 4) / col("n"), 6).as("avg_value"))
+        .orderBy("event_type")
+    }),
+
     // A9: correlation aggregates (Pearson, sample covariance) per group
     "q16_correlation" -> ((s, dir) => {
       Tables.events(s, dir)
@@ -277,6 +289,13 @@ object CoreQueries {
         |SELECT o_orderkey, round((coalesce(rate, 0.035)) * 1000000.0) / 1000000.0 AS prio_enc
         |FROM orders LEFT JOIN enc USING (o_orderpriority)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q18_salted_agg" ->
+      """SELECT event_type, count(*) AS n,
+        | round((sum(value)) * 10000.0) / 10000.0 AS total,
+        | min(value) AS min_value, max(value) AS max_value,
+        | round(((round((sum(value)) * 10000.0) / 10000.0) / count(*)) * 1000000.0) / 1000000.0 AS avg_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q16_correlation" ->
       """SELECT event_type,

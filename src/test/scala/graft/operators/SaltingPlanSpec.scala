@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.{SparkEntry, SparkSpec}
+
+class SaltingPlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val skewed = (1 to 2000).map(i =>
+    (i.toLong, if (i <= 1800) "hot" else s"k${i % 20}", i.toDouble))
+    .toDF("id", "key", "value")
+
+  test("salted aggregation equals plain aggregation") {
+    val plain = skewed.groupBy("key")
+      .agg(count(lit(1)).as("n"), sum("value").as("total"),
+        min("value").as("min_value"), max("value").as("max_value"))
+      .withColumn("avg_value", $"total" / $"n")
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    val salted = Salting.saltedAgg(skewed, "key", "id", "value")
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    assert(salted == plain)
+  }
+
+  test("salted join equals plain join") {
+    val dim = Seq(("hot", "H"), ("k1", "A"), ("k2", "B")).toDF("key", "tag")
+    val plain = skewed.join(dim, Seq("key")).agg(count(lit(1)), sum($"value")).first()
+    val salted = Salting.saltedJoin(skewed, dim, "key", "id")
+      .agg(count(lit(1)), sum($"value")).first()
+    assert(salted == plain)
+  }
+
+  // -- plan-shape regression guards (SURVEY.md §4 checklist) ---------------
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+
+  test("q02: filters are pushed into the parquet scan") {
+    val p = planOf("q02_filter_project")
+    // (plan strings elide long filter lists, so match the stable prefix)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_quantity), GreaterThanOrEqual(l_shipdate"), p)
+  }
+
+  test("q11: all three dims join as broadcast hash joins") {
+    val p = planOf("q11_join_multiway")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 3, p)
+  }
+
+  test("q03: top-k runs as TakeOrderedAndProject, not a global sort") {
+    val p = planOf("q03_topk_users")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q20: all cumulative window features share ONE hash exchange") {
+    val p = planOf("q20_cum_features")
+    assert("hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("entry(): cumulative + lag window families share one exchange") {
+    val p = SparkEntry.entry(spark).queryExecution.executedPlan.toString
+    assert("hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q13: target encoding applies as a broadcast join (no fact shuffle)") {
+    val p = planOf("q13_target_encoding")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+}
