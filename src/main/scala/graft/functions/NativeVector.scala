@@ -54,14 +54,119 @@ case class FloatDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Count of common elements between two SORTED long arrays (two-pointer
+  * merge, codegen'd — no hash table, no result-array allocation). The
+  * workhorse of set-similarity joins: |A∩B| for Jaccard over sorted
+  * distinct token hashes. Callers must pre-sort (array_sort). */
+case class SortedLongIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    var i = 0; var j = 0; var c = 0
+    while (i < x.numElements() && j < y.numElements()) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { c += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c"); val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |int $i = 0; int $j = 0; int $c = 0;
+         |while ($i < $a.numElements() && $j < $b.numElements()) {
+         |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $c++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** 32-bit SimHash from an array of 64-bit token hashes: bit b of the
+  * result is set iff Σ_tokens (2·bit_b(h)−1) > 0. The expression form
+  * (one fold allocating a 32-long vote array per token via zip_with)
+  * is interpreted and allocation-heavy; this is a two-level primitive
+  * loop in codegen with a local int[32]. */
+case class SimHash32(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any): Any = {
+    val hs = a.asInstanceOf[ArrayData]
+    val votes = new Array[Int](32)
+    var i = 0
+    while (i < hs.numElements()) {
+      val h = hs.getLong(i)
+      var b = 0
+      while (b < 32) {
+        if (((h >>> b) & 1L) != 0L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 32) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    java.lang.Long.valueOf(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val votes = ctx.freshName("votes")
+      val i = ctx.freshName("i"); val b = ctx.freshName("b")
+      val h = ctx.freshName("h"); val sig = ctx.freshName("sig")
+      s"""
+         |int[] $votes = new int[32];
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  long $h = $a.getLong($i);
+         |  for (int $b = 0; $b < 32; $b++) {
+         |    if ((($h >>> $b) & 1L) != 0L) $votes[$b]++; else $votes[$b]--;
+         |  }
+         |}
+         |long $sig = 0L;
+         |for (int $b = 0; $b < 32; $b++) { if ($votes[$b] > 0) $sig |= (1L << $b); }
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object NativeVector {
   val FnName = "float_dot"
+  val IntersectFnName = "sorted_long_intersect"
+  val SimHashFnName = "simhash32"
 
-  /** Register once per session; then `dot(a, b)` resolves to the native
-    * expression through the function registry. */
-  def register(spark: SparkSession): Unit =
+  /** Register once per session; then `dot`/`sortedIntersect` resolve to
+    * the native expressions through the function registry. */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       FnName, exprs => FloatDotProduct(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      IntersectFnName, exprs => SortedLongIntersectCount(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      SimHashFnName, exprs => SimHash32(exprs.head), "built-in")
+  }
 
   def dot(a: Column, b: Column): Column = call_function(FnName, a, b)
+  def sortedIntersect(a: Column, b: Column): Column =
+    call_function(IntersectFnName, a, b)
+  def simhash32(a: Column): Column = call_function(SimHashFnName, a)
 }

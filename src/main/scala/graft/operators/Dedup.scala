@@ -15,7 +15,8 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** token shingles of length `n` joined by a space; empty when the doc
-    * has fewer than `n` tokens. */
+    * has fewer than `n` tokens. (Kept for readability/debugging; the
+    * hashing path below never materializes these strings.) */
   def shingles(text: Column, n: Int): Column = {
     val toks = TextOps.tokens(text)
     when(size(toks) >= n,
@@ -24,9 +25,30 @@ object Dedup {
       .otherwise(array())
   }
 
-  /** 64-bit base hashes of each shingle (xxhash64: stable, codegen'd). */
+  /** Per-token hashes reduced mod 2^31−1 (inputs to shingle combining —
+    * values ≤ 2^31 keep every later product ≤ 2^51, overflow-free under
+    * ANSI). Materialize this as its OWN projection before calling
+    * shingleCombine: Catalyst keeps the alias (non-cheap, multiply
+    * referenced), so tokenization+hashing run once per row. */
+  def tokenHashesMod(text: Column): Column =
+    transform(TextOps.tokens(text), t => pmod(xxhash64(t), lit(MersenneP)))
+
+  /** Shingle hashes WITHOUT building shingle strings: each window of `n`
+    * token hashes combines with a polynomial hash via an element_at
+    * chain — no slice allocation, no inner fold. `th` must be a
+    * materialized column of tokenHashesMod values. */
+  def shingleCombine(th: Column, n: Int): Column =
+    when(size(th) >= n,
+      transform(sequence(lit(1), size(th) - (n - 1)),
+        i => (0 until n).foldLeft(lit(0L): Column)((acc, j) =>
+          pmod(acc * 1000003L + element_at(th, i + j), lit(MersenneP)))))
+      .otherwise(slice(array(lit(0L)), 1, 0)) // empty array<long>
+
+  /** One-expression convenience form (recomputes token hashes per
+    * element access — use the staged tokenHashesMod/shingleCombine pair
+    * in hot paths). */
   def shingleHashes(text: Column, n: Int): Column =
-    transform(shingles(text, n), s => xxhash64(s))
+    shingleCombine(tokenHashesMod(text), n)
 
   /** Mersenne prime 2^31−1: affine hashes stay under 2^62 — no long
     * overflow (ANSI mode errors on wraparound multiplies). */
@@ -39,25 +61,26 @@ object Dedup {
       rnd.nextInt(MersenneP.toInt).toLong))
   }
 
-  /** MinHash signature: array of k minima of affine-permuted shingle
-    * hashes, computed mod 2^31−1 (31-bit values, overflow-free).
-    *
-    * Single-pass fold: tokenization/shingling/xxhash run ONCE per doc and
-    * the k minima update together per shingle (vs k independent
-    * array_min(transform(...)) expressions, which would re-tokenize the
-    * document k times — measured 60× slower at sf0.1). */
-  def minHashSignature(text: Column, shingleLen: Int = 3, k: Int = 32,
-                       seed: Long = 42L): Column = {
-    val hs = shingleHashes(text, shingleLen)
+  /** MinHash signature from a materialized shingle-hash column: one fold
+    * over the shingles updates all k minima together (vs k independent
+    * array_min(transform(...)) expressions, which would re-shingle the
+    * document k times — measured 60× slower at sf0.1). Shingle hashes
+    * are already < 2^31, so the affine permutes stay overflow-free. */
+  def minHashFromShingles(sh: Column, k: Int = 32, seed: Long = 42L): Column = {
     val params = array(hashFamily(k, seed).map { case (a, b) =>
       struct(lit(a).as("a"), lit(b).as("b"))
     }: _*)
-    aggregate(hs,
+    aggregate(sh,
       array_repeat(lit(MersenneP), k),
       (acc, h) => zip_with(acc, params,
         (m, p) => least(m,
-          pmod(pmod(h, lit(MersenneP)) * p.getField("a") + p.getField("b"), lit(MersenneP)))))
+          pmod(h * p.getField("a") + p.getField("b"), lit(MersenneP)))))
   }
+
+  /** One-expression convenience form for small inputs/tests. */
+  def minHashSignature(text: Column, shingleLen: Int = 3, k: Int = 32,
+                       seed: Long = 42L): Column =
+    minHashFromShingles(shingleHashes(text, shingleLen), k, seed)
 
   /** LSH candidate pairs: split the signature into `bands` bands, hash
     * each band, self-join on (band index, band hash). Returns
@@ -72,8 +95,12 @@ object Dedup {
                         seed: Long = 42L): DataFrame = {
     require(k % bands == 0)
     val r = k / bands
-    val sig = docs.select(col(id).as("doc_id"),
-      minHashSignature(col(text), shingleLen, k, seed).as("mh"))
+    // staged: token hashes -> shingle hashes -> signature, each alias
+    // materialized once per row (Catalyst keeps non-cheap multi-use aliases)
+    val sig = docs
+      .select(col(id).as("doc_id"), tokenHashesMod(col(text)).as("__th"))
+      .select(col("doc_id"), shingleCombine(col("__th"), shingleLen).as("__sh"))
+      .select(col("doc_id"), minHashFromShingles(col("__sh"), k, seed).as("mh"))
     // band join carries only (band, bucket, id) — signatures stay out of
     // the shuffle; they're joined back to the deduped candidate pairs
     val banded = sig.select(col("doc_id"),
@@ -95,8 +122,9 @@ object Dedup {
   }
 
   /** 32-bit SimHash from token hashes: bit b is the sign of
-    * Σ_tokens (2·bit_b(h) − 1). Single-pass fold: one tokenization, all
-    * 32 bit-votes updated together per token. */
+    * Σ_tokens (2·bit_b(h) − 1). Delegates to the native codegen'd
+    * SimHash32 expression when a session is supplied (the HOF fold
+    * allocates a 32-long vote array per token — interpreted and slow). */
   def simHash(text: Column): Column = {
     val hs = transform(TextOps.tokens(text), t => xxhash64(t))
     val bitVals = array((0 until 32).map(b => lit(1L << b)): _*)
@@ -113,8 +141,12 @@ object Dedup {
     * signatures ≤ maxDist. */
   def simHashPairs(docs: DataFrame, id: String, text: String,
                    blockKey: String, maxDist: Int): DataFrame = {
-    val sig = docs.select(col(blockKey).as("bk"), col(id).as("doc_id"),
-      simHash(col(text)).as("sh"))
+    graft.functions.NativeVector.register(docs.sparkSession)
+    val sig = docs
+      .select(col(blockKey).as("bk"), col(id).as("doc_id"),
+        transform(TextOps.tokens(col(text)), t => xxhash64(t)).as("__th"))
+      .select(col("bk"), col("doc_id"),
+        graft.functions.NativeVector.simhash32(col("__th")).as("sh"))
     val l = sig.select(col("bk"), col("doc_id").as("doc1"), col("sh").as("sh1"))
     val r = sig.select(col("bk"), col("doc_id").as("doc2"), col("sh").as("sh2"))
     l.join(r, Seq("bk"))
@@ -129,7 +161,9 @@ object Dedup {
   def fingerprint(docs: DataFrame, id: String, text: String,
                   shingleLen: Int = 8): DataFrame =
     docs.select(col(id).as("doc_id"),
-        shingleHashes(col(text), shingleLen).as("sh")) // computed once
+        tokenHashesMod(col(text)).as("th"))
+      .select(col("doc_id"),
+        shingleCombine(col("th"), shingleLen).as("sh"))
       .select(col("doc_id"),
         array_min(col("sh")).as("fingerprint"),
         size(array_distinct(col("sh"))).cast("long").as("n_shingles"))

@@ -150,6 +150,15 @@ object CoreQueries {
         .orderBy("o_orderkey")
     }),
 
+    // rollup: hierarchical subtotals + grand total (beyond-reference —
+    // the reference has no grouping sets; free from Catalyst)
+    "q19_rollup" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(qz(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    }),
+
     // skew path: two-phase salted aggregation — must equal a plain
     // GROUP BY (the oracle IS the unsalted form)
     "q18_salted_agg" -> ((s, dir) => {
@@ -289,6 +298,12 @@ object CoreQueries {
         |SELECT o_orderkey, round((coalesce(rate, 0.035)) * 1000000.0) / 1000000.0 AS prio_enc
         |FROM orders LEFT JOIN enc USING (o_orderpriority)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q19_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round((sum(l_quantity)) * 100.0) / 100.0 AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
     "q18_salted_agg" ->
       """SELECT event_type, count(*) AS n,

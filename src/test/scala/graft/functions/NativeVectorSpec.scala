@@ -23,6 +23,31 @@ class NativeVectorSpec extends SparkSpec {
     assert(diff == 0.0) // same left-to-right accumulation order
   }
 
+  test("native sorted intersect equals array_intersect size on sorted distinct arrays") {
+    NativeVector.register(spark)
+    val arrs = Seq(
+      (Seq(1L, 3L, 5L, 9L), Seq(2L, 3L, 5L, 10L)),
+      (Seq(1L, 2L), Seq(3L, 4L)),
+      (Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)),
+      (Seq[Long](), Seq(1L))
+    ).toDF("a", "b")
+    val out = arrs.select(
+      NativeVector.sortedIntersect($"a", $"b").as("native"),
+      size(array_intersect($"a", $"b")).as("builtin")).collect()
+    out.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+  }
+
+  test("native simhash32 equals the higher-order fold signature") {
+    NativeVector.register(spark)
+    val docs = Seq("the quick brown fox", "lorem ipsum dolor sit amet", "x")
+      .toDF("text")
+    val th = transform(graft.operators.TextOps.tokens($"text"), t => xxhash64(t))
+    val out = docs.select(
+      NativeVector.simhash32(th).as("native"),
+      graft.operators.Dedup.simHash($"text").as("hof")).collect()
+    out.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("native dot survives whole-stage codegen over a large pair join") {
     NativeVector.register(spark)
     val pairs = vecs.select($"vid".as("i"), $"v".as("a"))
