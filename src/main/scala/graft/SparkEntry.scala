@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.BehaviorWindows
-import graft.queries.{CoreQueries, EmbeddingQueries, EvalQueries, FeatureQueries, MlQueries, TextQueries, WindowQueries, Util}
+import graft.queries.{CoreQueries, EmbeddingQueries, EvalQueries, FeatureQueries, MlQueries, PipelineQueries, TextQueries, WindowQueries, Util}
 import graft.serve.RiskScore
 import graft.sources.Tables
 
@@ -38,12 +38,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ WindowQueries.queries ++
       FeatureQueries.queries ++ EvalQueries.queries ++
-      TextQueries.queries ++ EmbeddingQueries.queries ++ MlQueries.queries
+      TextQueries.queries ++ EmbeddingQueries.queries ++ MlQueries.queries ++
+      PipelineQueries.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the
     * same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracle ++ WindowQueries.oracle ++
       FeatureQueries.oracle ++ EvalQueries.oracle ++
-      TextQueries.oracle ++ EmbeddingQueries.oracle
+      TextQueries.oracle ++ EmbeddingQueries.oracle ++ PipelineQueries.oracle
 }

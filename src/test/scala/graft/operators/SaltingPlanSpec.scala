@@ -61,6 +61,13 @@ class SaltingPlanSpec extends SparkSpec {
     assert("hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 
+  test("q90: the entire 28-col feature matrix runs off ONE hash exchange") {
+    val p = planOf("q90_full_features")
+    // hashpartitioning(user_id) satisfies the (user_id, event_type)
+    // window's clustering too — every window family shares the exchange
+    assert("hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
   test("q13: target encoding applies as a broadcast join (no fact shuffle)") {
     val p = planOf("q13_target_encoding")
     assert(p.contains("BroadcastHashJoin"), p)
