@@ -39,4 +39,20 @@ object TimeSplit {
     df.withColumn("split",
       when(le(b1), "train").when(le(b2), "val").otherwise("test"))
   }
+
+  /** Scale path: boundary timestamps via approxQuantile (one
+    * Greenwald-Khanna pass, no top-k heap over 0.7·n rows). Split sizes
+    * are within `relativeError` of the exact fractions — the right trade
+    * at 100 TB where the exact row-positional boundary is meaningless
+    * anyway. Same output contract as `assign`. */
+  def assignApprox(df: DataFrame, tsCol: String,
+                   f1: Double = 0.70, f2: Double = 0.85,
+                   relativeError: Double = 0.001): DataFrame = {
+    val us = s"__${tsCol}_us"
+    val withUs = df.withColumn(us, unix_micros(col(tsCol)))
+    val Array(c1, c2) = withUs.stat.approxQuantile(us, Array(f1, f2), relativeError)
+    withUs.withColumn("split",
+      when(col(us) <= c1, "train").when(col(us) <= c2, "val").otherwise("test"))
+      .drop(us)
+  }
 }

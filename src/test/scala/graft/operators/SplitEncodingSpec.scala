@@ -29,6 +29,21 @@ class SplitEncodingSpec extends SparkSpec {
     assert(!agg("val")._2.after(agg("test")._1))
   }
 
+  test("TimeSplit.assignApprox: fractions within tolerance, still chronological") {
+    val rows = (1 to 2000).map(i => (i.toLong,
+      new Timestamp(1700000000000L + (i * 104729 % 2000) * 3600000L)))
+    val df = rows.toDF("id", "ts")
+    val out = TimeSplit.assignApprox(df, "ts").groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(out("train") - 1400L) <= 30)
+    assert(math.abs(out("val") - 300L) <= 30)
+    val agg = TimeSplit.assignApprox(df, "ts").groupBy("split")
+      .agg(min("ts").as("mn"), max("ts").as("mx")).collect()
+      .map(r => r.getString(0) -> (r.getTimestamp(1), r.getTimestamp(2))).toMap
+    assert(!agg("train")._2.after(agg("val")._1))
+    assert(!agg("val")._2.after(agg("test")._1))
+  }
+
   test("TargetEncoding: train-only fit, broadcast join back, default for unseen") {
     val train = Seq(("a", 1.0), ("a", 0.0), ("b", 1.0)).toDF("k", "y")
     val apply = Seq("a", "b", "c").toDF("k")

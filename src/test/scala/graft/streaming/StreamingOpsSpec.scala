@@ -56,6 +56,31 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("RiskScore column expressions run unchanged on a stream (batch/stream reuse)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Double, Int)]
+    val txns = input.toDF().toDF("id", "amount", "hour")
+    val scored = txns.select($"id",
+      graft.serve.RiskScore.heuristicScore($"amount", $"hour",
+        lit(false), lit(false)).as("score"))
+      .withColumn("risk_level", graft.serve.RiskScore.riskLevel($"score"))
+    val q = scored.writeStream.format("memory").queryName("stream_scores")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, 29.99, 14), (2L, 8500.0, 2))
+      q.processAllAvailable()
+      val rows = spark.table("stream_scores").orderBy("id").collect()
+      assert(rows(0).getString(2) == "MINIMAL" || rows(0).getString(2) == "LOW")
+      assert(rows(1).getString(2) == "CRITICAL")
+      // identical expression on a batch frame gives identical scores
+      val batch = Seq((1L, 29.99, 14), (2L, 8500.0, 2)).toDF("id", "amount", "hour")
+        .select($"id", graft.serve.RiskScore.heuristicScore($"amount", $"hour",
+          lit(false), lit(false)).as("score")).orderBy("id").collect()
+      assert(batch(0).getDouble(1) == rows(0).getDouble(1))
+      assert(batch(1).getDouble(1) == rows(1).getDouble(1))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState maintains per-user running profile across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
