@@ -28,6 +28,16 @@ object EmbeddingQueries {
         .orderBy("query_id", "neighbor_id")
     }),
 
+    // IVF index: KMeans lists + nProbe search (rows-only — KMeans has no
+    // SQL oracle; recall vs brute force is asserted in IvfSpec)
+    "q62_ivf_knn" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val index = graft.operators.Ivf.build(e, "vec_id", "embedding", nLists = 16)
+      graft.operators.Ivf.search(index, e.filter(col("vec_id") < 20),
+          "vec_id", "embedding", nProbe = 4, topK = 5)
+        .orderBy("query_id", "neighbor_id")
+    }),
+
     // sign-random-projection LSH near-neighbor pairs (rows-only)
     "q59_lsh_neighbors" -> ((s, dir) => {
       Embeddings.lshNeighborPairs(Tables.embeddings(s, dir),

@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class IvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 4 well-separated clusters in 16-dim, 100 vectors each
+  private lazy val clustered = {
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(4)(Array.fill(16)(rnd.nextGaussian().toFloat * 5f))
+    (0 until 400).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => x + rnd.nextGaussian().toFloat * 0.3f))
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("IVF probes only a fraction of the corpus yet recovers brute-force neighbors") {
+    val index = Ivf.build(clustered, "vec_id", "embedding", nLists = 4)
+    val queries = clustered.filter($"vec_id" < 10)
+    val ivf = Ivf.search(index, queries, "vec_id", "embedding", nProbe = 1, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Embeddings.cosineTopK(queries, clustered,
+        "vec_id", "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ivf & brute).size.toDouble / brute.size
+    assert(recall >= 0.9, s"recall $recall") // tight clusters: 1 probe suffices
+    // candidate set is bounded by the probed list, not the corpus
+    val listSizes = index.assigned.groupBy("centroid_id").count()
+      .collect().map(_.getLong(1))
+    assert(listSizes.length == 4 && listSizes.max < 400)
+  }
+
+  test("index assignment is total and deterministic") {
+    val i1 = Ivf.build(clustered, "vec_id", "embedding", nLists = 4)
+    val i2 = Ivf.build(clustered, "vec_id", "embedding", nLists = 4)
+    assert(i1.assigned.count() == 400)
+    val a1 = i1.assigned.select("vec_id", "centroid_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val a2 = i2.assigned.select("vec_id", "centroid_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a1 == a2)
+  }
+}
