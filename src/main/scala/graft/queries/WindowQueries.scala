@@ -90,6 +90,22 @@ object WindowQueries {
         .orderBy("event_id")
     }),
 
+    // as-of join (beyond-reference): each event joined to the user's
+    // most recent purchase at-or-before its time
+    "q15_asof_join" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+      graft.operators.AsOfJoin.leftAsOf(
+          e.select("event_id", "user_id", "ts", "value"), purchases,
+          key = "user_id", ts = "ts",
+          payload = Seq("purchase_id", "purchase_value"), prefix = "last_")
+        .select(col("event_id"), col("last_purchase_id"),
+          col("last_purchase_value"))
+        .orderBy("event_id")
+    }),
+
     // W9: multi-key windows — same ops partitioned by (user, type)
     "q29_two_key_window" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"), col("event_type"))
@@ -215,6 +231,16 @@ object WindowQueries {
         |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
         |SELECT event_id, round((sum3) * 10000.0) / 10000.0 AS sum3, cnt3
         |FROM f WHERE cnt3 = 3 AND nu >= 5 ORDER BY event_id""".stripMargin,
+
+    "q15_asof_join" ->
+      """SELECT l.event_id,
+        | r.event_id AS last_purchase_id,
+        | r.value AS last_purchase_value
+        |FROM events l ASOF LEFT JOIN
+        | (SELECT user_id, ts, event_id, value FROM events
+        |  WHERE event_type = 'purchase') r
+        | ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
 
     "q29_two_key_window" ->
       """SELECT event_id,
