@@ -30,14 +30,24 @@ object Ivf {
   }
 
   /** Build the index: nLists KMeans centroids over normalized vectors +
-    * per-vector list assignment. */
+    * per-vector list assignment. `trainFraction` < 1 fits the centroids
+    * on a sample (the standard move at corpus scale — centroid quality
+    * converges long before the full corpus is seen); assignment always
+    * covers every vector. */
   def build(df: DataFrame, id: String, vec: String, nLists: Int,
-            seed: Long = 42L): Index = {
+            seed: Long = 42L, maxIter: Int = 8,
+            trainFraction: Double = 1.0): Index = {
     val withVec = df.select(col(id), col(vec),
       array_to_vector(normalized(col(vec))).as("__nv"))
-    val model = new KMeans().setK(nLists).setSeed(seed)
-      .setFeaturesCol("__nv").setPredictionCol("centroid_id")
-      .fit(withVec)
+    val trainSet =
+      (if (trainFraction < 1.0) withVec.sample(trainFraction, seed) else withVec)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val model =
+      try new KMeans().setK(nLists).setSeed(seed)
+        .setMaxIter(maxIter).setTol(1e-3)
+        .setFeaturesCol("__nv").setPredictionCol("centroid_id")
+        .fit(trainSet) // iterative: each pass reads the cached vectors
+      finally trainSet.unpersist(blocking = false)
     val assigned = model.transform(withVec)
       .select(col(id), col(vec), col("centroid_id"))
     val spark = df.sparkSession
