@@ -104,6 +104,31 @@ object BehaviorWindows {
     )
   }
 
+  /** The reference's lookback column families (`engineer.py:66-105`):
+    * for each d in `days` it EMITS `{count,sum,mean}_{d}d` columns, but
+    * its implementation uses the same expanding window for every d — the
+    * three families are triplicates (SURVEY.md §2.5). Both modes:
+    * `literalCumulative = true` reproduces that quirk exactly (parity);
+    * `false` computes the honest trailing range windows. */
+  def lookbackFamilies(c: Cols, days: Seq[Int],
+                       literalCumulative: Boolean): Seq[(String, Column)] =
+    days.flatMap { d =>
+      if (literalCumulative) {
+        val w  = ordered(c)
+        val wc = cumulative(c)
+        Seq(
+          s"user_txn_count_${d}d" -> (row_number().over(w) - 1),
+          s"user_amt_sum_${d}d"   -> sum(col(c.value)).over(wc),
+          s"user_amt_mean_${d}d"  -> avg(col(c.value)).over(wc))
+      } else {
+        val wr = trailingRange(c, d.toLong * 86400L)
+        Seq(
+          s"user_txn_count_${d}d" -> (count(lit(1)).over(wr) - 1),
+          s"user_amt_sum_${d}d"   -> sum(col(c.value)).over(wr),
+          s"user_amt_mean_${d}d"  -> avg(col(c.value)).over(wr))
+      }
+    }
+
   /** Session assignment: a new session starts after an inactivity gap
     * > `gapSeconds`. Two stacked windows (lag → cumulative sum of starts),
     * one shuffle. */

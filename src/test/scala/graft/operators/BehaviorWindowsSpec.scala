@@ -69,6 +69,25 @@ class BehaviorWindowsSpec extends SparkSpec {
     assert(out.toSeq == Seq(1L, 2L, 3L, 1L, 1L, 2L))
   }
 
+  test("lookback families: literal mode reproduces the reference's triplication; range mode doesn't") {
+    val literal = graft.queries.Util.addCols(events,
+      BehaviorWindows.lookbackFamilies(C, Seq(1, 7), literalCumulative = true))
+      .orderBy("event_id").collect()
+    // reference quirk: the 1d and 7d families are identical copies
+    literal.foreach { r =>
+      assert(r.getAs[Double]("user_amt_sum_1d") == r.getAs[Double]("user_amt_sum_7d"))
+    }
+    val ranged = graft.queries.Util.addCols(events,
+      BehaviorWindows.lookbackFamilies(C, Seq(1, 7), literalCumulative = false))
+      .orderBy("event_id").collect()
+    // honest mode: a 1-day window can hold fewer rows than a 7-day one
+    assert(ranged.exists(r =>
+      r.getAs[Long]("user_txn_count_1d") <= r.getAs[Long]("user_txn_count_7d")))
+    // user1 spans 2h -> both windows see everything; user2 same day
+    assert(ranged.forall(r =>
+      r.getAs[Double]("user_amt_sum_1d") <= r.getAs[Double]("user_amt_sum_7d")))
+  }
+
   test("trailing range window counts events in window, inclusive") {
     val out = addCols(events, BehaviorWindows.trailingFeatures(C, 3600L, "1h"))
       .orderBy("event_id").select("cnt_1h").collect().map(_.getLong(0))
