@@ -38,6 +38,20 @@ object StreamingOps {
       .select(col("window.start").as("window_start"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Event-time SESSION windows (dynamic gap-based windows — the
+    * streaming analog of the batch sessionize operator): sessions close
+    * after `gap` of per-key inactivity, finalized past the watermark. */
+  def sessionCounts(events: DataFrame, tsCol: String = "ts",
+                    keyCol: String = "user_id",
+                    watermarkDelay: String = "10 minutes",
+                    gap: String = "30 minutes"): DataFrame =
+    events.withWatermark(tsCol, watermarkDelay)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col(keyCol), col("n_events"), col("total_value"))
+
   // -- custom keyed state: running per-user profile ------------------------
 
   case class Event(user_id: Long, ts: Timestamp, value: Double)

@@ -56,6 +56,32 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session windows close after the inactivity gap (event-time, watermarked)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val events = input.toDF().toDF("ts", "user_id", "value")
+    val q = sessionCounts(events, gap = "30 minutes")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:00:00"), 1L, 1.0),
+        (ts("2024-01-01 10:10:00"), 1L, 2.0),  // same session (10 min gap)
+        (ts("2024-01-01 11:30:00"), 1L, 5.0),  // new session (80 min gap)
+        (ts("2024-01-01 15:00:00"), 1L, 9.0))  // advances watermark far ahead
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 18:00:00"), 2L, 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("sessions").orderBy("session_start").collect()
+      assert(rows.length >= 2)
+      assert(rows(0).getAs[Long]("n_events") == 2 &&
+        rows(0).getAs[Double]("total_value") == 3.0)
+      assert(rows(0).getTimestamp(1) == ts("2024-01-01 10:40:00")) // 10:10 + gap
+      assert(rows(1).getAs[Long]("n_events") == 1 &&
+        rows(1).getAs[Double]("total_value") == 5.0)
+    } finally q.stop()
+  }
+
   test("RiskScore column expressions run unchanged on a stream (batch/stream reuse)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Double, Int)]
