@@ -25,6 +25,10 @@ object TimeSplit {
     val n = df.count()
     val k1 = math.floor(f1 * n).toLong
     val k2 = math.floor(f2 * n).toLong
+    // the exact-positional variant materializes a top-k boundary; past
+    // Int range use assignApprox (quantile cutoffs) instead
+    require(k2 <= Int.MaxValue,
+      s"exact split boundary $k2 exceeds Int range - use assignApprox at this scale")
     val keyed = df.select(ts.as("__ts"), id.as("__id"))
     def boundary(k: Long): Option[(java.sql.Timestamp, Long)] =
       if (k <= 0) None
