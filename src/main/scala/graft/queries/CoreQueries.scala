@@ -206,26 +206,26 @@ object CoreQueries {
   def oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        | round((sum(l_quantity)) * 100.0) / 100.0 AS sum_qty,
-        | round((sum(l_extendedprice)) * 100.0) / 100.0 AS sum_base_price,
-        | round((sum(l_extendedprice*(1-l_discount))) * 100.0) / 100.0 AS sum_disc_price,
-        | round((sum(l_extendedprice*(1-l_discount)*(1+l_tax))) * 100.0) / 100.0 AS sum_charge,
-        | round((avg(l_quantity)) * 1000000.0) / 1000000.0 AS avg_qty,
-        | round((avg(l_extendedprice)) * 1000000.0) / 1000000.0 AS avg_price,
-        | round((avg(l_discount)) * 1000000.0) / 1000000.0 AS avg_disc,
+        | round((sum(l_quantity)) * 100.0) / 100.0 + 0.0 AS sum_qty,
+        | round((sum(l_extendedprice)) * 100.0) / 100.0 + 0.0 AS sum_base_price,
+        | round((sum(l_extendedprice*(1-l_discount))) * 100.0) / 100.0 + 0.0 AS sum_disc_price,
+        | round((sum(l_extendedprice*(1-l_discount)*(1+l_tax))) * 100.0) / 100.0 + 0.0 AS sum_charge,
+        | round((avg(l_quantity)) * 1000000.0) / 1000000.0 + 0.0 AS avg_qty,
+        | round((avg(l_extendedprice)) * 1000000.0) / 1000000.0 + 0.0 AS avg_price,
+        | round((avg(l_discount)) * 1000000.0) / 1000000.0 + 0.0 AS avg_disc,
         | count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q02_filter_project" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity,
-        | round((l_extendedprice*(1-l_discount)) * 10000.0) / 10000.0 AS net
+        | round((l_extendedprice*(1-l_discount)) * 10000.0) / 10000.0 + 0.0 AS net
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00' AND l_quantity > 45
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q03_topk_users" ->
-      """SELECT user_id, round((sum(value)) * 100.0) / 100.0 AS total_value, count(*) AS n_events
+      """SELECT user_id, round((sum(value)) * 100.0) / 100.0 + 0.0 AS total_value, count(*) AS n_events
         |FROM events GROUP BY user_id
         |ORDER BY total_value DESC, user_id LIMIT 10""".stripMargin,
 
@@ -234,10 +234,10 @@ object CoreQueries {
 
     "q05_describe_by_type" ->
       """SELECT event_type, count(*) AS cnt,
-        | round((avg(value)) * 1000000.0) / 1000000.0 AS mean_value,
-        | round((stddev_samp(value)) * 1000000.0) / 1000000.0 AS std_value,
+        | round((avg(value)) * 1000000.0) / 1000000.0 + 0.0 AS mean_value,
+        | round((stddev_samp(value)) * 1000000.0) / 1000000.0 + 0.0 AS std_value,
         | min(value) AS min_value, max(value) AS max_value,
-        | round((median(value)) * 1000000.0) / 1000000.0 AS median_value
+        | round((median(value)) * 1000000.0) / 1000000.0 + 0.0 AS median_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q06_null_counts" ->
@@ -252,12 +252,12 @@ object CoreQueries {
 
     "q07_distinct_per_group" ->
       """SELECT user_id, count(DISTINCT event_type) AS n_types, count(*) AS n_events,
-        | round((sum(value)) * 10000.0) / 10000.0 AS total_value
+        | round((sum(value)) * 10000.0) / 10000.0 + 0.0 AS total_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q08_join_left" ->
       """SELECT coalesce(c_mktsegment,'missing') AS segment, count(*) AS n_orders,
-        | round((sum(o_totalprice)) * 100.0) / 100.0 AS total
+        | round((sum(o_totalprice)) * 100.0) / 100.0 + 0.0 AS total
         |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY segment""".stripMargin,
 
@@ -272,7 +272,7 @@ object CoreQueries {
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q11_join_multiway" ->
-      """SELECT r_name, n_name, count(*) AS n_orders, round((sum(o_totalprice)) * 100.0) / 100.0 AS revenue
+      """SELECT r_name, n_name, count(*) AS n_orders, round((sum(o_totalprice)) * 100.0) / 100.0 + 0.0 AS revenue
         |FROM orders
         | JOIN customer ON o_custkey = c_custkey
         | JOIN nation ON c_nationkey = n_nationkey
@@ -295,33 +295,33 @@ object CoreQueries {
         |  avg(CASE WHEN o_totalprice > 200000 THEN 1.0 ELSE 0.0 END) AS rate
         | FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
         | GROUP BY o_orderpriority)
-        |SELECT o_orderkey, round((coalesce(rate, 0.035)) * 1000000.0) / 1000000.0 AS prio_enc
+        |SELECT o_orderkey, round((coalesce(rate, 0.035)) * 1000000.0) / 1000000.0 + 0.0 AS prio_enc
         |FROM orders LEFT JOIN enc USING (o_orderpriority)
         |ORDER BY o_orderkey""".stripMargin,
 
     "q19_rollup" ->
       """SELECT l_returnflag, l_linestatus,
-        | round((sum(l_quantity)) * 100.0) / 100.0 AS sum_qty, count(*) AS n
+        | round((sum(l_quantity)) * 100.0) / 100.0 + 0.0 AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
     "q18_salted_agg" ->
       """SELECT event_type, count(*) AS n,
-        | round((sum(value)) * 10000.0) / 10000.0 AS total,
+        | round((sum(value)) * 10000.0) / 10000.0 + 0.0 AS total,
         | min(value) AS min_value, max(value) AS max_value,
-        | round(((round((sum(value)) * 10000.0) / 10000.0) / count(*)) * 1000000.0) / 1000000.0 AS avg_value
+        | round(((round((sum(value)) * 10000.0) / 10000.0 + 0.0) / count(*)) * 1000000.0) / 1000000.0 + 0.0 AS avg_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q16_correlation" ->
       """SELECT event_type,
-        | round((corr(value, CAST(json_extract_string(props,'$.k') AS DOUBLE))) * 1000000.0) / 1000000.0 AS corr_vk,
-        | round((covar_samp(value, CAST(json_extract_string(props,'$.k') AS DOUBLE))) * 10000.0) / 10000.0 AS covar_vk,
+        | round((corr(value, CAST(json_extract_string(props,'$.k') AS DOUBLE))) * 1000000.0) / 1000000.0 + 0.0 AS corr_vk,
+        | round((covar_samp(value, CAST(json_extract_string(props,'$.k') AS DOUBLE))) * 10000.0) / 10000.0 + 0.0 AS covar_vk,
         | count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q14_json_extract" ->
       """SELECT event_type, count(*) AS n,
-        | round((avg(CAST(json_extract_string(props,'$.k') AS BIGINT))) * 1000000.0) / 1000000.0 AS avg_k,
+        | round((avg(CAST(json_extract_string(props,'$.k') AS BIGINT))) * 1000000.0) / 1000000.0 + 0.0 AS avg_k,
         | CAST(sum(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )

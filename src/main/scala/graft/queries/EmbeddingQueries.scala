@@ -52,8 +52,8 @@ object EmbeddingQueries {
         | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
         |  embedding FROM embeddings)
         |SELECT vec_id,
-        | round((sqrt(list_sum(list_transform(v, x -> x*x)))) * 1000000.0) / 1000000.0 AS l2_norm,
-        | round((list_sum(v) / len(v)) * 1000000.0) / 1000000.0 AS mean,
+        | round((sqrt(list_sum(list_transform(v, x -> x*x)))) * 1000000.0) / 1000000.0 + 0.0 AS l2_norm,
+        | round((list_sum(v) / len(v)) * 1000000.0) / 1000000.0 + 0.0 AS mean,
         | CAST(list_min(embedding) AS DOUBLE) AS min_v,
         | CAST(list_max(embedding) AS DOUBLE) AS max_v
         |FROM e ORDER BY vec_id""".stripMargin,
@@ -66,7 +66,7 @@ object EmbeddingQueries {
         |sims AS (
         | SELECT query_id, e.vec_id AS neighbor_id,
         |  round((list_dot_product(qv, e.v)
-        |   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e.v, e.v)))) * 1000000.0) / 1000000.0 AS sim
+        |   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e.v, e.v)))) * 1000000.0) / 1000000.0 + 0.0 AS sim
         | FROM q, e WHERE e.vec_id <> query_id),
         |ranked AS (
         | SELECT query_id, neighbor_id, sim,

@@ -81,18 +81,18 @@ object EvalQueries {
         |  count(*) FILTER (WHERE event_type <> 'error' AND value/500.0 < 0.2) AS tn
         | FROM events)
         |SELECT tp, fp, fn, tn,
-        | round((CASE WHEN tp+fp > 0 THEN CAST(tp AS DOUBLE)/(tp+fp) ELSE 0.0 END) * 1000000.0) / 1000000.0 AS prec,
-        | round((CASE WHEN tp+fn > 0 THEN CAST(tp AS DOUBLE)/(tp+fn) ELSE 0.0 END) * 1000000.0) / 1000000.0 AS rec,
+        | round((CASE WHEN tp+fp > 0 THEN CAST(tp AS DOUBLE)/(tp+fp) ELSE 0.0 END) * 1000000.0) / 1000000.0 + 0.0 AS prec,
+        | round((CASE WHEN tp+fn > 0 THEN CAST(tp AS DOUBLE)/(tp+fn) ELSE 0.0 END) * 1000000.0) / 1000000.0 + 0.0 AS rec,
         | round((CASE WHEN (CASE WHEN tp+fp > 0 THEN CAST(tp AS DOUBLE)/(tp+fp) ELSE 0.0 END)
         |          + (CASE WHEN tp+fn > 0 THEN CAST(tp AS DOUBLE)/(tp+fn) ELSE 0.0 END) > 0
         |   THEN 2.0 * (CASE WHEN tp+fp > 0 THEN CAST(tp AS DOUBLE)/(tp+fp) ELSE 0.0 END)
         |            * (CASE WHEN tp+fn > 0 THEN CAST(tp AS DOUBLE)/(tp+fn) ELSE 0.0 END)
         |          / ((CASE WHEN tp+fp > 0 THEN CAST(tp AS DOUBLE)/(tp+fp) ELSE 0.0 END)
         |           + (CASE WHEN tp+fn > 0 THEN CAST(tp AS DOUBLE)/(tp+fn) ELSE 0.0 END))
-        |   ELSE 0.0 END) * 1000000.0) / 1000000.0 AS f1,
-        | round((CAST(tp+tn AS DOUBLE)/(tp+fp+fn+tn)) * 1000000.0) / 1000000.0 AS accuracy,
-        | round((CASE WHEN tn+fp > 0 THEN CAST(tn AS DOUBLE)/(tn+fp) ELSE 0.0 END) * 1000000.0) / 1000000.0 AS specificity,
-        | round((fn*1000.0 + fp*10.0) * 100.0) / 100.0 AS cost
+        |   ELSE 0.0 END) * 1000000.0) / 1000000.0 + 0.0 AS f1,
+        | round((CAST(tp+tn AS DOUBLE)/(tp+fp+fn+tn)) * 1000000.0) / 1000000.0 + 0.0 AS accuracy,
+        | round((CASE WHEN tn+fp > 0 THEN CAST(tn AS DOUBLE)/(tn+fp) ELSE 0.0 END) * 1000000.0) / 1000000.0 + 0.0 AS specificity,
+        | round((fn*1000.0 + fp*10.0) * 100.0) / 100.0 + 0.0 AS cost
         |FROM c""".stripMargin,
 
     "q41_roc_auc" ->
@@ -108,7 +108,7 @@ object EvalQueries {
         | SELECT CAST(sum(pos) AS DOUBLE) AS p, CAST(sum(cnt) AS DOUBLE) AS n,
         |  CAST(sum(pos*(below + (cnt+1)/2.0)) AS DOUBLE) AS rp
         | FROM ranked)
-        |SELECT round(((rp - p*(p+1)/2.0) / (p*(n-p))) * 1000000.0) / 1000000.0 AS roc_auc FROM agg""".stripMargin,
+        |SELECT round(((rp - p*(p+1)/2.0) / (p*(n-p))) * 1000000.0) / 1000000.0 + 0.0 AS roc_auc FROM agg""".stripMargin,
 
     "q42_pr_curve" ->
       """WITH by_score AS (
@@ -121,9 +121,9 @@ object EvalQueries {
         |  sum(cnt) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
         |  sum(pos) OVER () AS tot_pos
         | FROM by_score)
-        |SELECT round((s) * 1000000.0) / 1000000.0 AS threshold,
-        | round((CAST(cum_tp AS DOUBLE)/cum_n) * 1000000.0) / 1000000.0 AS prec,
-        | round((CAST(cum_tp AS DOUBLE)/tot_pos) * 1000000.0) / 1000000.0 AS rec
+        |SELECT round((s) * 1000000.0) / 1000000.0 + 0.0 AS threshold,
+        | round((CAST(cum_tp AS DOUBLE)/cum_n) * 1000000.0) / 1000000.0 + 0.0 AS prec,
+        | round((CAST(cum_tp AS DOUBLE)/tot_pos) * 1000000.0) / 1000000.0 + 0.0 AS rec
         |FROM c ORDER BY threshold DESC LIMIT 20""".stripMargin,
 
     "q43_best_f1" ->
@@ -142,7 +142,7 @@ object EvalQueries {
         |  coalesce(2.0 * (CAST(cum_tp AS DOUBLE)/cum_n) * (CAST(cum_tp AS DOUBLE)/tot_pos)
         |   / ((CAST(cum_tp AS DOUBLE)/cum_n) + (CAST(cum_tp AS DOUBLE)/tot_pos)), 0.0) AS f1
         | FROM c)
-        |SELECT round((threshold) * 1000000.0) / 1000000.0 AS threshold, round((f1) * 1000000.0) / 1000000.0 AS f1
+        |SELECT round((threshold) * 1000000.0) / 1000000.0 + 0.0 AS threshold, round((f1) * 1000000.0) / 1000000.0 + 0.0 AS f1
         |FROM f ORDER BY f1 DESC, threshold LIMIT 1""".stripMargin,
 
     "q45_avg_precision" ->
@@ -156,7 +156,7 @@ object EvalQueries {
         |  sum(cnt) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
         |  sum(pos) OVER () AS tot_pos
         | FROM by_score)
-        |SELECT round((sum(CAST(pos AS DOUBLE)/tot_pos * cum_tp/cum_n)) * 1000000.0) / 1000000.0 AS avg_precision
+        |SELECT round((sum(CAST(pos AS DOUBLE)/tot_pos * cum_tp/cum_n)) * 1000000.0) / 1000000.0 + 0.0 AS avg_precision
         |FROM c""".stripMargin,
 
     "q44_threshold_grid" ->
@@ -168,8 +168,8 @@ object EvalQueries {
         |  count(*) FILTER (WHERE event_type='error' AND value/500.0 < tau) AS fn
         | FROM events CROSS JOIN g GROUP BY tau)
         |SELECT tau,
-        | round((coalesce(CAST(tp AS DOUBLE)/nullif(tp+fp,0), 0.0)) * 1000000.0) / 1000000.0 AS prec,
-        | round((coalesce(CAST(tp AS DOUBLE)/nullif(tp+fn,0), 0.0)) * 1000000.0) / 1000000.0 AS rec
+        | round((coalesce(CAST(tp AS DOUBLE)/nullif(tp+fp,0), 0.0)) * 1000000.0) / 1000000.0 + 0.0 AS prec,
+        | round((coalesce(CAST(tp AS DOUBLE)/nullif(tp+fn,0), 0.0)) * 1000000.0) / 1000000.0 + 0.0 AS rec
         |FROM m ORDER BY tau""".stripMargin
   )
 }

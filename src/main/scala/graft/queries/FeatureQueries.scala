@@ -101,10 +101,10 @@ object FeatureQueries {
         | CAST(isodow(ts) - 1 AS BIGINT) AS dow,
         | CAST(day(ts) AS BIGINT) AS day,
         | CAST(month(ts) AS BIGINT) AS month,
-        | round((sin(2*pi()*hour(ts)/24)) * 1000000.0) / 1000000.0 AS hour_sin,
-        | round((cos(2*pi()*hour(ts)/24)) * 1000000.0) / 1000000.0 AS hour_cos,
-        | round((sin(2*pi()*(isodow(ts)-1)/7)) * 1000000.0) / 1000000.0 AS dow_sin,
-        | round((cos(2*pi()*(isodow(ts)-1)/7)) * 1000000.0) / 1000000.0 AS dow_cos,
+        | round((sin(2*pi()*hour(ts)/24)) * 1000000.0) / 1000000.0 + 0.0 AS hour_sin,
+        | round((cos(2*pi()*hour(ts)/24)) * 1000000.0) / 1000000.0 + 0.0 AS hour_cos,
+        | round((sin(2*pi()*(isodow(ts)-1)/7)) * 1000000.0) / 1000000.0 + 0.0 AS dow_sin,
+        | round((cos(2*pi()*(isodow(ts)-1)/7)) * 1000000.0) / 1000000.0 + 0.0 AS dow_cos,
         | CAST(CASE WHEN isodow(ts)-1 >= 5 THEN 1 ELSE 0 END AS BIGINT) AS is_weekend,
         | CAST(CASE WHEN hour(ts) >= 22 OR hour(ts) <= 6 THEN 1 ELSE 0 END AS BIGINT) AS is_night,
         | CAST(CASE WHEN hour(ts) BETWEEN 9 AND 17 THEN 1 ELSE 0 END AS BIGINT) AS is_business,
@@ -114,7 +114,7 @@ object FeatureQueries {
 
     "q31_amount_features" ->
       """SELECT event_id,
-        | round((ln(1+value)) * 1000000.0) / 1000000.0 AS log_amt,
+        | round((ln(1+value)) * 1000000.0) / 1000000.0 + 0.0 AS log_amt,
         | CAST(CASE WHEN value <= 50 THEN 0 WHEN value <= 100 THEN 1
         |   WHEN value <= 200 THEN 2 WHEN value <= 500 THEN 3
         |   WHEN value <= 1000 THEN 4 WHEN value <= 5000 THEN 5
@@ -169,12 +169,12 @@ object FeatureQueries {
         | SELECT event_id, amt, h, dev_missing, risky, heuristic,
         |  least(1.0, greatest(0.0, model*0.4 + heuristic*0.6)) AS b
         | FROM scored)
-        |SELECT event_id, round((heuristic) * 1000000.0) / 1000000.0 AS heuristic, round((b) * 1000000.0) / 1000000.0 AS blended,
+        |SELECT event_id, round((heuristic) * 1000000.0) / 1000000.0 + 0.0 AS heuristic, round((b) * 1000000.0) / 1000000.0 + 0.0 AS blended,
         | CASE WHEN b < 0.2 THEN 'MINIMAL' WHEN b < 0.4 THEN 'LOW'
         |      WHEN b < 0.6 THEN 'MEDIUM' WHEN b < 0.8 THEN 'HIGH'
         |      ELSE 'CRITICAL' END AS risk_level,
         | CAST(CASE WHEN b >= 0.6 THEN 1 ELSE 0 END AS BIGINT) AS is_fraud,
-        | round((abs(b - 0.5)*2) * 1000000.0) / 1000000.0 AS confidence,
+        | round((abs(b - 0.5)*2) * 1000000.0) / 1000000.0 + 0.0 AS confidence,
         | concat_ws(',',
         |  CASE WHEN amt > 5000 THEN 'very_high_amount' END,
         |  CASE WHEN amt > 1000 AND amt <= 5000 THEN 'high_amount' END,

@@ -114,32 +114,32 @@ object PipelineQueries {
         |SELECT event_id,
         | CAST(hour(ts) AS BIGINT) AS hour,
         | CAST(isodow(ts) - 1 AS BIGINT) AS dow,
-        | round((sin(2*pi()*hour(ts)/24)) * 1000000.0) / 1000000.0 AS hour_sin,
-        | round((cos(2*pi()*hour(ts)/24)) * 1000000.0) / 1000000.0 AS hour_cos,
+        | round((sin(2*pi()*hour(ts)/24)) * 1000000.0) / 1000000.0 + 0.0 AS hour_sin,
+        | round((cos(2*pi()*hour(ts)/24)) * 1000000.0) / 1000000.0 + 0.0 AS hour_cos,
         | CAST(CASE WHEN isodow(ts)-1 >= 5 THEN 1 ELSE 0 END AS BIGINT) AS is_weekend,
         | CAST(CASE WHEN hour(ts) >= 22 OR hour(ts) <= 6 THEN 1 ELSE 0 END AS BIGINT) AS is_night,
         | CAST(CASE WHEN hour(ts) BETWEEN 9 AND 17 THEN 1 ELSE 0 END AS BIGINT) AS is_business,
-        | round((ln(1+value)) * 1000000.0) / 1000000.0 AS log_amt,
+        | round((ln(1+value)) * 1000000.0) / 1000000.0 + 0.0 AS log_amt,
         | CAST(CASE WHEN value <= 50 THEN 0 WHEN value <= 100 THEN 1
         |   WHEN value <= 200 THEN 2 WHEN value <= 500 THEN 3
         |   WHEN value <= 1000 THEN 4 WHEN value <= 5000 THEN 5
         |   ELSE 6 END AS BIGINT) AS amt_bin,
         | CAST(CASE WHEN fmod(value, 1.0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS has_decimal,
         | prior_count,
-        | round((cum_sum) * 10000.0) / 10000.0 AS cum_sum,
-        | round(((round((cum_sum) * 10000.0) / 10000.0) / (prior_count + 1)) * 1000000.0) / 1000000.0 AS cum_mean,
-        | round((cum_std) * 1000000.0) / 1000000.0 AS cum_std,
+        | round((cum_sum) * 10000.0) / 10000.0 + 0.0 AS cum_sum,
+        | round(((round((cum_sum) * 10000.0) / 10000.0 + 0.0) / (prior_count + 1)) * 1000000.0) / 1000000.0 + 0.0 AS cum_mean,
+        | round((cum_std) * 1000000.0) / 1000000.0 + 0.0 AS cum_std,
         | cum_max, cum_min,
-        | round((amt_deviation) * 1000000.0) / 1000000.0 AS amt_deviation,
+        | round((amt_deviation) * 1000000.0) / 1000000.0 + 0.0 AS amt_deviation,
         | is_first,
-        | round(((round((cum_sum) * 10000.0) / 10000.0) / (prior_count + 1)) * 1000000.0) / 1000000.0 AS amt_velocity,
-        | round((time_diff) * 1000000.0) / 1000000.0 AS time_diff,
-        | round((value_diff) * 1000000.0) / 1000000.0 AS value_diff,
-        | round((spending_rate) * 1000000.0) / 1000000.0 AS spending_rate,
-        | round((acceleration) * 1000000.0) / 1000000.0 AS acceleration,
+        | round(((round((cum_sum) * 10000.0) / 10000.0 + 0.0) / (prior_count + 1)) * 1000000.0) / 1000000.0 + 0.0 AS amt_velocity,
+        | round((time_diff) * 1000000.0) / 1000000.0 + 0.0 AS time_diff,
+        | round((value_diff) * 1000000.0) / 1000000.0 + 0.0 AS value_diff,
+        | round((spending_rate) * 1000000.0) / 1000000.0 + 0.0 AS spending_rate,
+        | round((acceleration) * 1000000.0) / 1000000.0 + 0.0 AS acceleration,
         | cnt_24h,
-        | round((sum_24h) * 10000.0) / 10000.0 AS sum_24h,
-        | round((pct_rank) * 1000000.0) / 1000000.0 AS pct_rank,
+        | round((sum_24h) * 10000.0) / 10000.0 + 0.0 AS sum_24h,
+        | round((pct_rank) * 1000000.0) / 1000000.0 + 0.0 AS pct_rank,
         | prior_combo_count, is_first_combo
         |FROM g ORDER BY event_id""".stripMargin
   )

@@ -106,11 +106,11 @@ object TextQueries {
          |  n_punct
          | FROM t)
          |SELECT doc_id, n_tokens, char_sum,
-         | round((CAST(char_sum AS DOUBLE)/n_tokens) * 1000000.0) / 1000000.0 AS avg_token_len,
+         | round((CAST(char_sum AS DOUBLE)/n_tokens) * 1000000.0) / 1000000.0 + 0.0 AS avg_token_len,
          | stop_hits,
          | round((0.4*least(1.0, CAST(n_tokens AS DOUBLE)/100.0)
          |  + 0.3*(CAST(stop_hits AS DOUBLE)/n_tokens)
-         |  + 0.3*(1.0 - least(1.0, CAST(n_punct AS DOUBLE)/n_tokens))) * 1000000.0) / 1000000.0 AS quality
+         |  + 0.3*(1.0 - least(1.0, CAST(n_punct AS DOUBLE)/n_tokens))) * 1000000.0) / 1000000.0 + 0.0 AS quality
          |FROM f ORDER BY doc_id""".stripMargin,
 
     "q52_lang_id" ->
@@ -143,7 +143,7 @@ object TextQueries {
         | FROM documents)
         |SELECT a.doc_id AS doc1, b.doc_id AS doc2,
         | round((CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-        |  / len(list_distinct(list_concat(a.toks, b.toks)))) * 1000000.0) / 1000000.0 AS jaccard
+        |  / len(list_distinct(list_concat(a.toks, b.toks)))) * 1000000.0) / 1000000.0 + 0.0 AS jaccard
         |FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
         |  / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.30

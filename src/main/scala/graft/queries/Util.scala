@@ -12,11 +12,18 @@ object Util {
     * round(x·10ᵈ)/10ᵈ because both sides see the identical double y=x·10ᵈ
     * and integer-round it with the same half-away-from-zero rule at
     * representable halves. Used on every float output in the oracle
-    * queries. */
+    * queries.
+    *
+    * The trailing `+ 0.0` canonicalizes IEEE negative zero (−0.0 + 0.0 =
+    * +0.0; identity for every other double): DuckDB's round preserves the
+    * sign of −0.0 (e.g. round(cos(3π/2)·1e6)/1e6) while Spark's BigDecimal
+    * round cannot represent it, so without normalization on BOTH engines a
+    * bit-exact hash compare fails on values that are numerically equal.
+    * The oracle SQL twin appends `+ 0.0` after each round(...)/f. */
   def qz(c: Column, digits: Int): Column = {
-    import org.apache.spark.sql.functions.round
+    import org.apache.spark.sql.functions.{lit, round}
     val f = math.pow(10, digits)
-    round(c * f, 0) / f
+    round(c * f, 0) / f + lit(0.0)
   }
 
   /** Append derived (name, expr) pairs in ONE select — avoids the

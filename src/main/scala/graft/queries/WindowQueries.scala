@@ -151,21 +151,21 @@ object WindowQueries {
         | SELECT event_id,
         |  CAST(row_number() OVER w - 1 AS BIGINT) AS prior_count,
         |  sum(value) OVER wc AS cum_sum,
-        |  (round((sum(value) OVER wc) * 10000.0) / 10000.0) / (row_number() OVER w) AS cum_mean,
+        |  (round((sum(value) OVER wc) * 10000.0) / 10000.0 + 0.0) / (row_number() OVER w) AS cum_mean,
         |  stddev_samp(value) OVER wc AS cum_std,
         |  max(value) OVER wc AS cum_max,
         |  min(value) OVER wc AS cum_min,
         |  (value - avg(value) OVER wc) / (coalesce(stddev_samp(value) OVER wc, 1.0) + 1) AS amt_deviation,
         |  CAST(CASE WHEN row_number() OVER w = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_first,
-        |  (round((sum(value) OVER wc) * 10000.0) / 10000.0) / (row_number() OVER w) AS amt_velocity
+        |  (round((sum(value) OVER wc) * 10000.0) / 10000.0 + 0.0) / (row_number() OVER w) AS amt_velocity
         | FROM events
         | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
         |  wc AS (PARTITION BY user_id ORDER BY ts, event_id
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-        |SELECT event_id, prior_count, round((cum_sum) * 10000.0) / 10000.0 AS cum_sum,
-        | round((cum_mean) * 1000000.0) / 1000000.0 AS cum_mean, round((cum_std) * 1000000.0) / 1000000.0 AS cum_std,
-        | cum_max, cum_min, round((amt_deviation) * 1000000.0) / 1000000.0 AS amt_deviation,
-        | is_first, round((amt_velocity) * 1000000.0) / 1000000.0 AS amt_velocity
+        |SELECT event_id, prior_count, round((cum_sum) * 10000.0) / 10000.0 + 0.0 AS cum_sum,
+        | round((cum_mean) * 1000000.0) / 1000000.0 + 0.0 AS cum_mean, round((cum_std) * 1000000.0) / 1000000.0 + 0.0 AS cum_std,
+        | cum_max, cum_min, round((amt_deviation) * 1000000.0) / 1000000.0 + 0.0 AS amt_deviation,
+        | is_first, round((amt_velocity) * 1000000.0) / 1000000.0 + 0.0 AS amt_velocity
         |FROM f ORDER BY event_id""".stripMargin,
 
     "q21_lag_features" ->
@@ -183,22 +183,22 @@ object WindowQueries {
         |  coalesce(spending_rate - lag(spending_rate) OVER
         |    (PARTITION BY user_id ORDER BY ts, event_id), 0.0) AS acceleration
         | FROM f)
-        |SELECT event_id, round((time_diff) * 1000000.0) / 1000000.0 AS time_diff, round((value_diff) * 1000000.0) / 1000000.0 AS value_diff,
-        | round((spending_rate) * 1000000.0) / 1000000.0 AS spending_rate, round((acceleration) * 1000000.0) / 1000000.0 AS acceleration
+        |SELECT event_id, round((time_diff) * 1000000.0) / 1000000.0 + 0.0 AS time_diff, round((value_diff) * 1000000.0) / 1000000.0 + 0.0 AS value_diff,
+        | round((spending_rate) * 1000000.0) / 1000000.0 + 0.0 AS spending_rate, round((acceleration) * 1000000.0) / 1000000.0 + 0.0 AS acceleration
         |FROM g ORDER BY event_id""".stripMargin,
 
     "q22_pct_rank_pandas" ->
       """SELECT event_id,
         | round(((CAST(rank() OVER (PARTITION BY user_id ORDER BY value) AS DOUBLE)
         |   + (count(*) OVER (PARTITION BY user_id, value) - 1) / 2.0)
-        |  / count(*) OVER (PARTITION BY user_id)) * 1000000.0) / 1000000.0 AS pct_rank
+        |  / count(*) OVER (PARTITION BY user_id)) * 1000000.0) / 1000000.0 + 0.0 AS pct_rank
         |FROM events ORDER BY event_id""".stripMargin,
 
     "q23_trailing_24h" ->
       """SELECT event_id,
         | CAST(count(*) OVER w AS BIGINT) AS cnt_24h,
-        | round((sum(value) OVER w) * 10000.0) / 10000.0 AS sum_24h,
-        | round((avg(value) OVER w) * 1000000.0) / 1000000.0 AS avg_24h
+        | round((sum(value) OVER w) * 10000.0) / 10000.0 + 0.0 AS sum_24h,
+        | round((avg(value) OVER w) * 1000000.0) / 1000000.0 + 0.0 AS avg_24h
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |  RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
@@ -217,7 +217,7 @@ object WindowQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         | FROM flagged)
         |SELECT user_id, session_id, count(*) AS n_events,
-        | round((sum(value)) * 10000.0) / 10000.0 AS sum_value, min(ts) AS min_ts, max(ts) AS max_ts
+        | round((sum(value)) * 10000.0) / 10000.0 + 0.0 AS sum_value, min(ts) AS min_ts, max(ts) AS max_ts
         |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
 
     "q25_sliding_window" ->
@@ -229,7 +229,7 @@ object WindowQueries {
         | FROM events
         | WINDOW w3 AS (PARTITION BY user_id ORDER BY ts, event_id
         |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
-        |SELECT event_id, round((sum3) * 10000.0) / 10000.0 AS sum3, cnt3
+        |SELECT event_id, round((sum3) * 10000.0) / 10000.0 + 0.0 AS sum3, cnt3
         |FROM f WHERE cnt3 = 3 AND nu >= 5 ORDER BY event_id""".stripMargin,
 
     "q15_asof_join" ->
@@ -245,7 +245,7 @@ object WindowQueries {
     "q29_two_key_window" ->
       """SELECT event_id,
         | CAST(row_number() OVER w - 1 AS BIGINT) AS prior_combo_count,
-        | round((sum(value) OVER wc) * 10000.0) / 10000.0 AS combo_cum_sum,
+        | round((sum(value) OVER wc) * 10000.0) / 10000.0 + 0.0 AS combo_cum_sum,
         | CAST(CASE WHEN row_number() OVER w = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_first_combo
         |FROM events
         |WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id),
@@ -260,7 +260,7 @@ object WindowQueries {
         | CAST(ntile(4) OVER wf AS BIGINT) AS quartile,
         | lead(value, 1) OVER wf AS next_value,
         | first_value(value) OVER wf AS min_value,
-        | round((cume_dist() OVER wv) * 1000000.0) / 1000000.0 AS cume
+        | round((cume_dist() OVER wv) * 1000000.0) / 1000000.0 + 0.0 AS cume
         |FROM events
         |WINDOW wv AS (PARTITION BY user_id ORDER BY value),
         | wf AS (PARTITION BY user_id ORDER BY value, event_id)
