@@ -134,6 +134,38 @@ object WindowQueries {
       ).orderBy("event_id")
     }),
 
+    // lookback family, literal-parity mode: the reference emits
+    // {count,sum,mean}_{1,7,30}d columns that are all the SAME expanding
+    // window (engineer.py quirk, SURVEY §2.5) — reproduce the triplication
+    "q36_lookback_literal" -> ((s, dir) => {
+      val feats = BehaviorWindows.lookbackFamilies(C, Seq(1, 7, 30), literalCumulative = true)
+      val out = addCols(Tables.events(s, dir), feats)
+      val cols = col("event_id") +: Seq(1, 7, 30).flatMap { d =>
+        Seq(
+          col(s"user_txn_count_${d}d").cast("long").as(s"user_txn_count_${d}d"),
+          qz(col(s"user_amt_sum_${d}d"), 4).as(s"user_amt_sum_${d}d"),
+          // derive mean from the quantized sum (running sums differ by 1 ulp
+          // across engines); n = txn_count + 1
+          qz(qz(col(s"user_amt_sum_${d}d"), 4) / (col(s"user_txn_count_${d}d") + 1), 6)
+            .as(s"user_amt_mean_${d}d"))
+      }
+      out.select(cols: _*).orderBy("event_id")
+    }),
+
+    // lookback family, honest mode: true trailing {1,7,30}-day range frames
+    "q37_lookback_range" -> ((s, dir) => {
+      val feats = BehaviorWindows.lookbackFamilies(C, Seq(1, 7, 30), literalCumulative = false)
+      val out = addCols(Tables.events(s, dir), feats)
+      val cols = col("event_id") +: Seq(1, 7, 30).flatMap { d =>
+        Seq(
+          col(s"user_txn_count_${d}d").cast("long").as(s"user_txn_count_${d}d"),
+          qz(col(s"user_amt_sum_${d}d"), 4).as(s"user_amt_sum_${d}d"),
+          qz(qz(col(s"user_amt_sum_${d}d"), 4) / (col(s"user_txn_count_${d}d") + 1), 6)
+            .as(s"user_amt_mean_${d}d"))
+      }
+      out.select(cols: _*).orderBy("event_id")
+    }),
+
     // W13: chronological 70/15/15 split without a global single-partition sort
     "q26_time_split" -> ((s, dir) => {
       TimeSplit.assign(Tables.events(s, dir), col("ts"), col("event_id"))
@@ -265,6 +297,37 @@ object WindowQueries {
         |WINDOW wv AS (PARTITION BY user_id ORDER BY value),
         | wf AS (PARTITION BY user_id ORDER BY value, event_id)
         |ORDER BY event_id""".stripMargin,
+
+    "q36_lookback_literal" -> {
+      val fams = Seq(1, 7, 30).map { d =>
+        s""" CAST(row_number() OVER w - 1 AS BIGINT) AS user_txn_count_${d}d,
+           | round((sum(value) OVER wc) * 10000.0) / 10000.0 + 0.0 AS user_amt_sum_${d}d,
+           | round(((round((sum(value) OVER wc) * 10000.0) / 10000.0 + 0.0) / (row_number() OVER w)) * 1000000.0) / 1000000.0 + 0.0 AS user_amt_mean_${d}d""".stripMargin
+      }.mkString(",\n")
+      s"""SELECT event_id,
+         |$fams
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+         | wc AS (PARTITION BY user_id ORDER BY ts, event_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |ORDER BY event_id""".stripMargin
+    },
+
+    "q37_lookback_range" -> {
+      val fams = Seq(1, 7, 30).map { d =>
+        s""" CAST(count(*) OVER w${d} - 1 AS BIGINT) AS user_txn_count_${d}d,
+           | round((sum(value) OVER w${d}) * 10000.0) / 10000.0 + 0.0 AS user_amt_sum_${d}d,
+           | round(((round((sum(value) OVER w${d}) * 10000.0) / 10000.0 + 0.0) / (count(*) OVER w${d})) * 1000000.0) / 1000000.0 + 0.0 AS user_amt_mean_${d}d""".stripMargin
+      }.mkString(",\n")
+      val wins = Seq(1, 7, 30).map { d =>
+        s"w${d} AS (PARTITION BY user_id ORDER BY epoch_us(ts) RANGE BETWEEN ${d.toLong * 86400000000L} PRECEDING AND CURRENT ROW)"
+      }.mkString(",\n ")
+      s"""SELECT event_id,
+         |$fams
+         |FROM events
+         |WINDOW $wins
+         |ORDER BY event_id""".stripMargin
+    },
 
     "q26_time_split" ->
       """WITH ranked AS (
