@@ -1,7 +1,5 @@
 package graft.operators
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -11,59 +9,172 @@ import graft.functions.NativeVector
   * clustered scale path for embedding similarity (SURVEY.md §7), next to
   * the SRP-LSH variant in Embeddings.
   *
-  * Build: L2-normalize, KMeans into nLists partitions (euclidean on unit
-  * vectors ≈ cosine), store assignments. Search: score queries against
-  * the (tiny, broadcast) centroid table, probe the nProbe nearest lists,
-  * exact-cosine only the candidates — at 1B vectors with nLists≈√n and
-  * nProbe≪nLists the scan touches ~nProbe/nLists of the corpus instead
-  * of all of it, and the candidate join shuffles on centroid_id.
+  * Build: spherical k-means into nLists coarse cells, store assignments.
+  * The coarse quantizer is trained DRIVER-SIDE on a bounded sample (the
+  * standard IVF practice — centroid quality converges after a few hundred
+  * points per cell, so training cost is independent of corpus size), then
+  * every vector is assigned MAP-SIDE by an argmax-of-dots expression
+  * against the broadcast centroid literal: zero shuffles and zero
+  * iterative jobs touch the full corpus. Because centroids are unit
+  * vectors, argmax dot(raw, c) == argmax cosine — no per-row
+  * normalization is ever materialized (a per-element normalize lambda
+  * re-evaluates the norm aggregate per element: O(dim²) interpreted —
+  * measured 10× the entire search cost).
+  * Search: score queries against the (tiny, broadcast) centroid table,
+  * probe the nProbe nearest lists, exact-cosine only the candidates — at
+  * 1B vectors with nLists≈√n and nProbe≪nLists the scan touches
+  * ~nProbe/nLists of the corpus instead of all of it, and the candidate
+  * join shuffles on centroid_id.
   */
 object Ivf {
 
   final case class Index(centroids: DataFrame, assigned: DataFrame,
                          idCol: String, vecCol: String)
 
-  /** Unit-L2 float-array view of a vector column. */
-  private def normalized(vec: Column): Column = {
-    val l2 = sqrt(aggregate(vec, lit(0.0), (a, x) => a + x.cast("double") * x.cast("double")))
-    transform(vec, x => x.cast("double") / l2).cast("array<float>")
+  /** cos(a,b) from raw vectors via the native dot — norms evaluated once
+    * per row, everything codegen'd. Same form as Embeddings.cosineTopK,
+    * so IVF similarities are bit-equal to the brute-force path. */
+  private def cosineRaw(a: Column, b: Column): Column = {
+    val d = NativeVector.dot _
+    d(a, b) / (sqrt(d(a, a)) * sqrt(d(b, b)))
   }
 
-  /** Build the index: nLists KMeans centroids over normalized vectors +
-    * per-vector list assignment. `trainFraction` < 1 fits the centroids
-    * on a sample (the standard move at corpus scale — centroid quality
-    * converges long before the full corpus is seen); assignment always
-    * covers every vector. */
+  /** Build the index: nLists spherical-k-means centroids + per-vector
+    * list assignment. The training sample is the `maxTrainRows` smallest
+    * id-hashes — a deterministic pseudo-random subset gathered with one
+    * TakeOrdered pass (never a full sort), so centroids are stable across
+    * partitioning, core count, and reruns. */
   def build(df: DataFrame, id: String, vec: String, nLists: Int,
             seed: Long = 42L, maxIter: Int = 8,
-            trainFraction: Double = 1.0): Index = {
-    val withVec = df.select(col(id), col(vec),
-      array_to_vector(normalized(col(vec))).as("__nv"))
-    val trainSet =
-      (if (trainFraction < 1.0) withVec.sample(trainFraction, seed) else withVec)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val model =
-      try new KMeans().setK(nLists).setSeed(seed)
-        .setMaxIter(maxIter).setTol(1e-3)
-        .setFeaturesCol("__nv").setPredictionCol("centroid_id")
-        .fit(trainSet) // iterative: each pass reads the cached vectors
-      finally trainSet.unpersist(blocking = false)
-    val assigned = model.transform(withVec)
-      .select(col(id), col(vec), col("centroid_id"))
+            maxTrainRows: Int = 16384): Index = {
     val spark = df.sparkSession
+    NativeVector.register(spark)
+    val sample: Array[Array[Float]] = df
+      .select(col(vec))
+      .orderBy(xxhash64(col(id)))
+      .limit(maxTrainRows)
+      .collect()
+      .map { r =>
+        val v = r.getAs[scala.collection.Seq[Float]](0).toArray
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+        val n = math.sqrt(s)
+        if (n > 0) { i = 0; while (i < v.length) { v(i) = (v(i) / n).toFloat; i += 1 } }
+        v
+      }
+    val centers = localSphericalKMeans(sample, nLists, maxIter, seed)
+
+    // map-side assignment on RAW vectors: centroids are unit, ‖v‖ is a
+    // positive per-row constant, so argmax dot == argmax cosine.
+    // array_position takes the first maximum — ties break
+    // deterministically toward the lower centroid_id.
+    val centLit = typedLit(centers.map(_.toSeq).toSeq)
+    val sims = transform(centLit, c => NativeVector.dot(col(vec), c))
+    val assigned = df
+      .select(col(id), col(vec))
+      .withColumn("centroid_id",
+        (array_position(sims, array_max(sims)) - 1).cast("int"))
+
     import spark.implicits._
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
+    val centroids = centers.zipWithIndex
+      .map { case (c, i) => (i, c) }
       .toSeq.toDF("centroid_id", "cvec")
     Index(centroids, assigned, id, vec)
   }
 
+  /** Spherical k-means (assign by max dot, update = renormalized mean) on
+    * driver-local points: k-means++ seeding, Lloyd until convergence or
+    * maxIter. Points are unit vectors; centroids stay unit so the Spark
+    * assignment expression and the probe ranking use the same geometry.
+    * Cost is O(maxTrainRows · k · dim · iters) — milliseconds at any
+    * corpus scale because the sample is bounded. */
+  private[operators] def localSphericalKMeans(
+      points: Array[Array[Float]], k: Int, maxIter: Int,
+      seed: Long): Array[Array[Float]] = {
+    require(points.nonEmpty, "empty training sample")
+    val rnd = new scala.util.Random(seed)
+    val n = points.length
+    val dim = points(0).length
+    val kk = math.min(k, n)
+
+    def sqDist(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val d = a(i).toDouble - b(i); s += d * d; i += 1 }
+      s
+    }
+
+    // k-means++ seeding
+    val centers = Array.ofDim[Array[Float]](kk)
+    centers(0) = points(rnd.nextInt(n)).clone()
+    val minD2 = Array.fill(n)(Double.MaxValue)
+    var c = 1
+    while (c < kk) {
+      var i = 0; var total = 0.0
+      while (i < n) {
+        val d2 = sqDist(points(i), centers(c - 1))
+        if (d2 < minD2(i)) minD2(i) = d2
+        total += minD2(i); i += 1
+      }
+      var r = rnd.nextDouble() * total
+      var j = 0
+      while (j < n - 1 && r > minD2(j)) { r -= minD2(j); j += 1 }
+      centers(c) = points(j).clone()
+      c += 1
+    }
+
+    val assign = Array.fill(n)(-1)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      converged = true
+      var i = 0
+      while (i < n) {
+        var best = 0; var bestDot = Double.NegativeInfinity
+        var cc = 0
+        while (cc < kk) {
+          var s = 0.0; var d = 0
+          while (d < dim) { s += points(i)(d).toDouble * centers(cc)(d); d += 1 }
+          if (s > bestDot) { bestDot = s; best = cc }
+          cc += 1
+        }
+        if (assign(i) != best) { converged = false; assign(i) = best }
+        i += 1
+      }
+      val sums = Array.fill(kk, dim)(0.0)
+      val counts = new Array[Int](kk)
+      i = 0
+      while (i < n) {
+        val a = assign(i); counts(a) += 1
+        var d = 0
+        while (d < dim) { sums(a)(d) += points(i)(d); d += 1 }
+        i += 1
+      }
+      var cc = 0
+      while (cc < kk) {
+        if (counts(cc) > 0) {
+          var norm = 0.0; var d = 0
+          while (d < dim) { val v = sums(cc)(d); norm += v * v; d += 1 }
+          norm = math.sqrt(norm)
+          if (norm > 0) {
+            d = 0
+            while (d < dim) { centers(cc)(d) = (sums(cc)(d) / norm).toFloat; d += 1 }
+          }
+        } // empty cell keeps its previous (unit) centroid
+        cc += 1
+      }
+      iter += 1
+    }
+    centers
+  }
+
   /** Probe the nProbe nearest lists per query (broadcast centroid
-    * scoring), then exact cosine top-k inside the probed lists only. */
+    * scoring), then exact cosine top-k inside the probed lists only.
+    * Probe ranking uses raw dots — ‖q‖ is constant within a query
+    * partition, so the ordering equals the cosine ordering. */
   def search(index: Index, queries: DataFrame, qid: String, vec: String,
              nProbe: Int, topK: Int): DataFrame = {
     NativeVector.register(queries.sparkSession)
-    val q = queries.select(col(qid).as("query_id"), normalized(col(vec)).as("qv"))
+    val q = queries.select(col(qid).as("query_id"), col(vec).as("qv"))
     val wProbe = Window.partitionBy("query_id").orderBy(desc("csim"), col("centroid_id"))
     val probes = q.crossJoin(broadcast(index.centroids))
       .withColumn("csim", NativeVector.dot(col("qv"), col("cvec")))
@@ -75,7 +186,7 @@ object Ivf {
       .withColumnRenamed(index.idCol, "neighbor_id")
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim",
-        round(NativeVector.dot(col("qv"), normalized(col(index.vecCol))) * 1e6) / 1e6)
+        round(cosineRaw(col("qv"), col(index.vecCol)) * 1e6) / 1e6)
       .withColumn("rn", row_number().over(wTop))
       .filter(col("rn") <= topK)
       .select("query_id", "neighbor_id", "sim")
