@@ -37,24 +37,72 @@ object Metrics {
       (fn_ * costFn + fp * costFp).as("cost"))
   }
 
+  /** Exact cumulative sums over a distinct-score table WITHOUT a
+    * single-partition window (the 100 TB path for E1/E2/E5/E6): range-
+    * bucket the (double-castable) order key into `nBuckets` cells via a
+    * broadcast min/max, cumulative-sum WITHIN buckets in parallel, then
+    * add per-bucket prefix offsets computed on the (tiny, ≤nBuckets-row)
+    * bucket-total table and broadcast-joined back. With continuous model
+    * scores |distinct| ≈ |rows|, so the old Window.orderBy-with-no-
+    * partition plan serialized the whole curve through one task; this
+    * keeps every full-size stage partitioned.
+    *
+    * For each c in sumCols appends inclusive `cum_<c>` in `orderCol`
+    * order (ascending or descending). Assumes orderCol values are
+    * distinct (callers aggregate by score first) and non-NaN. */
+  private def bucketedCumSums(byScore: DataFrame, orderCol: String,
+                              descending: Boolean, sumCols: Seq[String],
+                              nBuckets: Int = 256): DataFrame = {
+    // traversal key: ascending in iteration order regardless of direction
+    val k = (if (descending) -col(orderCol) else col(orderCol)).cast("double")
+    val stats = byScore.agg(min(k).as("__mn"), max(k).as("__mx"))
+    val bucketed = byScore.crossJoin(broadcast(stats))
+      .withColumn("__b",
+        when(col("__mx") > col("__mn"),
+          least(floor((k - col("__mn")) / (col("__mx") - col("__mn")) * nBuckets),
+            lit(nBuckets - 1)))
+          .otherwise(0L).cast("int"))
+      .drop("__mn", "__mx")
+    val wIn = Window.partitionBy("__b").orderBy(k)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withIn = sumCols.foldLeft(bucketed) { (d, c) =>
+      d.withColumn(s"__in_$c", sum(col(c)).over(wIn))
+    }
+    // per-bucket totals: ≤ nBuckets rows, so the prefix window is over a
+    // bounded table — constant work at any data scale
+    val totalAggs = sumCols.map(c => sum(col(c)).as(s"__t_$c"))
+    val totalsDf = bucketed.groupBy("__b").agg(totalAggs.head, totalAggs.tail: _*)
+    // prefix offsets via a triangular self-join over the ≤nBuckets-row
+    // total table (≤nBuckets² pairs — trivial, and avoids any
+    // unpartitioned window anywhere in the plan)
+    val offAggs = sumCols.map(c =>
+      coalesce(sum(col(s"b.__t_$c")), lit(0L)).as(s"__off_$c"))
+    val offsets = totalsDf.as("a")
+      .join(totalsDf.as("b"), col("b.__b") < col("a.__b"), "left")
+      .groupBy(col("a.__b").as("__b"))
+      .agg(offAggs.head, offAggs.tail: _*)
+    val joined = withIn.join(broadcast(offsets), Seq("__b"))
+    sumCols.foldLeft(joined) { (d, c) =>
+      d.withColumn(s"cum_$c", col(s"__in_$c") + col(s"__off_$c"))
+        .drop(s"__in_$c", s"__off_$c")
+    }.drop("__b")
+  }
+
   /** E1: exact ROC-AUC via the rank-sum (Mann-Whitney) identity with
     * average ranks for ties — numerically identical to sklearn's
     * trapezoidal `roc_auc_score`.
     * AUC = (Σ avgrank(pos) − P(P+1)/2) / (P·N).
     *
     * Scale design: aggregate to distinct scores FIRST (shuffle on score),
-    * so the single-partition rank window runs over |distinct scores| rows,
-    * not |rows| — the only global sort is over the (much smaller) score
-    * histogram. avgrank of a tie group = rows_below + (cnt+1)/2; all terms
-    * are multiples of 0.5 < 2^53 so the float sums are exact and
+    * then bucketed parallel prefix sums — no stage is single-partition.
+    * avgrank of a tie group = rows_below + (cnt+1)/2; all terms are
+    * multiples of 0.5 < 2^53 so the float sums are exact and
     * order-independent (deterministic under parallel aggregation). */
   def rocAuc(df: DataFrame, label: Column, score: Column): DataFrame = {
     val byScore = df.groupBy(score.as("s"))
       .agg(count(lit(1)).as("cnt"), sum(label.cast("long")).as("pos"))
-    val wBelow = Window.orderBy("s")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    byScore
-      .withColumn("below", coalesce(sum(col("cnt")).over(wBelow), lit(0L)))
+    bucketedCumSums(byScore, "s", descending = false, Seq("cnt"))
+      .withColumn("below", col("cum_cnt") - col("cnt"))
       .agg(
         sum(col("pos")).cast("double").as("p"),
         sum(col("cnt")).cast("double").as("n"),
@@ -64,24 +112,20 @@ object Metrics {
   }
 
   /** E5: PR curve — precision/recall at every distinct score, descending.
-    * cumTP/cumFP via one cumulative window over the score-sorted stream.
+    * cumTP/cumFP via bucketed parallel prefix sums; the positive total
+    * comes from a broadcast 1-row aggregate, not an unbounded window.
     * Ties collapse to the tie-group's last row (sklearn semantics). */
   def prCurve(df: DataFrame, label: Column, score: Column): DataFrame = {
-    val w = Window.orderBy(desc("s"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val base = df.select(score.as("s"), label.cast("long").as("y"))
       .groupBy(col("s"))
       .agg(sum(col("y")).as("pos"), count(lit(1)).as("cnt"))
-    val totPos = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    base.select(
-        col("s"),
-        sum(col("pos")).over(w).as("cum_tp"),
-        (sum(col("cnt")).over(w) - sum(col("pos")).over(w)).as("cum_fp"),
-        sum(col("pos")).over(totPos).as("tot_pos"))
+    val tot = base.agg(sum(col("pos")).as("tot_pos"))
+    bucketedCumSums(base, "s", descending = true, Seq("pos", "cnt"))
+      .crossJoin(broadcast(tot))
       .select(
         col("s").as("threshold"),
-        (col("cum_tp") / (col("cum_tp") + col("cum_fp"))).as("precision"),
-        (col("cum_tp") / col("tot_pos")).as("recall"))
+        (col("cum_pos") / col("cum_cnt")).as("precision"),
+        (col("cum_pos") / col("tot_pos")).as("recall"))
   }
 
   /** E6: best-F1 threshold — derived from the PR curve in the same pass,
@@ -103,16 +147,11 @@ object Metrics {
   def averagePrecision(df: DataFrame, label: Column, score: Column): DataFrame = {
     val byScore = df.groupBy(score.as("s"))
       .agg(count(lit(1)).as("cnt"), sum(label.cast("long")).as("pos"))
-    val w = Window.orderBy(desc("s"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    byScore.select(
-        col("pos"),
-        sum(col("pos")).over(w).as("cum_tp"),
-        sum(col("cnt")).over(w).as("cum_n"),
-        sum(col("pos")).over(tot).as("tot_pos"))
+    val tot = byScore.agg(sum(col("pos")).as("tot_pos"))
+    bucketedCumSums(byScore, "s", descending = true, Seq("pos", "cnt"))
+      .crossJoin(broadcast(tot))
       .agg(sum(col("pos").cast("double") / col("tot_pos") *
-        col("cum_tp") / col("cum_n")).as("avg_precision"))
+        col("cum_pos") / col("cum_cnt")).as("avg_precision"))
   }
 
   /** E7: metrics at a grid of thresholds via explode — one shuffle-free
