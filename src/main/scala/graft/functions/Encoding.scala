@@ -38,6 +38,19 @@ object Encoding {
       .agg(count(lit(1)))
       .na.fill(0, values)
 
+  /** F12 row-level form — pd.get_dummies parity
+    * (`src/data/preprocessor.py:129-134`): one 0/1 indicator column per
+    * category, appended per row; null (or out-of-list) values get
+    * all-zero rows, matching get_dummies' dummy_na=False default. The
+    * explicit category list keeps the output schema deterministic and
+    * the whole op a pure codegen'd projection — zero shuffles. */
+  def oneHotIndicators(df: DataFrame, cat: String,
+                       values: Seq[String]): DataFrame = {
+    val inds = values.map(v =>
+      when(col(cat) === v, 1L).otherwise(0L).as(s"${cat}_$v"))
+    df.select(df.columns.map(col).toSeq ++ inds: _*)
+  }
+
   /** P5 + F8: missing indicators then sentinel imputation, one select. */
   def imputeWithIndicators(df: DataFrame, cols: Seq[String],
                            sentinel: Double): DataFrame = {

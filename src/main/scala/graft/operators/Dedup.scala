@@ -167,4 +167,20 @@ object Dedup {
       .select(col("doc_id"),
         array_min(col("sh")).as("fingerprint"),
         size(array_distinct(col("sh"))).cast("long").as("n_shingles"))
+
+  /** Cross-engine-checkable fingerprint twin: same winnowing shape, but
+    * the shingle hash is the md5 hex of the space-joined K-token window,
+    * which DuckDB reproduces exactly (the xxhash64 `fingerprint` above
+    * stays the fast path — one 64-bit mix vs a full digest). Lexicographic
+    * min over lowercase hex orders identically in both engines. */
+  def fingerprintMd5(docs: DataFrame, id: String, text: String,
+                     shingleLen: Int = 8): DataFrame = {
+    val toks = TextOps.tokens(col(text))
+    val idxs = sequence(lit(0), greatest(size(toks) - shingleLen, lit(0)))
+    val shingles = transform(idxs, i =>
+      md5(array_join(slice(toks, i + 1, lit(shingleLen)), " ")))
+    docs.select(col(id).as("doc_id"),
+      array_min(shingles).as("fingerprint_md5"),
+      size(array_distinct(shingles)).cast("long").as("n_shingles"))
+  }
 }

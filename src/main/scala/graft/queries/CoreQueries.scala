@@ -183,12 +183,18 @@ object CoreQueries {
         .orderBy("event_type")
     }),
 
-    // A6 scale path: exact vs approximate (HLL) distinct counts
-    // (approx side has no cross-engine oracle -> rows-only)
+    // A6 scale path: exact vs approximate (HLL) distinct counts. The HLL
+    // estimate has no cross-engine oracle VALUE, but its relationship to
+    // the exact count does: emit a within-tolerance flag (rsd=0.02, 10%
+    // band) that DuckDB asserts as literal TRUE — so the exact counts are
+    // hash-checked and a broken HLL path flips the flag.
     "q17_approx_distinct" -> ((s, dir) => {
       Tables.events(s, dir).groupBy("event_type")
         .agg(countDistinct("user_id").as("exact_users"),
           approx_count_distinct("user_id", 0.02).as("approx_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")) <=
+            col("exact_users") * 0.1).as("approx_within_tol"))
         .orderBy("event_type")
     }),
 
@@ -304,6 +310,11 @@ object CoreQueries {
         | round((sum(l_quantity)) * 100.0) / 100.0 + 0.0 AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q17_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        | TRUE AS approx_within_tol
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q18_salted_agg" ->
       """SELECT event_type, count(*) AS n,

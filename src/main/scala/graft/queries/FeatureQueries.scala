@@ -63,6 +63,15 @@ object FeatureQueries {
         .orderBy("user_id")
     }),
 
+    // F12 row-level: pd.get_dummies-parity 0/1 indicator columns
+    "q38_onehot_rows" -> ((s, dir) => {
+      graft.functions.Encoding.oneHotIndicators(
+          Tables.events(s, dir).select("event_id", "event_type"),
+          "event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .drop("event_type")
+        .orderBy("event_id")
+    }),
+
     // P5+F8: missing indicators + sentinel imputation (nulls simulated
     // by masking small values)
     "q35_impute" -> ((s, dir) => {
@@ -141,6 +150,15 @@ object FeatureQueries {
         | count(*) FILTER (WHERE event_type = 'signup') AS signup,
         | count(*) FILTER (WHERE event_type = 'view') AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q38_onehot_rows" ->
+      """SELECT event_id,
+        | CAST(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS BIGINT) AS event_type_click,
+        | CAST(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS BIGINT) AS event_type_error,
+        | CAST(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS BIGINT) AS event_type_purchase,
+        | CAST(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END AS BIGINT) AS event_type_signup,
+        | CAST(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS BIGINT) AS event_type_view
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q35_impute" ->
       """SELECT event_id,

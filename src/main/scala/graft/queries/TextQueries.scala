@@ -79,15 +79,29 @@ object TextQueries {
         "source", maxDist = 10)
         .orderBy("doc1", "doc2")),
 
-    // winnowing fingerprints (rows-only)
+    // winnowing fingerprints — md5-shingle twin so DuckDB can reproduce
+    // the exact fingerprint (xxhash64 fast path covered by TextDedupSpec)
     "q56_fingerprint" -> ((s, dir) =>
-      Dedup.fingerprint(Tables.documents(s, dir), "doc_id", "text")
+      Dedup.fingerprintMd5(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id"))
   )
 
   private val stopList = "['the','a','of','to','and','is','in']"
 
   def oracle: Map[String, String] = Map(
+    "q56_fingerprint" ->
+      """WITH t AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        | FROM documents),
+        |s AS (
+        | SELECT doc_id, list_transform(
+        |   generate_series(0, greatest(len(toks) - 8, 0)),
+        |   i -> md5(array_to_string(toks[i+1:i+8], ' '))) AS sh
+        | FROM t)
+        |SELECT doc_id, list_min(sh) AS fingerprint_md5,
+        | CAST(len(list_distinct(sh)) AS BIGINT) AS n_shingles
+        |FROM s ORDER BY doc_id""".stripMargin,
+
     "q50_exact_dedup" ->
       """SELECT count(*) AS n_docs, count(DISTINCT text) AS n_distinct_text,
         | count(DISTINCT md5(text)) AS n_distinct_md5
