@@ -87,8 +87,8 @@ object FeatureQueries {
       val amt = col("value") * 20.0
       val h = hour(col("ts"))
       val devMissing = col("event_type") === "error"
-      val risky = col("event_type") === "signup"
-      val heuristic = RiskScore.heuristicScore(amt, h, devMissing, risky)
+      val unusual = col("event_type") === "signup"
+      val heuristic = RiskScore.heuristicScore(amt, h, devMissing, unusual)
       val model = least(lit(1.0), amt / 10000.0)
       val blended = RiskScore.blend(model, heuristic)
       Tables.events(s, dir).select(
@@ -98,7 +98,7 @@ object FeatureQueries {
         RiskScore.riskLevel(blended).as("risk_level"),
         RiskScore.isFraud(blended).cast("long").as("is_fraud"),
         qz(RiskScore.confidence(blended), 6).as("confidence"),
-        RiskScore.reasons(amt, h, devMissing, risky).as("reasons")
+        RiskScore.reasons(amt, h, devMissing, unusual).as("reasons")
       ).orderBy("event_id")
     })
   )
@@ -170,22 +170,20 @@ object FeatureQueries {
       """WITH base AS (
         | SELECT event_id, value*20.0 AS amt, hour(ts) AS h,
         |  (event_type = 'error') AS dev_missing,
-        |  (event_type = 'signup') AS risky
+        |  (event_type = 'signup') AS unusual
         | FROM events),
+        |s0 AS (SELECT *, 1.0/(1.0 + exp(-0.003*(amt - 500.0))) AS b0 FROM base),
+        |s1 AS (SELECT *, CASE WHEN amt > 5000 THEN least(b0 + 0.15, 0.95)
+        |                      WHEN amt > 1000 THEN least(b0 + 0.08, 0.85)
+        |                      ELSE b0 END AS b1 FROM s0),
+        |s2 AS (SELECT *, CASE WHEN dev_missing THEN least(b1 + 0.05, 0.95) ELSE b1 END AS b2 FROM s1),
+        |s3 AS (SELECT *, CASE WHEN unusual THEN least(b2 + 0.05, 0.95) ELSE b2 END AS b3 FROM s2),
         |scored AS (
-        | SELECT event_id, amt, h, dev_missing, risky,
-        |  least(1.0, greatest(0.0,
-        |   1.0/(1.0 + exp(-0.003*(amt - 500.0)))
-        |   + CASE WHEN amt > 5000 THEN 0.15 ELSE 0.0 END
-        |   + CASE WHEN amt > 1000 AND amt <= 5000 THEN 0.08 ELSE 0.0 END
-        |   + CASE WHEN dev_missing THEN 0.05 ELSE 0.0 END
-        |   + CASE WHEN risky THEN 0.05 ELSE 0.0 END
-        |   + CASE WHEN h < 5 OR h > 23 THEN 0.07 ELSE 0.0 END)) AS heuristic,
+        | SELECT *, CASE WHEN h < 5 OR h > 23 THEN least(b3 + 0.07, 0.95) ELSE b3 END AS heuristic,
         |  least(1.0, amt/10000.0) AS model
-        | FROM base),
+        | FROM s3),
         |blended AS (
-        | SELECT event_id, amt, h, dev_missing, risky, heuristic,
-        |  least(1.0, greatest(0.0, model*0.4 + heuristic*0.6)) AS b
+        | SELECT *, least(1.0, greatest(0.0, model*0.4 + heuristic*0.6)) AS b
         | FROM scored)
         |SELECT event_id, round((heuristic) * 1000000.0) / 1000000.0 + 0.0 AS heuristic, round((b) * 1000000.0) / 1000000.0 + 0.0 AS blended,
         | CASE WHEN b < 0.2 THEN 'MINIMAL' WHEN b < 0.4 THEN 'LOW'
@@ -197,7 +195,7 @@ object FeatureQueries {
         |  CASE WHEN amt > 5000 THEN 'very_high_amount' END,
         |  CASE WHEN amt > 1000 AND amt <= 5000 THEN 'high_amount' END,
         |  CASE WHEN dev_missing THEN 'missing_device' END,
-        |  CASE WHEN risky THEN 'risky_product' END,
+        |  CASE WHEN unusual THEN 'unusual_product' END,
         |  CASE WHEN h < 5 OR h > 23 THEN 'unusual_hour' END) AS reasons
         |FROM blended ORDER BY event_id""".stripMargin
   )

@@ -12,23 +12,26 @@ object LocalScorer {
                           isFraud: Boolean, confidence: Double,
                           reasons: Seq[String])
 
-  private val riskyProducts = Set("C", "R")
-
   def score(t: Transaction): Scored = {
     require(t.transaction_amount > 0, "transaction_amount must be > 0")
     val amt = t.transaction_amount
-    val hour = t.transaction_timestamp.toLocalDateTime.getHour
+    // explicit UTC — the Spark twin runs hour() under
+    // spark.sql.session.timeZone=UTC (set in every entry point), so the
+    // local path must not depend on the JVM default zone
+    val hour = t.transaction_timestamp.toInstant
+      .atZone(java.time.ZoneOffset.UTC).getHour
     val devMissing = t.device_info.isEmpty
-    val risky = riskyProducts.contains(t.product_code)
-    // identical op order to RiskScore.heuristicScore
+    val unusual = !Transaction.knownProducts.contains(t.product_code)
+    // identical op order to RiskScore.heuristicScore: sequential bumps,
+    // each capped (0.85 for the elif amount branch, 0.95 elsewhere)
     val base = 1.0 / (1.0 + math.exp(-0.003 * (amt - 500.0)))
-    val b1 = if (amt > 5000) 0.15 else 0.0
-    val b2 = if (amt > 1000 && amt <= 5000) 0.08 else 0.0
-    val b3 = if (devMissing) 0.05 else 0.0
-    val b4 = if (risky) 0.05 else 0.0
-    val b5 = if (hour < 5 || hour > 23) 0.07 else 0.0
-    val s0 = base + b1 + b2 + b3 + b4 + b5
-    val s = math.min(1.0, math.max(0.0, s0))
+    val s1 =
+      if (amt > 5000) math.min(base + 0.15, 0.95)
+      else if (amt > 1000) math.min(base + 0.08, 0.85)
+      else base
+    val s2 = if (devMissing) math.min(s1 + 0.05, 0.95) else s1
+    val s3 = if (unusual) math.min(s2 + 0.05, 0.95) else s2
+    val s = if (hour < 5 || hour > 23) math.min(s3 + 0.07, 0.95) else s3
     val level =
       if (s < 0.2) "MINIMAL" else if (s < 0.4) "LOW"
       else if (s < 0.6) "MEDIUM" else if (s < 0.8) "HIGH" else "CRITICAL"
@@ -36,7 +39,7 @@ object LocalScorer {
       if (amt > 5000) Some("very_high_amount") else None,
       if (amt > 1000 && amt <= 5000) Some("high_amount") else None,
       if (devMissing) Some("missing_device") else None,
-      if (risky) Some("risky_product") else None,
+      if (unusual) Some("unusual_product") else None,
       if (hour < 5 || hour > 23) Some("unusual_hour") else None).flatten
     Scored(s, level, s >= 0.6, math.abs(s - 0.5) * 2, reasons)
   }

@@ -21,24 +21,24 @@ object RiskScore {
   def baseScore(amount: Column): Column =
     AmountFeatures.sigmoid(amount, 0.003, 500.0)
 
-  /** Rule bumps (`api/main.py:203-221`): each condition adds a fixed bump.
-    * deviceInfo/hour may be null columns from the caller. */
-  def ruleBumps(amount: Column, hour: Column, deviceMissing: Column,
-                riskyProduct: Column): Column = {
-    val b1 = when(amount > 5000, 0.15).otherwise(0.0)
-    val b2 = when(amount > 1000 && amount <= 5000, 0.08).otherwise(0.0)
-    val b3 = when(deviceMissing, 0.05).otherwise(0.0)
-    val b4 = when(riskyProduct, 0.05).otherwise(0.0)
-    val b5 = when(hour < 5 || hour > 23, 0.07).otherwise(0.0)
-    b1 + b2 + b3 + b4 + b5
-  }
-
-  /** Heuristic score clipped to [0,1]. */
+  /** Heuristic score with the reference's SEQUENTIAL capped bumps
+    * (`api/main.py:203-221`): each triggered rule adds its bump then caps
+    * — min(·, 0.95) for very-high amount / missing device / unusual
+    * product / unusual hour, min(·, 0.85) for the 1000<amt≤5000 elif
+    * branch. The sigmoid base is in (0,1) and every cap ≤ 0.95, so the
+    * score never exceeds 0.95 and no outer clip is needed.
+    * `unusualProduct` = product_code NOT in the known set (W,H,C,S,R) —
+    * the reference bumps on NON-membership (`api/main.py:213-216`). */
   def heuristicScore(amount: Column, hour: Column, deviceMissing: Column,
-                     riskyProduct: Column): Column =
-    least(lit(1.0),
-      greatest(lit(0.0),
-        baseScore(amount) + ruleBumps(amount, hour, deviceMissing, riskyProduct)))
+                     unusualProduct: Column): Column = {
+    val base = baseScore(amount)
+    val s1 = when(amount > 5000, least(base + 0.15, lit(0.95)))
+      .when(amount > 1000, least(base + 0.08, lit(0.85)))
+      .otherwise(base)
+    val s2 = when(deviceMissing, least(s1 + 0.05, lit(0.95))).otherwise(s1)
+    val s3 = when(unusualProduct, least(s2 + 0.05, lit(0.95))).otherwise(s2)
+    when(hour < 5 || hour > 23, least(s3 + 0.07, lit(0.95))).otherwise(s3)
+  }
 
   /** Blend 0.4·model + 0.6·heuristic, clipped (`api/main.py:272,284`). */
   def blend(model: Column, heuristic: Column): Column =
@@ -58,13 +58,13 @@ object RiskScore {
   def confidence(score: Column): Column = abs(score - 0.5) * 2
 
   /** Human-readable reasons as a comma-joined string (deterministic order,
-    * mirrors the reference's append order). */
+    * mirrors the reference's append order; slugs for its f-strings). */
   def reasons(amount: Column, hour: Column, deviceMissing: Column,
-              riskyProduct: Column): Column =
+              unusualProduct: Column): Column =
     concat_ws(",",
       when(amount > 5000, "very_high_amount"),
       when(amount > 1000 && amount <= 5000, "high_amount"),
       when(deviceMissing, "missing_device"),
-      when(riskyProduct, "risky_product"),
+      when(unusualProduct, "unusual_product"),
       when(hour < 5 || hour > 23, "unusual_hour"))
 }

@@ -23,7 +23,9 @@ final case class Transaction(
 
 object Transaction {
 
-  private val riskyProducts = Seq("C", "R")
+  /** Known product codes (`api/main.py:213`): the reference bumps risk
+    * when product_code is OUTSIDE this set ("unusual product code"). */
+  private[serve] val knownProducts = Seq("W", "H", "C", "S", "R")
 
   /** Validation stage (Pydantic-parity: amount must be positive). */
   def validate(ds: Dataset[Transaction]): Dataset[Transaction] =
@@ -35,15 +37,15 @@ object Transaction {
     val amt = col("transaction_amount")
     val h = hour(col("transaction_timestamp"))
     val devMissing = col("device_info").isNull
-    val risky = col("product_code").isInCollection(riskyProducts)
-    val s = RiskScore.heuristicScore(amt, h, devMissing, risky)
+    val unusual = !col("product_code").isInCollection(knownProducts)
+    val s = RiskScore.heuristicScore(amt, h, devMissing, unusual)
     ds.toDF().select(
       col("transaction_id"),
       round(s * 1e6) / 1e6 as "risk_score",
       RiskScore.riskLevel(s).as("risk_level"),
       RiskScore.isFraud(s).as("is_fraud"),
       (round(RiskScore.confidence(s) * 1e6) / 1e6).as("confidence"),
-      RiskScore.reasons(amt, h, devMissing, risky).as("reasons"))
+      RiskScore.reasons(amt, h, devMissing, unusual).as("reasons"))
   }
 
   /** Driver-local single-request scoring (the reference's ~5-10 ms

@@ -47,8 +47,10 @@ object SyntheticData {
       lit(1.0)), lit(10000.0))
     base.select(
       col("id").as("transaction_id"),
-      // sorted uniform timestamps over ~1 year of seconds
-      (col("id") * lit(31536000L / math.max(n, 1L))).as("transaction_dt"),
+      // sorted uniform timestamps over ~1 year of seconds; double step so
+      // n > 31.5M doesn't truncate the stride to 0 and collapse event time
+      floor(col("id") * lit(31536000.0 / math.max(n, 1L))).cast("long")
+        .as("transaction_dt"),
       isFraud.as("is_fraud"),
       (round(amt * 100) / 100).as("transaction_amt"),
       pmod(xxhash64(col("id"), lit(seed + 4)), lit(math.max(n / 5, 1L))).as("card1"),

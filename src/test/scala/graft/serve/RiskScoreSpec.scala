@@ -13,7 +13,7 @@ class RiskScoreSpec extends SparkSpec {
 
   private def sigmoid(x: Double) = 1.0 / (1.0 + math.exp(-0.003 * (x - 500.0)))
 
-  // (amount, hour, deviceMissing, riskyProduct)
+  // (amount, hour, deviceMissing, unusualProduct)
   private val presets = Seq(
     ("normal", 29.99, 14, false, false),
     ("medium", 1200.0, 14, false, false),
@@ -21,16 +21,17 @@ class RiskScoreSpec extends SparkSpec {
     ("high_risk", 15000.0, 3, true, true)
   )
 
-  test("heuristic scores match hand-computed sigmoid + bumps, clipped") {
-    val df = presets.toDF("name", "amount", "hour", "dev_missing", "risky")
+  test("heuristic scores match the reference's sequential capped bumps") {
+    val df = presets.toDF("name", "amount", "hour", "dev_missing", "unusual")
     val out = df.select($"name", RiskScore.heuristicScore($"amount", $"hour",
-      $"dev_missing", $"risky").as("s")).collect()
+      $"dev_missing", $"unusual").as("s")).collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(math.abs(out("normal") - sigmoid(29.99)) < 1e-12)
-    assert(math.abs(out("medium") - (sigmoid(1200.0) + 0.08)) < 1e-12)
-    assert(math.abs(out("suspicious") -
-      math.min(1.0, sigmoid(8500.0) + 0.15 + 0.05 + 0.07)) < 1e-12)
-    assert(out("high_risk") == 1.0) // capped
+    // elif branch caps at 0.85 (api/main.py:206-208): sigmoid(1200)+0.08 > 0.85
+    assert(out("medium") == 0.85)
+    // every later bump re-caps at 0.95 — the heuristic never exceeds 0.95
+    assert(out("suspicious") == 0.95)
+    assert(out("high_risk") == 0.95)
   }
 
   test("risk buckets and fraud flag at documented thresholds") {
@@ -54,9 +55,9 @@ class RiskScoreSpec extends SparkSpec {
   }
 
   test("reasons string lists triggered rules in order") {
-    val df = Seq((8500.0, 2, true, false)).toDF("amount", "hour", "dev", "risky")
-    val out = df.select(RiskScore.reasons($"amount", $"hour", $"dev", $"risky"))
+    val df = Seq((8500.0, 2, true, true)).toDF("amount", "hour", "dev", "unusual")
+    val out = df.select(RiskScore.reasons($"amount", $"hour", $"dev", $"unusual"))
       .collect()(0).getString(0)
-    assert(out == "very_high_amount,missing_device,unusual_hour")
+    assert(out == "very_high_amount,missing_device,unusual_product,unusual_hour")
   }
 }

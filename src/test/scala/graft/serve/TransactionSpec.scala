@@ -40,6 +40,7 @@ class TransactionSpec extends SparkSpec {
       txn(8500.0, 2, None, "C"),
       txn(15000.0, 3, None, "R"),
       txn(0.01, 0, None, "W"),
+      txn(850.0, 12, Some("x"), "Z"), // unusual product code
       txn(5000.0, 23, Some("x"), "S"))
     val sparkScores = Transaction.score(cases.toDS())
       .collect().map(r => r.getAs[Double]("risk_score")).sorted
@@ -48,6 +49,27 @@ class TransactionSpec extends SparkSpec {
       .map(t => math.round(LocalScorer.score(t).riskScore * 1e6) / 1e6)
       .sorted
     sparkScores.zip(localScores).foreach { case (a, b) => assert(a == b) }
+  }
+
+  test("LocalScorer hour is UTC-fixed, independent of the JVM default zone") {
+    val prev = java.util.TimeZone.getDefault
+    try {
+      java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("Asia/Tokyo"))
+      // 03:00 UTC == 12:00 Tokyo: the unusual_hour bump must fire from the
+      // UTC hour (the Spark twin runs hour() under session timeZone=UTC),
+      // not from the JVM-local wall clock
+      val t = Transaction(
+        transaction_id = "t1", user_id = "u1", transaction_amount = 100.0,
+        merchant_id = "m1", product_code = "W", device_info = Some("x"),
+        transaction_timestamp = java.sql.Timestamp.from(
+          java.time.Instant.parse("2024-01-01T03:00:00Z")))
+      val local = LocalScorer.score(t)
+      assert(local.reasons == Seq("unusual_hour"))
+      val sparkRow = Transaction.score(Seq(t).toDS()).collect()(0)
+      assert(math.round(local.riskScore * 1e6) / 1e6 ==
+        sparkRow.getAs[Double]("risk_score"))
+      assert(sparkRow.getAs[String]("reasons") == "unusual_hour")
+    } finally java.util.TimeZone.setDefault(prev)
   }
 
   test("driver-local single-row scoring beats the reference's 5-10ms claim") {
