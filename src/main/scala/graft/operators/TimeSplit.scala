@@ -10,33 +10,42 @@ import org.apache.spark.sql.functions._
   * sort: we find the two boundary keys with TakeOrderedAndProject
   * (orderBy + limit/offset — a distributed top-k, no full shuffle of the
   * data), then assign splits with a plain comparison filter that pushes
-  * down to the scan. At cluster scale the exact-positional boundary can be
-  * swapped for `approxQuantile` cutoffs; semantics documented either way.
+  * down to the scan. Above `exactMaxRows` the exact-positional boundary
+  * is meaningless anyway (it still pushes ~0.85·n rows through a top-k
+  * heap), so `assign` automatically reroutes to the approxQuantile path.
   */
 object TimeSplit {
+
+  /** Above this row count `assign` switches to `assignApprox`
+    * automatically: the exact path's top-k boundary materializes
+    * O(f2·n) rows through a single heap — fine at test scale, a
+    * scale-killer on a 100 TB table. */
+  val DefaultExactMaxRows: Long = 10L * 1000 * 1000
 
   /** Returns df with a `split` column ∈ {train, val, test}.
     * Ordering key must be unique: (ts, id) with id a unique tiebreaker.
     * Positional semantics: rows with 1-based rank ≤ floor(f1·n) → train,
     * ≤ floor(f2·n) → val, else test — matching a row_number() formulation.
+    * Boundary values are read generically, so ts/id may be any orderable,
+    * literal-able types (timestamp, date, numeric, string).
     */
   def assign(df: DataFrame, ts: Column, id: Column,
-             f1: Double = 0.70, f2: Double = 0.85): DataFrame = {
+             f1: Double = 0.70, f2: Double = 0.85,
+             exactMaxRows: Long = DefaultExactMaxRows): DataFrame = {
     val n = df.count()
+    if (n > exactMaxRows) return assignApprox(df, ts, f1, f2)
     val k1 = math.floor(f1 * n).toLong
     val k2 = math.floor(f2 * n).toLong
-    // the exact-positional variant materializes a top-k boundary; past
-    // Int range use assignApprox (quantile cutoffs) instead
     require(k2 <= Int.MaxValue,
       s"exact split boundary $k2 exceeds Int range - use assignApprox at this scale")
     val keyed = df.select(ts.as("__ts"), id.as("__id"))
-    def boundary(k: Long): Option[(java.sql.Timestamp, Long)] =
+    def boundary(k: Long): Option[(Any, Any)] =
       if (k <= 0) None
       else keyed.orderBy(col("__ts"), col("__id")).offset((k - 1).toInt).limit(1)
-        .collect().headOption.map(r => (r.getTimestamp(0), r.getLong(1)))
+        .collect().headOption.map(r => (r.get(0), r.get(1)))
     val b1 = boundary(k1)
     val b2 = boundary(k2)
-    def le(b: Option[(java.sql.Timestamp, Long)]): Column = b match {
+    def le(b: Option[(Any, Any)]): Column = b match {
       case Some((t, i)) => ts < lit(t) || (ts === lit(t) && id <= lit(i))
       case None         => lit(false)
     }
@@ -44,19 +53,24 @@ object TimeSplit {
       when(le(b1), "train").when(le(b2), "val").otherwise("test"))
   }
 
-  /** Scale path: boundary timestamps via approxQuantile (one
-    * Greenwald-Khanna pass, no top-k heap over 0.7·n rows). Split sizes
+  /** Scale path: boundary cutoffs via approxQuantile (one
+    * Greenwald-Khanna pass, no top-k heap over 0.85·n rows). Split sizes
     * are within `relativeError` of the exact fractions — the right trade
     * at 100 TB where the exact row-positional boundary is meaningless
-    * anyway. Same output contract as `assign`. */
-  def assignApprox(df: DataFrame, tsCol: String,
+    * anyway. Same output contract as `assign`. Timestamps quantile over
+    * epoch seconds (cast to double — monotone), numerics as-is. */
+  def assignApprox(df: DataFrame, ts: Column,
                    f1: Double = 0.70, f2: Double = 0.85,
                    relativeError: Double = 0.001): DataFrame = {
-    val us = s"__${tsCol}_us"
-    val withUs = df.withColumn(us, unix_micros(col(tsCol)))
-    val Array(c1, c2) = withUs.stat.approxQuantile(us, Array(f1, f2), relativeError)
-    withUs.withColumn("split",
-      when(col(us) <= c1, "train").when(col(us) <= c2, "val").otherwise("test"))
-      .drop(us)
+    val key = "__split_key"
+    val withKey = df.withColumn(key, ts.cast("double"))
+    val Array(c1, c2) = withKey.stat.approxQuantile(key, Array(f1, f2), relativeError)
+    withKey.withColumn("split",
+      when(col(key) <= c1, "train").when(col(key) <= c2, "val").otherwise("test"))
+      .drop(key)
   }
+
+  /** Column-name convenience overload (kept for existing callers). */
+  def assignApprox(df: DataFrame, tsCol: String): DataFrame =
+    assignApprox(df, col(tsCol), 0.70, 0.85, 0.001)
 }

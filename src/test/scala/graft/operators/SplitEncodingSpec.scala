@@ -44,6 +44,32 @@ class SplitEncodingSpec extends SparkSpec {
     assert(!agg("val")._2.after(agg("test")._1))
   }
 
+  test("TimeSplit.assign auto-reroutes to the approx path above exactMaxRows") {
+    // all rows share one ts: the exact path splits inside the tie via the
+    // id tiebreaker (14/3/3), the approx path cannot — so the output
+    // reveals which path ran
+    val tied = (1 to 20).map(i =>
+      (i.toLong, Timestamp.valueOf("2024-01-01 00:00:00"))).toDF("id", "ts")
+    val exact = TimeSplit.assign(tied, $"ts", $"id")
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact == Map("train" -> 14L, "val" -> 3L, "test" -> 3L))
+    val rerouted = TimeSplit.assign(tied, $"ts", $"id", exactMaxRows = 5L)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rerouted == Map("train" -> 20L)) // quantile cutoff swallows the tie
+  }
+
+  test("TimeSplit.assign reads non-timestamp/non-long boundary types generically") {
+    // long ordering key + int id: the old code hardcoded
+    // getTimestamp/getLong and threw ClassCastException here
+    val df = (1 to 20).map(i => (i, i * 100L)).toDF("id", "k")
+    val out = TimeSplit.assign(df, $"k", $"id")
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("train" -> 14L, "val" -> 3L, "test" -> 3L))
+  }
+
   test("TargetEncoding: train-only fit, broadcast join back, default for unseen") {
     val train = Seq(("a", 1.0), ("a", 0.0), ("b", 1.0)).toDF("k", "y")
     val apply = Seq("a", "b", "c").toDF("k")
