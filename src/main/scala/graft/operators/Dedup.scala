@@ -138,22 +138,70 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs within a blocking key: hamming distance of
-    * signatures ≤ maxDist. */
+    * signatures ≤ maxDist.
+    *
+    * Scale guard: blocks larger than `maxBlockSize` skip the quadratic
+    * self-join and go through pigeonhole bit-banding instead — the 32
+    * signature bits are split into maxDist+1 groups, and any pair with
+    * hamming ≤ maxDist must agree exactly on at least one group, so the
+    * band-bucket join finds EXACTLY the same pairs (no recall loss),
+    * with candidate sets bounded by per-(band,value) bucket sizes.
+    * Requires maxDist < 32 when a block overflows (maxDist ≥ 32 means
+    * every pair qualifies — the output itself is quadratic and no
+    * candidate generation can bound it). */
   def simHashPairs(docs: DataFrame, id: String, text: String,
-                   blockKey: String, maxDist: Int): DataFrame = {
+                   blockKey: String, maxDist: Int,
+                   maxBlockSize: Int = 10000): DataFrame = {
     graft.functions.NativeVector.register(docs.sparkSession)
     val sig = docs
       .select(col(blockKey).as("bk"), col(id).as("doc_id"),
         transform(TextOps.tokens(col(text)), t => xxhash64(t)).as("__th"))
       .select(col("bk"), col("doc_id"),
         graft.functions.NativeVector.simhash32(col("__th")).as("sh"))
-    val l = sig.select(col("bk"), col("doc_id").as("doc1"), col("sh").as("sh1"))
-    val r = sig.select(col("bk"), col("doc_id").as("doc2"), col("sh").as("sh2"))
-    l.join(r, Seq("bk"))
-      .filter(col("doc1") < col("doc2"))
+    val sizes = sig.groupBy("bk").agg(count(lit(1)).as("__bn"))
+    val tagged = sig.join(sizes, Seq("bk"))
+    def verify(pairs: DataFrame): DataFrame = pairs
       .withColumn("hamming", bit_count(col("sh1").bitwiseXOR(col("sh2"))))
       .filter(col("hamming") <= maxDist)
       .select("doc1", "doc2", "hamming")
+
+    val small = tagged.filter(col("__bn") <= maxBlockSize)
+    val smallPairs =
+      small.select(col("bk"), col("doc_id").as("doc1"), col("sh").as("sh1"))
+        .join(small.select(col("bk"), col("doc_id").as("doc2"), col("sh").as("sh2")),
+          Seq("bk"))
+        .filter(col("doc1") < col("doc2"))
+
+    val big = tagged.filter(col("__bn") > maxBlockSize)
+    val nBands = maxDist + 1
+    // bit-group widths: 32/nBands rounded, remainder spread over the
+    // first groups; offsets partition [0, 32)
+    val widths = Array.tabulate(nBands)(b => 32 / nBands + (if (b < 32 % nBands) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _).init
+    val bandStructs = array((0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("sh"), offsets(b)).bitwiseAND(lit((1L << widths(b)) - 1))
+          .as("bval"))
+    }: _*)
+    val bigBanded = big.select(col("bk"), col("doc_id"), col("sh"),
+        explode(bandStructs).as("bb"))
+      .select(col("bk"), col("doc_id"), col("sh"), col("bb.band"), col("bb.bval"))
+    val bigPairs = bigBanded
+      .select(col("bk"), col("band"), col("bval"),
+        col("doc_id").as("doc1"), col("sh").as("sh1"))
+      .join(bigBanded.select(col("bk"), col("band"), col("bval"),
+        col("doc_id").as("doc2"), col("sh").as("sh2")),
+        Seq("bk", "band", "bval"))
+      .filter(col("doc1") < col("doc2"))
+      .select("doc1", "doc2", "sh1", "sh2").distinct()
+    if (maxDist >= 32) {
+      // degenerate: banding cannot be exact; fall back to quadratic for
+      // ALL blocks rather than silently dropping oversized ones
+      verify(tagged.select(col("bk"), col("doc_id").as("doc1"), col("sh").as("sh1"))
+        .join(tagged.select(col("bk"), col("doc_id").as("doc2"), col("sh").as("sh2")),
+          Seq("bk"))
+        .filter(col("doc1") < col("doc2")))
+    } else verify(smallPairs).unionByName(verify(bigPairs))
   }
 
   /** Winnowing-style fingerprint: the minimum shingle hash — one stable

@@ -75,11 +75,23 @@ object TextOps {
       .agg(min(id).as("keep_id"), count(lit(1)).as("n_copies"))
       .filter(col("n_copies") > 1)
 
-  /** Distinct-token-set Jaccard over all doc pairs inside a blocking key.
+  /** Distinct-token-set Jaccard over doc pairs inside a blocking key.
     * Exact set semantics (array_intersect/array_union dedup) — matches
-    * DuckDB list_intersect / list_distinct(list_concat). */
+    * DuckDB list_intersect / list_distinct(list_concat).
+    *
+    * Scale guard: the within-block join is quadratic, which is fine when
+    * blocks are bounded but a blowup if one block is huge. Blocks larger
+    * than `maxBlockSize` are automatically rerouted through MinHash-LSH
+    * candidate generation (band-bucket join, still inside the block)
+    * followed by the same exact-Jaccard verification — bounded candidate
+    * sets at the cost of LSH recall on the rerouted blocks (pairs well
+    * above the threshold collide in ≥1 of the `lshBands` bands w.h.p.;
+    * with k=32, bands=16 the LSH threshold is (1/16)^(1/2) = 0.25). */
   def jaccardPairs(docs: DataFrame, id: String, text: String,
-                   blockKey: String, threshold: Double): DataFrame = {
+                   blockKey: String, threshold: Double,
+                   maxBlockSize: Int = 10000,
+                   lshK: Int = 32, lshBands: Int = 16,
+                   seed: Long = 42L): DataFrame = {
     // Pair-join optimization ladder (semantics unchanged vs naive
     // token-set jaccard):
     //  1. tokenize ONCE per doc, before the join;
@@ -89,19 +101,49 @@ object TextOps {
     //     codegen'd, zero allocation (vs array_intersect's hash build);
     //  4. |A∪B| = |A|+|B|−|A∩B|;
     //  5. size-ratio prefilter: jaccard ≥ t ⟹ min(n1,n2) ≥ t·max(n1,n2).
+    require(lshK % lshBands == 0, s"lshK=$lshK must be divisible by lshBands=$lshBands")
     graft.functions.NativeVector.register(docs.sparkSession)
     val toks = array_sort(array_distinct(transform(tokens(col(text)), t => xxhash64(t))))
-    val left = docs.select(col(blockKey).as("bk"), col(id).as("doc1"),
-      toks.as("t1"), size(toks).as("n1"))
-    val right = docs.select(col(blockKey).as("bk"), col(id).as("doc2"),
-      toks.as("t2"), size(toks).as("n2"))
+    val base = docs.select(col(blockKey).as("bk"), col(id).as("doc"),
+      toks.as("t"), size(toks).as("n"))
+    val sizes = base.groupBy("bk").agg(count(lit(1)).as("__bn"))
+    val tagged = base.join(sizes, Seq("bk")) // same bk shuffle the pair join needs
     val inter = graft.functions.NativeVector.sortedIntersect(col("t1"), col("t2"))
-    left.join(right, Seq("bk"))
-      .filter(col("doc1") < col("doc2") &&
-        least(col("n1"), col("n2")) >= greatest(col("n1"), col("n2")) * threshold)
+    def verify(pairs: DataFrame): DataFrame = pairs
+      .filter(least(col("n1"), col("n2")) >= greatest(col("n1"), col("n2")) * threshold)
       .withColumn("jaccard",
         inter.cast("double") / (col("n1") + col("n2") - inter))
       .filter(col("jaccard") >= threshold)
       .select(col("doc1"), col("doc2"), col("jaccard"))
+
+    val small = tagged.filter(col("__bn") <= maxBlockSize)
+    val smallPairs =
+      small.select(col("bk"), col("doc").as("doc1"), col("t").as("t1"), col("n").as("n1"))
+        .join(small.select(col("bk"), col("doc").as("doc2"), col("t").as("t2"), col("n").as("n2")),
+          Seq("bk"))
+        .filter(col("doc1") < col("doc2"))
+
+    // oversized blocks: MinHash over the token-hash set (mod 2^31−1 keeps
+    // the affine permutes overflow-free), band-bucket self-join inside
+    // (block, band, bucket), then exact verification of the candidates
+    val big = tagged.filter(col("__bn") > maxBlockSize)
+    val r = lshK / lshBands
+    val bigSig = big.withColumn("mh", Dedup.minHashFromShingles(
+      transform(col("t"), x => pmod(x, lit(2147483647L))), lshK, seed))
+    val banded = bigSig.select(col("bk"), col("doc"),
+      explode(transform(sequence(lit(0), lit(lshBands - 1)),
+        b => struct(b.as("band"), hash(slice(col("mh"), b * r + 1, lit(r))).as("bucket"))))
+        .as("bb"))
+      .select(col("bk"), col("doc"), col("bb.band"), col("bb.bucket"))
+    val bigCands = banded.select(col("bk"), col("band"), col("bucket"), col("doc").as("doc1"))
+      .join(banded.select(col("bk"), col("band"), col("bucket"), col("doc").as("doc2")),
+        Seq("bk", "band", "bucket"))
+      .filter(col("doc1") < col("doc2"))
+      .select("doc1", "doc2").distinct()
+    val bigPairs = bigCands
+      .join(base.select(col("doc").as("doc1"), col("t").as("t1"), col("n").as("n1")), Seq("doc1"))
+      .join(base.select(col("doc").as("doc2"), col("t").as("t2"), col("n").as("n2")), Seq("doc2"))
+
+    verify(smallPairs).unionByName(verify(bigPairs))
   }
 }

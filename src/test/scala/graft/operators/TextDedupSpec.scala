@@ -52,6 +52,27 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs((1L, 3L)) < pairs.getOrElse((1L, 4L), 33))
   }
 
+  test("jaccard oversized-block reroute (LSH candidates) keeps near-dup pairs") {
+    // cap=2 forces the 4-doc 'a' block through MinHash-LSH candidate
+    // generation + exact verification instead of the quadratic join
+    val rerouted = TextOps.jaccardPairs(docs, "doc_id", "text", "source", 0.5,
+        maxBlockSize = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(rerouted((1L, 2L)) == 1.0)
+    assert(rerouted((1L, 3L)) > 0.7)
+    // small block 'b' (1 doc) unaffected; no cross-block pairs appear
+    assert(rerouted.keys.forall { case (a, b) => a < b && b <= 4L })
+  }
+
+  test("simhash oversized-block reroute is exact (pigeonhole bit-banding)") {
+    val quad = Dedup.simHashPairs(docs, "doc_id", "text", "source", maxDist = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val rerouted = Dedup.simHashPairs(docs, "doc_id", "text", "source",
+        maxDist = 10, maxBlockSize = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(rerouted == quad) // any pair at hamming<=10 shares one of 11 bit-groups
+  }
+
   test("fingerprint: deterministic, equal for identical docs") {
     val fp = Dedup.fingerprint(docs, "doc_id", "text", shingleLen = 3)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
