@@ -35,4 +35,15 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
+
+  /** Register every harness table as a temp view, giving the engine a
+    * SQL front-end: the ANSI-portable part of the oracle corpus runs
+    * verbatim through `spark.sql` (SqlSurfaceSpec asserts identical
+    * results to the DataFrame forms). */
+  def registerViews(spark: SparkSession, dir: String): Unit = Seq(
+    "lineitem" -> lineitem _, "orders" -> orders _, "customer" -> customer _,
+    "supplier" -> supplier _, "part" -> part _, "nation" -> nation _,
+    "region" -> region _, "events" -> events _, "documents" -> documents _,
+    "embeddings" -> embeddings _
+  ).foreach { case (n, f) => f(spark, dir).createOrReplaceTempView(n) }
 }

@@ -1,0 +1,41 @@
+package graft
+
+import graft.sources.Tables
+
+/** SQL front-end surface: the ANSI-portable subset of the oracle corpus
+  * (the exact SQL strings DuckDB validates against) runs verbatim through
+  * `spark.sql` over registered temp views, and must produce results
+  * identical to the DataFrame-API forms — same engine, two front-ends.
+  * Excluded queries use DuckDB-only syntax (epoch_us, isodow, ASOF JOIN,
+  * list_* / regexp_split_to_array lambdas).
+  */
+class SqlSurfaceSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private val portable = Seq(
+    "q01_pricing_summary", "q02_filter_project", "q03_topk_users",
+    "q04_event_histogram", "q05_describe_by_type", "q06_null_counts",
+    "q07_distinct_per_group", "q08_join_left", "q09_join_semi",
+    "q10_join_anti", "q11_join_multiway", "q12_set_ops",
+    "q17_approx_distinct", "q19_rollup", "q20_cum_features",
+    "q22_pct_rank_pandas", "q25_sliding_window", "q26_time_split",
+    "q28_rank_suite", "q29_two_key_window",
+    "q32_risk_score", "q34_onehot", "q35_impute", "q36_lookback_literal",
+    "q38_onehot_rows")
+
+  test("oracle SQL corpus runs via spark.sql, identical to the DataFrame forms") {
+    Tables.registerViews(spark, dir)
+    portable.foreach { name =>
+      val viaSql = SparkEntry.oracleSql(name)
+      val sqlRows = spark.sql(viaSql).collect().toSeq
+      val apiRows = SparkEntry.queries(name)(spark, dir).collect().toSeq
+      // q10 (anti join) is legitimately empty at this SF; equality still
+      // asserts both paths agree on emptiness
+      assert(sqlRows == apiRows,
+        s"$name: spark.sql and DataFrame results differ " +
+          s"(sql=${sqlRows.take(2)} api=${apiRows.take(2)})")
+    }
+    info(s"${portable.size} oracle queries verified through spark.sql")
+  }
+}
