@@ -14,7 +14,9 @@ import graft.sources.{Io, Profiler, SyntheticData}
   * equivalent of the reference's `train_pipeline.py` 10-step script:
   * load → profile → features (temporal, amount, behavior windows, target
   * encoding fit on train only) → chronological split → class-weighted GBT
-  * ×2 variants → leaderboard → persist model + importance report.
+  * ×3 variants (the reference's three engines) → stacking LR meta-model
+  * fit on val predictions → leaderboard → persist models + importance +
+  * stacked weights.
   *
   * One lazy plan from scan to features; actions happen only at fit/write.
   * Usage: runMain graft.TrainPipeline [outDir] [nRows]
@@ -72,29 +74,56 @@ object TrainPipeline {
 
     val train = FraudModel.withClassWeight(
       featured.filter(col("split") === "train"), col("is_fraud"))
+    val va = featured.filter(col("split") === "val")
     val test = featured.filter(col("split") === "test")
 
-    // 5. two GBT variants (the reference's multi-engine capability)
-    val shallow = FraudModel.gbtPipeline(featureCols, "is_fraud",
-      maxIter = 15, maxDepth = 4).fit(train)
-    val deep = FraudModel.gbtPipeline(featureCols, "is_fraud",
-      maxIter = 15, maxDepth = 6).fit(train)
+    // 5. three GBT variants — the reference trains three engines
+    // (lightgbm / xgboost / catboost, `src/models/ensemble.py:39-133`);
+    // on Spark they are hyperparameter variants of one GBT capability
+    val variants = Seq(
+      "gbt_shallow" -> FraudModel.gbtPipeline(featureCols, "is_fraud",
+        maxIter = 15, maxDepth = 4).fit(train),
+      "gbt_mid" -> FraudModel.gbtPipeline(featureCols, "is_fraud",
+        maxIter = 15, maxDepth = 5).fit(train),
+      "gbt_deep" -> FraudModel.gbtPipeline(featureCols, "is_fraud",
+        maxIter = 15, maxDepth = 6).fit(train))
 
+    def preds(m: PipelineModel, name: String, df: DataFrame): DataFrame =
+      FraudModel.withProbability(m.transform(df), s"p_$name")
+        .select(col("transaction_id"), col(s"p_$name"))
+    def predMatrix(df: DataFrame): DataFrame =
+      variants.foldLeft(df.select("transaction_id", "is_fraud")) {
+        case (acc, (name, m)) => acc.join(preds(m, name, df), "transaction_id")
+      }
+    val predCols = variants.map { case (name, _) => s"p_$name" }
+
+    // 6. stacking meta-model (M7) fit on the VAL split's base predictions
+    // — out-of-training-fold, the reference's stacking discipline
+    val (stackModel, stackWeights) = FraudModel.stackingEnsemble(
+      FraudModel.withClassWeight(predMatrix(va), col("is_fraud")),
+      predCols, "is_fraud")
+
+    // 7. leaderboard over the TEST split: three base engines + the stack
     def score(m: PipelineModel) = FraudModel.withProbability(m.transform(test))
-
-    // 6. leaderboard
+    val stackScored = FraudModel.withProbability(
+      stackModel.transform(predMatrix(test)))
     val board = Comparison.leaderboard(
-      Seq("gbt_shallow" -> score(shallow), "gbt_deep" -> score(deep)),
+      variants.map { case (name, m) => name -> score(m) } :+
+        ("stacked" -> stackScored),
       col("is_fraud"), col("p_fraud"))
     board.show(truncate = false)
 
-    // 7. persist best model + importance report (S5 artifact sink)
-    shallow.write.overwrite().save(s"$outDir/model_gbt_shallow")
+    // 8. persist models + importance + leaderboard + stacked weights
+    // (S5 artifact sink)
+    val (bestName, bestModel) = variants.head
+    bestModel.write.overwrite().save(s"$outDir/model_$bestName")
+    stackModel.write.overwrite().save(s"$outDir/model_stacked")
     import spark.implicits._
     Io.writeParquet(
-      FraudModel.featureImportance(shallow, featureCols).toDF("feature", "importance"),
+      FraudModel.featureImportance(bestModel, featureCols).toDF("feature", "importance"),
       s"$outDir/feature_importance")
     Io.writeParquet(board, s"$outDir/leaderboard")
+    Io.writeParquet(stackWeights.toDF("model", "weight"), s"$outDir/stacked_weights")
     println(s"[train] artifacts written to $outDir")
   }
 }

@@ -35,14 +35,19 @@ class ComparisonPipelineSpec extends SparkSpec {
     assert(a == b)
   }
 
-  test("TrainPipeline end-to-end: artifacts written, leaderboard non-trivial (M11)") {
+  test("TrainPipeline end-to-end: 3-engine leaderboard + stack, artifacts (M11)") {
     val dir = Files.createTempDirectory("graft_train").toString
     TrainPipeline.run(spark, dir, 4000L)
     val board = spark.read.parquet(s"$dir/leaderboard")
-    assert(board.count() == 2)
+    assert(board.count() == 4) // gbt_shallow, gbt_mid, gbt_deep, stacked
+    assert(board.filter($"model".startsWith("gbt_")).count() == 3)
+    assert(board.filter($"model" === "stacked").count() == 1)
     assert(board.agg(max($"roc_auc")).first().getDouble(0) > 0.8)
     val imp = spark.read.parquet(s"$dir/feature_importance")
     assert(imp.count() > 5)
+    val w = spark.read.parquet(s"$dir/stacked_weights")
+    assert(w.count() == 3) // one learned weight per base engine
     assert(PipelineModel.load(s"$dir/model_gbt_shallow").stages.length == 2)
+    assert(PipelineModel.load(s"$dir/model_stacked").stages.length == 2)
   }
 }
