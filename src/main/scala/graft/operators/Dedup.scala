@@ -223,12 +223,19 @@ object Dedup {
     * min over lowercase hex orders identically in both engines. */
   def fingerprintMd5(docs: DataFrame, id: String, text: String,
                      shingleLen: Int = 8): DataFrame = {
-    val toks = TextOps.tokens(col(text))
+    // stage the token array as its own projection: referencing the raw
+    // tokens(text) expression inside the transform lambda would re-run
+    // the regex split once per shingle (O(n²) interpreted — the same
+    // trap as per-element vector normalization, see Ivf)
+    val staged = docs.select(col(id).as("doc_id"),
+      TextOps.tokens(col(text)).as("__toks"))
+    val toks = col("__toks")
     val idxs = sequence(lit(0), greatest(size(toks) - shingleLen, lit(0)))
     val shingles = transform(idxs, i =>
       md5(array_join(slice(toks, i + 1, lit(shingleLen)), " ")))
-    docs.select(col(id).as("doc_id"),
-      array_min(shingles).as("fingerprint_md5"),
-      size(array_distinct(shingles)).cast("long").as("n_shingles"))
+    staged.select(col("doc_id"), shingles.as("__sh")) // digest once per doc
+      .select(col("doc_id"),
+        array_min(col("__sh")).as("fingerprint_md5"),
+        size(array_distinct(col("__sh"))).cast("long").as("n_shingles"))
   }
 }
