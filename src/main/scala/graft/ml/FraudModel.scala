@@ -90,6 +90,27 @@ object FraudModel {
     (model, predCols.zip(coefs))
   }
 
+  /** M10 stand-in: sequence scoring WITHOUT a DL runtime. The W14
+    * sliding tensors (`seq: array<array<double>>`, shape len×dim from
+    * Sequences.sliding) flatten to a fixed len·dim vector feeding a
+    * multilayer perceptron — same train/score surface, same tensors, so
+    * a BiLSTM hook (the reference treats TF as optional,
+    * `src/models/lstm_model.py:25-132`) can swap in without touching the
+    * data path. */
+  def flattenSequences(df: DataFrame, seqCol: String = "seq",
+                       out: String = "features"): DataFrame =
+    df.withColumn(out,
+      org.apache.spark.ml.functions.array_to_vector(flatten(col(seqCol))))
+
+  def sequenceMlpPipeline(len: Int, dim: Int, hidden: Seq[Int],
+                          labelCol: String): Pipeline = {
+    val mlp = new org.apache.spark.ml.classification.MultilayerPerceptronClassifier()
+      .setLayers((len * dim +: hidden :+ 2).toArray)
+      .setLabelCol(labelCol).setFeaturesCol("features")
+      .setSeed(42L).setMaxIter(60)
+    new Pipeline().setStages(Array(mlp))
+  }
+
   /** M8: weighted-average ensemble as a column expression. */
   def weightedEnsemble(preds: Seq[(Column, Double)]): Column = {
     val totalW = preds.map(_._2).sum

@@ -47,6 +47,29 @@ object MlQueries {
         .withColumn("top_feature", lit(topFeature._1))
     }),
 
+    // M10 stand-in: per-card sliding amount sequences -> flattened
+    // tensor -> MLP -> held-out AUC (sequence-model scoring path on the
+    // same W14/W15 tensors a BiLSTM hook would consume)
+    "q71_sequence_model" -> ((s, _) => {
+      val c = BehaviorWindows.Cols("card1", "ts", "transaction_amt", "transaction_id")
+      val data = SyntheticData.transactions(s, 8000L)
+        .withColumn("ts", timestamp_seconds(col("transaction_dt")))
+      val seqs = Sequences.sliding(data, c, Seq("transaction_amt"),
+        len = 5, minEvents = 5, labelCol = Some("is_fraud"))
+      val split = TimeSplit.assign(seqs, col("ts"), col("transaction_id"))
+      val prepped = FraudModel.flattenSequences(split)
+      val train = prepped.filter(col("split") === "train")
+      val test = prepped.filter(col("split") === "test")
+      val model = FraudModel.sequenceMlpPipeline(len = 5, dim = 1,
+        hidden = Seq(8), labelCol = "label").fit(train)
+      val scored = FraudModel.withProbability(model.transform(test))
+      val auc = Metrics.rocAuc(scored, col("label"), col("p_fraud"))
+        .first().getDouble(0)
+      Metrics.confusionAt(scored, col("label"), col("p_fraud"), 0.5)
+        .withColumn("roc_auc", lit(auc))
+        .withColumn("n_sequences", lit(seqs.count()))
+    }),
+
     // §7 multimodal: opaque binary blobs + batched stub feature extraction
     "q80_multimodal" -> ((s, dir) => {
       val media = Multimodal.asMediaTable(Tables.documents(s, dir),
