@@ -124,6 +124,15 @@ object TrainPipeline {
       s"$outDir/feature_importance")
     Io.writeParquet(board, s"$outDir/leaderboard")
     Io.writeParquet(stackWeights.toDF("model", "weight"), s"$outDir/stacked_weights")
+
+    // 9. registry (H7): versioned artifacts + health probe
+    val aucs = board.select("model", "roc_auc").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    graft.serve.ModelRegistry.register(spark, s"$outDir/registry", bestName,
+      bestModel, Map("roc_auc" -> aucs(bestName)))
+    graft.serve.ModelRegistry.register(spark, s"$outDir/registry", "stacked",
+      stackModel, Map("roc_auc" -> aucs("stacked")))
+    graft.serve.ModelRegistry.health(spark, s"$outDir/registry").show()
     println(s"[train] artifacts written to $outDir")
   }
 }

