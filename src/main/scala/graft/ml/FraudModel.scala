@@ -103,11 +103,11 @@ object FraudModel {
       org.apache.spark.ml.functions.array_to_vector(flatten(col(seqCol))))
 
   def sequenceMlpPipeline(len: Int, dim: Int, hidden: Seq[Int],
-                          labelCol: String): Pipeline = {
+                          labelCol: String, maxIter: Int = 60): Pipeline = {
     val mlp = new org.apache.spark.ml.classification.MultilayerPerceptronClassifier()
       .setLayers((len * dim +: hidden :+ 2).toArray)
       .setLabelCol(labelCol).setFeaturesCol("features")
-      .setSeed(42L).setMaxIter(60)
+      .setSeed(42L).setMaxIter(maxIter)
     new Pipeline().setStages(Array(mlp))
   }
 

@@ -61,7 +61,7 @@ object MlQueries {
       val train = prepped.filter(col("split") === "train")
       val test = prepped.filter(col("split") === "test")
       val model = FraudModel.sequenceMlpPipeline(len = 5, dim = 1,
-        hidden = Seq(8), labelCol = "label").fit(train)
+        hidden = Seq(8), labelCol = "label", maxIter = 25).fit(train)
       val scored = FraudModel.withProbability(model.transform(test))
       val auc = Metrics.rocAuc(scored, col("label"), col("p_fraud"))
         .first().getDouble(0)
