@@ -107,15 +107,21 @@ object TrainPipeline {
     def score(m: PipelineModel) = FraudModel.withProbability(m.transform(test))
     val stackScored = FraudModel.withProbability(
       stackModel.transform(predMatrix(test)))
+    // materialize the (4-row) leaderboard ONCE — it re-runs every model
+    // transform + metric suite per action otherwise
     val board = Comparison.leaderboard(
       variants.map { case (name, m) => name -> score(m) } :+
         ("stacked" -> stackScored),
-      col("is_fraud"), col("p_fraud"))
+      col("is_fraud"), col("p_fraud")).cache()
     board.show(truncate = false)
+    val aucs = board.select("model", "roc_auc").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
 
     // 8. persist models + importance + leaderboard + stacked weights
-    // (S5 artifact sink)
-    val (bestName, bestModel) = variants.head
+    // (S5 artifact sink); "best" = the top-AUC BASE engine per the
+    // leaderboard (the stack is persisted separately)
+    val bestName = variants.map(_._1).maxBy(aucs)
+    val bestModel = variants.toMap.apply(bestName)
     bestModel.write.overwrite().save(s"$outDir/model_$bestName")
     stackModel.write.overwrite().save(s"$outDir/model_stacked")
     import spark.implicits._
@@ -126,13 +132,12 @@ object TrainPipeline {
     Io.writeParquet(stackWeights.toDF("model", "weight"), s"$outDir/stacked_weights")
 
     // 9. registry (H7): versioned artifacts + health probe
-    val aucs = board.select("model", "roc_auc").collect()
-      .map(r => r.getString(0) -> r.getDouble(1)).toMap
     graft.serve.ModelRegistry.register(spark, s"$outDir/registry", bestName,
       bestModel, Map("roc_auc" -> aucs(bestName)))
     graft.serve.ModelRegistry.register(spark, s"$outDir/registry", "stacked",
       stackModel, Map("roc_auc" -> aucs("stacked")))
     graft.serve.ModelRegistry.health(spark, s"$outDir/registry").show()
+    board.unpersist(blocking = false)
     println(s"[train] artifacts written to $outDir")
   }
 }

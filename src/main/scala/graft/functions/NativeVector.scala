@@ -169,4 +169,13 @@ object NativeVector {
   def sortedIntersect(a: Column, b: Column): Column =
     call_function(IntersectFnName, a, b)
   def simhash32(a: Column): Column = call_function(SimHashFnName, a)
+
+  /** cos(a,b) from raw float arrays: dot/(‖a‖·‖b‖), every norm evaluated
+    * once per row via the native dot. THE single cosine form — Embeddings
+    * (brute force, SRP-LSH) and Ivf (probe rerank) all call this, so
+    * their similarity values are bit-equal by construction. */
+  def cosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.functions.sqrt
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
 }

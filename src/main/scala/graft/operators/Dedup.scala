@@ -164,13 +164,18 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sh1").bitwiseXOR(col("sh2"))))
       .filter(col("hamming") <= maxDist)
       .select("doc1", "doc2", "hamming")
-
-    val small = tagged.filter(col("__bn") <= maxBlockSize)
-    val smallPairs =
-      small.select(col("bk"), col("doc_id").as("doc1"), col("sh").as("sh1"))
-        .join(small.select(col("bk"), col("doc_id").as("doc2"), col("sh").as("sh2")),
+    def quadratic(df: DataFrame): DataFrame =
+      df.select(col("bk"), col("doc_id").as("doc1"), col("sh").as("sh1"))
+        .join(df.select(col("bk"), col("doc_id").as("doc2"), col("sh").as("sh2")),
           Seq("bk"))
         .filter(col("doc1") < col("doc2"))
+
+    // degenerate guard first: at maxDist >= 32 every pair qualifies, so
+    // banding cannot be exact AND the output itself is quadratic — run
+    // the plain join for all blocks rather than silently dropping any
+    if (maxDist >= 32) return verify(quadratic(tagged))
+
+    val smallPairs = quadratic(tagged.filter(col("__bn") <= maxBlockSize))
 
     val big = tagged.filter(col("__bn") > maxBlockSize)
     val nBands = maxDist + 1
@@ -194,14 +199,7 @@ object Dedup {
         Seq("bk", "band", "bval"))
       .filter(col("doc1") < col("doc2"))
       .select("doc1", "doc2", "sh1", "sh2").distinct()
-    if (maxDist >= 32) {
-      // degenerate: banding cannot be exact; fall back to quadratic for
-      // ALL blocks rather than silently dropping oversized ones
-      verify(tagged.select(col("bk"), col("doc_id").as("doc1"), col("sh").as("sh1"))
-        .join(tagged.select(col("bk"), col("doc_id").as("doc2"), col("sh").as("sh2")),
-          Seq("bk"))
-        .filter(col("doc1") < col("doc2")))
-    } else verify(smallPairs).unionByName(verify(bigPairs))
+    verify(smallPairs).unionByName(verify(bigPairs))
   }
 
   /** Winnowing-style fingerprint: the minimum shingle hash — one stable

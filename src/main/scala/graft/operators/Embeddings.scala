@@ -39,13 +39,12 @@ object Embeddings {
     * ties across engines/runs. */
   /** Cosine via the native codegen'd dot expression (4× the higher-order
     * fold on pairwise workloads; identical accumulation order, so results
-    * are bit-equal). Falls back transparently — registration is per
-    * session and idempotent. */
+    * are bit-equal). One shared form for every similarity path —
+    * NativeVector.cosine. Registration is per session and idempotent. */
   private def nativeCosine(spark: org.apache.spark.sql.SparkSession,
                            a: Column, b: Column): Column = {
     graft.functions.NativeVector.register(spark)
-    val d = graft.functions.NativeVector.dot _
-    d(a, b) / (sqrt(d(a, a)) * sqrt(d(b, b)))
+    graft.functions.NativeVector.cosine(a, b)
   }
 
   def cosineTopK(queries: DataFrame, corpus: DataFrame, qid: String,

@@ -31,14 +31,6 @@ object Ivf {
   final case class Index(centroids: DataFrame, assigned: DataFrame,
                          idCol: String, vecCol: String)
 
-  /** cos(a,b) from raw vectors via the native dot — norms evaluated once
-    * per row, everything codegen'd. Same form as Embeddings.cosineTopK,
-    * so IVF similarities are bit-equal to the brute-force path. */
-  private def cosineRaw(a: Column, b: Column): Column = {
-    val d = NativeVector.dot _
-    d(a, b) / (sqrt(d(a, a)) * sqrt(d(b, b)))
-  }
-
   /** Build the index: nLists spherical-k-means centroids + per-vector
     * list assignment. The training sample is the `maxTrainRows` smallest
     * id-hashes — a deterministic pseudo-random subset gathered with one
@@ -186,7 +178,7 @@ object Ivf {
       .withColumnRenamed(index.idCol, "neighbor_id")
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim",
-        round(cosineRaw(col("qv"), col(index.vecCol)) * 1e6) / 1e6)
+        round(NativeVector.cosine(col("qv"), col(index.vecCol)) * 1e6) / 1e6)
       .withColumn("rn", row_number().over(wTop))
       .filter(col("rn") <= topK)
       .select("query_id", "neighbor_id", "sim")

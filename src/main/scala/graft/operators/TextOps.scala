@@ -83,10 +83,14 @@ object TextOps {
     * blocks are bounded but a blowup if one block is huge. Blocks larger
     * than `maxBlockSize` are automatically rerouted through MinHash-LSH
     * candidate generation (band-bucket join, still inside the block)
-    * followed by the same exact-Jaccard verification — bounded candidate
-    * sets at the cost of LSH recall on the rerouted blocks (pairs well
-    * above the threshold collide in ≥1 of the `lshBands` bands w.h.p.;
-    * with k=32, bands=16 the LSH threshold is (1/16)^(1/2) = 0.25). */
+    * followed by the same exact-Jaccard verification. The reroute is
+    * APPROXIMATE — unlike simHashPairs' pigeonhole banding: a pair at
+    * similarity j survives with p = 1−(1−j^r)^bands (r = lshK/lshBands);
+    * at the defaults (r=2, 16 bands) that is ~78% for j=0.30, ~96% for
+    * j=0.5, ~100% for j≥0.8. Oracle parity therefore holds only while
+    * every block is under the cap (true at all harness SFs); at corpus
+    * scale tune (lshK, lshBands) so r ≲ ln(bands)/ln(1/threshold), or
+    * raise maxBlockSize where exactness matters more than boundedness. */
   def jaccardPairs(docs: DataFrame, id: String, text: String,
                    blockKey: String, threshold: Double,
                    maxBlockSize: Int = 10000,

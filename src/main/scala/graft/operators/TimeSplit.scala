@@ -33,7 +33,15 @@ object TimeSplit {
              f1: Double = 0.70, f2: Double = 0.85,
              exactMaxRows: Long = DefaultExactMaxRows): DataFrame = {
     val n = df.count()
-    if (n > exactMaxRows) return assignApprox(df, ts, f1, f2)
+    // reroute only when the key quantiles sensibly (numeric/timestamp —
+    // approxQuantile runs on a double cast); string/date keys keep the
+    // exact path at any size rather than crashing on an all-null cast
+    val quantileSafe = df.select(ts.as("__ts")).schema.head.dataType match {
+      case _: org.apache.spark.sql.types.NumericType => true
+      case org.apache.spark.sql.types.TimestampType  => true
+      case _                                          => false
+    }
+    if (n > exactMaxRows && quantileSafe) return assignApprox(df, ts, f1, f2)
     val k1 = math.floor(f1 * n).toLong
     val k2 = math.floor(f2 * n).toLong
     require(k2 <= Int.MaxValue,

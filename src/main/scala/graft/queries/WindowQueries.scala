@@ -166,9 +166,14 @@ object WindowQueries {
       out.select(cols: _*).orderBy("event_id")
     }),
 
-    // W13: chronological 70/15/15 split without a global single-partition sort
+    // W13: chronological 70/15/15 split without a global single-partition
+    // sort. exactMaxRows pinned to MaxValue: this query's contract IS the
+    // exact-positional oracle (row_number semantics), so the quantile
+    // reroute must never silently swap in — callers wanting the scale
+    // path use TimeSplit.assign's default or assignApprox directly
     "q26_time_split" -> ((s, dir) => {
-      TimeSplit.assign(Tables.events(s, dir), col("ts"), col("event_id"))
+      TimeSplit.assign(Tables.events(s, dir), col("ts"), col("event_id"),
+          exactMaxRows = Long.MaxValue)
         .groupBy("split")
         .agg(count(lit(1)).as("n_rows"),
           min("event_id").as("min_id"), max("event_id").as("max_id"),

@@ -57,9 +57,9 @@ object ModelRegistry {
     PipelineModel.load(s"$root/$name/v$v")
   }
 
-  /** Health row (the reference's /health payload, engine-side): status,
-    * distinct models, total versions, latest version per model folded to
-    * a map-ish string column for display. */
+  /** Health row (the reference's /health payload, engine-side):
+    * (status, models_loaded, versions_total). Per-model detail comes
+    * from `list` — the metadata table is the queryable surface. */
   def health(spark: SparkSession, root: String): DataFrame = {
     val meta = list(spark, root).select("name", "version").distinct()
     meta.agg(

@@ -47,7 +47,10 @@ class ComparisonPipelineSpec extends SparkSpec {
     assert(imp.count() > 5)
     val w = spark.read.parquet(s"$dir/stacked_weights")
     assert(w.count() == 3) // one learned weight per base engine
-    assert(PipelineModel.load(s"$dir/model_gbt_shallow").stages.length == 2)
+    // the persisted base model is the leaderboard's top BASE engine
+    val bestBase = board.filter($"model".startsWith("gbt_"))
+      .orderBy(desc("roc_auc")).first().getString(0)
+    assert(PipelineModel.load(s"$dir/model_$bestBase").stages.length == 2)
     assert(PipelineModel.load(s"$dir/model_stacked").stages.length == 2)
     // H7: pipeline registered best + stacked into the registry
     val h = graft.serve.ModelRegistry.health(spark, s"$dir/registry").collect()(0)
