@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import graft.functions.{FloatDotProduct, SimHash32, SortedLongIntersectCount}
+
+/** SparkSessionExtensions hook (SURVEY.md §4.4): registers the engine's
+  * native codegen expressions as permanent SQL functions at session
+  * build time, so `spark.sql("SELECT float_dot(a, b) ...")` works with
+  * no imperative NativeVector.register call — the idiomatic packaging
+  * for a Spark-native library (`--conf spark.sql.extensions=
+  * graft.GraftExtensions` on any cluster).
+  *
+  * The temp-function path (NativeVector.register) stays for sessions
+  * built without extensions; both routes resolve to the same Expression
+  * classes, so results are identical by construction.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("float_dot"),
+      new ExpressionInfo(classOf[FloatDotProduct].getName, "float_dot"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        FloatDotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("sorted_long_intersect"),
+      new ExpressionInfo(classOf[SortedLongIntersectCount].getName, "sorted_long_intersect"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SortedLongIntersectCount(exprs(0), exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash32"),
+      new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SimHash32(exprs.head)))
+  }
+}

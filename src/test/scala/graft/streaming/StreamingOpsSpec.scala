@@ -126,4 +126,36 @@ class StreamingOpsSpec extends SparkSpec {
         r.getAs[Double]("maxValue") == 20.0)
     } finally q.stop()
   }
+
+  test("file-source stream: parquet drops feed the same windowed aggregation") {
+    // the production no-Kafka shape: a directory where batch jobs drop
+    // parquet files, consumed incrementally as a stream — same
+    // windowedCounts transform as the MemoryStream test
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_src").toString
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    Seq((ts("2024-01-01 10:01:00"), "click", 1.0),
+        (ts("2024-01-01 10:02:00"), "click", 2.0))
+      .toDF("ts", "event_type", "value")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    assert(stream.isStreaming)
+    val q = windowedCounts(stream, watermarkDelay = "10 minutes", windowLen = "5 minutes")
+      .writeStream.format("memory").queryName("file_win")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      // second file drop advances the watermark and closes the first window
+      Seq((ts("2024-01-01 11:00:00"), "view", 5.0))
+        .toDF("ts", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val closed = spark.table("file_win").collect()
+      val clicks = closed.find(_.getString(1) == "click").get
+      assert(clicks.getTimestamp(0) == ts("2024-01-01 10:00:00"))
+      assert(clicks.getLong(2) == 2 && clicks.getDouble(3) == 3.0)
+    } finally q.stop()
+  }
 }
