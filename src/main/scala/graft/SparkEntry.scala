@@ -46,5 +46,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     CoreQueries.oracle ++ WindowQueries.oracle ++
       FeatureQueries.oracle ++ EvalQueries.oracle ++
-      TextQueries.oracle ++ EmbeddingQueries.oracle ++ PipelineQueries.oracle
+      TextQueries.oracle ++ EmbeddingQueries.oracle ++ MlQueries.oracle ++
+      PipelineQueries.oracle
 }

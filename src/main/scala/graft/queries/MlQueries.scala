@@ -14,15 +14,18 @@ import Util.Q
 object MlQueries {
 
   def queries: Map[String, Q] = Map(
-    // W14/W15: sliding sequences over events (arrays of feature rows)
+    // W14/W15: sliding sequences over events. The array CONTENTS are
+    // spec-checked (SequenceMultimodalSpec); the emitted scalars — which
+    // rows produce full windows (the window/minEvents logic) plus the
+    // lengths — ARE SQL-expressible, so this query is oracle-checked.
     "q27_sequences" -> ((s, dir) => {
       val seqs = Sequences.sliding(Tables.events(s, dir),
         BehaviorWindows.Cols(), Seq("value"), len = 5, minEvents = 5)
       seqs.select(col("event_id"), col("user_id"),
-          size(col("seq")).as("seq_len"),
+          size(col("seq")).cast("long").as("seq_len"),
           Sequences.padPre(col("seq"), 8, 1).as("padded"))
         .select(col("event_id"), col("user_id"), col("seq_len"),
-          size(col("padded")).as("padded_len"))
+          size(col("padded")).cast("long").as("padded_len"))
         .orderBy("event_id")
     }),
 
@@ -80,5 +83,19 @@ object MlQueries {
           element_at(col("features"), 1).as("f0"))
         .orderBy("media_id")
     })
+  )
+
+  def oracle: Map[String, String] = Map(
+    // row membership (full-window + minEvents predicates) is the
+    // assertable surface; array contents are covered by the specs
+    "q27_sequences" ->
+      """WITH f AS (
+        | SELECT event_id, user_id,
+        |  CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS seq_len,
+        |  count(*) OVER (PARTITION BY user_id) AS nu
+        | FROM events)
+        |SELECT event_id, user_id, seq_len, CAST(8 AS BIGINT) AS padded_len
+        |FROM f WHERE seq_len = 5 AND nu >= 5 ORDER BY event_id""".stripMargin
   )
 }
