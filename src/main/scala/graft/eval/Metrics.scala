@@ -111,22 +111,46 @@ object Metrics {
                (col("p") * (col("n") - col("p")))).as("roc_auc"))
   }
 
-  /** E5: PR curve — precision/recall at every distinct score, descending.
-    * cumTP/cumFP via bucketed parallel prefix sums; the positive total
-    * comes from a broadcast 1-row aggregate, not an unbounded window.
-    * Ties collapse to the tie-group's last row (sklearn semantics). */
-  def prCurve(df: DataFrame, label: Column, score: Column): DataFrame = {
+  /** Shared E5/E6 frame: distinct scores descending with cumulative
+    * TP (cum_pos), cumulative predicted-positive (cum_cnt), and the
+    * positive total — bucketed prefix sums, broadcast total. */
+  private def prFrame(df: DataFrame, label: Column, score: Column): DataFrame = {
     val base = df.select(score.as("s"), label.cast("long").as("y"))
       .groupBy(col("s"))
       .agg(sum(col("y")).as("pos"), count(lit(1)).as("cnt"))
     val tot = base.agg(sum(col("pos")).as("tot_pos"))
     bucketedCumSums(base, "s", descending = true, Seq("pos", "cnt"))
       .crossJoin(broadcast(tot))
-      .select(
-        col("s").as("threshold"),
-        (col("cum_pos") / col("cum_cnt")).as("precision"),
-        (col("cum_pos") / col("tot_pos")).as("recall"))
   }
+
+  /** E5: PR curve — precision/recall at every distinct score, descending.
+    * Ties collapse to the tie-group's last row (sklearn semantics). */
+  def prCurve(df: DataFrame, label: Column, score: Column): DataFrame =
+    prFrame(df, label, score).select(
+      col("s").as("threshold"),
+      (col("cum_pos") / col("cum_cnt")).as("precision"),
+      (col("cum_pos") / col("tot_pos")).as("recall"))
+
+  /** E6 cost variant (`src/evaluation/metrics.py:155-175`): threshold
+    * minimizing fn·costFn + fp·costFp over every distinct score — the
+    * reference's O(T·N) loop as one sorted pass. At threshold s
+    * (predict fraud when score ≥ s): TP = cum_pos, FP = cum_cnt−cum_pos,
+    * FN = tot_pos−cum_pos. Ties break toward the lower threshold. */
+  def minCostThreshold(df: DataFrame, label: Column, score: Column,
+                       costFn: Double = 1000.0, costFp: Double = 10.0): DataFrame =
+    prFrame(df, label, score).select(
+        col("s").as("threshold"),
+        ((col("tot_pos") - col("cum_pos")) * costFn +
+          (col("cum_cnt") - col("cum_pos")) * costFp).as("cost"))
+      .orderBy(col("cost"), col("threshold")).limit(1)
+
+  /** E6 recall-floor variant (`metrics.py:177-194`): the highest-
+    * precision threshold whose recall still meets the floor. */
+  def recallFloorThreshold(df: DataFrame, label: Column, score: Column,
+                           minRecall: Double = 0.9): DataFrame =
+    prCurve(df, label, score)
+      .filter(col("recall") >= minRecall)
+      .orderBy(desc("precision"), col("threshold")).limit(1)
 
   /** E6: best-F1 threshold — derived from the PR curve in the same pass,
     * O(distinct scores · log), not the reference's O(T·N) loop. */

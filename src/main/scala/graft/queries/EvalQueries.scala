@@ -59,6 +59,21 @@ object EvalQueries {
         .select(qz(col("avg_precision"), 6).as("avg_precision"))
     }),
 
+    // E6 cost variant: min-cost threshold in one sorted pass
+    "q46_min_cost" -> ((s, dir) => {
+      Metrics.minCostThreshold(labeled(s, dir), col("label"), col("score"))
+        .select(qz(col("threshold"), 6).as("threshold"),
+          qz(col("cost"), 2).as("cost"))
+    }),
+
+    // E6 recall-floor variant: max precision subject to recall >= 0.9
+    "q47_recall_floor" -> ((s, dir) => {
+      Metrics.recallFloorThreshold(labeled(s, dir), col("label"), col("score"))
+        .select(qz(col("threshold"), 6).as("threshold"),
+          qz(col("precision"), 6).as("prec"),
+          qz(col("recall"), 6).as("rec"))
+    }),
+
     // E7: threshold grid via explode + grouped conditional aggregates
     "q44_threshold_grid" -> ((s, dir) => {
       Metrics.thresholdGrid(labeled(s, dir),
@@ -158,6 +173,38 @@ object EvalQueries {
         | FROM by_score)
         |SELECT round((sum(CAST(pos AS DOUBLE)/tot_pos * cum_tp/cum_n)) * 1000000.0) / 1000000.0 + 0.0 AS avg_precision
         |FROM c""".stripMargin,
+
+    "q46_min_cost" ->
+      """WITH by_score AS (
+        | SELECT value AS s, count(*) AS cnt,
+        |  sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS pos
+        | FROM events GROUP BY value),
+        |c AS (
+        | SELECT s,
+        |  sum(pos) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tp,
+        |  sum(cnt) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+        |  sum(pos) OVER () AS tot_pos
+        | FROM by_score)
+        |SELECT round((s) * 1000000.0) / 1000000.0 + 0.0 AS threshold,
+        | round(((tot_pos - cum_tp)*1000.0 + (cum_n - cum_tp)*10.0) * 100.0) / 100.0 + 0.0 AS cost
+        |FROM c ORDER BY (tot_pos - cum_tp)*1000.0 + (cum_n - cum_tp)*10.0, s LIMIT 1""".stripMargin,
+
+    "q47_recall_floor" ->
+      """WITH by_score AS (
+        | SELECT value AS s, count(*) AS cnt,
+        |  sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS pos
+        | FROM events GROUP BY value),
+        |c AS (
+        | SELECT s,
+        |  sum(pos) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tp,
+        |  sum(cnt) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+        |  sum(pos) OVER () AS tot_pos
+        | FROM by_score)
+        |SELECT round((s) * 1000000.0) / 1000000.0 + 0.0 AS threshold,
+        | round((CAST(cum_tp AS DOUBLE)/cum_n) * 1000000.0) / 1000000.0 + 0.0 AS prec,
+        | round((CAST(cum_tp AS DOUBLE)/tot_pos) * 1000000.0) / 1000000.0 + 0.0 AS rec
+        |FROM c WHERE CAST(cum_tp AS DOUBLE)/tot_pos >= 0.9
+        |ORDER BY CAST(cum_tp AS DOUBLE)/cum_n DESC, s LIMIT 1""".stripMargin,
 
     "q44_threshold_grid" ->
       """WITH g AS (SELECT unnest([0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS tau),

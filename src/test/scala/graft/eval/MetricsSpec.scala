@@ -53,6 +53,23 @@ class MetricsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("f1") - 6.0 / 7) < 1e-12)
   }
 
+  test("min-cost threshold: fn*1000 + fp*10 minimized over the curve") {
+    // thresholds desc: 0.9(FN2)→2000, 0.8(FN1)→1000, 0.4(FP1)→10,
+    // 0.3(FP2)→20, 0.1(FP3)→30
+    val r = Metrics.minCostThreshold(scored, $"label", $"score").collect()(0)
+    assert(r.getAs[Double]("threshold") == 0.4)
+    assert(r.getAs[Double]("cost") == 10.0)
+  }
+
+  test("recall-floor threshold: max precision subject to recall >= floor") {
+    // recall >= 0.9 first at s=0.4 (recall 1, prec 3/4); lower s only
+    // dilutes precision
+    val r = Metrics.recallFloorThreshold(scored, $"label", $"score", 0.9).collect()(0)
+    assert(r.getAs[Double]("threshold") == 0.4)
+    assert(r.getAs[Double]("precision") == 0.75)
+    assert(r.getAs[Double]("recall") == 1.0)
+  }
+
   test("threshold grid is ANSI-safe when a cell has no predictions") {
     val g = Metrics.thresholdGrid(scored, $"label", $"score", Seq(0.05, 0.95))
       .orderBy("tau").collect()
