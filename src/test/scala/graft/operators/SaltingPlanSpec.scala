@@ -72,4 +72,41 @@ class SaltingPlanSpec extends SparkSpec {
     val p = planOf("q13_target_encoding")
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("AQE splits the hot partition of a skewed sort-merge join (skew=true)") {
+    // manual salting above is the deterministic fix; this demonstrates the
+    // runtime alternative — AQE detecting and splitting the hot partition.
+    // Thresholds are shrunk so the ~90%-one-key join qualifies at test size.
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // payload must be incompressible and id-derived: a constant pad is
+      // (a) constant-folded out of the shuffle and (b) lz4-compressed to
+      // nothing, so the hot partition's shuffle bytes never cross the
+      // skew threshold
+      def pad(c: org.apache.spark.sql.Column) = concat(
+        md5(c.cast("string")), md5((c + 1).cast("string")),
+        md5((c + 2).cast("string")), md5((c + 3).cast("string")))
+      val left = spark.range(40000L).select(
+        when($"id" < 36000L, 0L).otherwise($"id").as("k"), pad($"id").as("p1"))
+      val right = spark.range(2000L).select(($"id" % 200L).as("k"), pad($"id").as("p2"))
+      val joined = left.join(right, "k")
+      // collect() executes joined's OWN QueryExecution (count() would
+      // build a different one, leaving this plan un-finalized)
+      assert(joined.collect().nonEmpty)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), plan.take(2000))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
