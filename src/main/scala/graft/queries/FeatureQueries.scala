@@ -63,6 +63,19 @@ object FeatureQueries {
         .orderBy("user_id")
     }),
 
+    // F13: human-display formatting (currency, fixed decimals, K/M
+    // suffixes) over per-type aggregates; inputs quantized first so both
+    // engines' format rounding agrees (no representable halves)
+    "q39_formatting" -> ((s, dir) => {
+      Tables.events(s, dir).groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("value").as("total"), avg("value").as("mean"))
+        .select(col("event_type"),
+          graft.functions.Formatting.currency(qz(col("total"), 2)).as("total_usd"),
+          graft.functions.Formatting.human(col("n").cast("double")).as("n_human"),
+          graft.functions.Formatting.fixed(qz(col("mean"), 4), 4).as("mean_fixed"))
+        .orderBy("event_type")
+    }),
+
     // F12 row-level: pd.get_dummies-parity 0/1 indicator columns
     "q38_onehot_rows" -> ((s, dir) => {
       graft.functions.Encoding.oneHotIndicators(
@@ -150,6 +163,24 @@ object FeatureQueries {
         | count(*) FILTER (WHERE event_type = 'signup') AS signup,
         | count(*) FILTER (WHERE event_type = 'view') AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q39_formatting" ->
+      """WITH a AS (
+        | SELECT event_type, count(*) AS n,
+        |  round(sum(value) * 100.0) / 100.0 + 0.0 AS total,
+        |  round(avg(value) * 10000.0) / 10000.0 + 0.0 AS mean
+        | FROM events GROUP BY event_type),
+        |f AS (
+        | SELECT event_type, n, mean,
+        |  '$' || format('{:,}', CAST(floor(total) AS BIGINT)) || '.' ||
+        |   printf('%02d', CAST(round((total - floor(total)) * 100.0) AS INT)) AS total_usd,
+        |  CASE WHEN n >= 1000000 THEN printf('%.2f', n/1000000.0) || 'M'
+        |       WHEN n >= 1000 THEN printf('%.2f', n/1000.0) || 'K'
+        |       ELSE printf('%.2f', CAST(n AS DOUBLE)) END AS n_human,
+        |  printf('%.4f', mean) AS mean_fixed
+        | FROM a)
+        |SELECT event_type, total_usd, n_human, mean_fixed
+        |FROM f ORDER BY event_type""".stripMargin,
 
     "q38_onehot_rows" ->
       """SELECT event_id,

@@ -55,4 +55,17 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(out(0) - 0.5) < 1e-12)
     assert(out(1) < 0.5 && out(2) > 0.99)
   }
+
+  test("F13 formatting: currency grouping, K/M human form, fixed decimals") {
+    val df = Seq(1234567.891, 999.4, 2000.0, 0.125).toDF("x")
+    val out = df.select(
+      Formatting.currency($"x"),
+      Formatting.human($"x"),
+      Formatting.fixed($"x", 4)).collect()
+    assert(out(0).getString(0) == "$1,234,567.89")
+    assert(out(0).getString(1) == "1.23M")
+    assert(out(1).getString(1) == "999.40")
+    assert(out(2).getString(1) == "2.00K")
+    assert(out(3).getString(2) == "0.1250")
+  }
 }
