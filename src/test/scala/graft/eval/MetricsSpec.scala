@@ -70,6 +70,23 @@ class MetricsSpec extends SparkSpec {
     assert(r.getAs[Double]("recall") == 1.0)
   }
 
+  test("bucketed prefix sums: degenerate single distinct score") {
+    val one = Seq((1, 0.5), (0, 0.5), (1, 0.5)).toDF("label", "score")
+    val curve = Metrics.prCurve(one, $"label", $"score").collect()
+    assert(curve.length == 1)
+    assert(math.abs(curve(0).getAs[Double]("precision") - 2.0 / 3) < 1e-12)
+    assert(curve(0).getAs[Double]("recall") == 1.0)
+  }
+
+  test("bucketed prefix sums: negative scores order correctly") {
+    // same ranking as `scored` shifted by -1: identical AUC
+    val neg = scored.withColumn("score", $"score" - lit(1.0))
+    val auc = Metrics.rocAuc(neg, $"label", $"score").collect()(0).getDouble(0)
+    assert(math.abs(auc - 8.5 / 9.0) < 1e-12)
+    val best = Metrics.bestF1Threshold(neg, $"label", $"score").collect()(0)
+    assert(math.abs(best.getAs[Double]("threshold") - -0.6) < 1e-12)
+  }
+
   test("threshold grid is ANSI-safe when a cell has no predictions") {
     val g = Metrics.thresholdGrid(scored, $"label", $"score", Seq(0.05, 0.95))
       .orderBy("tau").collect()
