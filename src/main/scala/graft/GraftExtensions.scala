@@ -17,21 +17,30 @@ import graft.functions.{FloatDotProduct, SimHash32, SortedLongIntersectCount}
   * classes, so results are identical by construction.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.expressions.Expression
+
+  // arity-checked builder: a wrong-arity SQL call gets a clear analysis
+  // message, not an IndexOutOfBoundsException from the raw Seq access
+  private def checked(name: String, arity: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    exprs => {
+      require(exprs.length == arity,
+        s"$name takes exactly $arity argument(s), got ${exprs.length}")
+      build(exprs)
+    }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("float_dot"),
       new ExpressionInfo(classOf[FloatDotProduct].getName, "float_dot"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        FloatDotProduct(exprs(0), exprs(1))))
+      checked("float_dot", 2)(e => FloatDotProduct(e(0), e(1)))))
     ext.injectFunction((
       new FunctionIdentifier("sorted_long_intersect"),
       new ExpressionInfo(classOf[SortedLongIntersectCount].getName, "sorted_long_intersect"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        SortedLongIntersectCount(exprs(0), exprs(1))))
+      checked("sorted_long_intersect", 2)(e => SortedLongIntersectCount(e(0), e(1)))))
     ext.injectFunction((
       new FunctionIdentifier("simhash32"),
       new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        SimHash32(exprs.head)))
+      checked("simhash32", 1)(e => SimHash32(e.head))))
   }
 }

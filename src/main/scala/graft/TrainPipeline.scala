@@ -120,7 +120,9 @@ object TrainPipeline {
     // 8. persist models + importance + leaderboard + stacked weights
     // (S5 artifact sink); "best" = the top-AUC BASE engine per the
     // leaderboard (the stack is persisted separately)
-    val bestName = variants.map(_._1).maxBy(aucs)
+    // (auc, name) max: AUC ties (identical test rankings) break on the
+    // name, so the choice is deterministic and spec-reproducible
+    val bestName = variants.map(_._1).maxBy(n => (aucs(n), n))
     val bestModel = variants.toMap.apply(bestName)
     bestModel.write.overwrite().save(s"$outDir/model_$bestName")
     stackModel.write.overwrite().save(s"$outDir/model_stacked")

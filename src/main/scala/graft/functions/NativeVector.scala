@@ -155,14 +155,22 @@ object NativeVector {
   val SimHashFnName = "simhash32"
 
   /** Register once per session; then `dot`/`sortedIntersect` resolve to
-    * the native expressions through the function registry. */
+    * the native expressions through the function registry. Arity is
+    * checked up front so a wrong-arity SQL call fails with a message,
+    * not an IndexOutOfBoundsException. */
   def register(spark: SparkSession): Unit = {
+    def checked(name: String, arity: Int)(build: Seq[Expression] => Expression)
+        : Seq[Expression] => Expression = exprs => {
+      require(exprs.length == arity,
+        s"$name takes exactly $arity argument(s), got ${exprs.length}")
+      build(exprs)
+    }
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FnName, exprs => FloatDotProduct(exprs(0), exprs(1)), "built-in")
+      FnName, checked(FnName, 2)(e => FloatDotProduct(e(0), e(1))), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      IntersectFnName, exprs => SortedLongIntersectCount(exprs(0), exprs(1)), "built-in")
+      IntersectFnName, checked(IntersectFnName, 2)(e => SortedLongIntersectCount(e(0), e(1))), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      SimHashFnName, exprs => SimHash32(exprs.head), "built-in")
+      SimHashFnName, checked(SimHashFnName, 1)(e => SimHash32(e.head)), "built-in")
   }
 
   def dot(a: Column, b: Column): Column = call_function(FnName, a, b)

@@ -164,23 +164,35 @@ object FeatureQueries {
         | count(*) FILTER (WHERE event_type = 'view') AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
-    "q39_formatting" ->
-      """WITH a AS (
-        | SELECT event_type, count(*) AS n,
-        |  round(sum(value) * 100.0) / 100.0 + 0.0 AS total,
-        |  round(avg(value) * 10000.0) / 10000.0 + 0.0 AS mean
-        | FROM events GROUP BY event_type),
-        |f AS (
-        | SELECT event_type, n, mean,
-        |  '$' || format('{:,}', CAST(floor(total) AS BIGINT)) || '.' ||
-        |   printf('%02d', CAST(round((total - floor(total)) * 100.0) AS INT)) AS total_usd,
-        |  CASE WHEN n >= 1000000 THEN printf('%.2f', n/1000000.0) || 'M'
-        |       WHEN n >= 1000 THEN printf('%.2f', n/1000.0) || 'K'
-        |       ELSE printf('%.2f', CAST(n AS DOUBLE)) END AS n_human,
-        |  printf('%.4f', mean) AS mean_fixed
-        | FROM a)
-        |SELECT event_type, total_usd, n_human, mean_fixed
-        |FROM f ORDER BY event_type""".stripMargin,
+    "q39_formatting" -> {
+      // grouped 2-decimal string: printf does the rounding (empirically
+      // bit-agrees with Spark's format_number on doubles), then comma
+      // grouping is applied to the already-rounded integer digits —
+      // sign-safe (the "-0.75" integer part stays verbatim) and
+      // scale-safe (quotients >= 1000 group identically to Spark)
+      // single line: embedding a multi-line fragment would let the outer
+      // stripMargin eat the first '|' of any '||' at a line start
+      def g(x: String) =
+        s"(CASE WHEN CAST(split_part(printf('%.2f', $x), '.', 1) AS BIGINT) = 0" +
+          s" THEN split_part(printf('%.2f', $x), '.', 1)" +
+          s" ELSE format('{:,}', CAST(split_part(printf('%.2f', $x), '.', 1) AS BIGINT)) END" +
+          s" || '.' || split_part(printf('%.2f', $x), '.', 2))"
+      s"""WITH a AS (
+         | SELECT event_type, count(*) AS n,
+         |  round(sum(value) * 100.0) / 100.0 + 0.0 AS total,
+         |  round(avg(value) * 10000.0) / 10000.0 + 0.0 AS mean
+         | FROM events GROUP BY event_type),
+         |f AS (
+         | SELECT event_type, n, mean,
+         |  '$$' || ${g("total")} AS total_usd,
+         |  CASE WHEN n >= 1000000 THEN ${g("n/1000000.0")} || 'M'
+         |       WHEN n >= 1000 THEN ${g("n/1000.0")} || 'K'
+         |       ELSE ${g("CAST(n AS DOUBLE)")} END AS n_human,
+         |  printf('%.4f', mean) AS mean_fixed
+         | FROM a)
+         |SELECT event_type, total_usd, n_human, mean_fixed
+         |FROM f ORDER BY event_type""".stripMargin
+    },
 
     "q38_onehot_rows" ->
       """SELECT event_id,

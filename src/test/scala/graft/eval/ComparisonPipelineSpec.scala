@@ -48,8 +48,9 @@ class ComparisonPipelineSpec extends SparkSpec {
     val w = spark.read.parquet(s"$dir/stacked_weights")
     assert(w.count() == 3) // one learned weight per base engine
     // the persisted base model is the leaderboard's top BASE engine
+    // ((auc, name) max — same tie-break as TrainPipeline)
     val bestBase = board.filter($"model".startsWith("gbt_"))
-      .orderBy(desc("roc_auc")).first().getString(0)
+      .orderBy(desc("roc_auc"), desc("model")).first().getString(0)
     assert(PipelineModel.load(s"$dir/model_$bestBase").stages.length == 2)
     assert(PipelineModel.load(s"$dir/model_stacked").stages.length == 2)
     // H7: pipeline registered best + stacked into the registry
