@@ -28,6 +28,19 @@ object StreamingOps {
       sum((col(scoreCol) >= 0.6).cast("long")).as("fraud_count"),
       avg(col(scoreCol)).as("avg_score"))
 
+  /** H6 alternative (SURVEY §2.10): piggyback the running stats on the
+    * scoring query itself via Dataset.observe — the metrics ride the
+    * existing action (no second pass over the data) and surface through
+    * QueryExecutionListener / StreamingQueryListener. Returns the
+    * observed frame; read the metrics from the listener event or, in
+    * batch, from `df.queryExecution.observedMetrics` after an action. */
+  def observedScoring(scored: DataFrame, name: String = "score_stats",
+                      scoreCol: String = "risk_score"): DataFrame =
+    scored.observe(name,
+      count(lit(1)).as("prediction_count"),
+      sum((col(scoreCol) >= 0.6).cast("long")).as("fraud_count"),
+      avg(col(scoreCol)).as("avg_score"))
+
   /** Event-time tumbling-window counts with a watermark for late data. */
   def windowedCounts(events: DataFrame, tsCol: String = "ts",
                      watermarkDelay: String = "10 minutes",

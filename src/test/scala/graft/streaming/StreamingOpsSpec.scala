@@ -158,4 +158,14 @@ class StreamingOpsSpec extends SparkSpec {
       assert(clicks.getLong(2) == 2 && clicks.getDouble(3) == 3.0)
     } finally q.stop()
   }
+
+  test("observe() metrics ride the scoring action itself (H6 alternative)") {
+    val scored = Seq(0.9, 0.1, 0.7, 0.3).toDF("risk_score")
+    val observed = observedScoring(scored)
+    observed.collect() // metrics materialize with the action, no extra pass
+    val m = observed.queryExecution.observedMetrics("score_stats")
+    assert(m.getAs[Long]("prediction_count") == 4L)
+    assert(m.getAs[Long]("fraud_count") == 2L) // 0.9 and 0.7 >= 0.6
+    assert(math.abs(m.getAs[Double]("avg_score") - 0.5) < 1e-12)
+  }
 }
