@@ -30,10 +30,12 @@ object Bench {
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => args.exists(n.startsWith) }
 
+    val failed = scala.collection.mutable.ArrayBuffer[String]()
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       name -> (System.nanoTime() - t0) / 1e9
@@ -41,7 +43,11 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // failed queries stay in `queries` (their elapsed time is real) but
+    // are ALSO named explicitly — a fast-failing query must not read as
+    // a speedup in the one-line JSON the driver parses
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

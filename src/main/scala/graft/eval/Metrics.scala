@@ -107,8 +107,10 @@ object Metrics {
         sum(col("pos")).cast("double").as("p"),
         sum(col("cnt")).cast("double").as("n"),
         sum(col("pos") * (col("below") + (col("cnt") + 1) / 2.0)).as("rp"))
-      .select(((col("rp") - col("p") * (col("p") + 1) / 2.0) /
-               (col("p") * (col("n") - col("p")))).as("roc_auc"))
+      // one-class input → AUC undefined: null, not an ANSI divide-by-zero
+      .select(when(col("p") > 0 && col("n") - col("p") > 0,
+        (col("rp") - col("p") * (col("p") + 1) / 2.0) /
+          (col("p") * (col("n") - col("p")))).as("roc_auc"))
   }
 
   /** Shared E5/E6 frame: distinct scores descending with cumulative
@@ -128,8 +130,9 @@ object Metrics {
   def prCurve(df: DataFrame, label: Column, score: Column): DataFrame =
     prFrame(df, label, score).select(
       col("s").as("threshold"),
-      (col("cum_pos") / col("cum_cnt")).as("precision"),
-      (col("cum_pos") / col("tot_pos")).as("recall"))
+      (col("cum_pos") / col("cum_cnt")).as("precision"), // cum_cnt ≥ 1
+      // zero positives → recall undefined: null, not an ANSI error
+      when(col("tot_pos") > 0, col("cum_pos") / col("tot_pos")).as("recall"))
 
   /** E6 cost variant (`src/evaluation/metrics.py:155-175`): threshold
     * minimizing fn·costFn + fp·costFp over every distinct score — the
@@ -174,8 +177,9 @@ object Metrics {
     val tot = byScore.agg(sum(col("pos")).as("tot_pos"))
     bucketedCumSums(byScore, "s", descending = true, Seq("pos", "cnt"))
       .crossJoin(broadcast(tot))
-      .agg(sum(col("pos").cast("double") / col("tot_pos") *
-        col("cum_pos") / col("cum_cnt")).as("avg_precision"))
+      .agg(sum(when(col("tot_pos") > 0,
+        col("pos").cast("double") / col("tot_pos") *
+          col("cum_pos") / col("cum_cnt"))).as("avg_precision"))
   }
 
   /** E7: metrics at a grid of thresholds via explode — one shuffle-free

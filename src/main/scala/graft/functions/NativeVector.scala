@@ -27,7 +27,12 @@ case class FloatDotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    // a silently truncated dot on mismatched dims would produce a
+    // plausible-but-wrong similarity; surface the data bug instead
+    if (n != y.numElements())
+      throw new IllegalArgumentException(
+        s"float_dot: mismatched vector lengths $n vs ${y.numElements()}")
     var s = 0.0
     var i = 0
     while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i); i += 1 }
@@ -40,7 +45,11 @@ case class FloatDotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "float_dot: mismatched vector lengths " + $n + " vs " + $b.numElements());
+         |}
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
@@ -183,7 +192,10 @@ object NativeVector {
     * (brute force, SRP-LSH) and Ivf (probe rerank) all call this, so
     * their similarity values are bit-equal by construction. */
   def cosine(a: Column, b: Column): Column = {
-    import org.apache.spark.sql.functions.sqrt
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    import org.apache.spark.sql.functions.{sqrt, when}
+    // zero-norm vectors → undefined cosine: null, not an ANSI
+    // divide-by-zero abort of the whole query
+    val denom = sqrt(dot(a, a)) * sqrt(dot(b, b))
+    when(denom > 0, dot(a, b) / denom)
   }
 }

@@ -20,9 +20,10 @@ object AsOfJoin {
 
   /** Left as-of join. `payload` columns from `right` are attached with
     * `prefix`; left rows with no earlier right row get nulls. Both
-    * inputs need (key, ts); ties inside `right` break by the last
-    * payload column ordering position (callers should make (key, ts)
-    * unique on the right for full determinism). */
+    * inputs need (key, ts). Duplicate right rows at the same (key, ts)
+    * tie-break on the payload struct itself (field-wise ordering), so
+    * the carried match is deterministic across partitionings and core
+    * counts — payload columns must therefore be orderable types. */
   def leftAsOf(left: DataFrame, right: DataFrame, key: String, ts: String,
                payload: Seq[String], prefix: String = "asof_"): DataFrame = {
     val rv = struct(payload.map(col): _*)
@@ -34,7 +35,8 @@ object AsOfJoin {
       Seq(col(key), col(ts), lit(1).as("__side"),
         lit(null).cast(taggedR.schema("__rv").dataType).as("__rv")) ++
         left.columns.filterNot(c => c == key || c == ts).map(col): _*)
-    val w = Window.partitionBy(col(key)).orderBy(col(ts), col("__side"))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts), col("__side"), col("__rv"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = taggedL.unionByName(taggedR)
       .withColumn("__last", last(col("__rv"), ignoreNulls = true).over(w))

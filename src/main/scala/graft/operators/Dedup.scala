@@ -36,13 +36,19 @@ object Dedup {
   /** Shingle hashes WITHOUT building shingle strings: each window of `n`
     * token hashes combines with a polynomial hash via an element_at
     * chain — no slice allocation, no inner fold. `th` must be a
-    * materialized column of tokenHashesMod values. */
+    * materialized column of tokenHashesMod values.
+    *
+    * Docs shorter than `n` get ONE whole-doc shingle (the same contract
+    * as fingerprintMd5) — an empty array here would give every short doc
+    * the untouched all-sentinel MinHash signature, making all of them
+    * collide in every LSH band as fake near-duplicates. */
   def shingleCombine(th: Column, n: Int): Column =
     when(size(th) >= n,
       transform(sequence(lit(1), size(th) - (n - 1)),
         i => (0 until n).foldLeft(lit(0L): Column)((acc, j) =>
           pmod(acc * 1000003L + element_at(th, i + j), lit(MersenneP)))))
-      .otherwise(slice(array(lit(0L)), 1, 0)) // empty array<long>
+      .otherwise(array(aggregate(th, lit(0L),
+        (acc, h) => pmod(acc * 1000003L + h, lit(MersenneP)))))
 
   /** One-expression convenience form (recomputes token hashes per
     * element access — use the staged tokenHashesMod/shingleCombine pair

@@ -42,6 +42,14 @@ object Salting {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  idCol: String, nSalts: Int = 16,
                  joinType: String = "inner"): DataFrame = {
+    // right/full outer would null-extend once PER SALT REPLICA of the
+    // small side — silently corrupted semantics, so reject them
+    val supported = Set("inner", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "left_anti", "leftanti", "cross")
+    require(supported.contains(joinType.toLowerCase.replace("_", "")) ||
+        supported.contains(joinType.toLowerCase),
+      s"saltedJoin supports inner/left/semi/anti joins, not '$joinType' " +
+        "(the replicated small side would emit one null-extended row per salt)")
     val saltedBig = big.withColumn("__salt", saltOf(col(idCol), nSalts))
     val replicated = small.withColumn("__salt",
       explode(array((0 until nSalts).map(i => lit(i.toLong)): _*)))

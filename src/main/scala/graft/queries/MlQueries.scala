@@ -41,7 +41,9 @@ object MlQueries {
       val test = split.filter(col("split") === "test")
       val model = FraudModel.gbtPipeline(featureCols, "is_fraud", maxIter = 8)
         .fit(train)
-      val scored = FraudModel.withProbability(model.transform(test))
+      // cache: AUC, the returned confusion row, and the caller's action
+      // would otherwise each re-run generation + features + transform
+      val scored = FraudModel.withProbability(model.transform(test)).cache()
       val auc = Metrics.rocAuc(scored, col("is_fraud"), col("p_fraud"))
         .first().getDouble(0)
       val topFeature = FraudModel.featureImportance(model, featureCols).head
@@ -58,14 +60,15 @@ object MlQueries {
       val data = SyntheticData.transactions(s, 8000L)
         .withColumn("ts", timestamp_seconds(col("transaction_dt")))
       val seqs = Sequences.sliding(data, c, Seq("transaction_amt"),
-        len = 5, minEvents = 5, labelCol = Some("is_fraud"))
+        len = 5, minEvents = 5, labelCol = Some("is_fraud")).cache()
       val split = TimeSplit.assign(seqs, col("ts"), col("transaction_id"))
       val prepped = FraudModel.flattenSequences(split)
       val train = prepped.filter(col("split") === "train")
       val test = prepped.filter(col("split") === "test")
       val model = FraudModel.sequenceMlpPipeline(len = 5, dim = 1,
         hidden = Seq(8), labelCol = "label", maxIter = 25).fit(train)
-      val scored = FraudModel.withProbability(model.transform(test))
+      // cache: AUC + confusion + the caller's action share one transform
+      val scored = FraudModel.withProbability(model.transform(test)).cache()
       val auc = Metrics.rocAuc(scored, col("label"), col("p_fraud"))
         .first().getDouble(0)
       Metrics.confusionAt(scored, col("label"), col("p_fraud"), 0.5)

@@ -35,8 +35,10 @@ object Profiler {
     df.agg(
       count(lit(1)).as("n_rows"),
       (Seq(lit(df.columns.length).cast("long").as("n_cols"),
-        (totalNulls.cast("double") /
-          (count(lit(1)) * df.columns.length)).as("null_fraction")) ++
+        // empty input → 0.0, not an ANSI divide-by-zero
+        when(count(lit(1)) > 0,
+          totalNulls.cast("double") / (count(lit(1)) * df.columns.length))
+          .otherwise(0.0).as("null_fraction")) ++
         nullCounts.toSeq): _*)
   }
 }
