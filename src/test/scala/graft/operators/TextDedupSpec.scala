@@ -45,6 +45,21 @@ class TextDedupSpec extends SparkSpec {
     assert(cands((1L, 2L)) == 1.0)
   }
 
+  test("short docs (fewer tokens than shingleLen) don't fake-collide in MinHash") {
+    // one whole-doc shingle, not an empty set: distinct short docs get
+    // distinct signatures; identical short docs still match fully
+    val short = Seq((1L, "foo", "a"), (2L, "bar", "a"), (3L, "foo", "a"))
+      .toDF("doc_id", "text", "source")
+    val cands = Dedup.minHashCandidates(short, "doc_id", "text", shingleLen = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(cands.get((1L, 3L)).contains(1.0)) // identical docs
+    assert(!cands.contains((1L, 2L)) || cands((1L, 2L)) < 1.0) // distinct docs
+    val fp = Dedup.fingerprint(short, "doc_id", "text", shingleLen = 3)
+      .collect().map(r => r.getLong(0) -> (r.get(1), r.getLong(2))).toMap
+    assert(fp(1L)._1 != null && fp(1L)._2 == 1L) // non-null single shingle
+    assert(fp(1L) == fp(3L) && fp(1L) != fp(2L))
+  }
+
   test("simhash: identical docs at hamming 0; near dups close") {
     val pairs = Dedup.simHashPairs(docs, "doc_id", "text", "source", maxDist = 32)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
