@@ -23,6 +23,24 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000L).selectExpr("sum(id)").collect() // JVM/codegen warm-up
+    // MLlib JIT warm-up: the first GBT/MLP fit in a JVM pays ~2.5 s of
+    // interpreter/JIT cost in the tree-aggregation and LBFGS paths —
+    // compile them on a 256-row toy BEFORE the timed loop (standard
+    // benchmark hygiene; the training queries then measure the
+    // algorithms, not HotSpot).
+    locally {
+      import org.apache.spark.sql.functions._
+      val toy = graft.sources.SyntheticData.transactions(spark, 256L)
+        .withColumn("label", col("is_fraud"))
+        .withColumn("class_weight", lit(1.0)).coalesce(1).cache()
+      graft.ml.FraudModel.gbtPipeline(Seq("v1", "v2"), "label",
+        maxIter = 2, maxDepth = 2).fit(toy)
+      val vec = toy.withColumn("features",
+        org.apache.spark.ml.functions.array_to_vector(array(col("v1"), col("v2"))))
+      graft.ml.FraudModel.sequenceMlpPipeline(len = 2, dim = 1,
+        hidden = Seq(2), labelCol = "label", maxIter = 3).fit(vec)
+      toy.unpersist
+    }
 
     // optional local-iteration filter: `runMain graft.Bench q62 q58` times
     // only queries whose name starts with one of the given prefixes

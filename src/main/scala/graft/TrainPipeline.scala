@@ -72,21 +72,26 @@ object TrainPipeline {
       "prior_count", "cum_mean", "amt_deviation", "time_diff",
       "spending_rate")
 
+    // fit frame = train + val, with val flagged as the early-stopping
+    // holdout (the reference's valid_sets=[val] + early_stopping_rounds,
+    // `lightgbm_model.py:96-110`, `config/config.yaml:43`)
     val train = FraudModel.withClassWeight(
-      featured.filter(col("split") === "train"), col("is_fraud"))
+      featured.filter(col("split") =!= "test")
+        .withColumn("is_val", col("split") === "val"), col("is_fraud"))
     val va = featured.filter(col("split") === "val")
     val test = featured.filter(col("split") === "test")
 
     // 5. three GBT variants — the reference trains three engines
     // (lightgbm / xgboost / catboost, `src/models/ensemble.py:39-133`);
-    // on Spark they are hyperparameter variants of one GBT capability
+    // on Spark they are hyperparameter variants of one GBT capability,
+    // each early-stopped on the val split
+    def variant(maxDepth: Int) = FraudModel.gbtPipeline(featureCols, "is_fraud",
+      maxIter = 15, maxDepth = maxDepth,
+      validationIndicatorCol = Some("is_val")).fit(train)
     val variants = Seq(
-      "gbt_shallow" -> FraudModel.gbtPipeline(featureCols, "is_fraud",
-        maxIter = 15, maxDepth = 4).fit(train),
-      "gbt_mid" -> FraudModel.gbtPipeline(featureCols, "is_fraud",
-        maxIter = 15, maxDepth = 5).fit(train),
-      "gbt_deep" -> FraudModel.gbtPipeline(featureCols, "is_fraud",
-        maxIter = 15, maxDepth = 6).fit(train))
+      "gbt_shallow" -> variant(4),
+      "gbt_mid" -> variant(5),
+      "gbt_deep" -> variant(6))
 
     def preds(m: PipelineModel, name: String, df: DataFrame): DataFrame =
       FraudModel.withProbability(m.transform(df), s"p_$name")

@@ -18,21 +18,49 @@ import org.apache.spark.sql.functions._
   */
 object FraudModel {
 
-  /** Class-weight column: positives get (1−p)/p (LightGBM
-    * scale_pos_weight, `src/models/lightgbm_model.py:81-84`), one pass. */
+  /** Class-weight column, one stats pass. Modes mirror the reference's
+    * weighting surface:
+    *  - "pos" (default): positives get (1−p)/p — LightGBM
+    *    scale_pos_weight (`src/models/lightgbm_model.py:81-84`);
+    *  - "balanced": per-class total/(n_classes·count) — sklearn-style
+    *    (`src/utils/helpers.py:151-181` method='balanced');
+    *  - "sqrt": per-class sqrt(total/count) — the dampened variant
+    *    (`src/utils/helpers.py:173-177` method='sqrt'). */
   def withClassWeight(df: DataFrame, label: Column,
-                      weightCol: String = "class_weight"): DataFrame = {
-    val p = df.agg(avg(label.cast("double"))).first().getDouble(0)
-    val w = if (p > 0 && p < 1) (1.0 - p) / p else 1.0
-    df.withColumn(weightCol, when(label === 1, w).otherwise(1.0))
+                      weightCol: String = "class_weight",
+                      mode: String = "pos"): DataFrame = {
+    val r = df.agg(count(lit(1)).cast("double").as("n"),
+      sum(label.cast("double")).as("npos")).first()
+    val n = r.getDouble(0)
+    val nPos = r.getDouble(1)
+    val nNeg = n - nPos
+    val (w1, w0) = mode match {
+      case "pos" =>
+        (if (nPos > 0 && nNeg > 0) nNeg / nPos else 1.0, 1.0)
+      case "balanced" =>
+        if (nPos > 0 && nNeg > 0) (n / (2.0 * nPos), n / (2.0 * nNeg)) else (1.0, 1.0)
+      case "sqrt" =>
+        if (nPos > 0 && nNeg > 0) (math.sqrt(n / nPos), math.sqrt(n / nNeg)) else (1.0, 1.0)
+      case other => throw new IllegalArgumentException(
+        s"unknown class-weight mode '$other' (expected pos | balanced | sqrt)")
+    }
+    df.withColumn(weightCol, when(label === 1, w1).otherwise(w0))
   }
 
   /** M1-M3: assembler → GBT with class weights. One model type — the
     * reference's 3 engines are hyperparameter variants of the same
-    * capability. */
+    * capability.
+    *
+    * Early stopping (`config/config.yaml:43` early_stopping_rounds,
+    * `src/models/lightgbm_model.py:96-110` valid_sets=[val]): pass
+    * `validationIndicatorCol` naming a boolean column (true = validation
+    * row inside the fit frame); boosting stops once the validation-error
+    * improvement drops below `validationTol` — trees trained < maxIter. */
   def gbtPipeline(featureCols: Seq[String], labelCol: String,
                   maxIter: Int = 50, maxDepth: Int = 5,
-                  weightCol: String = "class_weight"): Pipeline = {
+                  weightCol: String = "class_weight",
+                  validationIndicatorCol: Option[String] = None,
+                  validationTol: Double = 0.01): Pipeline = {
     val assembler = new VectorAssembler()
       .setInputCols(featureCols.toArray).setOutputCol("features")
       .setHandleInvalid("keep")
@@ -43,6 +71,10 @@ object FraudModel {
       .setStepSize(0.1).setSubsamplingRate(0.8)
       .setMinInstancesPerNode(10) // prune noise-driven leaves
       .setSeed(42L)
+    validationIndicatorCol.foreach { c =>
+      // validationTol has no public fluent setter on GBTClassifier
+      gbt.setValidationIndicatorCol(c).set(gbt.validationTol, validationTol)
+    }
     new Pipeline().setStages(Array(assembler, gbt))
   }
 

@@ -47,12 +47,19 @@ object TimeSplit {
     require(k2 <= Int.MaxValue,
       s"exact split boundary $k2 exceeds Int range - use assignApprox at this scale")
     val keyed = df.select(ts.as("__ts"), id.as("__id"))
-    def boundary(k: Long): Option[(Any, Any)] =
-      if (k <= 0) None
-      else keyed.orderBy(col("__ts"), col("__id")).offset((k - 1).toInt).limit(1)
-        .collect().headOption.map(r => (r.get(0), r.get(1)))
-    val b1 = boundary(k1)
-    val b2 = boundary(k2)
+    // both boundary top-ks in ONE action: union the two (offset, limit 1)
+    // plans, tagged by k — halves the job count (each boundary is a full
+    // TakeOrdered pass over the keys)
+    def boundaryPlan(k: Long) =
+      keyed.orderBy(col("__ts"), col("__id")).offset((k - 1).toInt).limit(1)
+        .withColumn("__k", lit(k))
+    val ks = Seq(k1, k2).filter(_ > 0).distinct
+    val found: Map[Long, (Any, Any)] = ks.map(boundaryPlan)
+      .reduceOption(_ unionAll _)
+      .map(_.collect().map(r => r.getAs[Long]("__k") -> ((r.get(0), r.get(1)))).toMap)
+      .getOrElse(Map.empty)
+    val b1 = found.get(k1)
+    val b2 = found.get(k2)
     def le(b: Option[(Any, Any)]): Column = b match {
       case Some((t, i)) => ts < lit(t) || (ts === lit(t) && id <= lit(i))
       case None         => lit(false)

@@ -33,22 +33,36 @@ object MlQueries {
     // weighted GBT -> held-out AUC + confusion; one metrics row out
     "q70_ml_fraud" -> ((s, _) => {
       val featureCols = Seq("transaction_amt", "v1", "v2", "v3")
+      // The training frame is a bounded demo sample (8K rows — the
+      // reference trains on one driver-sized table too): generate it once
+      // into ONE cached partition. An iterative fitter schedules
+      // O(maxIter·depth) jobs; leaving default parallelism would pay 32
+      // near-empty tasks per job, and every downstream action (split
+      // boundaries, class weight, fit, transform) would re-run generation.
       val data = SyntheticData.transactions(s, 8000L)
         .withColumn("ts", timestamp_seconds(col("transaction_dt")))
+        .coalesce(1).cache()
       val split = TimeSplit.assign(data, col("ts"), col("transaction_id"))
-      val train = FraudModel.withClassWeight(
-        split.filter(col("split") === "train"), col("is_fraud"))
+        .cache()
+      // fit on train+val with the val rows as the early-stopping holdout
+      // (reference `lightgbm_model.py:96-110` valid_sets=[val]) — boosting
+      // stops as soon as validation error stops improving
+      val fitFrame = FraudModel.withClassWeight(
+        split.filter(col("split") =!= "test")
+          .withColumn("is_val", col("split") === "val"), col("is_fraud"))
       val test = split.filter(col("split") === "test")
-      val model = FraudModel.gbtPipeline(featureCols, "is_fraud", maxIter = 8)
-        .fit(train)
-      // cache: AUC, the returned confusion row, and the caller's action
-      // would otherwise each re-run generation + features + transform
+      val model = FraudModel.gbtPipeline(featureCols, "is_fraud", maxIter = 8,
+          validationIndicatorCol = Some("is_val"))
+        .fit(fitFrame)
+      // cache: the AUC and confusion branches below share one transform;
+      // both metrics stay LAZY (1-row frames crossJoined) so the caller's
+      // single action evaluates everything once — no eager .first() round
+      // trip during query construction
       val scored = FraudModel.withProbability(model.transform(test)).cache()
-      val auc = Metrics.rocAuc(scored, col("is_fraud"), col("p_fraud"))
-        .first().getDouble(0)
+      scored.count() // materialize ONCE: the two metric branches below otherwise race to build the same cache partitions
       val topFeature = FraudModel.featureImportance(model, featureCols).head
       Metrics.confusionAt(scored, col("is_fraud"), col("p_fraud"), 0.5)
-        .withColumn("roc_auc", lit(auc))
+        .crossJoin(Metrics.rocAuc(scored, col("is_fraud"), col("p_fraud")))
         .withColumn("top_feature", lit(topFeature._1))
     }),
 
@@ -61,18 +75,22 @@ object MlQueries {
         .withColumn("ts", timestamp_seconds(col("transaction_dt")))
       val seqs = Sequences.sliding(data, c, Seq("transaction_amt"),
         len = 5, minEvents = 5, labelCol = Some("is_fraud")).cache()
+      // same bounded-sample rule as q70: the MLP's 25 LBFGS iterations
+      // each run a treeAggregate job over train — cache the flattened
+      // tensors once, in ONE right-sized partition, so an iteration costs
+      // one task over ~7K rows instead of 32 near-empty ones
       val split = TimeSplit.assign(seqs, col("ts"), col("transaction_id"))
-      val prepped = FraudModel.flattenSequences(split)
+      val prepped = FraudModel.flattenSequences(split).coalesce(1).cache()
       val train = prepped.filter(col("split") === "train")
       val test = prepped.filter(col("split") === "test")
       val model = FraudModel.sequenceMlpPipeline(len = 5, dim = 1,
         hidden = Seq(8), labelCol = "label", maxIter = 25).fit(train)
-      // cache: AUC + confusion + the caller's action share one transform
+      // cache: AUC + confusion + the caller's action share one transform;
+      // metrics stay lazy (same single-action shape as q70)
       val scored = FraudModel.withProbability(model.transform(test)).cache()
-      val auc = Metrics.rocAuc(scored, col("label"), col("p_fraud"))
-        .first().getDouble(0)
+      scored.count() // materialize ONCE (same reason as q70)
       Metrics.confusionAt(scored, col("label"), col("p_fraud"), 0.5)
-        .withColumn("roc_auc", lit(auc))
+        .crossJoin(Metrics.rocAuc(scored, col("label"), col("p_fraud")))
         .withColumn("n_sequences", lit(seqs.count()))
     }),
 

@@ -74,6 +74,40 @@ class FraudModelSpec extends SparkSpec {
     assert(blended.getDouble(0) >= 0.0 && blended.getDouble(1) <= 1.0)
   }
 
+  test("class-weight modes match hand-computed reference weights") {
+    // 8 negatives + 2 positives (reference helpers.py:151-181 semantics)
+    val df = (Seq.fill(8)(0) ++ Seq.fill(2)(1)).toDF("y")
+    def w(mode: String): (Double, Double) = {
+      val r = FraudModel.withClassWeight(df, $"y", mode = mode)
+        .groupBy($"y").agg(first($"class_weight")).collect()
+        .map(x => x.getInt(0) -> x.getDouble(1)).toMap
+      (r(1), r(0))
+    }
+    assert(w("pos") == ((4.0, 1.0)))                       // (1-p)/p = 8/2
+    assert(w("balanced") == ((10.0 / 4.0, 10.0 / 16.0)))   // n/(2·count)
+    assert(w("sqrt") == ((math.sqrt(5.0), math.sqrt(1.25)))) // sqrt(n/count)
+    intercept[IllegalArgumentException] {
+      FraudModel.withClassWeight(df, $"y", mode = "nope")
+    }
+  }
+
+  test("early stopping halts boosting before maxIter without hurting AUC") {
+    val split = TimeSplit.assign(data, $"ts", $"transaction_id")
+    val fitFrame = FraudModel.withClassWeight(
+      split.filter($"split" =!= "test").withColumn("is_val", $"split" === "val"),
+      $"is_fraud")
+    val es = FraudModel.gbtPipeline(featureCols, "is_fraud", maxIter = 30,
+      validationIndicatorCol = Some("is_val")).fit(fitFrame)
+    val nTrees = es.stages.last
+      .asInstanceOf[org.apache.spark.ml.classification.GBTClassificationModel]
+      .getNumTrees
+    assert(nTrees < 30, s"expected early stop, trained $nTrees trees")
+    val auc = Metrics.rocAuc(
+      FraudModel.withProbability(es.transform(testDf)), $"is_fraud", $"p_fraud")
+      .first().getDouble(0)
+    assert(auc > 0.8, s"early-stopped AUC $auc") // same bar as the full fit
+  }
+
   test("thresholded predictions are 0/1 and monotone in tau") {
     val model = FraudModel.gbtPipeline(featureCols, "is_fraud", maxIter = 5)
       .fit(trainDf)
