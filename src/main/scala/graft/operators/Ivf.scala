@@ -31,6 +31,20 @@ object Ivf {
   final case class Index(centroids: DataFrame, assigned: DataFrame,
                          idCol: String, vecCol: String)
 
+  /** Rows excluded from the index because their embedding contains a
+    * non-finite component (assigned `centroid_id = -1` by `build`; no
+    * probe ever joins them, so they are unsearchable BY CONTRACT).
+    * Callers that must not lose rows should check this is empty. */
+  def invalid(index: Index): DataFrame =
+    index.assigned.filter(col("centroid_id") === -1)
+
+  /** True iff every component is finite (no NaN/±Inf). A NaN would make
+    * every centroid dot NaN and the argmax undefined — such rows are
+    * parked in list −1 and surfaced via `invalid`, never silently lost. */
+  private def allFinite(vec: Column): Column =
+    !exists(vec, x =>
+      isnan(x.cast("double")) || abs(x.cast("double")) === lit(Double.PositiveInfinity))
+
   /** Build the index: nLists spherical-k-means centroids + per-vector
     * list assignment. The training sample is the `maxTrainRows` smallest
     * id-hashes — a deterministic pseudo-random subset gathered with one
@@ -43,6 +57,7 @@ object Ivf {
     NativeVector.register(spark)
     val sample: Array[Array[Float]] = df
       .select(col(vec))
+      .filter(allFinite(col(vec))) // a NaN point would poison k-means
       .orderBy(xxhash64(col(id)))
       .limit(maxTrainRows)
       .collect()
@@ -65,7 +80,9 @@ object Ivf {
     val assigned = df
       .select(col(id), col(vec))
       .withColumn("centroid_id",
-        (array_position(sims, array_max(sims)) - 1).cast("int"))
+        when(allFinite(col(vec)),
+          (array_position(sims, array_max(sims)) - 1).cast("int"))
+          .otherwise(lit(-1))) // non-finite: parked, surfaced via invalid()
 
     import spark.implicits._
     val centroids = centers.zipWithIndex

@@ -68,10 +68,36 @@ object TextQueries {
       ).orderBy("doc_id")
     }),
 
-    // MinHash + LSH banding near-dup candidates (xxhash64 — rows-only)
-    "q54_minhash_lsh" -> ((s, dir) =>
-      Dedup.minHashCandidates(Tables.documents(s, dir), "doc_id", "text")
-        .orderBy("doc1", "doc2")),
+    // MinHash + LSH near-dup DETECTION, oracle-checked end to end: LSH
+    // (32 minhashes, 16 bands of 2) generates candidates, exact
+    // shingle-set Jaccard verifies them, and only verified pairs are
+    // emitted — so the output must EQUAL the exact Jaccard>=0.5 pair set
+    // DuckDB computes directly. The data's true pairs all have j>=0.8,
+    // where a 2-row band misses with probability (1-j^2)^16 <= 4e-8 —
+    // a single missing pair turns this row red, which is exactly the
+    // candidate-generation recall guarantee that matters at 100 TB.
+    "q54_minhash_lsh" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val cands = Dedup.minHashCandidates(docs, "doc_id", "text",
+        shingleLen = 3, k = 32, bands = 16).select("doc1", "doc2")
+      // exact verify on shingle STRINGS (cross-engine reproducible; the
+      // hashed-shingle fast path stays inside candidate generation).
+      // Short docs get one whole-doc shingle — same contract as q56.
+      val sh = docs
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("__toks"))
+        .select(col("doc_id"), array_distinct(transform(
+          sequence(lit(0), greatest(size(col("__toks")) - 3, lit(0))),
+          i => concat_ws(" ", slice(col("__toks"), i + 1, lit(3))))).as("sh"))
+      cands
+        .join(sh.select(col("doc_id").as("doc1"), col("sh").as("sh1")), Seq("doc1"))
+        .join(sh.select(col("doc_id").as("doc2"), col("sh").as("sh2")), Seq("doc2"))
+        .withColumn("jaccard",
+          size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+            size(array_union(col("sh1"), col("sh2")))) // union >= 1 always
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc1"), col("doc2"), qz(col("jaccard"), 6).as("jaccard"))
+        .orderBy("doc1", "doc2")
+    }),
 
     // SimHash near-dup pairs within source (rows-only)
     "q55_simhash_pairs" -> ((s, dir) =>
@@ -89,6 +115,29 @@ object TextQueries {
   private val stopList = "['the','a','of','to','and','is','in']"
 
   def oracle: Map[String, String] = Map(
+    // exact 3-shingle-set Jaccard >= 0.5 pairs via an inverted-index
+    // join (pairs sharing no shingle never materialize — the same
+    // principle the Spark side's LSH exploits)
+    "q54_minhash_lsh" ->
+      """WITH t AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        | FROM documents),
+        |s AS (
+        | SELECT doc_id, list_distinct(list_transform(
+        |   generate_series(0, greatest(len(toks) - 3, 0)),
+        |   i -> array_to_string(toks[i+1:i+3], ' '))) AS sh
+        | FROM t),
+        |c AS (SELECT doc_id, len(sh) AS nsh, unnest(sh) AS g FROM s),
+        |p AS (
+        | SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |  any_value(a.nsh) AS n1, any_value(b.nsh) AS n2, count(*) AS cc
+        | FROM c a JOIN c b ON a.g = b.g AND a.doc_id < b.doc_id
+        | GROUP BY a.doc_id, b.doc_id)
+        |SELECT d1 AS doc1, d2 AS doc2,
+        | round((CAST(cc AS DOUBLE) / (n1 + n2 - cc)) * 1000000.0) / 1000000.0 + 0.0 AS jaccard
+        |FROM p WHERE CAST(cc AS DOUBLE) / (n1 + n2 - cc) >= 0.5
+        |ORDER BY doc1, doc2""".stripMargin,
+
     "q56_fingerprint" ->
       """WITH t AS (
         | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks

@@ -32,6 +32,23 @@ class IvfSpec extends SparkSpec {
     assert(listSizes.length == 4 && listSizes.max < 400)
   }
 
+  test("non-finite vectors are parked in list -1 and surfaced, not lost") {
+    val poisoned = clustered.unionByName(
+      Seq((9999L, Array(Float.NaN) ++ Array.fill(15)(0f)),
+        (9998L, Array(Float.PositiveInfinity) ++ Array.fill(15)(1f)))
+        .toDF("vec_id", "embedding"))
+    val index = Ivf.build(poisoned, "vec_id", "embedding", nLists = 4)
+    // assignment stays total: every row has a list, bad rows in -1
+    assert(index.assigned.count() == 402)
+    assert(Ivf.invalid(index).select("vec_id").collect()
+      .map(_.getLong(0)).toSet == Set(9998L, 9999L))
+    // search still works and never returns the parked rows
+    val res = Ivf.search(index, clustered.filter($"vec_id" < 5),
+      "vec_id", "embedding", nProbe = 4, topK = 5)
+    assert(res.filter($"neighbor_id" >= 9998L).count() == 0)
+    assert(res.groupBy("query_id").count().collect().forall(_.getLong(1) == 5))
+  }
+
   test("index assignment is total and deterministic") {
     val i1 = Ivf.build(clustered, "vec_id", "embedding", nLists = 4)
     val i2 = Ivf.build(clustered, "vec_id", "embedding", nLists = 4)
