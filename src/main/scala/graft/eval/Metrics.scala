@@ -49,20 +49,53 @@ object Metrics {
     *
     * For each c in sumCols appends inclusive `cum_<c>` in `orderCol`
     * order (ascending or descending). Assumes orderCol values are
-    * distinct (callers aggregate by score first) and non-NaN. */
-  private def bucketedCumSums(byScore: DataFrame, orderCol: String,
+    * distinct (callers aggregate by score first) and non-NaN.
+    *
+    * `equiDepth = false` (default): equal-WIDTH range buckets from a
+    * broadcast min/max — fully lazy, no extra action, right for the
+    * roughly-spread score distributions models emit. `equiDepth = true`:
+    * bucket boundaries from one approxQuantile (Greenwald-Khanna) pass —
+    * costs an eager action, but bounds every bucket at ~1/nBuckets of
+    * the rows even when the distinct scores are pathologically clustered
+    * (e.g. sigmoid outputs saturated at 1.0 plus outliers), where
+    * equal-width degenerates back to one near-full-size bucket. */
+  /** Bucket-id assignment for bucketedCumSums (split out so the bucket
+    * histogram itself is testable): appends `__b`, ascending in
+    * traversal order. */
+  private[eval] def bucketAssign(byScore: DataFrame, orderCol: String,
+                                 descending: Boolean, nBuckets: Int,
+                                 equiDepth: Boolean): DataFrame = {
+    val k = (if (descending) -col(orderCol) else col(orderCol)).cast("double")
+    if (equiDepth) {
+      val keyed = byScore.withColumn("__k", k)
+      val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+      val qs = keyed.stat.approxQuantile("__k", probs, 1.0 / (4 * nBuckets))
+      val splits = Double.NegativeInfinity +: qs.distinct.sorted :+ Double.PositiveInfinity
+      (if (splits.length <= 2) keyed.withColumn("__b", lit(0))
+       else new org.apache.spark.ml.feature.Bucketizer()
+         .setInputCol("__k").setOutputCol("__bd").setSplits(splits)
+         .transform(keyed)
+         .withColumn("__b", col("__bd").cast("int")).drop("__bd"))
+        .drop("__k")
+    } else {
+      val stats = byScore.agg(min(k).as("__mn"), max(k).as("__mx"))
+      byScore.crossJoin(broadcast(stats))
+        .withColumn("__b",
+          when(col("__mx") > col("__mn"),
+            least(floor((k - col("__mn")) / (col("__mx") - col("__mn")) * nBuckets),
+              lit(nBuckets - 1)))
+            .otherwise(0L).cast("int"))
+        .drop("__mn", "__mx")
+    }
+  }
+
+  private[eval] def bucketedCumSums(byScore: DataFrame, orderCol: String,
                               descending: Boolean, sumCols: Seq[String],
-                              nBuckets: Int = 256): DataFrame = {
+                              nBuckets: Int = 256,
+                              equiDepth: Boolean = false): DataFrame = {
     // traversal key: ascending in iteration order regardless of direction
     val k = (if (descending) -col(orderCol) else col(orderCol)).cast("double")
-    val stats = byScore.agg(min(k).as("__mn"), max(k).as("__mx"))
-    val bucketed = byScore.crossJoin(broadcast(stats))
-      .withColumn("__b",
-        when(col("__mx") > col("__mn"),
-          least(floor((k - col("__mn")) / (col("__mx") - col("__mn")) * nBuckets),
-            lit(nBuckets - 1)))
-          .otherwise(0L).cast("int"))
-      .drop("__mn", "__mx")
+    val bucketed = bucketAssign(byScore, orderCol, descending, nBuckets, equiDepth)
     val wIn = Window.partitionBy("__b").orderBy(k)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withIn = sumCols.foldLeft(bucketed) { (d, c) =>
@@ -98,10 +131,12 @@ object Metrics {
     * avgrank of a tie group = rows_below + (cnt+1)/2; all terms are
     * multiples of 0.5 < 2^53 so the float sums are exact and
     * order-independent (deterministic under parallel aggregation). */
-  def rocAuc(df: DataFrame, label: Column, score: Column): DataFrame = {
+  def rocAuc(df: DataFrame, label: Column, score: Column,
+             equiDepth: Boolean = false): DataFrame = {
     val byScore = df.groupBy(score.as("s"))
       .agg(count(lit(1)).as("cnt"), sum(label.cast("long")).as("pos"))
-    bucketedCumSums(byScore, "s", descending = false, Seq("cnt"))
+    bucketedCumSums(byScore, "s", descending = false, Seq("cnt"),
+      equiDepth = equiDepth)
       .withColumn("below", col("cum_cnt") - col("cnt"))
       .agg(
         sum(col("pos")).cast("double").as("p"),
@@ -116,19 +151,22 @@ object Metrics {
   /** Shared E5/E6 frame: distinct scores descending with cumulative
     * TP (cum_pos), cumulative predicted-positive (cum_cnt), and the
     * positive total — bucketed prefix sums, broadcast total. */
-  private def prFrame(df: DataFrame, label: Column, score: Column): DataFrame = {
+  private def prFrame(df: DataFrame, label: Column, score: Column,
+                      equiDepth: Boolean = false): DataFrame = {
     val base = df.select(score.as("s"), label.cast("long").as("y"))
       .groupBy(col("s"))
       .agg(sum(col("y")).as("pos"), count(lit(1)).as("cnt"))
     val tot = base.agg(sum(col("pos")).as("tot_pos"))
-    bucketedCumSums(base, "s", descending = true, Seq("pos", "cnt"))
+    bucketedCumSums(base, "s", descending = true, Seq("pos", "cnt"),
+      equiDepth = equiDepth)
       .crossJoin(broadcast(tot))
   }
 
   /** E5: PR curve — precision/recall at every distinct score, descending.
     * Ties collapse to the tie-group's last row (sklearn semantics). */
-  def prCurve(df: DataFrame, label: Column, score: Column): DataFrame =
-    prFrame(df, label, score).select(
+  def prCurve(df: DataFrame, label: Column, score: Column,
+              equiDepth: Boolean = false): DataFrame =
+    prFrame(df, label, score, equiDepth).select(
       col("s").as("threshold"),
       (col("cum_pos") / col("cum_cnt")).as("precision"), // cum_cnt ≥ 1
       // zero positives → recall undefined: null, not an ANSI error
@@ -140,8 +178,9 @@ object Metrics {
     * (predict fraud when score ≥ s): TP = cum_pos, FP = cum_cnt−cum_pos,
     * FN = tot_pos−cum_pos. Ties break toward the lower threshold. */
   def minCostThreshold(df: DataFrame, label: Column, score: Column,
-                       costFn: Double = 1000.0, costFp: Double = 10.0): DataFrame =
-    prFrame(df, label, score).select(
+                       costFn: Double = 1000.0, costFp: Double = 10.0,
+                       equiDepth: Boolean = false): DataFrame =
+    prFrame(df, label, score, equiDepth).select(
         col("s").as("threshold"),
         ((col("tot_pos") - col("cum_pos")) * costFn +
           (col("cum_cnt") - col("cum_pos")) * costFp).as("cost"))
@@ -150,18 +189,20 @@ object Metrics {
   /** E6 recall-floor variant (`metrics.py:177-194`): the highest-
     * precision threshold whose recall still meets the floor. */
   def recallFloorThreshold(df: DataFrame, label: Column, score: Column,
-                           minRecall: Double = 0.9): DataFrame =
-    prCurve(df, label, score)
+                           minRecall: Double = 0.9,
+                           equiDepth: Boolean = false): DataFrame =
+    prCurve(df, label, score, equiDepth)
       .filter(col("recall") >= minRecall)
       .orderBy(desc("precision"), col("threshold")).limit(1)
 
   /** E6: best-F1 threshold — derived from the PR curve in the same pass,
     * O(distinct scores · log), not the reference's O(T·N) loop. */
-  def bestF1Threshold(df: DataFrame, label: Column, score: Column): DataFrame = {
+  def bestF1Threshold(df: DataFrame, label: Column, score: Column,
+                      equiDepth: Boolean = false): DataFrame = {
     val p = col("precision"); val r = col("recall")
     // guard 0/0 (ANSI mode errors on divide-by-zero)
     val f1 = when(p + r > 0, lit(2.0) * p * r / (p + r)).otherwise(0.0)
-    prCurve(df, label, score)
+    prCurve(df, label, score, equiDepth)
       .select(col("threshold"), f1.as("f1"))
       .orderBy(desc("f1"), col("threshold"))
       .limit(1)
@@ -171,11 +212,13 @@ object Metrics {
     * AP = Σ_thresholds ΔRecall·Precision. Over distinct scores the recall
     * step of a tie-group is pos_g/P, so AP = Σ_g (pos_g/P)·(cumTP_g/cumN_g)
     * — same distinct-score frame as the PR curve, no lag needed. */
-  def averagePrecision(df: DataFrame, label: Column, score: Column): DataFrame = {
+  def averagePrecision(df: DataFrame, label: Column, score: Column,
+                       equiDepth: Boolean = false): DataFrame = {
     val byScore = df.groupBy(score.as("s"))
       .agg(count(lit(1)).as("cnt"), sum(label.cast("long")).as("pos"))
     val tot = byScore.agg(sum(col("pos")).as("tot_pos"))
-    bucketedCumSums(byScore, "s", descending = true, Seq("pos", "cnt"))
+    bucketedCumSums(byScore, "s", descending = true, Seq("pos", "cnt"),
+      equiDepth = equiDepth)
       .crossJoin(broadcast(tot))
       .agg(sum(when(col("tot_pos") > 0,
         col("pos").cast("double") / col("tot_pos") *

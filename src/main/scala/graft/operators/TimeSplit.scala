@@ -77,9 +77,24 @@ object TimeSplit {
   def assignApprox(df: DataFrame, ts: Column,
                    f1: Double = 0.70, f2: Double = 0.85,
                    relativeError: Double = 0.001): DataFrame = {
+    // guard the key type up front: a string/date key would either throw
+    // an opaque ANSI cast error or (all-null cast) return an empty
+    // quantile array and a MatchError — name the supported types instead
+    val keyType = df.select(ts.as("__t")).schema.head.dataType
+    val quantileable = keyType match {
+      case _: org.apache.spark.sql.types.NumericType => true
+      case org.apache.spark.sql.types.TimestampType  => true
+      case _                                          => false
+    }
+    require(quantileable,
+      s"assignApprox needs a numeric or timestamp ordering key, got $keyType " +
+        "- string/date keys must use the exact path in TimeSplit.assign")
     val key = "__split_key"
     val withKey = df.withColumn(key, ts.cast("double"))
-    val Array(c1, c2) = withKey.stat.approxQuantile(key, Array(f1, f2), relativeError)
+    val cuts = withKey.stat.approxQuantile(key, Array(f1, f2), relativeError)
+    require(cuts.length == 2,
+      "assignApprox found no quantiles - the ordering key is empty or all null")
+    val Array(c1, c2) = cuts
     withKey.withColumn("split",
       when(col(key) <= c1, "train").when(col(key) <= c2, "val").otherwise("test"))
       .drop(key)

@@ -32,6 +32,32 @@ object CoreQueries {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
+    // S1/S2 round trip: parquet -> partitioned CSV sink -> explicit-schema
+    // CSV scan -> aggregate; the oracle aggregates the parquet source
+    // directly, so any loss in the CSV writer/reader (types, precision,
+    // timestamps, header handling) turns this row red. CSV is the
+    // reference's native format (`src/data/loader.py:41`).
+    "q64_csv_roundtrip" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_csv_rt_${math.abs(dir.hashCode)}"
+      graft.sources.Io.writeCsv(Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"),
+        path)
+      val schema = StructType(Seq(
+        StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+        StructField("o_orderstatus", StringType),
+        StructField("o_totalprice", DoubleType),
+        StructField("o_orderdate", TimestampType)))
+      graft.sources.Io.readCsv(s, path, schema)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          qz(sum("o_totalprice"), 2).as("sum_price"),
+          min("o_totalprice").as("min_price"),
+          max("o_totalprice").as("max_price"),
+          max("o_orderdate").as("max_date"))
+        .orderBy("o_orderstatus")
+    }),
+
     // P1/P4/P7: predicate + projection — filters push to the parquet scan
     "q02_filter_project" -> ((s, dir) => {
       Tables.lineitem(s, dir)
@@ -210,6 +236,16 @@ object CoreQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    // the oracle reads the PARQUET source — equality proves the CSV
+    // write/read round trip on the Spark side was lossless
+    "q64_csv_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        | round((sum(o_totalprice)) * 100.0) / 100.0 + 0.0 AS sum_price,
+        | min(o_totalprice) AS min_price,
+        | max(o_totalprice) AS max_price,
+        | max(o_orderdate) AS max_date
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round((sum(l_quantity)) * 100.0) / 100.0 + 0.0 AS sum_qty,

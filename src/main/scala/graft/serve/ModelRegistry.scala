@@ -13,19 +13,34 @@ import org.apache.spark.sql.functions._
   * (metadata is a parquet table), so any HTTP shell can expose them
   * without the engine knowing about transport. Versions are monotonically
   * increasing per model name; `load` resolves the latest by default.
+  *
+  * Concurrency contract: registration is SINGLE-WRITER per registry
+  * root (the reference's train script is, too). Version assignment is
+  * read-then-append, so two concurrent `register` calls for one name
+  * could claim the same version — serialize registrations (one training
+  * pipeline per root, or an external lock) when that can happen; reads
+  * (`list`/`load`/`health`) are safe against a concurrent writer because
+  * metadata rows append after the artifact write completes.
   */
 object ModelRegistry {
 
   private def metaPath(root: String) = s"$root/_registry"
 
   /** Metadata table: (name, version, path, metric, value) — long form so
-    * arbitrary metric sets need no schema migration. */
+    * arbitrary metric sets need no schema migration. A missing table
+    * (fresh root) reads as empty; any OTHER read failure (corrupt
+    * parquet, permission) is rethrown with the registry context rather
+    * than surfacing as a bare reader error. */
   def list(spark: SparkSession, root: String): DataFrame =
     try spark.read.parquet(metaPath(root))
-    catch { case _: org.apache.spark.sql.AnalysisException =>
-      spark.emptyDataFrame.select(lit("").as("name"), lit(0L).as("version"),
-        lit("").as("path"), lit("").as("metric"), lit(0.0).as("value"))
-        .limit(0)
+    catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        spark.emptyDataFrame.select(lit("").as("name"), lit(0L).as("version"),
+          lit("").as("path"), lit("").as("metric"), lit(0.0).as("value"))
+          .limit(0)
+      case e: Exception => throw new IllegalStateException(
+        s"model registry metadata at ${metaPath(root)} is unreadable " +
+          "(corrupt table or storage error) - repair or remove it", e)
     }
 
   /** Latest registered version per model name (0 when absent). */

@@ -27,6 +27,36 @@ class MetricsSpec extends SparkSpec {
     assert(math.abs(auc - 8.5 / 9.0) < 1e-12)
   }
 
+  test("equi-depth bucketing bounds buckets under adversarially clustered scores") {
+    // 4000 distinct scores saturated into [0.999, 1.0] plus one outlier
+    // at 0.0: equal-width puts ~everything in the top bucket; equi-depth
+    // must spread them so no bucket exceeds ~2/nBuckets of the rows
+    val n = 4000
+    val clustered = spark.range(n)
+      .select((lit(0.999) + col("id") * lit(0.001 / n)).as("s"),
+        (col("id") % 2).cast("int").as("y"))
+      .unionByName(Seq((0.0, 1)).toDF("s", "y"))
+    val nBuckets = 64
+    val byScore = clustered.groupBy(col("s").as("s"))
+      .agg(count(lit(1)).as("cnt"), sum(col("y").cast("long")).as("pos"))
+    def maxBucketFrac(equiDepth: Boolean): Double =
+      Metrics.bucketAssign(byScore, "s", descending = false, nBuckets, equiDepth)
+        .groupBy("__b").count().agg(max("count")).first().getLong(0)
+        .toDouble / (n + 1)
+    // equal-width degenerates (one bucket holds ~everything)...
+    assert(maxBucketFrac(equiDepth = false) > 0.9)
+    // ...equi-depth bounds every bucket near its fair share
+    assert(maxBucketFrac(equiDepth = true) <= 2.0 / nBuckets,
+      s"max equi-depth bucket fraction ${maxBucketFrac(equiDepth = true)}")
+    // and the cumulative sums stay exact under both bucketings
+    for (ed <- Seq(true, false)) {
+      val cums = Metrics.bucketedCumSums(byScore, "s", descending = false,
+          Seq("cnt"), nBuckets, equiDepth = ed)
+        .orderBy("s").select("cum_cnt").collect().map(_.getLong(0))
+      assert(cums.toSeq == (1L to (n + 1)).toSeq, s"equiDepth=$ed")
+    }
+  }
+
   test("perfect separation gives AUC 1.0, inverted gives 0.0") {
     val perfect = Seq((1, 0.9), (1, 0.8), (0, 0.2), (0, 0.1)).toDF("label", "score")
     assert(Metrics.rocAuc(perfect, $"label", $"score").collect()(0).getDouble(0) == 1.0)

@@ -44,6 +44,14 @@ class SplitEncodingSpec extends SparkSpec {
     assert(!agg("val")._2.after(agg("test")._1))
   }
 
+  test("TimeSplit.assignApprox rejects non-quantileable keys with a clear error") {
+    val df = Seq((1L, "2024-01-01"), (2L, "2024-01-02")).toDF("id", "day")
+    val e = intercept[IllegalArgumentException] {
+      TimeSplit.assignApprox(df, col("day"), 0.7, 0.85, 0.001)
+    }
+    assert(e.getMessage.contains("numeric or timestamp"))
+  }
+
   test("TimeSplit.assign auto-reroutes to the approx path above exactMaxRows") {
     // all rows share one ts: the exact path splits inside the tie via the
     // id tiebreaker (14/3/3), the approx path cannot — so the output
