@@ -65,7 +65,14 @@ object Bench {
     // are ALSO named explicitly — a fast-failing query must not read as
     // a speedup in the one-line JSON the driver parses
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    // environment goes INTO the record so BASELINE.md can quote one line
+    // verbatim and local-vs-driver numbers can't silently drift
+    val env = {
+      val jvm = System.getProperty("java.version")
+      val mem = Runtime.getRuntime.maxMemory() / (1024 * 1024 * 1024)
+      s"""{"cpus":$cpus,"jvm":"$jvm","heap_gb":$mem,"n_queries":${results.size}}"""
+    }
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"env":$env,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

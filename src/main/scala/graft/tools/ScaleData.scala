@@ -1,0 +1,74 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up replicator for THROUGHPUT benchmarking only (correctness
+  * stays on the driver-generated sf dirs): writes an sf1-shaped copy of
+  * the sf0.1 heavy-family tables by replicating each row `copies` times
+  * with disjoint key spaces, so partition counts and group cardinalities
+  * scale while per-group sizes stay realistic.
+  *
+  * Replicas are made DISSIMILAR where similarity is the workload:
+  * document tokens get a per-replica prefix (replica near-dup structure
+  * = 10x the original's, not a 45x-denser artificial one) and embedding
+  * components get deterministic per-replica noise — so dedup/ANN queries
+  * at sf1 measure 10x the work, not degenerate all-duplicate corpora.
+  * Usage: runMain graft.tools.ScaleData [outDir] [copies]
+  */
+object ScaleData {
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("/tmp/graft_sf1")
+    val copies = if (args.length > 1) args(1).toInt else 10
+    val src = "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def replicate(df: DataFrame): DataFrame =
+      df.withColumn("__r", explode(sequence(lit(0), lit(copies - 1))))
+
+    // lineitem: disjoint order-key space per replica
+    replicate(spark.read.parquet(s"$src/lineitem.parquet"))
+      .withColumn("l_orderkey", col("l_orderkey") + col("__r") * 10000000000L)
+      .drop("__r")
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+    // events: 10x the users, same per-user history depth (window
+    // partitions scale in COUNT, the realistic axis)
+    replicate(graft.sources.Tables.events(spark, src))
+      .withColumn("event_id", col("event_id") + col("__r") * 1000000000000L)
+      .withColumn("user_id", col("user_id") + col("__r") * 1000000000L)
+      .drop("__r")
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    // documents: per-replica token prefix keeps replicas fully
+    // dissimilar (replica 0 = original); near-dup structure scales 10x
+    replicate(spark.read.parquet(s"$src/documents.parquet"))
+      .withColumn("doc_id", col("doc_id") + col("__r") * 10000000L)
+      .withColumn("text",
+        when(col("__r") === 0, col("text"))
+          .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
+            concat(lit("z"), col("__r"), lit("x$1")))))
+      .withColumn("source", concat(col("source"), lit("_"), col("__r")))
+      .drop("__r")
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    // embeddings: deterministic per-replica noise de-duplicates the
+    // geometry (replica 0 = original)
+    replicate(spark.read.parquet(s"$src/embeddings.parquet"))
+      .withColumn("vec_id", col("vec_id") + col("__r") * 10000000L)
+      .withColumn("embedding",
+        when(col("__r") === 0, col("embedding"))
+          .otherwise(transform(col("embedding"), (x, j) =>
+            (x + (pmod(xxhash64(col("vec_id"), col("__r"), j), lit(1000))
+              .cast("double") / 1000.0 - 0.5) * 0.2).cast("float"))))
+      .drop("__r")
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    println(s"[scale] wrote ${copies}x sf0.1 replicas to $out")
+    spark.stop()
+  }
+}
