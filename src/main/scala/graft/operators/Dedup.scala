@@ -208,6 +208,52 @@ object Dedup {
     verify(smallPairs).unionByName(verify(bigPairs))
   }
 
+  /** Connected components over a near-dup PAIR list → canonical dedup
+    * groups: every node gets the minimum id reachable from it (the
+    * "keep" id of its duplicate cluster). This is the step that turns
+    * pairwise candidates (MinHash/SimHash/Jaccard) into actionable
+    * dedup decisions.
+    *
+    * Algorithm: distributed min-label propagation — each round every
+    * node adopts min(own label, neighbors' labels), one shuffle per
+    * round, converging in O(graph diameter) rounds. Near-dup clusters
+    * are cliques or short chains (diameter ≲ 3), so the loop is a few
+    * rounds even at 100 TB; `maxIter` bounds adversarial chains, and
+    * each round's frame is localCheckpoint-ed so lineage (and the plan)
+    * stays constant-size instead of growing per iteration.
+    *
+    * Returns (id, canonical_id) for every node that appears in `pairs`.
+    */
+  def connectedComponents(pairs: DataFrame, src: String, dst: String,
+                          maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(src).as("a"), col(dst).as("b"))
+      .unionByName(pairs.select(col(dst).as("a"), col(src).as("b")))
+      .distinct().cache()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("canonical_id", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("b"), col("canonical_id").as("bl")), Seq("b"))
+        .groupBy(col("a").as("id")).agg(min(col("bl")).as("nmin"))
+      val next = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("canonical_id"), coalesce(col("nmin"), col("canonical_id")))
+            .as("canonical_id"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.select(col("id"), col("canonical_id").as("old")), Seq("id"))
+        .filter(col("canonical_id") =!= col("old")).count()
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Winnowing-style fingerprint: the minimum shingle hash — one stable
     * 64-bit fingerprint per document (plus shingle cardinality). */
   def fingerprint(docs: DataFrame, id: String, text: String,

@@ -76,28 +76,20 @@ object TextQueries {
     // where a 2-row band misses with probability (1-j^2)^16 <= 4e-8 —
     // a single missing pair turns this row red, which is exactly the
     // candidate-generation recall guarantee that matters at 100 TB.
-    "q54_minhash_lsh" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val cands = Dedup.minHashCandidates(docs, "doc_id", "text",
-        shingleLen = 3, k = 32, bands = 16).select("doc1", "doc2")
-      // exact verify on shingle STRINGS (cross-engine reproducible; the
-      // hashed-shingle fast path stays inside candidate generation).
-      // Short docs get one whole-doc shingle — same contract as q56.
-      val sh = docs
-        .select(col("doc_id"), TextOps.tokens(col("text")).as("__toks"))
-        .select(col("doc_id"), array_distinct(transform(
-          sequence(lit(0), greatest(size(col("__toks")) - 3, lit(0))),
-          i => concat_ws(" ", slice(col("__toks"), i + 1, lit(3))))).as("sh"))
-      cands
-        .join(sh.select(col("doc_id").as("doc1"), col("sh").as("sh1")), Seq("doc1"))
-        .join(sh.select(col("doc_id").as("doc2"), col("sh").as("sh2")), Seq("doc2"))
-        .withColumn("jaccard",
-          size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
-            size(array_union(col("sh1"), col("sh2")))) // union >= 1 always
-        .filter(col("jaccard") >= 0.5)
+    "q54_minhash_lsh" -> ((s, dir) =>
+      verifiedNearDupPairs(s, dir)
         .select(col("doc1"), col("doc2"), qz(col("jaccard"), 6).as("jaccard"))
-        .orderBy("doc1", "doc2")
-    }),
+        .orderBy("doc1", "doc2")),
+
+    // near-dup pairs -> canonical dedup GROUPS: connected components
+    // (min-label propagation) over the verified pair graph. The oracle
+    // recomputes the same components via a recursive transitive closure
+    // on the exact Jaccard pairs — so candidate generation, exact
+    // verification AND the clustering converge to the same keep-ids.
+    "q65_dup_clusters" -> ((s, dir) =>
+      Dedup.connectedComponents(verifiedNearDupPairs(s, dir), "doc1", "doc2")
+        .select(col("id").as("doc_id"), col("canonical_id"))
+        .orderBy("doc_id")),
 
     // SimHash near-dup pairs within source (rows-only)
     "q55_simhash_pairs" -> ((s, dir) =>
@@ -111,6 +103,35 @@ object TextQueries {
       Dedup.fingerprintMd5(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id"))
   )
+
+  /** MinHash-LSH (32 hashes, 16 bands of 2) candidates, exact-verified
+    * on shingle STRINGS (cross-engine reproducible; the hashed-shingle
+    * fast path stays inside candidate generation) at Jaccard >= 0.5.
+    * The data's true pairs all have j >= 0.8, where a 2-row band misses
+    * with probability (1-j^2)^16 <= 4e-8 — the emitted set must EQUAL
+    * the exact pair set DuckDB computes directly (one missing pair turns
+    * q54/q65 red), which is the candidate-generation recall guarantee
+    * that matters at 100 TB. Short docs get one whole-doc shingle —
+    * same contract as q56. */
+  private def verifiedNearDupPairs(s: org.apache.spark.sql.SparkSession,
+                                   dir: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val cands = Dedup.minHashCandidates(docs, "doc_id", "text",
+      shingleLen = 3, k = 32, bands = 16).select("doc1", "doc2")
+    val sh = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"), array_distinct(transform(
+        sequence(lit(0), greatest(size(col("__toks")) - 3, lit(0))),
+        i => concat_ws(" ", slice(col("__toks"), i + 1, lit(3))))).as("sh"))
+    cands
+      .join(sh.select(col("doc_id").as("doc1"), col("sh").as("sh1")), Seq("doc1"))
+      .join(sh.select(col("doc_id").as("doc2"), col("sh").as("sh2")), Seq("doc2"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2")))) // union >= 1 always
+      .filter(col("jaccard") >= 0.5)
+      .select("doc1", "doc2", "jaccard")
+  }
 
   private val stopList = "['the','a','of','to','and','is','in']"
 
@@ -137,6 +158,34 @@ object TextQueries {
         | round((CAST(cc AS DOUBLE) / (n1 + n2 - cc)) * 1000000.0) / 1000000.0 + 0.0 AS jaccard
         |FROM p WHERE CAST(cc AS DOUBLE) / (n1 + n2 - cc) >= 0.5
         |ORDER BY doc1, doc2""".stripMargin,
+
+    // same exact pair set, then components as a recursive transitive
+    // closure: canonical_id = min id reachable in the pair graph
+    "q65_dup_clusters" ->
+      """WITH RECURSIVE t AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        | FROM documents),
+        |s AS (
+        | SELECT doc_id, list_distinct(list_transform(
+        |   generate_series(0, greatest(len(toks) - 3, 0)),
+        |   i -> array_to_string(toks[i+1:i+3], ' '))) AS sh
+        | FROM t),
+        |c AS (SELECT doc_id, len(sh) AS nsh, unnest(sh) AS g FROM s),
+        |p AS (
+        | SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |  any_value(a.nsh) AS n1, any_value(b.nsh) AS n2, count(*) AS cc
+        | FROM c a JOIN c b ON a.g = b.g AND a.doc_id < b.doc_id
+        | GROUP BY a.doc_id, b.doc_id),
+        |e0 AS (
+        | SELECT d1 AS a, d2 AS b FROM p
+        | WHERE CAST(cc AS DOUBLE) / (n1 + n2 - cc) >= 0.5),
+        |edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+        |reach(id, r) AS (
+        | SELECT a, a FROM edges
+        | UNION
+        | SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.id)
+        |SELECT id AS doc_id, min(r) AS canonical_id
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
 
     "q56_fingerprint" ->
       """WITH t AS (

@@ -95,6 +95,22 @@ class TextDedupSpec extends SparkSpec {
     assert(fp(1L) != fp(4L))
   }
 
+  test("connected components: chains collapse to the min id, islands stay apart") {
+    // chain 1-2-3 (1-3 never paired directly) + a separate island 7-9
+    val pairs = Seq((2L, 1L), (2L, 3L), (7L, 9L)).toDF("doc1", "doc2")
+    val comp = Dedup.connectedComponents(pairs, "doc1", "doc2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+    // empty pair list -> empty components, no crash
+    assert(Dedup.connectedComponents(
+      pairs.limit(0), "doc1", "doc2").count() == 0)
+    // a longer chain still converges (diameter rounds): 10-11-...-16
+    val chain = (10L until 16L).map(i => (i, i + 1)).toDF("doc1", "doc2")
+    val c2 = Dedup.connectedComponents(chain, "doc1", "doc2")
+      .collect().map(r => r.getLong(1)).distinct
+    assert(c2.toSeq == Seq(10L))
+  }
+
   test("language id: deterministic argmax with priority tie-break") {
     val d = Seq((1L, "the cat is on the mat", "en"),
       (2L, "le chat est la", "fr"),
