@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable sampling (training-data curation:
+  * held-out carve-outs, per-source rate control, debug subsets).
+  *
+  * `df.sample()` is seed-stable only for a FIXED partition layout — a
+  * repartition, AQE re-plan, or engine change silently reshuffles the
+  * sample. Here membership is a pure function of the ROW KEY: keep a row
+  * iff md5(salt || key) sorts below the fraction-scaled 8-hex-digit
+  * threshold. The same predicate written in any engine with md5 (DuckDB,
+  * Trino, Postgres) selects the identical rows, so samples are
+  * reproducible across engines, partitionings and reruns — and
+  * embarrassingly parallel (a codegen'd per-row filter, no shuffle).
+  * Distinct `salt` values give independent samples (nested carve-outs
+  * compose: salt="a" 10% then salt="b" 10% of that is ~1%).
+  */
+object Sampling {
+
+  /** floor(fraction·2^32) as 8 lowercase hex digits — the string-order
+    * threshold over the first 8 md5 chars. */
+  private[operators] def hexThreshold(fraction: Double): String =
+    f"${(fraction * 4294967296.0).toLong}%08x"
+
+  /** Membership predicate: P(keep) = floor(fraction·2^32)/2^32, exactly
+    * reproducible from the key alone. */
+  def keepRow(key: Column, fraction: Double, salt: String = ""): Column =
+    if (fraction >= 1.0) lit(true)
+    else if (fraction <= 0.0) lit(false)
+    else md5(concat(lit(salt), key.cast("string"))) < lit(hexThreshold(fraction))
+
+  /** Bernoulli sample by key. */
+  def sample(df: DataFrame, key: Column, fraction: Double,
+             salt: String = ""): DataFrame =
+    df.filter(keepRow(key, fraction, salt))
+
+  /** Stratified sample: an independent rate per stratum value (pandas
+    * groupby-sample / sampleBy capability, without their partition- or
+    * seed-layout dependence). Strata absent from `fractions` drop. */
+  def stratified(df: DataFrame, strata: Column, key: Column,
+                 fractions: Map[String, Double], salt: String = ""): DataFrame =
+    df.filter(fractions.foldLeft(lit(false): Column) {
+      case (acc, (s, f)) => when(strata === s, keepRow(key, f, salt)).otherwise(acc)
+    })
+}

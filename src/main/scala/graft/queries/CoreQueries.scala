@@ -58,6 +58,18 @@ object CoreQueries {
         .orderBy("o_orderstatus")
     }),
 
+    // deterministic stratified sampling: membership is a pure function
+    // of the row key (md5 threshold), so DuckDB evaluating the same
+    // predicate must select the IDENTICAL rows — sampling that survives
+    // repartitioning, engine swaps and reruns (training-data curation)
+    "q66_hash_sample" -> ((s, dir) => {
+      graft.operators.Sampling.stratified(Tables.orders(s, dir),
+          col("o_orderstatus"), col("o_orderkey"),
+          Map("O" -> 0.10, "F" -> 0.20, "P" -> 0.50))
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .orderBy("o_orderkey")
+    }),
+
     // P1/P4/P7: predicate + projection — filters push to the parquet scan
     "q02_filter_project" -> ((s, dir) => {
       Tables.lineitem(s, dir)
@@ -245,6 +257,17 @@ object CoreQueries {
         | max(o_totalprice) AS max_price,
         | max(o_orderdate) AS max_date
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // same md5-threshold predicate, evaluated by DuckDB: the row sets
+    // must be identical (thresholds: floor(f*2^32) as 8 hex digits)
+    "q66_hash_sample" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |WHERE CASE o_orderstatus
+        |  WHEN 'O' THEN md5(CAST(o_orderkey AS VARCHAR)) < '19999999'
+        |  WHEN 'F' THEN md5(CAST(o_orderkey AS VARCHAR)) < '33333333'
+        |  WHEN 'P' THEN md5(CAST(o_orderkey AS VARCHAR)) < '80000000'
+        |  ELSE false END
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

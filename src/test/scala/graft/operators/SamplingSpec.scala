@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val ids = spark.range(20000L).toDF("id")
+
+  test("rate is close to the requested fraction and independent across salts") {
+    val n = ids.count().toDouble
+    val f = 0.1
+    val kept = Sampling.sample(ids, $"id", f).count()
+    assert(math.abs(kept / n - f) < 0.01, s"rate ${kept / n}")
+    // different salts select (nearly) independent subsets
+    val both = Sampling.sample(Sampling.sample(ids, $"id", f, "a"), $"id", f, "b").count()
+    assert(math.abs(both / n - f * f) < 0.005, s"nested rate ${both / n}")
+  }
+
+  test("membership is a pure key function: partition-layout independent") {
+    val a = Sampling.sample(ids, $"id", 0.07).collect().map(_.getLong(0)).toSet
+    val b = Sampling.sample(ids.repartition(17, $"id" % 3), $"id", 0.07)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("stratified: per-stratum rates honored, unlisted strata drop") {
+    val df = ids.withColumn("g",
+      when($"id" % 3 === 0, "x").when($"id" % 3 === 1, "y").otherwise("z"))
+    val out = Sampling.stratified(df, $"g", $"id", Map("x" -> 0.3, "y" -> 0.05))
+    val rates = out.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1) / (20000.0 / 3)).toMap
+    assert(math.abs(rates("x") - 0.3) < 0.03)
+    assert(math.abs(rates("y") - 0.05) < 0.02)
+    assert(!rates.contains("z"))
+  }
+
+  test("degenerate fractions: 0 keeps nothing, 1 keeps everything") {
+    assert(Sampling.sample(ids, $"id", 0.0).count() == 0)
+    assert(Sampling.sample(ids, $"id", 1.0).count() == 20000)
+  }
+}
