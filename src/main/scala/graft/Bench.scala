@@ -23,12 +23,20 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000L).selectExpr("sum(id)").collect() // JVM/codegen warm-up
+
+    // optional local-iteration filter: `runMain graft.Bench q62 q58` times
+    // only queries whose name starts with one of the given prefixes
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => args.exists(n.startsWith) }
+
     // MLlib JIT warm-up: the first GBT/MLP fit in a JVM pays ~2.5 s of
     // interpreter/JIT cost in the tree-aggregation and LBFGS paths —
     // compile them on a 256-row toy BEFORE the timed loop (standard
     // benchmark hygiene; the training queries then measure the
-    // algorithms, not HotSpot).
-    locally {
+    // algorithms, not HotSpot). Skipped when the selection holds no
+    // training query — filtered non-ML iterations shouldn't pay it.
+    if (selected.keys.exists(n => n.startsWith("q70") || n.startsWith("q71"))) {
       import org.apache.spark.sql.functions._
       val toy = graft.sources.SyntheticData.transactions(spark, 256L)
         .withColumn("label", col("is_fraud"))
@@ -41,12 +49,6 @@ object Bench {
         hidden = Seq(2), labelCol = "label", maxIter = 3).fit(vec)
       toy.unpersist
     }
-
-    // optional local-iteration filter: `runMain graft.Bench q62 q58` times
-    // only queries whose name starts with one of the given prefixes
-    val selected =
-      if (args.isEmpty) SparkEntry.queries
-      else SparkEntry.queries.filter { case (n, _) => args.exists(n.startsWith) }
 
     val failed = scala.collection.mutable.ArrayBuffer[String]()
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -72,13 +72,27 @@ object TrainPipeline {
       "prior_count", "cum_mean", "amt_deviation", "time_diff",
       "spending_rate")
 
-    // fit frame = train + val, with val flagged as the early-stopping
-    // holdout (the reference's valid_sets=[val] + early_stopping_rounds,
-    // `lightgbm_model.py:96-110`, `config/config.yaml:43`)
+    // Early stopping (the reference's valid_sets=[val] +
+    // early_stopping_rounds, `lightgbm_model.py:96-110`,
+    // `config/config.yaml:43`) and the stacking fold must be DISJOINT:
+    // the val rows that pick each base model's tree count are
+    // optimistically biased, so fitting the meta-LR on them would
+    // overweight exactly the noise the bases already optimized against.
+    // Carve val deterministically in half by row-key hash — es-half
+    // flags early stopping inside the fit frame, stack-half feeds the
+    // meta-model. (The reference stacks on TRAIN preds, ensemble.py:107,
+    // which is in-fold for the bases; both halves here are out-of-fold.)
+    val isEsHalf = graft.operators.Sampling.keepRow(
+      col("transaction_id"), 0.5, "esfold")
+    val trainOnly = featured.filter(col("split") === "train")
     val train = FraudModel.withClassWeight(
       featured.filter(col("split") =!= "test")
-        .withColumn("is_val", col("split") === "val"), col("is_fraud"))
-    val va = featured.filter(col("split") === "val")
+        .filter(col("split") === "train" || isEsHalf)
+        .withColumn("is_val", col("split") === "val"), col("is_fraud"),
+      // scale_pos_weight stays a pure function of TRAIN labels
+      // (`lightgbm_model.py:81-84`), not of the early-stopping holdout
+      statsOn = Some(trainOnly))
+    val va = featured.filter(col("split") === "val" && !isEsHalf)
     val test = featured.filter(col("split") === "test")
 
     // 5. three GBT variants — the reference trains three engines

@@ -37,31 +37,18 @@ object Metrics {
       (fn_ * costFn + fp * costFp).as("cost"))
   }
 
-  /** Exact cumulative sums over a distinct-score table WITHOUT a
-    * single-partition window (the 100 TB path for E1/E2/E5/E6): range-
-    * bucket the (double-castable) order key into `nBuckets` cells via a
-    * broadcast min/max, cumulative-sum WITHIN buckets in parallel, then
-    * add per-bucket prefix offsets computed on the (tiny, ≤nBuckets-row)
-    * bucket-total table and broadcast-joined back. With continuous model
-    * scores |distinct| ≈ |rows|, so the old Window.orderBy-with-no-
-    * partition plan serialized the whole curve through one task; this
-    * keeps every full-size stage partitioned.
-    *
-    * For each c in sumCols appends inclusive `cum_<c>` in `orderCol`
-    * order (ascending or descending). Assumes orderCol values are
-    * distinct (callers aggregate by score first) and non-NaN.
-    *
-    * `equiDepth = false` (default): equal-WIDTH range buckets from a
-    * broadcast min/max — fully lazy, no extra action, right for the
-    * roughly-spread score distributions models emit. `equiDepth = true`:
-    * bucket boundaries from one approxQuantile (Greenwald-Khanna) pass —
-    * costs an eager action, but bounds every bucket at ~1/nBuckets of
-    * the rows even when the distinct scores are pathologically clustered
-    * (e.g. sigmoid outputs saturated at 1.0 plus outliers), where
-    * equal-width degenerates back to one near-full-size bucket. */
   /** Bucket-id assignment for bucketedCumSums (split out so the bucket
     * histogram itself is testable): appends `__b`, ascending in
-    * traversal order. */
+    * traversal order.
+    *
+    * `equiDepth = false`: equal-WIDTH range buckets from a broadcast
+    * min/max — fully lazy, no extra action, right for the roughly-spread
+    * score distributions models emit. `equiDepth = true`: bucket
+    * boundaries from one approxQuantile (Greenwald-Khanna) pass — costs
+    * an eager action, but bounds every bucket at ~1/nBuckets of the
+    * rows even when the distinct scores are pathologically clustered
+    * (e.g. sigmoid outputs saturated at 1.0 plus outliers), where
+    * equal-width degenerates back to one near-full-size bucket. */
   private[eval] def bucketAssign(byScore: DataFrame, orderCol: String,
                                  descending: Boolean, nBuckets: Int,
                                  equiDepth: Boolean): DataFrame = {
@@ -89,6 +76,19 @@ object Metrics {
     }
   }
 
+  /** Exact cumulative sums over a distinct-score table WITHOUT a
+    * single-partition window (the 100 TB path for E1/E2/E5/E6): bucket
+    * the (double-castable) order key into `nBuckets` cells (see
+    * bucketAssign for the equiDepth choice), cumulative-sum WITHIN
+    * buckets in parallel, then add per-bucket prefix offsets computed on
+    * the (tiny, ≤nBuckets-row) bucket-total table and broadcast-joined
+    * back. With continuous model scores |distinct| ≈ |rows|, so the old
+    * Window.orderBy-with-no-partition plan serialized the whole curve
+    * through one task; this keeps every full-size stage partitioned.
+    *
+    * For each c in sumCols appends inclusive `cum_<c>` in `orderCol`
+    * order (ascending or descending). Assumes orderCol values are
+    * distinct (callers aggregate by score first) and non-NaN. */
   private[eval] def bucketedCumSums(byScore: DataFrame, orderCol: String,
                               descending: Boolean, sumCols: Seq[String],
                               nBuckets: Int = 256,

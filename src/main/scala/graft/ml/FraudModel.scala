@@ -26,10 +26,16 @@ object FraudModel {
     *    (`src/utils/helpers.py:151-181` method='balanced');
     *  - "sqrt": per-class sqrt(total/count) — the dampened variant
     *    (`src/utils/helpers.py:173-177` method='sqrt'). */
+  /** `statsOn`: optionally compute the weight STATISTICS on a different
+    * frame than the one the column is applied to (fit-on-train,
+    * apply-anywhere — e.g. stats from the train split while weighting a
+    * train+val early-stopping frame, keeping scale_pos_weight a pure
+    * function of train labels as in the reference). */
   def withClassWeight(df: DataFrame, label: Column,
                       weightCol: String = "class_weight",
-                      mode: String = "pos"): DataFrame = {
-    val r = df.agg(count(lit(1)).cast("double").as("n"),
+                      mode: String = "pos",
+                      statsOn: Option[DataFrame] = None): DataFrame = {
+    val r = statsOn.getOrElse(df).agg(count(lit(1)).cast("double").as("n"),
       sum(label.cast("double")).as("npos")).first()
     val n = r.getDouble(0)
     val nPos = r.getDouble(1)

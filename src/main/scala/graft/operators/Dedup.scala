@@ -251,6 +251,11 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    // a silent non-converged result would split real clusters into
+    // several keep-groups with no signal — fail loudly instead
+    require(changed == 0,
+      s"connectedComponents did not converge within $maxIter rounds " +
+        "(graph diameter exceeds maxIter) - raise maxIter")
     labels
   }
 

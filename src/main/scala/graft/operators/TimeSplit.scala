@@ -36,12 +36,8 @@ object TimeSplit {
     // reroute only when the key quantiles sensibly (numeric/timestamp —
     // approxQuantile runs on a double cast); string/date keys keep the
     // exact path at any size rather than crashing on an all-null cast
-    val quantileSafe = df.select(ts.as("__ts")).schema.head.dataType match {
-      case _: org.apache.spark.sql.types.NumericType => true
-      case org.apache.spark.sql.types.TimestampType  => true
-      case _                                          => false
-    }
-    if (n > exactMaxRows && quantileSafe) return assignApprox(df, ts, f1, f2)
+    if (n > exactMaxRows && isQuantileable(keyType(df, ts)))
+      return assignApprox(df, ts, f1, f2)
     val k1 = math.floor(f1 * n).toLong
     val k2 = math.floor(f2 * n).toLong
     require(k2 <= Int.MaxValue,
@@ -80,14 +76,9 @@ object TimeSplit {
     // guard the key type up front: a string/date key would either throw
     // an opaque ANSI cast error or (all-null cast) return an empty
     // quantile array and a MatchError — name the supported types instead
-    val keyType = df.select(ts.as("__t")).schema.head.dataType
-    val quantileable = keyType match {
-      case _: org.apache.spark.sql.types.NumericType => true
-      case org.apache.spark.sql.types.TimestampType  => true
-      case _                                          => false
-    }
-    require(quantileable,
-      s"assignApprox needs a numeric or timestamp ordering key, got $keyType " +
+    val kt = keyType(df, ts)
+    require(isQuantileable(kt),
+      s"assignApprox needs a numeric or timestamp ordering key, got $kt " +
         "- string/date keys must use the exact path in TimeSplit.assign")
     val key = "__split_key"
     val withKey = df.withColumn(key, ts.cast("double"))
@@ -103,4 +94,16 @@ object TimeSplit {
   /** Column-name convenience overload (kept for existing callers). */
   def assignApprox(df: DataFrame, tsCol: String): DataFrame =
     assignApprox(df, col(tsCol), 0.70, 0.85, 0.001)
+
+  private def keyType(df: DataFrame, ts: Column) =
+    df.select(ts.as("__t")).schema.head.dataType
+
+  /** One definition of "quantiles sensibly under a double cast" shared
+    * by assign's auto-reroute and assignApprox's acceptance check. */
+  private def isQuantileable(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case _: org.apache.spark.sql.types.NumericType => true
+      case org.apache.spark.sql.types.TimestampType  => true
+      case _                                          => false
+    }
 }

@@ -39,7 +39,23 @@ object CoreQueries {
     // reference's native format (`src/data/loader.py:41`).
     "q64_csv_roundtrip" -> ((s, dir) => {
       import org.apache.spark.sql.types._
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_csv_rt_${math.abs(dir.hashCode)}"
+      // per-invocation path: a shared deterministic path would let two
+      // concurrent benches overwrite each other mid-read. The returned
+      // frame reads the CSV lazily, so cleanup can't happen here —
+      // instead each run sweeps siblings older than 30 min (stale by
+      // construction: a bench/verify run finishes well within that)
+      val parent = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_csv_rt")
+      parent.mkdirs()
+      val cutoff = System.currentTimeMillis() - 30 * 60 * 1000L
+      Option(parent.listFiles()).getOrElse(Array.empty)
+        .filter(_.lastModified() < cutoff)
+        .foreach { d =>
+          Option(d.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+          d.delete()
+        }
+      val path = new java.io.File(parent,
+        java.util.UUID.randomUUID().toString).getAbsolutePath
       graft.sources.Io.writeCsv(Tables.orders(s, dir)
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"),
         path)

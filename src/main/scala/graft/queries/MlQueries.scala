@@ -49,7 +49,9 @@ object MlQueries {
       // stops as soon as validation error stops improving
       val fitFrame = FraudModel.withClassWeight(
         split.filter(col("split") =!= "test")
-          .withColumn("is_val", col("split") === "val"), col("is_fraud"))
+          .withColumn("is_val", col("split") === "val"), col("is_fraud"),
+        // scale_pos_weight from TRAIN labels only (reference parity)
+        statsOn = Some(split.filter(col("split") === "train")))
       val test = split.filter(col("split") === "test")
       val model = FraudModel.gbtPipeline(featureCols, "is_fraud", maxIter = 8,
           validationIndicatorCol = Some("is_val"))
@@ -60,6 +62,10 @@ object MlQueries {
       // trip during query construction
       val scored = FraudModel.withProbability(model.transform(test)).cache()
       scored.count() // materialize ONCE: the two metric branches below otherwise race to build the same cache partitions
+      // upstream caches served fit + scored materialization; release
+      // them so repeated invocations in one session don't pin storage
+      // (worst case after eviction: scored recomputes from source)
+      split.unpersist(); data.unpersist()
       val topFeature = FraudModel.featureImportance(model, featureCols).head
       Metrics.confusionAt(scored, col("is_fraud"), col("p_fraud"), 0.5)
         .crossJoin(Metrics.rocAuc(scored, col("is_fraud"), col("p_fraud")))
@@ -89,9 +95,11 @@ object MlQueries {
       // metrics stay lazy (same single-action shape as q70)
       val scored = FraudModel.withProbability(model.transform(test)).cache()
       scored.count() // materialize ONCE (same reason as q70)
+      val nSequences = seqs.count()
+      seqs.unpersist(); prepped.unpersist() // release (same reason as q70)
       Metrics.confusionAt(scored, col("label"), col("p_fraud"), 0.5)
         .crossJoin(Metrics.rocAuc(scored, col("label"), col("p_fraud")))
-        .withColumn("n_sequences", lit(seqs.count()))
+        .withColumn("n_sequences", lit(nSequences))
     }),
 
     // §7 multimodal: opaque binary blobs + batched stub feature extraction
