@@ -125,6 +125,31 @@ object CoreQueries {
         .orderBy("event_type")
     }),
 
+    // quantile SKETCH (approx_percentile — mergeable, bounded-memory,
+    // the 100 TB path for percentiles) next to the exact sort-based
+    // percentile, q17-style tolerance flags: with accuracy 1000 the
+    // sketch's rank error is 0.1%, so each approx quantile must land
+    // inside a ±5%-rank window of the exact curve — a broken sketch
+    // falls outside, and the exact values themselves are hash-checked
+    "q67_quantile_sketch" -> ((s, dir) => {
+      val ex = col("ex"); val ap = col("ap")
+      Tables.events(s, dir).groupBy("event_type")
+        .agg(
+          expr("percentile(value, array(0.45, 0.5, 0.55, 0.85, 0.9, 0.95, 0.98, 0.99))").as("ex"),
+          expr("approx_percentile(value, array(0.5, 0.9, 0.99), 1000)").as("ap"),
+          count(lit(1)).as("n"),
+          max("value").as("mx"))
+        .select(col("event_type"),
+          qz(element_at(ex, 2), 6).as("p50_exact"),
+          qz(element_at(ex, 5), 6).as("p90_exact"),
+          qz(element_at(ex, 8), 6).as("p99_exact"),
+          col("n"),
+          element_at(ap, 1).between(element_at(ex, 1), element_at(ex, 3)).as("p50_ok"),
+          element_at(ap, 2).between(element_at(ex, 4), element_at(ex, 6)).as("p90_ok"),
+          element_at(ap, 3).between(element_at(ex, 7), col("mx")).as("p99_ok"))
+        .orderBy("event_type")
+    }),
+
     // A5/P5: one-pass per-column null counts over the full width
     "q06_null_counts" -> ((s, dir) => {
       val e = Tables.events(s, dir)
@@ -319,6 +344,16 @@ object CoreQueries {
         | round((stddev_samp(value)) * 1000000.0) / 1000000.0 + 0.0 AS std_value,
         | min(value) AS min_value, max(value) AS max_value,
         | round((median(value)) * 1000000.0) / 1000000.0 + 0.0 AS median_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // exact quantiles hash-checked; sketch containment flags must be true
+    "q67_quantile_sketch" ->
+      """SELECT event_type,
+        | round((quantile_cont(value, 0.5)) * 1000000.0) / 1000000.0 + 0.0 AS p50_exact,
+        | round((quantile_cont(value, 0.9)) * 1000000.0) / 1000000.0 + 0.0 AS p90_exact,
+        | round((quantile_cont(value, 0.99)) * 1000000.0) / 1000000.0 + 0.0 AS p99_exact,
+        | count(*) AS n,
+        | true AS p50_ok, true AS p90_ok, true AS p99_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q06_null_counts" ->
