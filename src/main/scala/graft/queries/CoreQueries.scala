@@ -150,6 +150,22 @@ object CoreQueries {
         .orderBy("event_type")
     }),
 
+    // reshape: unpivot/melt (pandas .melt parity, the inverse of q34's
+    // pivot) — wide measure columns to (metric, value) long form, a
+    // narrow transform (no shuffle; the exchange below is only the
+    // output ORDER BY)
+    "q68_unpivot" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") < 100)
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "metric", "value")
+        .orderBy("l_orderkey", "l_linenumber", "metric")
+    }),
+
     // A5/P5: one-pass per-column null counts over the full width
     "q06_null_counts" -> ((s, dir) => {
       val e = Tables.events(s, dir)
@@ -355,6 +371,19 @@ object CoreQueries {
         | count(*) AS n,
         | true AS p50_ok, true AS p90_ok, true AS p99_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // long-form twin via UNION ALL (portable, no UNPIVOT dialect)
+    "q68_unpivot" ->
+      """WITH w AS (
+        | SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  l_quantity, l_extendedprice, l_discount
+        | FROM lineitem WHERE l_orderkey < 100)
+        |SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM w
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM w
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM w
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
 
     "q06_null_counts" ->
       """SELECT count(*) AS n_rows,
