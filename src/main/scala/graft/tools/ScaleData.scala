@@ -30,11 +30,38 @@ object ScaleData {
     def replicate(df: DataFrame): DataFrame =
       df.withColumn("__r", explode(sequence(lit(0), lit(copies - 1))))
 
-    // lineitem: disjoint order-key space per replica
+    // facts replicate with JOIN-CONSISTENT key offsets (lineitem/orders
+    // share the order-key offset, orders/customer the cust-key offset),
+    // so every join query sees 10x cardinality with intact semantics
     replicate(spark.read.parquet(s"$src/lineitem.parquet"))
       .withColumn("l_orderkey", col("l_orderkey") + col("__r") * 10000000000L)
+      .withColumn("l_partkey", col("l_partkey") + col("__r") * 1000000000L)
+      .withColumn("l_suppkey", col("l_suppkey") + col("__r") * 1000000000L)
       .drop("__r")
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    replicate(spark.read.parquet(s"$src/orders.parquet"))
+      .withColumn("o_orderkey", col("o_orderkey") + col("__r") * 10000000000L)
+      .withColumn("o_custkey", col("o_custkey") + col("__r") * 1000000000L)
+      .drop("__r")
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    replicate(spark.read.parquet(s"$src/customer.parquet"))
+      .withColumn("c_custkey", col("c_custkey") + col("__r") * 1000000000L)
+      .drop("__r")
+      .write.mode("overwrite").parquet(s"$out/customer.parquet")
+    replicate(spark.read.parquet(s"$src/supplier.parquet"))
+      .withColumn("s_suppkey", col("s_suppkey") + col("__r") * 1000000000L)
+      .drop("__r")
+      .write.mode("overwrite").parquet(s"$out/supplier.parquet")
+    replicate(spark.read.parquet(s"$src/part.parquet"))
+      .withColumn("p_partkey", col("p_partkey") + col("__r") * 1000000000L)
+      .drop("__r")
+      .write.mode("overwrite").parquet(s"$out/part.parquet")
+    // fixed-cardinality dims copy as-is (25 nations / 5 regions at any
+    // scale factor — replicating them would change join semantics)
+    spark.read.parquet(s"$src/nation.parquet")
+      .write.mode("overwrite").parquet(s"$out/nation.parquet")
+    spark.read.parquet(s"$src/region.parquet")
+      .write.mode("overwrite").parquet(s"$out/region.parquet")
 
     // events: 10x the users, same per-user history depth (window
     // partitions scale in COUNT, the realistic axis)
