@@ -91,11 +91,34 @@ object TextQueries {
         .select(col("id").as("doc_id"), col("canonical_id"))
         .orderBy("doc_id")),
 
-    // SimHash near-dup pairs within source (rows-only)
+    // SimHash near-dup pairs within source (rows-only — hamming-pair
+    // truth at maxDist=10 has no portable SQL form; exactness of the
+    // oversized-block pigeonhole reroute is spec-proven)
     "q55_simhash_pairs" -> ((s, dir) =>
       Dedup.simHashPairs(Tables.documents(s, dir), "doc_id", "text",
         "source", maxDist = 10)
         .orderBy("doc1", "doc2")),
+
+    // SimHash's deterministic guarantee, oracle-checked (q59 pattern):
+    // equal text => equal token stream => equal 32-bit signature =>
+    // hamming 0 => the within-source block join MUST emit the pair.
+    // Planted exact copies (SQL-reproducible) + any natural same-source
+    // exact-text dups form the complete truth set; output is restricted
+    // to text-equal pairs so probabilistic near-miss pairs stay out.
+    "q69_simhash_dups" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val planted = docs.filter(col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      val all = docs.unionByName(planted)
+      val pairs = Dedup.simHashPairs(all, "doc_id", "text", "source", maxDist = 2)
+      val texts = all.select(col("doc_id"), col("text"))
+      pairs
+        .join(texts.select(col("doc_id").as("doc1"), col("text").as("t1")), Seq("doc1"))
+        .join(texts.select(col("doc_id").as("doc2"), col("text").as("t2")), Seq("doc2"))
+        .filter(col("t1") === col("t2"))
+        .select(col("doc1"), col("doc2"), col("hamming").cast("long").as("hamming"))
+        .orderBy("doc1", "doc2")
+    }),
 
     // winnowing fingerprints — md5-shingle twin so DuckDB can reproduce
     // the exact fingerprint (xxhash64 fast path covered by TextDedupSpec)
@@ -157,6 +180,18 @@ object TextQueries {
         |SELECT d1 AS doc1, d2 AS doc2,
         | round((CAST(cc AS DOUBLE) / (n1 + n2 - cc)) * 1000000.0) / 1000000.0 + 0.0 AS jaccard
         |FROM p WHERE CAST(cc AS DOUBLE) / (n1 + n2 - cc) >= 0.5
+        |ORDER BY doc1, doc2""".stripMargin,
+
+    // complete truth: same-source text-equal pairs over corpus+copies,
+    // all necessarily at hamming 0
+    "q69_simhash_dups" ->
+      """WITH ad AS (
+        | SELECT doc_id, text, source FROM documents
+        | UNION ALL
+        | SELECT doc_id + 1000000, text, source FROM documents WHERE doc_id < 50)
+        |SELECT a.doc_id AS doc1, b.doc_id AS doc2, CAST(0 AS BIGINT) AS hamming
+        |FROM ad a JOIN ad b
+        | ON a.source = b.source AND a.text = b.text AND a.doc_id < b.doc_id
         |ORDER BY doc1, doc2""".stripMargin,
 
     // same exact pair set, then components as a recursive transitive
