@@ -128,9 +128,10 @@ object CoreQueries {
     // quantile SKETCH (approx_percentile — mergeable, bounded-memory,
     // the 100 TB path for percentiles) next to the exact sort-based
     // percentile, q17-style tolerance flags: with accuracy 1000 the
-    // sketch's rank error is 0.1%, so each approx quantile must land
-    // inside a ±5%-rank window of the exact curve — a broken sketch
-    // falls outside, and the exact values themselves are hash-checked
+    // sketch's rank error is 0.1%, far inside each containment window —
+    // ±5% of rank for p50/p90, [p98, max] for p99 (1% below, open
+    // above). A broken sketch falls outside; the exact values
+    // themselves are hash-checked
     "q67_quantile_sketch" -> ((s, dir) => {
       val ex = col("ex"); val ap = col("ap")
       Tables.events(s, dir).groupBy("event_type")

@@ -110,7 +110,10 @@ object TextQueries {
       val planted = docs.filter(col("doc_id") < 50)
         .withColumn("doc_id", col("doc_id") + 1000000L)
       val all = docs.unionByName(planted)
+      // text-equal pairs necessarily sit at hamming 0 — drop the
+      // probabilistic near-miss pairs BEFORE dragging text through joins
       val pairs = Dedup.simHashPairs(all, "doc_id", "text", "source", maxDist = 2)
+        .filter(col("hamming") === 0)
       val texts = all.select(col("doc_id"), col("text"))
       pairs
         .join(texts.select(col("doc_id").as("doc1"), col("text").as("t1")), Seq("doc1"))

@@ -30,32 +30,26 @@ object ScaleData {
     def replicate(df: DataFrame): DataFrame =
       df.withColumn("__r", explode(sequence(lit(0), lit(copies - 1))))
 
-    // facts replicate with JOIN-CONSISTENT key offsets (lineitem/orders
-    // share the order-key offset, orders/customer the cust-key offset),
-    // so every join query sees 10x cardinality with intact semantics
-    replicate(spark.read.parquet(s"$src/lineitem.parquet"))
-      .withColumn("l_orderkey", col("l_orderkey") + col("__r") * 10000000000L)
-      .withColumn("l_partkey", col("l_partkey") + col("__r") * 1000000000L)
-      .withColumn("l_suppkey", col("l_suppkey") + col("__r") * 1000000000L)
-      .drop("__r")
-      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
-    replicate(spark.read.parquet(s"$src/orders.parquet"))
-      .withColumn("o_orderkey", col("o_orderkey") + col("__r") * 10000000000L)
-      .withColumn("o_custkey", col("o_custkey") + col("__r") * 1000000000L)
-      .drop("__r")
-      .write.mode("overwrite").parquet(s"$out/orders.parquet")
-    replicate(spark.read.parquet(s"$src/customer.parquet"))
-      .withColumn("c_custkey", col("c_custkey") + col("__r") * 1000000000L)
-      .drop("__r")
-      .write.mode("overwrite").parquet(s"$out/customer.parquet")
-    replicate(spark.read.parquet(s"$src/supplier.parquet"))
-      .withColumn("s_suppkey", col("s_suppkey") + col("__r") * 1000000000L)
-      .drop("__r")
-      .write.mode("overwrite").parquet(s"$out/supplier.parquet")
-    replicate(spark.read.parquet(s"$src/part.parquet"))
-      .withColumn("p_partkey", col("p_partkey") + col("__r") * 1000000000L)
-      .drop("__r")
-      .write.mode("overwrite").parquet(s"$out/part.parquet")
+    // facts replicate with JOIN-CONSISTENT key offsets: one table ->
+    // (keyCol -> offset) list, so the invariant (lineitem/orders share
+    // the order-key stride, orders/customer the cust-key stride, and
+    // lineitem's part/supp keys follow part/supplier) lives in ONE place
+    val orderStride = 10000000000L
+    val dimStride = 1000000000L
+    val factOffsets: Seq[(String, Seq[(String, Long)])] = Seq(
+      "lineitem" -> Seq("l_orderkey" -> orderStride,
+        "l_partkey" -> dimStride, "l_suppkey" -> dimStride),
+      "orders" -> Seq("o_orderkey" -> orderStride, "o_custkey" -> dimStride),
+      "customer" -> Seq("c_custkey" -> dimStride),
+      "supplier" -> Seq("s_suppkey" -> dimStride),
+      "part" -> Seq("p_partkey" -> dimStride))
+    factOffsets.foreach { case (table, offsets) =>
+      offsets.foldLeft(replicate(spark.read.parquet(s"$src/$table.parquet"))) {
+        case (df, (key, stride)) =>
+          df.withColumn(key, col(key) + col("__r") * stride)
+      }.drop("__r")
+        .write.mode("overwrite").parquet(s"$out/$table.parquet")
+    }
     // fixed-cardinality dims copy as-is (25 nations / 5 regions at any
     // scale factor — replicating them would change join semantics)
     spark.read.parquet(s"$src/nation.parquet")
