@@ -65,6 +65,21 @@ object StreamingOps {
         col("session_window.end").as("session_end"),
         col(keyCol), col("n_events"), col("total_value"))
 
+  /** Streaming DEDUP — the streaming half of the batch dedup family
+    * (TextOps/Dedup): drop events whose key (e.g. a content hash from
+    * `TextOps`/`Dedup.fingerprint`, or an event id for exactly-once
+    * semantics over an at-least-once source) was already seen within
+    * the watermark horizon. `dropDuplicatesWithinWatermark` keeps a key
+    * in state only until the watermark passes it — BOUNDED state, unlike
+    * plain dropDuplicates on a stream, which grows forever. Duplicates
+    * arriving inside the delay are removed exactly; later ones are the
+    * documented trade for bounded state at 100 TB/day ingest. */
+  def dedupWithinWatermark(events: DataFrame, keyCols: Seq[String],
+                           tsCol: String = "ts",
+                           watermarkDelay: String = "10 minutes"): DataFrame =
+    events.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   // -- custom keyed state: running per-user profile ------------------------
 
   case class Event(user_id: Long, ts: Timestamp, value: Double)

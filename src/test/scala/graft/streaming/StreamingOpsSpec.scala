@@ -39,6 +39,35 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup within watermark drops in-horizon duplicates, bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val events = input.toDF().toDF("ts", "content_hash", "value")
+    val q = dedupWithinWatermark(events, Seq("content_hash"),
+        watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:00:00"), 1L, 1.0),
+        (ts("2024-01-01 10:01:00"), 1L, 2.0),  // dup within horizon -> dropped
+        (ts("2024-01-01 10:02:00"), 2L, 3.0))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 10:03:00"), 1L, 4.0)) // still in horizon
+      q.processAllAvailable()
+      assert(spark.table("dedup_stream").count() == 2) // keys {1, 2} once each
+      // advance the watermark far past key 1's state, then resend it:
+      // the key re-admits — the documented bounded-state trade
+      input.addData((ts("2024-01-01 11:00:00"), 99L, 0.0))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 11:01:00"), 1L, 5.0))
+      q.processAllAvailable()
+      val keys = spark.table("dedup_stream").groupBy("content_hash").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(keys == Map(1L -> 2L, 2L -> 1L, 99L -> 1L))
+    } finally q.stop()
+  }
+
   test("running stats in update mode (H6 analog)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Double, Double)]
