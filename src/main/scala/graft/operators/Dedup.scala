@@ -96,9 +96,14 @@ object Dedup {
     * a band with probability j^r. The default r=8 rejects a ~0.55
     * baseline-similarity corpus (0.55^8 ≈ 0.8% per band) while keeping
     * true near-dups (j ≥ 0.9: ≈43% per band, ≥90% over 4 bands). */
-  def minHashCandidates(docs: DataFrame, id: String, text: String,
-                        shingleLen: Int = 3, k: Int = 32, bands: Int = 4,
-                        seed: Long = 42L): DataFrame = {
+  /** Candidate PAIRS only — no similarity estimate. Use this when an
+    * exact-verification stage follows (q54/q65): the est_jaccard form
+    * below joins the signatures back onto every pair, and Catalyst
+    * cannot prune those joins away even if the estimate column is
+    * unused (it can't prove the inner joins preserve rows). */
+  def minHashCandidatePairs(docs: DataFrame, id: String, text: String,
+                            shingleLen: Int = 3, k: Int = 32, bands: Int = 4,
+                            seed: Long = 42L): DataFrame = {
     require(k % bands == 0)
     val r = k / bands
     // staged: token hashes -> shingle hashes -> signature, each alias
@@ -108,18 +113,29 @@ object Dedup {
       .select(col("doc_id"), shingleCombine(col("__th"), shingleLen).as("__sh"))
       .select(col("doc_id"), minHashFromShingles(col("__sh"), k, seed).as("mh"))
     // band join carries only (band, bucket, id) — signatures stay out of
-    // the shuffle; they're joined back to the deduped candidate pairs
+    // the shuffle
     val banded = sig.select(col("doc_id"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"), hash(slice(col("mh"), b * r + 1, lit(r))).as("bucket"))))
         .as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
-    val cands = banded.select(col("band"), col("bucket"), col("doc_id").as("doc1"))
+    banded.select(col("band"), col("bucket"), col("doc_id").as("doc1"))
       .join(banded.select(col("band"), col("bucket"), col("doc_id").as("doc2")),
         Seq("band", "bucket"))
       .filter(col("doc1") < col("doc2"))
       .select("doc1", "doc2").distinct()
-    cands
+  }
+
+  def minHashCandidates(docs: DataFrame, id: String, text: String,
+                        shingleLen: Int = 3, k: Int = 32, bands: Int = 4,
+                        seed: Long = 42L): DataFrame = {
+    val sig = docs
+      .select(col(id).as("doc_id"), tokenHashesMod(col(text)).as("__th"))
+      .select(col("doc_id"), shingleCombine(col("__th"), shingleLen).as("__sh"))
+      .select(col("doc_id"), minHashFromShingles(col("__sh"), k, seed).as("mh"))
+    // signatures joined back to the deduped candidate pairs for the
+    // component-agreement estimate
+    minHashCandidatePairs(docs, id, text, shingleLen, k, bands, seed)
       .join(sig.select(col("doc_id").as("doc1"), col("mh").as("mh1")), Seq("doc1"))
       .join(sig.select(col("doc_id").as("doc2"), col("mh").as("mh2")), Seq("doc2"))
       .select(col("doc1"), col("doc2"),

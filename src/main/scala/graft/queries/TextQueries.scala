@@ -142,8 +142,8 @@ object TextQueries {
   private def verifiedNearDupPairs(s: org.apache.spark.sql.SparkSession,
                                    dir: String): org.apache.spark.sql.DataFrame = {
     val docs = Tables.documents(s, dir)
-    val cands = Dedup.minHashCandidates(docs, "doc_id", "text",
-      shingleLen = 3, k = 32, bands = 16).select("doc1", "doc2")
+    val cands = Dedup.minHashCandidatePairs(docs, "doc_id", "text",
+      shingleLen = 3, k = 32, bands = 16)
     val sh = docs
       .select(col("doc_id"), TextOps.tokens(col("text")).as("__toks"))
       .select(col("doc_id"), array_distinct(transform(
