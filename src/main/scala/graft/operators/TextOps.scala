@@ -20,6 +20,16 @@ object TextOps {
 
   def nTokens(text: Column): Column = size(tokens(text))
 
+  /** Canonical text normalization for cleaning/dedup pipelines: case
+    * fold, strip ASCII control characters, collapse whitespace runs to
+    * one space, trim. Pure codegen'd string expressions; the explicit
+    * control-char class (not \p{Cntrl}) keeps the semantics portable
+    * across regex engines (Java here, RE2 in the DuckDB oracle). */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[\\x00-\\x1f\\x7f]", " "),
+      "\\s+", " "))
+
   /** Total characters across tokens (fold — exact integer). */
   def charSum(text: Column): Column =
     aggregate(transform(tokens(text), t => length(t)), lit(0), (a, x) => a + x)

@@ -56,6 +56,20 @@ object TextQueries {
       TextOps.dupGroups(Tables.documents(s, dir), col("doc_id"), col("text"))
         .orderBy("keep_id")),
 
+    // text normalization (case fold + control strip + whitespace
+    // collapse + trim), proven on a deliberately-messied input both
+    // engines derive identically — md5 equality means every character
+    // of the normalized form agrees
+    "q72_normalize" -> ((s, dir) => {
+      val messy = concat(lit("  "), upper(col("text")), lit("\tEND  "))
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        md5(TextOps.normalize(messy)).as("norm_md5"),
+        length(TextOps.normalize(messy)).cast("long").as("norm_len"),
+        TextOps.nTokens(TextOps.normalize(messy)).cast("long").as("norm_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // token-class counts (whitespace + BPE-ish regex token census)
     "q60_token_classes" -> ((s, dir) => {
       val t = col("text")
@@ -303,6 +317,21 @@ object TextQueries {
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) HAVING count(*) > 1
         |ORDER BY keep_id""".stripMargin,
+
+    // same messy derivation + normalization in RE2 syntax
+    "q72_normalize" ->
+      """WITH m AS (
+        | SELECT doc_id, '  ' || upper(text) || chr(9) || 'END  ' AS messy
+        | FROM documents),
+        |n AS (
+        | SELECT doc_id, trim(regexp_replace(
+        |   regexp_replace(lower(messy), '[\x00-\x1f\x7f]', ' ', 'g'),
+        |   '\s+', ' ', 'g')) AS norm
+        | FROM m)
+        |SELECT doc_id, md5(norm) AS norm_md5,
+        | CAST(length(norm) AS BIGINT) AS norm_len,
+        | CAST(len(regexp_split_to_array(trim(norm), '\s+')) AS BIGINT) AS norm_tokens
+        |FROM n ORDER BY doc_id""".stripMargin,
 
     "q60_token_classes" ->
       """SELECT doc_id,
