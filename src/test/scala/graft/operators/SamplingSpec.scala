@@ -36,6 +36,16 @@ class SamplingSpec extends SparkSpec {
     assert(!rates.contains("z"))
   }
 
+  test("samples NEST as the fraction grows (same salt)") {
+    // the hex threshold is monotone in fraction, so a 5% carve-out is a
+    // strict subset of the 20% one — growing a sample never reshuffles
+    // previously selected rows (the property that makes incremental
+    // training-data expansion reproducible)
+    val s5 = Sampling.sample(ids, $"id", 0.05).collect().map(_.getLong(0)).toSet
+    val s20 = Sampling.sample(ids, $"id", 0.20).collect().map(_.getLong(0)).toSet
+    assert(s5.subsetOf(s20) && s5.nonEmpty && s20.size > s5.size)
+  }
+
   test("degenerate fractions: 0 keeps nothing, 1 keeps everything") {
     assert(Sampling.sample(ids, $"id", 0.0).count() == 0)
     assert(Sampling.sample(ids, $"id", 1.0).count() == 20000)

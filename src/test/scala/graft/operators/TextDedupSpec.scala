@@ -23,6 +23,23 @@ class TextDedupSpec extends SparkSpec {
     assert(out.getInt(2) == 3) // 'the' twice + 'fox'
   }
 
+  test("normalize: case fold + control strip + collapse, and idempotent") {
+    // \u0001 = an embedded control byte MID-TOKEN: normalize must
+    // convert it to a separator, not drop or keep it
+    val d = Seq((1L, "  Hello\tWORLD\n\n  x\u0001y  "), (2L, "already clean"))
+      .toDF("doc_id", "text")
+    val out = d.select($"doc_id", TextOps.normalize($"text").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "hello world x y")
+    assert(out(2L) == "already clean")
+    // idempotence: normalizing a normalized form is the identity
+    val twice = d.select(
+        (TextOps.normalize(TextOps.normalize($"text")) ===
+          TextOps.normalize($"text")).as("eq"))
+      .collect().forall(_.getBoolean(0))
+    assert(twice)
+  }
+
   test("exact dedup summary and groups") {
     val s = TextOps.exactDupSummary(docs, $"text").collect()(0)
     assert(s.getAs[Long]("n_docs") == 5 && s.getAs[Long]("n_distinct_text") == 4)
