@@ -88,30 +88,37 @@ object Dedup {
                        seed: Long = 42L): Column =
     minHashFromShingles(shingleHashes(text, shingleLen), k, seed)
 
-  /** LSH candidate pairs: split the signature into `bands` bands, hash
-    * each band, self-join on (band index, band hash). Returns
-    * (doc1, doc2, est_jaccard) where est_jaccard = fraction of equal
-    * minhash components. */
-  /** Band sizing: with r rows per band, a pair of Jaccard j collides in
+  /** ONE definition of the staged signature frame (doc_id, mh) shared
+    * by candidate generation and the estimate joins — token hashes ->
+    * shingle hashes -> signature, each alias materialized once per row
+    * (Catalyst keeps non-cheap multi-use aliases). Keeping it single-
+    * sourced means pairs and estimates can never desynchronize on the
+    * shingle contract. */
+  private def sigFrame(docs: DataFrame, id: String, text: String,
+                       shingleLen: Int, k: Int, seed: Long): DataFrame =
+    docs
+      .select(col(id).as("doc_id"), tokenHashesMod(col(text)).as("__th"))
+      .select(col("doc_id"), shingleCombine(col("__th"), shingleLen).as("__sh"))
+      .select(col("doc_id"), minHashFromShingles(col("__sh"), k, seed).as("mh"))
+
+  /** LSH candidate PAIRS (doc1, doc2) — no similarity estimate: split
+    * the signature into `bands` bands, hash each band, self-join on
+    * (band index, band hash). Use this form when an exact-verification
+    * stage follows (q54/q65): the est_jaccard form below joins the
+    * signatures back onto every pair, and Catalyst cannot prune those
+    * joins away even if the estimate column is unused (it can't prove
+    * the inner joins preserve rows).
+    *
+    * Band sizing: with r rows per band, a pair of Jaccard j collides in
     * a band with probability j^r. The default r=8 rejects a ~0.55
     * baseline-similarity corpus (0.55^8 ≈ 0.8% per band) while keeping
     * true near-dups (j ≥ 0.9: ≈43% per band, ≥90% over 4 bands). */
-  /** Candidate PAIRS only — no similarity estimate. Use this when an
-    * exact-verification stage follows (q54/q65): the est_jaccard form
-    * below joins the signatures back onto every pair, and Catalyst
-    * cannot prune those joins away even if the estimate column is
-    * unused (it can't prove the inner joins preserve rows). */
   def minHashCandidatePairs(docs: DataFrame, id: String, text: String,
                             shingleLen: Int = 3, k: Int = 32, bands: Int = 4,
                             seed: Long = 42L): DataFrame = {
     require(k % bands == 0)
     val r = k / bands
-    // staged: token hashes -> shingle hashes -> signature, each alias
-    // materialized once per row (Catalyst keeps non-cheap multi-use aliases)
-    val sig = docs
-      .select(col(id).as("doc_id"), tokenHashesMod(col(text)).as("__th"))
-      .select(col("doc_id"), shingleCombine(col("__th"), shingleLen).as("__sh"))
-      .select(col("doc_id"), minHashFromShingles(col("__sh"), k, seed).as("mh"))
+    val sig = sigFrame(docs, id, text, shingleLen, k, seed)
     // band join carries only (band, bucket, id) — signatures stay out of
     // the shuffle
     val banded = sig.select(col("doc_id"),
@@ -126,15 +133,13 @@ object Dedup {
       .select("doc1", "doc2").distinct()
   }
 
+  /** Candidate pairs WITH the signature-agreement estimate: returns
+    * (doc1, doc2, est_jaccard) where est_jaccard = fraction of equal
+    * minhash components. */
   def minHashCandidates(docs: DataFrame, id: String, text: String,
                         shingleLen: Int = 3, k: Int = 32, bands: Int = 4,
                         seed: Long = 42L): DataFrame = {
-    val sig = docs
-      .select(col(id).as("doc_id"), tokenHashesMod(col(text)).as("__th"))
-      .select(col("doc_id"), shingleCombine(col("__th"), shingleLen).as("__sh"))
-      .select(col("doc_id"), minHashFromShingles(col("__sh"), k, seed).as("mh"))
-    // signatures joined back to the deduped candidate pairs for the
-    // component-agreement estimate
+    val sig = sigFrame(docs, id, text, shingleLen, k, seed)
     minHashCandidatePairs(docs, id, text, shingleLen, k, bands, seed)
       .join(sig.select(col("doc_id").as("doc1"), col("mh").as("mh1")), Seq("doc1"))
       .join(sig.select(col("doc_id").as("doc2"), col("mh").as("mh2")), Seq("doc2"))

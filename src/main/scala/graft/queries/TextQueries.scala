@@ -59,9 +59,13 @@ object TextQueries {
     // text normalization (case fold + control strip + whitespace
     // collapse + trim), proven on a deliberately-messied input both
     // engines derive identically — md5 equality means every character
-    // of the normalized form agrees
+    // of the normalized form agrees. The derivation keeps itself to
+    // printable ASCII first: full (Java) vs simple (utf8proc) case
+    // mapping diverges on characters like 'ß', so the cross-engine
+    // upper/lower round trip is only a parity check inside ASCII
     "q72_normalize" -> ((s, dir) => {
-      val messy = concat(lit("  "), upper(col("text")), lit("\tEND  "))
+      val asciiOnly = regexp_replace(col("text"), "[^\\x20-\\x7e]", " ")
+      val messy = concat(lit("  "), upper(asciiOnly), lit("\tEND  "))
       Tables.documents(s, dir).select(
         col("doc_id"),
         md5(TextOps.normalize(messy)).as("norm_md5"),
@@ -318,10 +322,12 @@ object TextQueries {
         |FROM documents GROUP BY md5(text) HAVING count(*) > 1
         |ORDER BY keep_id""".stripMargin,
 
-    // same messy derivation + normalization in RE2 syntax
+    // same messy derivation + normalization in RE2 syntax (ASCII-first,
+    // matching the Spark side's case-mapping guard)
     "q72_normalize" ->
       """WITH m AS (
-        | SELECT doc_id, '  ' || upper(text) || chr(9) || 'END  ' AS messy
+        | SELECT doc_id, '  ' || upper(regexp_replace(text, '[^\x20-\x7e]', ' ', 'g'))
+        |   || chr(9) || 'END  ' AS messy
         | FROM documents),
         |n AS (
         | SELECT doc_id, trim(regexp_replace(
