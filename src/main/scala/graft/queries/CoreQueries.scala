@@ -39,23 +39,7 @@ object CoreQueries {
     // reference's native format (`src/data/loader.py:41`).
     "q64_csv_roundtrip" -> ((s, dir) => {
       import org.apache.spark.sql.types._
-      // per-invocation path: a shared deterministic path would let two
-      // concurrent benches overwrite each other mid-read. The returned
-      // frame reads the CSV lazily, so cleanup can't happen here —
-      // instead each run sweeps siblings older than 30 min (stale by
-      // construction: a bench/verify run finishes well within that)
-      val parent = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft_csv_rt")
-      parent.mkdirs()
-      val cutoff = System.currentTimeMillis() - 30 * 60 * 1000L
-      Option(parent.listFiles()).getOrElse(Array.empty)
-        .filter(_.lastModified() < cutoff)
-        .foreach { d =>
-          Option(d.listFiles()).getOrElse(Array.empty).foreach(_.delete())
-          d.delete()
-        }
-      val path = new java.io.File(parent,
-        java.util.UUID.randomUUID().toString).getAbsolutePath
+      val path = graft.sources.Io.scratchDir("graft_csv_rt")
       graft.sources.Io.writeCsv(Tables.orders(s, dir)
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"),
         path)
@@ -149,6 +133,29 @@ object CoreQueries {
           element_at(ap, 2).between(element_at(ex, 4), element_at(ex, 6)).as("p90_ok"),
           element_at(ap, 3).between(element_at(ex, 7), col("mx")).as("p99_ok"))
         .orderBy("event_type")
+    }),
+
+    // JSON-lines round trip — q64's check for the second interchange
+    // format (same parquet-source oracle, same lossless-or-red contract)
+    "q73_json_roundtrip" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val path = graft.sources.Io.scratchDir("graft_json_rt")
+      graft.sources.Io.writeJson(Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"),
+        path)
+      val schema = StructType(Seq(
+        StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+        StructField("o_orderstatus", StringType),
+        StructField("o_totalprice", DoubleType),
+        StructField("o_orderdate", TimestampType)))
+      graft.sources.Io.readJson(s, path, schema)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          qz(sum("o_totalprice"), 2).as("sum_price"),
+          min("o_totalprice").as("min_price"),
+          max("o_totalprice").as("max_price"),
+          max("o_orderdate").as("max_date"))
+        .orderBy("o_orderstatus")
     }),
 
     // reshape: unpivot/melt (pandas .melt parity, the inverse of q34's
@@ -372,6 +379,15 @@ object CoreQueries {
         | count(*) AS n,
         | true AS p50_ok, true AS p90_ok, true AS p99_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // parquet-source oracle: equality proves the JSON round trip lossless
+    "q73_json_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        | round((sum(o_totalprice)) * 100.0) / 100.0 + 0.0 AS sum_price,
+        | min(o_totalprice) AS min_price,
+        | max(o_totalprice) AS max_price,
+        | max(o_orderdate) AS max_date
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     // long-form twin via UNION ALL (portable, no UNPIVOT dialect)
     "q68_unpivot" ->

@@ -22,6 +22,32 @@ object Io {
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** JSON-lines source/sink (interchange format; same explicit-schema
+    * discipline as CSV — inference would double-read at scale). */
+  def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** Per-invocation scratch sink path under java.io.tmpdir/<family>/:
+    * a fresh UUID child (concurrent runs never collide), sweeping
+    * siblings older than 30 minutes first. Round-trip queries cannot
+    * clean up after themselves — the frame they return reads the sink
+    * lazily — so each run retires its predecessors' leftovers. */
+  def scratchDir(family: String, staleAfterMs: Long = 30 * 60 * 1000L): String = {
+    val parent = new java.io.File(System.getProperty("java.io.tmpdir"), family)
+    parent.mkdirs()
+    val cutoff = System.currentTimeMillis() - staleAfterMs
+    Option(parent.listFiles()).getOrElse(Array.empty)
+      .filter(_.lastModified() < cutoff)
+      .foreach { d =>
+        Option(d.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+        d.delete()
+      }
+    new java.io.File(parent, java.util.UUID.randomUUID().toString).getAbsolutePath
+  }
+
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
 
