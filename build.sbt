@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // A 70+-query battery in one JVM accumulates enough whole-stage-codegen
+  // classes (plus MLlib) to fill the default 240 MB JIT code cache; once
+  // full, HotSpot flush/recompile churn inflates per-query times 5-30x
+  // until pressure subsides (observed as the q66-q72 cliff in BENCH_r03).
+  // Size it so the battery never hits the edge.
+  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_CODE_CACHE", "512m")}",
 )

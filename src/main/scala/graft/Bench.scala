@@ -13,7 +13,9 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // parse once, fail fast: a non-numeric override (typo, "auto") must
+    // die here, not silently emit invalid JSON in the one-line record
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -60,20 +62,29 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+    // The driver captures only the LAST ~2000 bytes of output, and sbt
+    // appends a "[success] Total time" line after ours — a record longer
+    // than ~1900 bytes gets its head truncated and parses as null (this
+    // bit round 3). So the driver-parsed line uses SHORT query keys
+    // ("q72" for "q72_normalize" — unique by construction) and 2-decimal
+    // times; the full-name map goes on a separate human line above it.
+    def shortKey(name: String): String = name.takeWhile(_ != '_')
+    val qs = results.map { case (k, v) => "\"" + shortKey(k) + f"""\":$v%.2f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // failed queries stay in `queries` (their elapsed time is real) but
     // are ALSO named explicitly — a fast-failing query must not read as
     // a speedup in the one-line JSON the driver parses
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // environment goes INTO the record so BASELINE.md can quote one line
-    // verbatim and local-vs-driver numbers can't silently drift
+    val failedJson = failed.map("\"" + shortKey(_) + "\"").mkString("[", ",", "]")
+    // environment stays INSIDE the record (compact keys) so BASELINE.md
+    // can quote one line verbatim and local/driver numbers can't drift
     val env = {
       val jvm = System.getProperty("java.version")
       val mem = Runtime.getRuntime.maxMemory() / (1024 * 1024 * 1024)
-      s"""{"cpus":$cpus,"jvm":"$jvm","heap_gb":$mem,"n_queries":${results.size}}"""
+      s"""{"cpus":$cpus,"jvm":"$jvm","gb":$mem,"nq":${results.size}}"""
     }
+    val names = results.map { case (k, v) => f"$k=$v%.3f" }.mkString(" ")
+    println(s"[bench-names] $names")
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"env":$env,"sf":"$sfDir"}""")
     spark.stop()
   }

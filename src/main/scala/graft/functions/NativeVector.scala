@@ -13,16 +13,38 @@ import org.apache.spark.sql.types._
   * intermediate array and evaluates lambdas interpreted — fine for
   * occasional use, hot-loop-hostile for kNN over millions of pairs. This
   * expression generates a tight primitive loop inside whole-stage
-  * codegen (doGenCode), reading floats directly from the columnar
-  * ArrayData. Chosen by benchmark, per SURVEY.md §4.4: the only custom
+  * codegen (doGenCode), reading float or double elements directly from
+  * the columnar ArrayData (getter picked from the resolved child type).
+  * Chosen by benchmark, per SURVEY.md §4.4: the only custom
   * Expression in the engine.
   */
 case class FloatDotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // callers pass array<float> columns (see Embeddings); no public SQL
-  // surface, so input typing is enforced by the callers' schemas
   override def dataType: DataType = DoubleType
+
+  // Element getters are chosen from the RESOLVED child types — an
+  // array<double> input read through getFloat would silently return
+  // garbage (4-byte reads against 8-byte slots), so anything that is
+  // not array<float|double> is rejected at analysis time, loudly.
+  private def elemType(e: Expression): DataType = e.dataType match {
+    case ArrayType(t @ (FloatType | DoubleType), _) => t
+    case other => throw new IllegalArgumentException(
+      s"float_dot expects array<float> or array<double>, got $other")
+  }
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"float_dot expects array<float|double> args, got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -33,9 +55,16 @@ case class FloatDotProduct(left: Expression, right: Expression)
     if (n != y.numElements())
       throw new IllegalArgumentException(
         s"float_dot: mismatched vector lengths $n vs ${y.numElements()}")
+    val lDouble = elemType(left) == DoubleType
+    val rDouble = elemType(right) == DoubleType
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i); i += 1 }
+    while (i < n) {
+      val xv = if (lDouble) x.getDouble(i) else x.getFloat(i).toDouble
+      val yv = if (rDouble) y.getDouble(i) else y.getFloat(i).toDouble
+      s += xv * yv
+      i += 1
+    }
     s
   }
 
@@ -44,6 +73,8 @@ case class FloatDotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      val getA = if (elemType(left) == DoubleType) "getDouble" else "getFloat"
+      val getB = if (elemType(right) == DoubleType) "getDouble" else "getFloat"
       s"""
          |int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -52,7 +83,7 @@ case class FloatDotProduct(left: Expression, right: Expression)
          |}
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  $s += (double) $a.$getA($i) * (double) $b.$getB($i);
          |}
          |${ev.value} = $s;
        """.stripMargin

@@ -240,31 +240,40 @@ object Dedup {
     * round, converging in O(graph diameter) rounds. Near-dup clusters
     * are cliques or short chains (diameter ≲ 3), so the loop is a few
     * rounds even at 100 TB; `maxIter` bounds adversarial chains, and
-    * each round's frame is localCheckpoint-ed so lineage (and the plan)
+    * each round's frame is checkpointed so lineage (and the plan)
     * stays constant-size instead of growing per iteration.
+    *
+    * Checkpoint durability: when the session has a checkpoint dir
+    * configured (`sc.setCheckpointDir`), rounds use RELIABLE
+    * `checkpoint()` — an executor loss mid-loop recovers from the
+    * checkpoint store, which is what a multi-hour 100 TB run needs.
+    * Without one, rounds fall back to `localCheckpoint()` (blocks held
+    * un-replicated on executors): faster, but an executor loss aborts
+    * the job — acceptable for short interactive runs only.
     *
     * Returns (id, canonical_id) for every node that appears in `pairs`.
     */
   def connectedComponents(pairs: DataFrame, src: String, dst: String,
                           maxIter: Int = 25): DataFrame = {
+    def cp(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
     val edges = pairs.select(col(src).as("a"), col(dst).as("b"))
       .unionByName(pairs.select(col(dst).as("a"), col(src).as("b")))
       .distinct().cache()
-    var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("canonical_id", col("id"))
-      .localCheckpoint()
+    var labels = cp(edges.select(col("a").as("id")).distinct()
+      .withColumn("canonical_id", col("id")))
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
       val nbrMin = edges
         .join(labels.select(col("id").as("b"), col("canonical_id").as("bl")), Seq("b"))
         .groupBy(col("a").as("id")).agg(min(col("bl")).as("nmin"))
-      val next = labels
+      val next = cp(labels
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("canonical_id"), coalesce(col("nmin"), col("canonical_id")))
-            .as("canonical_id"))
-        .localCheckpoint()
+            .as("canonical_id")))
       changed = next
         .join(labels.select(col("id"), col("canonical_id").as("old")), Seq("id"))
         .filter(col("canonical_id") =!= col("old")).count()

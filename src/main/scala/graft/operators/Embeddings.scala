@@ -91,4 +91,44 @@ object Embeddings {
       .filter(col("sim") >= minSim)
       .select("id1", "id2", "sim")
   }
+
+  /** Embedding-cosine near-duplicate pairs — the vector half of the
+    * dedup family (MinHash/SimHash cover text; this covers embeddings).
+    *
+    * Multi-table SRP-LSH candidate generation + exact cosine verify,
+    * the q54 (MinHash) staging discipline applied to vectors:
+    *  1. each vector gets `nTables` independent `nPlanes`-bit SRP
+    *     signatures; the candidate join carries ONLY (table|bucket, id) —
+    *     vectors never enter the candidate shuffle;
+    *  2. distinct candidate pairs join vectors back and are verified
+    *     with the exact (native, codegen'd) cosine; only pairs at
+    *     `sim >= minSim` survive.
+    *
+    * Recall: a pair at angle θ collides in one table w.p. (1−θ/π)^nPlanes
+    * and is missed by all tables w.p. (1−(1−θ/π)^nPlanes)^nTables — at
+    * cosine 0.9998 (θ≈0.02) with the 12×8 default that is ~1e-9, while
+    * unrelated vectors (cosine ≲ 0.65, θ≥0.86) almost never collide, so
+    * candidate volume stays near-linear. At larger corpora raise nPlanes
+    * (halves per-table collision volume per extra bit) before nTables. */
+  def cosineNearDupPairs(df: DataFrame, id: String, vec: String,
+                         minSim: Double, nPlanes: Int = 12, nTables: Int = 8,
+                         dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val base = df.select(col(id).as("vid"), col(vec).as("v"))
+    // table index packed into the bucket key: one join column, no struct
+    val sig = base.select(col("vid"), explode(array(
+      (0 until nTables).map(t =>
+        srpBucket(col("v"), nPlanes, dim, seed + 7919L * t) +
+          lit(t.toLong << nPlanes)): _*)).as("bucket"))
+    val cand = sig.select(col("bucket"), col("vid").as("id1"))
+      .join(sig.select(col("bucket"), col("vid").as("id2")), Seq("bucket"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    cand
+      .join(base.select(col("vid").as("id1"), col("v").as("v1")), Seq("id1"))
+      .join(base.select(col("vid").as("id2"), col("v").as("v2")), Seq("id2"))
+      .withColumn("sim",
+        round(nativeCosine(df.sparkSession, col("v1"), col("v2")) * 1e6) / 1e6)
+      .filter(col("sim") >= minSim)
+      .select("id1", "id2", "sim")
+  }
 }

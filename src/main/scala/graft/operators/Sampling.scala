@@ -25,11 +25,22 @@ object Sampling {
     f"${(fraction * 4294967296.0).toLong}%08x"
 
   /** Membership predicate: P(keep) = floor(fraction·2^32)/2^32, exactly
-    * reproducible from the key alone. */
+    * reproducible from the key alone. A non-empty salt is joined to the
+    * key with a ':' delimiter — bare concatenation would make boundary-
+    * sharing pairs collide (salt "a1" + key "2" == salt "a" + key "12"),
+    * so numeric-suffixed fold salts over numeric keys would not be
+    * independent. Mirror the delimiter in any cross-engine twin:
+    * `md5(salt || ':' || CAST(key AS VARCHAR))`. The empty salt hashes
+    * the bare key (`md5(CAST(key AS VARCHAR))`). */
+  /** The membership hash keepRow thresholds on. */
+  private[operators] def memberHash(key: Column, salt: String): Column =
+    if (salt.isEmpty) md5(key.cast("string"))
+    else md5(concat(lit(salt), lit(":"), key.cast("string")))
+
   def keepRow(key: Column, fraction: Double, salt: String = ""): Column =
     if (fraction >= 1.0) lit(true)
     else if (fraction <= 0.0) lit(false)
-    else md5(concat(lit(salt), key.cast("string"))) < lit(hexThreshold(fraction))
+    else memberHash(key, salt) < lit(hexThreshold(fraction))
 
   /** Bernoulli sample by key. */
   def sample(df: DataFrame, key: Column, fraction: Double,

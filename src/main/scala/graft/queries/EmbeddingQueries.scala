@@ -76,10 +76,51 @@ object EmbeddingQueries {
       Embeddings.lshNeighborPairs(e.unionByName(planted),
           "vec_id", "embedding", nPlanes = 12, dim = 64, minSim = 0.999)
         .orderBy("id1", "id2")
+    }),
+
+    // embedding-cosine NEAR-dup detection (vector half of the dedup
+    // family), oracle-checked end to end like q54: multi-table SRP-LSH
+    // generates candidates, exact cosine verifies, and the emitted set
+    // must EQUAL the exact cosine>=0.9 pair set DuckDB computes directly
+    // on the same derived corpus. Planted copies are PERTURBED (first
+    // coordinate +0.01, double math both engines reproduce bit-equal) so
+    // this tests genuine near-dups at cosine ~0.9998 — missed by any one
+    // table w.p. ~0.16 but by all 8 w.p. ~1e-9 — while natural pairs
+    // (cosine <= ~0.65) stay far under the 0.9 threshold.
+    "q74_cosine_neardup" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val base = e.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val planted = base.filter(col("vec_id") < 40)
+        .select((col("vec_id") + 200000L).as("vec_id"),
+          concat(array(element_at(col("v"), 1) + lit(0.01)),
+            slice(col("v"), lit(2), size(col("v")) - 1)).as("v"))
+      Embeddings.cosineNearDupPairs(base.unionByName(planted),
+          "vec_id", "v", minSim = 0.9, nPlanes = 12, nTables = 8, dim = 64)
+        .orderBy("id1", "id2")
     })
   )
 
   def oracle: Map[String, String] = Map(
+    // exact cosine>=0.9 pairs over the same derived corpus (originals +
+    // perturbed copies) — candidate generation must not lose one
+    "q74_cosine_neardup" ->
+      """WITH e AS (
+        | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        | FROM embeddings),
+        |ad AS (
+        | SELECT vec_id, v FROM e
+        | UNION ALL
+        | SELECT vec_id + 200000, list_concat([v[1] + 0.01], v[2:]) AS v
+        | FROM e WHERE vec_id < 40),
+        |sims AS (
+        | SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |  round((list_dot_product(a.v, b.v)
+        |   / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))) * 1000000.0) / 1000000.0 + 0.0 AS sim
+        | FROM ad a JOIN ad b ON a.vec_id < b.vec_id)
+        |SELECT id1, id2, sim FROM sims WHERE sim >= 0.9
+        |ORDER BY id1, id2""".stripMargin,
+
     // the planted exact copies are the complete >=0.999 pair set
     "q59_lsh_neighbors" ->
       """SELECT vec_id AS id1, vec_id + 100000 AS id2, CAST(1.0 AS DOUBLE) AS sim

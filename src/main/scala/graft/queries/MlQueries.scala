@@ -56,20 +56,22 @@ object MlQueries {
       val model = FraudModel.gbtPipeline(featureCols, "is_fraud", maxIter = 8,
           validationIndicatorCol = Some("is_val"))
         .fit(fitFrame)
-      // cache: the AUC and confusion branches below share one transform;
-      // both metrics stay LAZY (1-row frames crossJoined) so the caller's
-      // single action evaluates everything once — no eager .first() round
-      // trip during query construction
+      // cache: the AUC and confusion branches below share one transform
       val scored = FraudModel.withProbability(model.transform(test)).cache()
       scored.count() // materialize ONCE: the two metric branches below otherwise race to build the same cache partitions
       // upstream caches served fit + scored materialization; release
       // them so repeated invocations in one session don't pin storage
-      // (worst case after eviction: scored recomputes from source)
       split.unpersist(); data.unpersist()
       val topFeature = FraudModel.featureImportance(model, featureCols).head
-      Metrics.confusionAt(scored, col("is_fraud"), col("p_fraud"), 0.5)
+      val metrics = Metrics.confusionAt(scored, col("is_fraud"), col("p_fraud"), 0.5)
         .crossJoin(Metrics.rocAuc(scored, col("is_fraud"), col("p_fraud")))
         .withColumn("top_feature", lit(topFeature._1))
+      // materialize the single metrics row NOW so `scored` can be
+      // released too — returning it lazily would pin one cache entry per
+      // invocation in a shared session (nothing upstream remains cached)
+      val rows = metrics.collect()
+      scored.unpersist()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), metrics.schema)
     }),
 
     // M10 stand-in: per-card sliding amount sequences -> flattened
@@ -91,15 +93,18 @@ object MlQueries {
       val test = prepped.filter(col("split") === "test")
       val model = FraudModel.sequenceMlpPipeline(len = 5, dim = 1,
         hidden = Seq(8), labelCol = "label", maxIter = 25).fit(train)
-      // cache: AUC + confusion + the caller's action share one transform;
-      // metrics stay lazy (same single-action shape as q70)
+      // cache: AUC + confusion share one transform
       val scored = FraudModel.withProbability(model.transform(test)).cache()
       scored.count() // materialize ONCE (same reason as q70)
       val nSequences = seqs.count()
       seqs.unpersist(); prepped.unpersist() // release (same reason as q70)
-      Metrics.confusionAt(scored, col("label"), col("p_fraud"), 0.5)
+      val metrics = Metrics.confusionAt(scored, col("label"), col("p_fraud"), 0.5)
         .crossJoin(Metrics.rocAuc(scored, col("label"), col("p_fraud")))
         .withColumn("n_sequences", lit(nSequences))
+      // eager one-row materialization + release — same no-pin rule as q70
+      val rows = metrics.collect()
+      scored.unpersist()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), metrics.schema)
     }),
 
     // §7 multimodal: opaque binary blobs + batched stub feature extraction

@@ -32,19 +32,26 @@ object Io {
 
   /** Per-invocation scratch sink path under java.io.tmpdir/<family>/:
     * a fresh UUID child (concurrent runs never collide), sweeping
-    * siblings older than 30 minutes first. Round-trip queries cannot
+    * siblings older than the TTL first. Round-trip queries cannot
     * clean up after themselves — the frame they return reads the sink
-    * lazily — so each run retires its predecessors' leftovers. */
-  def scratchDir(family: String, staleAfterMs: Long = 30 * 60 * 1000L): String = {
+    * lazily — so each run retires its predecessors' leftovers. The
+    * sweep deletes RECURSIVELY (a crashed write leaves a nested
+    * `_temporary/` subtree a flat delete would strand forever), and the
+    * 6-hour TTL is far beyond any single session's lifetime, so a
+    * long-lived session's still-lazily-read sink is never swept by a
+    * newer run. */
+  def scratchDir(family: String, staleAfterMs: Long = 6 * 60 * 60 * 1000L): String = {
     val parent = new java.io.File(System.getProperty("java.io.tmpdir"), family)
     parent.mkdirs()
     val cutoff = System.currentTimeMillis() - staleAfterMs
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
+      f.delete()
+    }
     Option(parent.listFiles()).getOrElse(Array.empty)
       .filter(_.lastModified() < cutoff)
-      .foreach { d =>
-        Option(d.listFiles()).getOrElse(Array.empty).foreach(_.delete())
-        d.delete()
-      }
+      .foreach(deleteRec)
     new java.io.File(parent, java.util.UUID.randomUUID().toString).getAbsolutePath
   }
 

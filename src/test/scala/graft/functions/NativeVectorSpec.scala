@@ -23,6 +23,24 @@ class NativeVectorSpec extends SparkSpec {
     assert(diff == 0.0) // same left-to-right accumulation order
   }
 
+  test("native dot reads array<double> correctly (typed getter, not a float reinterpret)") {
+    NativeVector.register(spark)
+    // double inputs once silently mis-read through getFloat — q74's
+    // near-dup verify stage surfaced sims of 0.93 for true cosine 0.9999
+    val d = vecs.select($"vid", $"v".cast("array<double>").as("v"))
+    val pairs = d.select($"vid".as("i"), $"v".as("a"))
+      .join(d.limit(50).select($"vid".as("j"), $"v".as("b")))
+    val diff = pairs.select(
+      (NativeVector.dot($"a", $"b") - Embeddings.dot($"a", $"b")).as("d"))
+      .agg(max(abs($"d"))).first().getDouble(0)
+    assert(diff == 0.0)
+    // and non-numeric arrays are rejected at analysis time, not mis-read
+    val bad = Seq((Seq("x", "y"), Seq("a", "b"))).toDF("a", "b")
+    intercept[Exception] {
+      bad.select(NativeVector.dot($"a", $"b")).collect()
+    }
+  }
+
   test("native sorted intersect equals array_intersect size on sorted distinct arrays") {
     NativeVector.register(spark)
     val arrs = Seq(

@@ -50,4 +50,17 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.sample(ids, $"id", 0.0).count() == 0)
     assert(Sampling.sample(ids, $"id", 1.0).count() == 20000)
   }
+
+  test("salt/key boundary pairs hash independently (delimited), empty salt hashes bare key") {
+    // bare concatenation would collide (salt "a1", key "2") with
+    // (salt "a", key "12") — both md5("a12") — coupling numeric-suffixed
+    // fold salts over numeric keys; the ':' delimiter keeps them apart
+    val r = spark.range(1).select(
+      Sampling.memberHash(lit("2"), "a1").as("h1"),
+      Sampling.memberHash(lit("12"), "a").as("h2"),
+      Sampling.memberHash(lit("7"), "").as("bare"),
+      md5(lit("7")).as("expected")).first()
+    assert(r.getString(0) != r.getString(1))
+    assert(r.getString(2) == r.getString(3))
+  }
 }
