@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output goes straight to this process's stdout, WITHOUT
+// sbt's "[info] " logger prefix — the bench driver parses the last JSON
+// line of the output tail, and the prefix made it unparseable for five
+// rounds ("parsed": null in BENCH_r01-r05).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -66,11 +66,18 @@ object TextQueries {
     "q72_normalize" -> ((s, dir) => {
       val asciiOnly = regexp_replace(col("text"), "[^\\x20-\\x7e]", " ")
       val messy = concat(lit("  "), upper(asciiOnly), lit("\tEND  "))
-      Tables.documents(s, dir).select(
-        col("doc_id"),
-        md5(TextOps.normalize(messy)).as("norm_md5"),
-        length(TextOps.normalize(messy)).cast("long").as("norm_len"),
-        TextOps.nTokens(TextOps.normalize(messy)).cast("long").as("norm_tokens"))
+      // stage the normalized form ONCE as its own projection (the repo's
+      // HOF-staging rule): referencing TextOps.normalize(messy) in all
+      // three outputs would run the lower + regex chain 3x per row —
+      // that constant factor made q72 the most expensive query in the
+      // round-5 record
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.normalize(messy).as("norm"))
+        .select(
+          col("doc_id"),
+          md5(col("norm")).as("norm_md5"),
+          length(col("norm")).cast("long").as("norm_len"),
+          TextOps.nTokens(col("norm")).cast("long").as("norm_tokens"))
         .orderBy("doc_id")
     }),
 
