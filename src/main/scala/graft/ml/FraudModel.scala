@@ -102,6 +102,12 @@ object FraudModel {
   /** M5: thresholded 0/1 prediction. */
   def thresholded(p: Column, tau: Double): Column = (p >= tau).cast("int")
 
+  /** Trees actually grown by the GBT stage (< maxIter when validation-
+    * based early stopping fired — the deterministic count is pinned by
+    * q70's oracle row). */
+  def numTrees(model: PipelineModel): Int =
+    model.stages.last.asInstanceOf[GBTClassificationModel].getNumTrees
+
   /** M6: feature importance table (top-n), from the trained GBT. */
   def featureImportance(model: PipelineModel, featureCols: Seq[String],
                         topN: Int = 20): Seq[(String, Double)] = {

@@ -35,16 +35,29 @@ object Multimodal {
       length(payload.cast("binary")).cast("long").as("n_bytes"))
 
   /** STUB decoder: a real implementation would decode the blob with a
-    * codec and pool pixel/sample values; this deterministic fake derives
-    * `dim` floats from a rolling hash of the bytes so the pipeline is
-    * testable end-to-end. Marked clearly; replace for production. */
+    * codec and pool pixel/sample values; this deterministic fake is
+    * testable end-to-end AND oracle-checkable: the leading 4 features are
+    * real byte statistics of the blob — length, unsigned-byte sum mod
+    * 2^24 (exact in a Float), min byte, max byte — which a second engine
+    * can recompute on the same payload (q80's DuckDB row). The remaining
+    * dims are rolling-hash filler. Replace for production. */
   private[operators] def decodeStub(blob: Array[Byte], dim: Int): Array[Float] = {
     // ---- STUB: replace with real image/audio decode + pooling ----
     val out = new Array[Float](dim)
+    var sum = 0L; var mn = 256; var mx = -1
     var h = 1125899906842597L
     var i = 0
-    while (i < blob.length) { h = 31 * h + blob(i); i += 1 }
+    while (i < blob.length) {
+      val b = blob(i) & 0xFF
+      sum += b; if (b < mn) mn = b; if (b > mx) mx = b
+      h = 31 * h + b
+      i += 1
+    }
+    if (blob.isEmpty) { mn = 0; mx = 0 }
+    val stats = Array(blob.length.toFloat, (sum % 16777216L).toFloat,
+      mn.toFloat, mx.toFloat)
     var j = 0
+    while (j < dim && j < stats.length) { out(j) = stats(j); j += 1 }
     while (j < dim) {
       h = h * 6364136223846793005L + 1442695040888963407L
       out(j) = ((h >>> 33).toDouble / (1L << 31).toDouble - 0.5).toFloat

@@ -30,7 +30,14 @@ object MlQueries {
     }),
 
     // M1-M6 + E1: synthetic fraud data -> chronological split -> class-
-    // weighted GBT -> held-out AUC + confusion; one metrics row out
+    // weighted GBT -> held-out AUC + confusion. Emits ONLY the
+    // deterministic surface (tolerance-flag pattern, like q17/q62/q67):
+    // split/class counts are exact functions of the seeded generator +
+    // split rule, n_trees/top_feature are pinned by the deterministic
+    // single-partition fit, and auc_ok floors the measured 0.9965 AUC at
+    // 0.90 — the same metric printout the reference uses as its only
+    // training check (train_pipeline.py:242-273). Raw metric values stay
+    // spec-covered (FraudModelSpec).
     "q70_ml_fraud" -> ((s, _) => {
       val featureCols = Seq("transaction_amt", "v1", "v2", "v3")
       // The training frame is a bounded demo sample (8K rows — the
@@ -59,13 +66,23 @@ object MlQueries {
       // cache: the AUC and confusion branches below share one transform
       val scored = FraudModel.withProbability(model.transform(test)).cache()
       scored.count() // materialize ONCE: the two metric branches below otherwise race to build the same cache partitions
+      // driver-bounded: 3 split labels
+      val splitCounts = split.groupBy(col("split")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       // upstream caches served fit + scored materialization; release
       // them so repeated invocations in one session don't pin storage
       split.unpersist(); data.unpersist()
       val topFeature = FraudModel.featureImportance(model, featureCols).head
       val metrics = Metrics.confusionAt(scored, col("is_fraud"), col("p_fraud"), 0.5)
         .crossJoin(Metrics.rocAuc(scored, col("is_fraud"), col("p_fraud")))
-        .withColumn("top_feature", lit(topFeature._1))
+        .select(
+          lit(splitCounts.getOrElse("train", 0L)).as("n_train"),
+          lit(splitCounts.getOrElse("val", 0L)).as("n_val"),
+          lit(splitCounts.getOrElse("test", 0L)).as("n_test"),
+          (col("tp") + col("fn")).cast("long").as("n_pos_test"),
+          (col("roc_auc") >= 0.90).as("auc_ok"),
+          lit(FraudModel.numTrees(model).toLong).as("n_trees"),
+          lit(topFeature._1).as("top_feature"))
       // materialize the single metrics row NOW so `scored` can be
       // released too — returning it lazily would pin one cache entry per
       // invocation in a shared session (nothing upstream remains cached)
@@ -76,7 +93,10 @@ object MlQueries {
 
     // M10 stand-in: per-card sliding amount sequences -> flattened
     // tensor -> MLP -> held-out AUC (sequence-model scoring path on the
-    // same W14/W15 tensors a BiLSTM hook would consume)
+    // same W14/W15 tensors a BiLSTM hook would consume). Same
+    // tolerance-flag surface as q70: sequence/split/class counts are
+    // exact constants of the seeded generator, auc_ok floors the
+    // measured 0.8956 AUC at 0.75.
     "q71_sequence_model" -> ((s, _) => {
       val c = BehaviorWindows.Cols("card1", "ts", "transaction_amt", "transaction_id")
       val data = SyntheticData.transactions(s, 8000L)
@@ -97,24 +117,41 @@ object MlQueries {
       val scored = FraudModel.withProbability(model.transform(test)).cache()
       scored.count() // materialize ONCE (same reason as q70)
       val nSequences = seqs.count()
+      // driver-bounded: 3 split labels
+      val splitCounts = prepped.groupBy(col("split")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       seqs.unpersist(); prepped.unpersist() // release (same reason as q70)
       val metrics = Metrics.confusionAt(scored, col("label"), col("p_fraud"), 0.5)
         .crossJoin(Metrics.rocAuc(scored, col("label"), col("p_fraud")))
-        .withColumn("n_sequences", lit(nSequences))
+        .select(
+          lit(nSequences).as("n_sequences"),
+          lit(splitCounts.getOrElse("train", 0L)).as("n_train"),
+          lit(splitCounts.getOrElse("val", 0L)).as("n_val"),
+          lit(splitCounts.getOrElse("test", 0L)).as("n_test"),
+          (col("tp") + col("fn")).cast("long").as("n_pos_test"),
+          (col("roc_auc") >= 0.75).as("auc_ok"))
       // eager one-row materialization + release — same no-pin rule as q70
       val rows = metrics.collect()
       scored.unpersist()
       s.createDataFrame(java.util.Arrays.asList(rows: _*), metrics.schema)
     }),
 
-    // §7 multimodal: opaque binary blobs + batched stub feature extraction
+    // §7 multimodal: opaque binary blobs + batched stub feature
+    // extraction. The payload is sanitized to printable ASCII on BOTH
+    // engines (q72's rule) so DuckDB code points == utf-8 bytes, and the
+    // stub's leading features are byte statistics the oracle recomputes
+    // on the same blob — the decode path gets a real cross-engine row.
     "q80_multimodal" -> ((s, dir) => {
+      val clean = regexp_replace(col("text"), "[^\\x20-\\x7e]", " ")
       val media = Multimodal.asMediaTable(Tables.documents(s, dir),
-        col("doc_id"), col("text"), "text_blob")
+        col("doc_id"), clean, "text_blob")
       Multimodal.extractFeatures(media, dim = 16)
         .select(col("media_id"), col("kind"), col("n_bytes"),
           size(col("features")).as("feat_dim"),
-          element_at(col("features"), 1).as("f0"))
+          element_at(col("features"), 1).cast("long").as("byte_len"),
+          element_at(col("features"), 2).cast("long").as("byte_sum"),
+          element_at(col("features"), 3).cast("long").as("byte_min"),
+          element_at(col("features"), 4).cast("long").as("byte_max"))
         .orderBy("media_id")
     })
   )
@@ -130,6 +167,45 @@ object MlQueries {
         |  count(*) OVER (PARTITION BY user_id) AS nu
         | FROM events)
         |SELECT event_id, user_id, seq_len, CAST(8 AS BIGINT) AS padded_len
-        |FROM f WHERE seq_len = 5 AND nu >= 5 ORDER BY event_id""".stripMargin
+        |FROM f WHERE seq_len = 5 AND nu >= 5 ORDER BY event_id""".stripMargin,
+
+    // tolerance-flag oracle (q17/q62/q67 pattern): every column is an
+    // exact constant of the seeded generator (xxhash64-pure, partition-
+    // independent) + the floor(0.70/0.85 * n) split rule, except auc_ok,
+    // which floors the measured deterministic AUC (0.9965) at 0.90 — the
+    // reference verifies its training loop with exactly this metric
+    // surface (train_pipeline.py:242-273). n=8000 -> 5600/1200/1200;
+    // 39 test positives; maxIter=8 trees grown (no early stop at this
+    // budget); amount shift is the designed top signal.
+    "q70_ml_fraud" ->
+      """SELECT CAST(5600 AS BIGINT) AS n_train, CAST(1200 AS BIGINT) AS n_val,
+        | CAST(1200 AS BIGINT) AS n_test, CAST(39 AS BIGINT) AS n_pos_test,
+        | TRUE AS auc_ok, CAST(8 AS BIGINT) AS n_trees,
+        | 'transaction_amt' AS top_feature""".stripMargin,
+
+    // same pattern: 2324 full 5-row card sequences exist in the seeded
+    // 8000-row table (constant of the generator); floor-rule split ->
+    // 1626/349/349; 12 positive-labeled test sequences; auc_ok floors
+    // the measured deterministic MLP AUC (0.8956) at 0.75.
+    "q71_sequence_model" ->
+      """SELECT CAST(2324 AS BIGINT) AS n_sequences, CAST(1626 AS BIGINT) AS n_train,
+        | CAST(349 AS BIGINT) AS n_val, CAST(349 AS BIGINT) AS n_test,
+        | CAST(12 AS BIGINT) AS n_pos_test, TRUE AS auc_ok""".stripMargin,
+
+    // byte-statistic twin of the stub decoder: per-character code points
+    // of the ASCII-sanitized payload ARE its utf-8 bytes, so length /
+    // sum mod 2^24 / min / max recompute the stub's leading features
+    "q80_multimodal" ->
+      """WITH c AS (SELECT doc_id,
+        |   regexp_replace(text, '[^\x20-\x7e]', ' ', 'g') AS t FROM documents),
+        | b AS (SELECT doc_id, t,
+        |   list_transform(string_split(t, ''), x -> ascii(x)) AS codes FROM c)
+        |SELECT CAST(doc_id AS BIGINT) AS media_id, 'text_blob' AS kind,
+        | CAST(length(t) AS BIGINT) AS n_bytes, CAST(16 AS INTEGER) AS feat_dim,
+        | CAST(length(t) AS BIGINT) AS byte_len,
+        | CAST(list_sum(codes) % 16777216 AS BIGINT) AS byte_sum,
+        | CAST(coalesce(list_min(codes), 0) AS BIGINT) AS byte_min,
+        | CAST(coalesce(list_max(codes), 0) AS BIGINT) AS byte_max
+        |FROM b ORDER BY media_id""".stripMargin
   )
 }

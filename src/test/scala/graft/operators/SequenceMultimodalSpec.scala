@@ -83,5 +83,11 @@ class SequenceMultimodalSpec extends SparkSpec {
     val again = Multimodal.extractFeatures(media, dim = 8).collect()
       .map(r => r.getLong(0) -> r.getAs[collection.Seq[Float]]("features")).toMap
     assert(again.view.mapValues(_.toSeq).toMap == feats.view.mapValues(_.toSeq).toMap) // run-to-run deterministic
+    // leading features are real byte statistics (q80's oracle surface):
+    // "hello world" = 11 bytes, sum 1116, min ' ' (32), max 'w' (119)
+    val bytes = "hello world".getBytes("UTF-8").map(_ & 0xFF)
+    assert(feats(1L).take(4).map(_.toLong).toSeq ==
+      Seq(bytes.length.toLong, bytes.map(_.toLong).sum % 16777216L,
+        bytes.min.toLong, bytes.max.toLong))
   }
 }
