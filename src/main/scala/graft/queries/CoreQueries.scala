@@ -209,9 +209,15 @@ object CoreQueries {
         .orderBy("c_nationkey")
     }),
 
-    // left-anti (NOT EXISTS)
+    // left-anti (NOT EXISTS). Every harness-SF customer has orders, so
+    // the natural result is empty and a green 0 = 0 row was vacuous —
+    // plant customers under keys orders can't contain (negative) so the
+    // anti-join must find exactly the planted set (q69/q59 pattern).
     "q10_join_anti" -> ((s, dir) => {
-      Tables.customer(s, dir)
+      val cust = Tables.customer(s, dir)
+      val planted = cust.filter(col("c_custkey") % 50 === 0)
+        .withColumn("c_custkey", -col("c_custkey") - 1)
+      cust.unionByName(planted)
         .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n_cust"))
@@ -260,6 +266,18 @@ object CoreQueries {
         .rollup("l_returnflag", "l_linestatus")
         .agg(qz(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    }),
+
+    // cube: all 2^k grouping sets in one pass (beyond-reference, like
+    // q19's rollup); grouping_id() disambiguates subtotal NULLs from
+    // data NULLs — bit order (first col = MSB) verified against DuckDB
+    "q75_cube" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(qz(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"),
+          grouping_id().cast("long").as("gid"))
+        .orderBy(col("gid"), asc_nulls_first("l_returnflag"),
+          asc_nulls_first("l_linestatus"))
     }),
 
     // skew path: two-phase salted aggregation — must equal a plain
@@ -429,8 +447,12 @@ object CoreQueries {
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     "q10_join_anti" ->
-      """SELECT c_mktsegment, count(*) AS n_cust
-        |FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      """WITH allc AS (
+        | SELECT c_custkey, c_mktsegment FROM customer
+        | UNION ALL
+        | SELECT -c_custkey - 1, c_mktsegment FROM customer WHERE c_custkey % 50 = 0)
+        |SELECT c_mktsegment, count(*) AS n_cust
+        |FROM allc WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q11_join_multiway" ->
@@ -466,6 +488,13 @@ object CoreQueries {
         | round((sum(l_quantity)) * 100.0) / 100.0 + 0.0 AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q75_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round((sum(l_quantity)) * 100.0) / 100.0 + 0.0 AS sum_qty, count(*) AS n,
+        | CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
     "q17_approx_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,

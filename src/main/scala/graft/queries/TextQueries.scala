@@ -51,10 +51,19 @@ object TextQueries {
         .orderBy("doc1", "doc2")
     }),
 
-    // duplicated-content groups (md5 key; empty at sf where no dups)
-    "q61_dup_groups" -> ((s, dir) =>
-      TextOps.dupGroups(Tables.documents(s, dir), col("doc_id"), col("text"))
-        .orderBy("keep_id")),
+    // duplicated-content groups (md5 key). The corpus has no natural
+    // exact duplicates at harness SFs, which made a green row vacuous
+    // (0 = 0 proves nothing) — so the query PLANTS copies of every 20th
+    // doc under disjoint ids (q69/q59 pattern) and the oracle must find
+    // exactly those groups, keeper = original id, n_copies = 2. A
+    // regression in the hash-groupBy now turns the row red.
+    "q61_dup_groups" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val planted = docs.filter(col("doc_id") % 20 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(100000000L))
+      TextOps.dupGroups(docs.unionByName(planted), col("doc_id"), col("text"))
+        .orderBy("keep_id")
+    }),
 
     // text normalization (case fold + control strip + whitespace
     // collapse + trim), proven on a deliberately-messied input both
@@ -325,8 +334,12 @@ object TextQueries {
         |ORDER BY doc1, doc2""".stripMargin,
 
     "q61_dup_groups" ->
-      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
-        |FROM documents GROUP BY md5(text) HAVING count(*) > 1
+      """WITH planted AS (
+        | SELECT doc_id + 100000000 AS doc_id, text FROM documents WHERE doc_id % 20 = 0),
+        |al AS (SELECT doc_id, text FROM documents UNION ALL SELECT * FROM planted)
+        |SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+        | count(*) AS n_copies
+        |FROM al GROUP BY md5(text) HAVING count(*) > 1
         |ORDER BY keep_id""".stripMargin,
 
     // same messy derivation + normalization in RE2 syntax (ASCII-first,
