@@ -33,9 +33,9 @@ object TimeSplit {
              f1: Double = 0.70, f2: Double = 0.85,
              exactMaxRows: Long = DefaultExactMaxRows): DataFrame = {
     val n = df.count()
-    // reroute only when the key quantiles sensibly (numeric/timestamp —
-    // approxQuantile runs on a double cast); string/date keys keep the
-    // exact path at any size rather than crashing on an all-null cast
+    // reroute only when the key quantiles sensibly (numeric/timestamp/
+    // date — see quantileKey); string keys keep the exact path at any
+    // size rather than crashing on an all-null cast
     if (n > exactMaxRows && isQuantileable(keyType(df, ts)))
       return assignApprox(df, ts, f1, f2)
     val k1 = math.floor(f1 * n).toLong
@@ -73,15 +73,15 @@ object TimeSplit {
   def assignApprox(df: DataFrame, ts: Column,
                    f1: Double = 0.70, f2: Double = 0.85,
                    relativeError: Double = 0.001): DataFrame = {
-    // guard the key type up front: a string/date key would either throw
-    // an opaque ANSI cast error or (all-null cast) return an empty
+    // guard the key type up front: a string key would either throw an
+    // opaque ANSI cast error or (all-null cast) return an empty
     // quantile array and a MatchError — name the supported types instead
     val kt = keyType(df, ts)
     require(isQuantileable(kt),
-      s"assignApprox needs a numeric or timestamp ordering key, got $kt " +
-        "- string/date keys must use the exact path in TimeSplit.assign")
+      s"assignApprox needs a numeric, timestamp, or date ordering key, got $kt " +
+        "- string keys must use the exact path in TimeSplit.assign")
     val key = "__split_key"
-    val withKey = df.withColumn(key, ts.cast("double"))
+    val withKey = df.withColumn(key, quantileKey(ts, kt))
     val cuts = withKey.stat.approxQuantile(key, Array(f1, f2), relativeError)
     require(cuts.length == 2,
       "assignApprox found no quantiles - the ordering key is empty or all null")
@@ -98,12 +98,25 @@ object TimeSplit {
   private def keyType(df: DataFrame, ts: Column) =
     df.select(ts.as("__t")).schema.head.dataType
 
-  /** One definition of "quantiles sensibly under a double cast" shared
-    * by assign's auto-reroute and assignApprox's acceptance check. */
+  /** One definition of "quantiles sensibly" shared by assign's
+    * auto-reroute and assignApprox's acceptance check. Date keys are
+    * quantileable via a monotone epoch-day cast (see quantileKey) —
+    * a plain double cast on DateType is not legal SQL. */
   private def isQuantileable(dt: org.apache.spark.sql.types.DataType): Boolean =
     dt match {
       case _: org.apache.spark.sql.types.NumericType => true
       case org.apache.spark.sql.types.TimestampType  => true
+      case org.apache.spark.sql.types.DateType       => true
       case _                                          => false
+    }
+
+  /** Monotone double image of the ordering key for approxQuantile:
+    * timestamps cast to epoch seconds, dates go through unix_date
+    * (days since epoch), numerics cast directly. */
+  private def quantileKey(ts: Column,
+                          dt: org.apache.spark.sql.types.DataType): Column =
+    dt match {
+      case org.apache.spark.sql.types.DateType => unix_date(ts).cast("double")
+      case _                                    => ts.cast("double")
     }
 }

@@ -49,7 +49,35 @@ class SplitEncodingSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] {
       TimeSplit.assignApprox(df, col("day"), 0.7, 0.85, 0.001)
     }
-    assert(e.getMessage.contains("numeric or timestamp"))
+    assert(e.getMessage.contains("numeric, timestamp, or date"))
+  }
+
+  test("TimeSplit: date-typed keys split on both the exact and approx paths") {
+    import java.sql.Date
+    val rows = (1 to 2000).map(i =>
+      (i.toLong, new Date(1700000000000L + (i * 104729 % 2000) * 86400000L)))
+    val df = rows.toDF("id", "day")
+    val exact = TimeSplit.assign(df, $"day", $"id")
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact == Map("train" -> 1400L, "val" -> 300L, "test" -> 300L))
+    // approx path: date quantiles over epoch days (unix_date) — fractions
+    // within tolerance and still chronological
+    val approx = TimeSplit.assignApprox(df, $"day", 0.7, 0.85, 0.001)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(approx("train") - 1400L) <= 30)
+    assert(math.abs(approx("val") - 300L) <= 30)
+    val agg = TimeSplit.assignApprox(df, $"day", 0.7, 0.85, 0.001)
+      .groupBy("split").agg(min("day").as("mn"), max("day").as("mx")).collect()
+      .map(r => r.getString(0) -> (r.getDate(1), r.getDate(2))).toMap
+    assert(!agg("train")._2.after(agg("val")._1))
+    assert(!agg("val")._2.after(agg("test")._1))
+    // the auto-reroute accepts date keys too (quantileable now)
+    val rerouted = TimeSplit.assign(df, $"day", $"id", exactMaxRows = 100L)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(rerouted("train") - 1400L) <= 30)
   }
 
   test("TimeSplit.assign auto-reroutes to the approx path above exactMaxRows") {
