@@ -128,10 +128,30 @@ object TextQueries {
     // SimHash near-dup pairs within source (rows-only — hamming-pair
     // truth at maxDist=10 has no portable SQL form; exactness of the
     // oversized-block pigeonhole reroute is spec-proven)
-    "q55_simhash_pairs" -> ((s, dir) =>
-      Dedup.simHashPairs(Tables.documents(s, dir), "doc_id", "text",
-        "source", maxDist = 10)
-        .orderBy("doc1", "doc2")),
+    // SimHash near-dup pairs at the WIDE radius (maxDist=10 — the
+    // probabilistic operator with pigeonhole banding on oversized
+    // blocks). The raw pair list has no portable SQL twin (spec-proven
+    // in TextDedupSpec), so the emitted surface is a planted-pair
+    // containment check (q69/q59 pattern, distinct id offset): exact
+    // copies sit at hamming 0, pigeonhole banding guarantees any
+    // hamming<=10 pair survives the block reroute, so every planted
+    // pair MUST appear in the operator's output — found=true, hamming=0
+    // is the complete predictable truth set.
+    "q55_simhash_pairs" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val planted = docs.filter(col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + 2000000L)
+      val pairs = Dedup.simHashPairs(docs.unionByName(planted), "doc_id",
+        "text", "source", maxDist = 10)
+      val truth = docs.filter(col("doc_id") < 50)
+        .select(col("doc_id").as("doc1"),
+          (col("doc_id") + 2000000L).as("doc2"))
+      truth.join(pairs, Seq("doc1", "doc2"), "left")
+        .select(col("doc1"), col("doc2"),
+          col("hamming").isNotNull.as("found"),
+          coalesce(col("hamming"), lit(-1)).cast("long").as("hamming"))
+        .orderBy("doc1", "doc2")
+    }),
 
     // SimHash's deterministic guarantee, oracle-checked (q59 pattern):
     // equal text => equal token stream => equal 32-bit signature =>
@@ -221,6 +241,14 @@ object TextQueries {
 
     // complete truth: same-source text-equal pairs over corpus+copies,
     // all necessarily at hamming 0
+    // the deterministic guarantee is the oracle: every planted exact
+    // copy must be found by the wide-radius SimHash operator, at
+    // hamming 0 — the truth set is SQL-trivial
+    "q55_simhash_pairs" ->
+      """SELECT doc_id AS doc1, doc_id + 2000000 AS doc2,
+        | TRUE AS found, CAST(0 AS BIGINT) AS hamming
+        |FROM documents WHERE doc_id < 50 ORDER BY doc1""".stripMargin,
+
     "q69_simhash_dups" ->
       """WITH ad AS (
         | SELECT doc_id, text, source FROM documents
