@@ -14,6 +14,13 @@ import org.apache.spark.sql.functions._
   * = 10x the original's, not a 45x-denser artificial one) and embedding
   * components get deterministic per-replica noise — so dedup/ANN queries
   * at sf1 measure 10x the work, not degenerate all-duplicate corpora.
+  * Replicas are written as 32 files per table: the single-file layout
+  * the driver generator uses is fine at sf0.1 but a one-file table is
+  * ONE parquet row group, i.e. ONE scan partition no matter what
+  * maxPartitionBytes says — at sf1 that serialized every CPU-bound
+  * text/regex query onto one core (q56/q60 looked 11-13x instead of
+  * ~10x). Real 100 TB tables arrive as thousands of files; the bench
+  * layout should too.
   * Usage: runMain graft.tools.ScaleData [outDir] [copies]
   */
 object ScaleData {
@@ -48,6 +55,7 @@ object ScaleData {
         case (df, (key, stride)) =>
           df.withColumn(key, col(key) + col("__r") * stride)
       }.drop("__r")
+        .repartition(32)
         .write.mode("overwrite").parquet(s"$out/$table.parquet")
     }
     // fixed-cardinality dims copy as-is (25 nations / 5 regions at any
@@ -63,6 +71,7 @@ object ScaleData {
       .withColumn("event_id", col("event_id") + col("__r") * 1000000000000L)
       .withColumn("user_id", col("user_id") + col("__r") * 1000000000L)
       .drop("__r")
+      .repartition(32)
       .write.mode("overwrite").parquet(s"$out/events.parquet")
 
     // documents: per-replica token prefix keeps replicas fully
@@ -75,6 +84,7 @@ object ScaleData {
             concat(lit("z"), col("__r"), lit("x$1")))))
       .withColumn("source", concat(col("source"), lit("_"), col("__r")))
       .drop("__r")
+      .repartition(32)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
 
     // embeddings: deterministic per-replica noise de-duplicates the
@@ -87,6 +97,7 @@ object ScaleData {
             (x + (pmod(xxhash64(col("vec_id"), col("__r"), j), lit(1000))
               .cast("double") / 1000.0 - 0.5) * 0.2).cast("float"))))
       .drop("__r")
+      .repartition(32)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
     println(s"[scale] wrote ${copies}x sf0.1 replicas to $out")
