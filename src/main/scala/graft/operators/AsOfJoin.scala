@@ -45,4 +45,36 @@ object AsOfJoin {
         payload.map(p => col(s"__last.$p").as(s"$prefix$p"))
     carried.filter(col("__side") === 1).select(outCols: _*)
   }
+
+  /** Forward as-of join: for each left row, the EARLIEST right row of
+    * the same key with right.ts >= left.ts (DuckDB `ASOF JOIN ... ON
+    * l.ts <= r.ts` semantics; inclusive at equal timestamps). Mirror of
+    * `leftAsOf`: same one-shuffle union-stream design, with the window
+    * frame flipped to current-row → unbounded-following and the first
+    * non-null right payload carried BACKWARD. Right rows sort after
+    * left rows at equal ts (side 1 vs 0 reversed here) so ts_r = ts_l
+    * still matches; ties among right rows at one (key, ts) break on the
+    * payload struct, deterministic at any partitioning. */
+  def leftAsOfForward(left: DataFrame, right: DataFrame, key: String,
+                      ts: String, payload: Seq[String],
+                      prefix: String = "asof_"): DataFrame = {
+    val rv = struct(payload.map(col): _*)
+    val taggedR = right.select(
+      Seq(col(key), col(ts), lit(1).as("__side"), rv.as("__rv")) ++
+        left.columns.filterNot(c => c == key || c == ts)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val taggedL = left.select(
+      Seq(col(key), col(ts), lit(0).as("__side"),
+        lit(null).cast(taggedR.schema("__rv").dataType).as("__rv")) ++
+        left.columns.filterNot(c => c == key || c == ts).map(col): _*)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts), col("__side"), col("__rv"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carried = taggedL.unionByName(taggedR)
+      .withColumn("__first", first(col("__rv"), ignoreNulls = true).over(w))
+    val outCols =
+      left.columns.map(col).toSeq ++
+        payload.map(p => col(s"__first.$p").as(s"$prefix$p"))
+    carried.filter(col("__side") === 0).select(outCols: _*)
+  }
 }

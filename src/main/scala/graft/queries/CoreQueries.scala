@@ -280,6 +280,21 @@ object CoreQueries {
           asc_nulls_first("l_linestatus"))
     }),
 
+    // arbitrary grouping sets through the SQL front end (rollup/cube
+    // are fixed shapes; GROUPING SETS is the general form) — the Spark
+    // side IS the oracle text modulo engine, proving the SQL surface
+    "q76_grouping_sets" -> ((s, dir) => {
+      Tables.registerViews(s, dir)
+      s.sql("""SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity) * 100.0) / 100.0 + 0.0 AS sum_qty,
+        | count(*) AS n,
+        | cast(grouping_id(l_returnflag, l_linestatus) as bigint) AS gid
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+        .stripMargin)
+    }),
+
     // skew path: two-phase salted aggregation — must equal a plain
     // GROUP BY (the oracle IS the unsalted form)
     "q18_salted_agg" -> ((s, dir) => {
@@ -494,6 +509,13 @@ object CoreQueries {
         | round((sum(l_quantity)) * 100.0) / 100.0 + 0.0 AS sum_qty, count(*) AS n,
         | CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q76_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round((sum(l_quantity)) * 100.0) / 100.0 + 0.0 AS sum_qty, count(*) AS n,
+        | CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
     "q17_approx_distinct" ->

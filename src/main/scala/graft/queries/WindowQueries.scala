@@ -106,6 +106,23 @@ object WindowQueries {
         .orderBy("event_id")
     }),
 
+    // forward as-of join: each event joined to the user's NEXT purchase
+    // at-or-after its time (the time-reverse of q15, via the flipped
+    // window frame in AsOfJoin.leftAsOfForward)
+    "q77_asof_forward" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+      graft.operators.AsOfJoin.leftAsOfForward(
+          e.select("event_id", "user_id", "ts", "value"), purchases,
+          key = "user_id", ts = "ts",
+          payload = Seq("purchase_id", "purchase_value"), prefix = "next_")
+        .select(col("event_id"), col("next_purchase_id"),
+          col("next_purchase_value"))
+        .orderBy("event_id")
+    }),
+
     // W9: multi-key windows — same ops partitioned by (user, type)
     "q29_two_key_window" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"), col("event_type"))
@@ -277,6 +294,16 @@ object WindowQueries {
         | (SELECT user_id, ts, event_id, value FROM events
         |  WHERE event_type = 'purchase') r
         | ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
+
+    "q77_asof_forward" ->
+      """SELECT l.event_id,
+        | r.event_id AS next_purchase_id,
+        | r.value AS next_purchase_value
+        |FROM events l ASOF LEFT JOIN
+        | (SELECT user_id, ts, event_id, value FROM events
+        |  WHERE event_type = 'purchase') r
+        | ON l.user_id = r.user_id AND l.ts <= r.ts
         |ORDER BY l.event_id""".stripMargin,
 
     "q29_two_key_window" ->
