@@ -123,6 +123,30 @@ object WindowQueries {
         .orderBy("event_id")
     }),
 
+    // banded range join: per purchase, the same user's events in the
+    // following hour — time-bucketed equi-join (RangeJoin), so a hot
+    // user's history spreads across (user, hour-bucket) reducers instead
+    // of one. Aggregated + left-joined back so zero-match purchases keep
+    // a row; both engines compare at micros (Spark's ns->us floor).
+    "q79_range_join" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"),
+          unix_micros(col("ts")).as("pts"))
+      val others = e.select(col("user_id"), col("event_id").as("e_id"),
+        unix_micros(col("ts")).as("ets"), col("value"))
+      val joined = graft.operators.RangeJoin.bandedIntervalJoin(
+        purchases, others, "user_id", "pts", "ets",
+        lo = 1L, hi = 3600000000L) // (p.ts, p.ts + 1h] at micros grain
+      val agg = joined.groupBy("p_id")
+        .agg(count(lit(1)).as("n_next_1h"), sum("value").as("sv"))
+      purchases.join(agg, Seq("p_id"), "left")
+        .select(col("p_id").as("event_id"),
+          coalesce(col("n_next_1h"), lit(0L)).as("n_next_1h"),
+          qz(coalesce(col("sv"), lit(0.0)), 4).as("val_next_1h"))
+        .orderBy("event_id")
+    }),
+
     // W9: multi-key windows — same ops partitioned by (user, type)
     "q29_two_key_window" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"), col("event_type"))
@@ -305,6 +329,19 @@ object WindowQueries {
         |  WHERE event_type = 'purchase') r
         | ON l.user_id = r.user_id AND l.ts <= r.ts
         |ORDER BY l.event_id""".stripMargin,
+
+    // inequality join at micros grain (epoch_us floors ns like Spark);
+    // count(e_id) over the LEFT join gives 0 for matchless purchases
+    "q79_range_join" ->
+      """WITH p AS (SELECT user_id, event_id AS p_id, epoch_us(ts) AS pts
+        |  FROM events WHERE event_type = 'purchase'),
+        | e AS (SELECT user_id, event_id AS e_id, epoch_us(ts) AS ets, value
+        |  FROM events)
+        |SELECT p.p_id AS event_id, CAST(count(e.e_id) AS BIGINT) AS n_next_1h,
+        | round((coalesce(sum(e.value), 0)) * 10000.0) / 10000.0 + 0.0 AS val_next_1h
+        |FROM p LEFT JOIN e ON e.user_id = p.user_id
+        | AND e.ets >= p.pts + 1 AND e.ets <= p.pts + 3600000000
+        |GROUP BY p.p_id ORDER BY event_id""".stripMargin,
 
     "q29_two_key_window" ->
       """SELECT event_id,
