@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.BehaviorWindows
-import graft.queries.{CoreQueries, EmbeddingQueries, EvalQueries, FeatureQueries, MlQueries, PipelineQueries, StreamingQueries, TextQueries, WindowQueries, Util}
+import graft.queries.{CoreQueries, CurationQueries, EmbeddingQueries, EvalQueries, FeatureQueries, MlQueries, PipelineQueries, StreamingQueries, TextQueries, WindowQueries, Util}
 import graft.serve.RiskScore
 import graft.sources.Tables
 
@@ -39,7 +39,8 @@ object SparkEntry {
     CoreQueries.queries ++ WindowQueries.queries ++
       FeatureQueries.queries ++ EvalQueries.queries ++
       TextQueries.queries ++ EmbeddingQueries.queries ++ MlQueries.queries ++
-      PipelineQueries.queries ++ StreamingQueries.queries
+      PipelineQueries.queries ++ StreamingQueries.queries ++
+      CurationQueries.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the
     * same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -47,5 +48,6 @@ object SparkEntry {
     CoreQueries.oracle ++ WindowQueries.oracle ++
       FeatureQueries.oracle ++ EvalQueries.oracle ++
       TextQueries.oracle ++ EmbeddingQueries.oracle ++ MlQueries.oracle ++
-      PipelineQueries.oracle ++ StreamingQueries.oracle
+      PipelineQueries.oracle ++ StreamingQueries.oracle ++
+      CurationQueries.oracle
 }

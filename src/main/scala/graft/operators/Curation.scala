@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators (SURVEY.md §7 extensions): document
+  * chunking, benchmark decontamination, PII redaction, deterministic
+  * shard assignment. These are the steps a 100 TB pretraining pipeline
+  * runs AFTER dedup/quality filtering (TextOps, Dedup) and BEFORE the
+  * data leaves the engine as training shards.
+  *
+  * Everything is codegen'd Column expressions — no UDFs — and every
+  * per-row op is embarrassingly parallel (zero shuffle); the only
+  * shuffles are the per-doc hit aggregation in `contamination` (bounded
+  * by map-side combine) and whatever the caller does with shard ids.
+  */
+object Curation {
+
+  /** Distinct `len`-token shingles of an ALREADY-PROJECTED token array
+    * as md5 STRINGS — the cross-engine form (DuckDB twin:
+    * md5(array_to_string(toks[i+1:i+len], ' '))). Docs shorter than
+    * `len` tokens get one whole-doc shingle — same contract as
+    * Dedup.fingerprintMd5.
+    *
+    * `toks` must be a plain column reference, not the tokenizer
+    * expression itself: an expression referenced inside the transform
+    * lambda re-evaluates per element (the repo's HOF-staging rule —
+    * un-staged, this was ~6× the whole decontamination cost). */
+  def shingleMd5s(toks: Column, len: Int): Column =
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(toks) - len, lit(0))),
+      i => md5(concat_ws(" ", slice(toks, i + 1, lit(len))))))
+
+  /** Split each document into token-window chunks of `chunkTokens`
+    * tokens overlapping by `overlapTokens` (context-window preparation
+    * for sequence training). Chunk starts advance by the stride
+    * chunkTokens−overlapTokens; a start is emitted only while it opens
+    * at least one token PAST the previous chunk's overlap
+    * (start ≤ nTokens−overlapTokens−1), so no trailing chunk is fully
+    * contained in its predecessor; every doc yields ≥ 1 chunk.
+    *
+    * Scale: tokenize once, explode starts — linear in output tokens,
+    * no shuffle, stays inside whole-stage codegen. At 100 TB the output
+    * is written straight to bucketed shards (see shardId) without ever
+    * collecting a document's chunk list in one place. */
+  def chunk(docs: DataFrame, id: String, text: String,
+            chunkTokens: Int, overlapTokens: Int): DataFrame = {
+    require(chunkTokens > overlapTokens && overlapTokens >= 0,
+      s"need chunkTokens > overlapTokens >= 0, got $chunkTokens/$overlapTokens")
+    val stride = chunkTokens - overlapTokens
+    docs
+      .select(col(id), TextOps.tokens(col(text)).as("__toks"))
+      .select(col(id), col("__toks"),
+        explode(sequence(lit(0),
+          greatest(size(col("__toks")) - overlapTokens - 1, lit(0)),
+          lit(stride))).as("__start"))
+      .select(
+        col(id),
+        (col("__start") / stride).cast("long").as("chunk_id"),
+        size(slice(col("__toks"), col("__start") + 1, lit(chunkTokens)))
+          .cast("long").as("n_chunk_tokens"),
+        concat_ws(" ", slice(col("__toks"), col("__start") + 1, lit(chunkTokens)))
+          .as("chunk_text"))
+  }
+
+  /** Benchmark decontamination: per-document count of `shingleLen`-token
+    * shingles that also appear in the evaluation set's shingle inventory
+    * (`evalGrams`: one column `g` of md5 shingle strings). A document
+    * with n_hits > 0 is contaminated and must be dropped/quarantined
+    * before training.
+    *
+    * Scale: eval inventories (benchmark suites) are tiny next to a
+    * 100 TB corpus — the distinct eval grams are BROADCAST, so the
+    * corpus-side explode never shuffles; the per-doc hit count is a
+    * groupBy(id) whose shuffle rows are bounded by doc count (map-side
+    * combine collapses the exploded shingles first). */
+  def contamination(docs: DataFrame, id: String, text: String,
+                    evalGrams: DataFrame, shingleLen: Int): DataFrame = {
+    val ev = broadcast(evalGrams.select(col("g").as("__eg")).distinct())
+    docs
+      .select(col(id), TextOps.tokens(col(text)).as("__toks"))
+      .select(col(id), explode(shingleMd5s(col("__toks"), shingleLen)).as("__g"))
+      .join(ev, col("__g") === col("__eg"), "left")
+      .groupBy(col(id))
+      .agg(count(col("__eg")).as("n_hits"))
+      .select(col(id), col("n_hits"),
+        (col("n_hits") > 0).as("contaminated"))
+  }
+
+  /** PII redaction patterns, applied IN ORDER (email before URL before
+    * IP before long digit runs — an address inside a URL query string is
+    * taken by the earlier, more specific pattern). Each regex keeps to
+    * the portable common subset of Java regex and RE2 (ASCII classes,
+    * `\b` word boundaries, no backrefs/lookaround) so the identical
+    * pattern runs in the DuckDB oracle. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}" -> "<EMAIL>",
+    "https?://[^ ]+" -> "<URL>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
+    "\\b\\d{9,16}\\b" -> "<NUM>")
+
+  /** Apply the full redaction chain (linear per-row regex pipeline;
+    * stage the result ONCE per the repo's HOF-staging rule when several
+    * outputs reference it). */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (p, r)) => regexp_replace(c, p, r) }
+
+  /** Deterministic shard assignment — the "global training-data shuffle"
+    * as a pure key function. shard = first 12 md5 hex digits (48 bits)
+    * of `salt:key` mod `nShards`; like Sampling.keepRow it is
+    * partition-layout/engine/rerun independent, so a training job can
+    * re-derive the exact shard of any example from its key alone.
+    * DuckDB twin: CAST('0x' || substr(md5(salt||':'||key),1,12) AS
+    * UBIGINT) % n. Within a shard, ordering by `shardOrder` gives a
+    * deterministic example order (the shuffled read order).
+    *
+    * Scale: per-row hash + mod, zero shuffle to ASSIGN; writing the
+    * shards is one exchange on shard id (or none, with
+    * partitionBy(shard) file layout). */
+  def shardId(key: Column, nShards: Int, salt: String = ""): Column = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    conv(substring(Sampling.memberHash(key, salt), 1, 12), 16, 10)
+      .cast("long") % nShards
+  }
+
+  /** Deterministic within-shard order key (md5 of the same salted key —
+    * string order is the shuffled order; both engines sort it identically). */
+  def shardOrder(key: Column, salt: String = ""): Column =
+    Sampling.memberHash(key, salt)
+
+  /** Fast path for the same assignment when cross-engine reproducibility
+    * is not required: xxhash64 beats md5 ~10× and stays codegen'd. NOT
+    * interchangeable with shardId — different hash, different shards. */
+  def shardIdFast(key: Column, nShards: Int, seed: Int = 42): Column =
+    pmod(xxhash64(lit(seed), key), lit(nShards.toLong))
+}

@@ -1,0 +1,202 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.operators.Curation
+import graft.operators.TextOps
+import graft.sources.Tables
+import Util.{Q, qz}
+
+/** Training-data curation queries over `documents` (SURVEY.md §7
+  * extensions beyond the reference): context-window chunking, benchmark
+  * decontamination, PII redaction, token census, TF-IDF, deterministic
+  * shard assignment. All six are fully oracle-checked — every semantic
+  * keeps to the md5/regex/array common subset DuckDB reproduces.
+  */
+object CurationQueries {
+
+  def queries: Map[String, Q] = Map(
+    // context-window chunking: 40-token chunks, 10-token overlap.
+    // chunk_text itself is emitted as md5 so the hash compare covers
+    // every character of every chunk without shipping the text twice.
+    "q81_chunking" -> ((s, dir) =>
+      Curation.chunk(Tables.documents(s, dir), "doc_id", "text",
+          chunkTokens = 40, overlapTokens = 10)
+        .select(col("doc_id"), col("chunk_id"), col("n_chunk_tokens"),
+          md5(col("chunk_text")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id")),
+
+    // benchmark decontamination. The "benchmark" is built inside the
+    // query (q69/q59 planting pattern): the 8-token snippet at tokens
+    // 5..12 of every 10th document. Every planted source doc MUST be
+    // flagged (its own snippet is one of its 8-gram shingles), so green
+    // means the overlap join found exactly the planted containments
+    // (plus any natural cross-doc snippet repeats — the oracle computes
+    // the same closure).
+    "q82_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val toks = TextOps.tokens(col("text"))
+      val evalGrams = docs.filter(col("doc_id") % 10 === 0)
+        .select(md5(concat_ws(" ", slice(toks, 5, 8))).as("g"))
+      Curation.contamination(docs, "doc_id", "text", evalGrams, shingleLen = 8)
+        .select(col("doc_id"), col("n_hits"), col("contaminated"))
+        .orderBy("doc_id")
+    }),
+
+    // PII redaction: plant one of each PII class per doc (address, URL,
+    // IP, account number — all deterministic functions of doc_id), then
+    // redact and prove byte parity via md5 + the removed-char count.
+    // The redacted form is staged ONCE (HOF-staging rule).
+    "q83_pii_redact" -> ((s, dir) => {
+      val messy = concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com via https://ex.com/p/"),
+        col("doc_id"), lit(" from 10.0."), col("doc_id") % 256,
+        lit(".7 acct 4111111111"), lpad(col("doc_id") % 1000000, 6, "0"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), length(messy).as("messy_len"),
+          Curation.redactPii(messy).as("red"))
+        .select(col("doc_id"),
+          md5(col("red")).as("red_md5"),
+          (col("messy_len") - length(col("red"))).cast("long").as("removed_chars"))
+        .orderBy("doc_id")
+    }),
+
+    // corpus token census: top 25 tokens by collection frequency with
+    // document frequency (the vocabulary head a tokenizer trainer or
+    // stopword builder reads first). Deterministic tie-break on token.
+    "q84_token_census" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tk"))
+        .groupBy("tk")
+        .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+        .orderBy(col("tf").desc, col("tk"))
+        .limit(25)),
+
+    // per-document top-3 TF-IDF terms (tf · ln(N/df)) — the classic
+    // keyword surface for corpus exploration. The vocabulary frame is
+    // tiny (distinct tokens) → broadcast to the per-doc counts; N rides
+    // in as a broadcast 1-row frame (no driver-side action).
+    "q85_tfidf" -> ((s, dir) => {
+      val tok = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tk"))
+      val tf = tok.groupBy("doc_id", "tk").agg(count(lit(1)).as("tf"))
+      val df = tok.groupBy("tk").agg(countDistinct(col("doc_id")).as("df"))
+      val n = tok.agg(countDistinct(col("doc_id")).as("n_docs"))
+      val scored = tf.join(broadcast(df), Seq("tk")).crossJoin(broadcast(n))
+        .withColumn("tfidf", col("tf") * log(col("n_docs").cast("double") / col("df")))
+      scored
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("tk"))))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk").cast("long").as("rk"), col("tk"),
+          col("tf"), col("df"), qz(col("tfidf"), 6).as("tfidf"))
+        .orderBy("doc_id", "rk")
+    }),
+
+    // deterministic shard assignment (the global training-data shuffle):
+    // 25 shards (deliberately not a power of 16 — proves the full 48-bit
+    // hex parse, not just a digit slice), per-shard size and the FIRST
+    // example in shuffled order (min_by on the md5 order key, = DuckDB
+    // arg_min). Rerun/engine/partition-layout independent by design.
+    "q86_shard_assign" -> ((s, dir) => {
+      val sharded = Tables.documents(s, dir).select(
+        col("doc_id"),
+        Curation.shardId(col("doc_id"), nShards = 25, salt = "epoch0").as("shard"),
+        Curation.shardOrder(col("doc_id"), salt = "epoch0").as("ord"))
+      sharded.groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"),
+          min_by(col("doc_id"), col("ord")).as("first_doc"))
+        .orderBy("shard")
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q81_chunking" ->
+      """WITH t AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        | FROM documents),
+        |c AS (
+        | SELECT doc_id, toks,
+        |  unnest(generate_series(0, greatest(len(toks) - 11, 0), 30)) AS start
+        | FROM t)
+        |SELECT doc_id, CAST(start / 30 AS BIGINT) AS chunk_id,
+        | CAST(len(toks[start+1:start+40]) AS BIGINT) AS n_chunk_tokens,
+        | md5(array_to_string(toks[start+1:start+40], ' ')) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q82_decontaminate" ->
+      """WITH t AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        | FROM documents),
+        |ev AS (
+        | SELECT DISTINCT md5(array_to_string(toks[5:12], ' ')) AS g
+        | FROM t WHERE doc_id % 10 = 0),
+        |sh AS (
+        | SELECT doc_id, unnest(list_distinct(list_transform(
+        |   generate_series(0, greatest(len(toks) - 8, 0)),
+        |   i -> md5(array_to_string(toks[i+1:i+8], ' '))))) AS g
+        | FROM t)
+        |SELECT sh.doc_id, count(ev.g) AS n_hits, count(ev.g) > 0 AS contaminated
+        |FROM sh LEFT JOIN ev ON sh.g = ev.g
+        |GROUP BY sh.doc_id ORDER BY doc_id""".stripMargin,
+
+    "q83_pii_redact" ->
+      """WITH m AS (
+        | SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |  || '@example.com via https://ex.com/p/' || CAST(doc_id AS VARCHAR)
+        |  || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+        |  || '.7 acct 4111111111' || lpad(CAST(doc_id % 1000000 AS VARCHAR), 6, '0')
+        |  AS messy
+        | FROM documents),
+        |r AS (
+        | SELECT doc_id, length(messy) AS messy_len,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(messy,
+        |   '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |   'https?://[^ ]+', '<URL>', 'g'),
+        |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |   '\b\d{9,16}\b', '<NUM>', 'g') AS red
+        | FROM m)
+        |SELECT doc_id, md5(red) AS red_md5,
+        | CAST(messy_len - length(red) AS BIGINT) AS removed_chars
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q84_token_census" ->
+      """SELECT tk, count(*) AS tf, count(DISTINCT doc_id) AS df
+        |FROM (SELECT doc_id,
+        |       unnest(regexp_split_to_array(trim(text), '\s+')) AS tk
+        |      FROM documents)
+        |GROUP BY tk ORDER BY tf DESC, tk LIMIT 25""".stripMargin,
+
+    "q85_tfidf" ->
+      """WITH tok AS (
+        | SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tk
+        | FROM documents),
+        |tf AS (SELECT doc_id, tk, count(*) AS tf FROM tok GROUP BY doc_id, tk),
+        |df AS (SELECT tk, count(DISTINCT doc_id) AS df FROM tok GROUP BY tk),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tok),
+        |scored AS (
+        | SELECT tf.doc_id, tf.tk, tf.tf, df.df,
+        |  tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS tfidf
+        | FROM tf JOIN df ON tf.tk = df.tk CROSS JOIN n),
+        |rk AS (
+        | SELECT *, row_number() OVER (PARTITION BY doc_id
+        |   ORDER BY tfidf DESC, tk) AS rk
+        | FROM scored)
+        |SELECT doc_id, CAST(rk AS BIGINT) AS rk, tk, tf, df,
+        | round(tfidf * 1000000.0) / 1000000.0 + 0.0 AS tfidf
+        |FROM rk WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+
+    "q86_shard_assign" ->
+      """WITH s AS (
+        | SELECT doc_id,
+        |  CAST(CAST('0x' || substr(md5('epoch0:' || CAST(doc_id AS VARCHAR)), 1, 12)
+        |    AS UBIGINT) % 25 AS BIGINT) AS shard,
+        |  md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS ord
+        | FROM documents)
+        |SELECT shard, count(*) AS n_docs, min(doc_id) AS min_doc,
+        | max(doc_id) AS max_doc, arg_min(doc_id, ord) AS first_doc
+        |FROM s GROUP BY shard ORDER BY shard""".stripMargin
+  )
+}

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toSeq.toDF("doc_id", "text")
+
+  test("chunk: exact boundaries, overlap, and the no-contained-chunk rule") {
+    val text = (1 to 25).map(i => s"t$i").mkString(" ")
+    val out = Curation.chunk(docs(1L -> text), "doc_id", "text",
+        chunkTokens = 10, overlapTokens = 4)
+      .orderBy("chunk_id").collect()
+    // stride 6; starts 0,6,12,18 (start <= 25-4-1=20); start 24 would add
+    // only token 25, already past... 24 > 20 so excluded
+    assert(out.map(_.getAs[Long]("chunk_id")).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(out(0).getAs[String]("chunk_text") == (1 to 10).map("t" + _).mkString(" "))
+    assert(out(1).getAs[String]("chunk_text") == (7 to 16).map("t" + _).mkString(" "))
+    assert(out(3).getAs[String]("chunk_text") == (19 to 25).map("t" + _).mkString(" "))
+    assert(out(3).getAs[Long]("n_chunk_tokens") == 7L)
+    // consecutive chunks overlap by exactly overlapTokens (when full)
+    val c0 = out(0).getAs[String]("chunk_text").split(" ").toSet
+    val c1 = out(1).getAs[String]("chunk_text").split(" ").toSet
+    assert((c0 & c1) == (7 to 10).map("t" + _).toSet)
+  }
+
+  test("chunk: short doc yields exactly one chunk; bad params rejected") {
+    val out = Curation.chunk(docs(1L -> "a b c"), "doc_id", "text", 10, 4).collect()
+    assert(out.length == 1 && out(0).getAs[String]("chunk_text") == "a b c")
+    intercept[IllegalArgumentException] {
+      Curation.chunk(docs(1L -> "a"), "doc_id", "text", 4, 4)
+    }
+  }
+
+  test("contamination: flags exactly the docs sharing a shingle with the eval set") {
+    val d = docs(
+      1L -> "the quick brown fox jumps",  // contains eval trigram
+      2L -> "a b c d e f",
+      3L -> "slow brown fox jumps high")  // contains eval trigram
+    val ev = Seq("quick brown fox", "brown fox jumps")
+      .toDF("s").select(md5($"s").as("g"))
+    val out = Curation.contamination(d, "doc_id", "text", ev, shingleLen = 3)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getAs[Long]("n_hits"))).toSeq ==
+      Seq((1L, 2L), (2L, 0L), (3L, 1L)))
+    assert(out.map(_.getAs[Boolean]("contaminated")).toSeq ==
+      Seq(true, false, true))
+  }
+
+  test("redactPii: each class redacted; order makes URL-embedded digits <URL>") {
+    val s = Seq(("mail bob.smith+x@ex-a.co.uk then https://a.b/c?id=123456789 " +
+      "ip 10.0.255.3 card 4111111111111111 keep 12345678 and 1.2.3.4567"))
+      .toDF("t").select(Curation.redactPii($"t").as("r")).as[String].head()
+    assert(s.contains("<EMAIL>") && s.contains("<URL>") &&
+      s.contains("ip <IP>") && s.contains("card <NUM>"))
+    // URL consumed its embedded long digit run before <NUM> could
+    assert(!s.contains("123456789"))
+    // 8 digits is below the long-run floor; 4567 after a dotted triple is
+    // not an IPv4 octet boundary match
+    assert(s.contains("keep 12345678") && s.contains("4567"))
+  }
+
+  test("shardId: in-range, deterministic, layout-independent, salt-sensitive") {
+    val ids = spark.range(5000L).toDF("id")
+    val a = ids.select($"id", Curation.shardId($"id", 25, "epoch0").as("s"))
+    assert(a.agg(min($"s"), max($"s")).as[(Long, Long)].head() == (0L, 24L))
+    // pure key function: survives repartitioning
+    val b = ids.repartition(13, $"id" % 5)
+      .select($"id", Curation.shardId($"id", 25, "epoch0").as("s"))
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+    // roughly balanced (5000/25 = 200 ± 40%)
+    val sizes = a.groupBy("s").count().as[(Long, Long)].collect().map(_._2)
+    assert(sizes.length == 25 && sizes.min > 120 && sizes.max < 280)
+    // a different salt is a different permutation
+    val c = ids.select($"id", Curation.shardId($"id", 25, "epoch1").as("s"))
+    assert(a.except(c).count() > 0)
+    // fast path agrees on range + balance (not on assignment)
+    val f = ids.select(Curation.shardIdFast($"id", 25).as("s"))
+    assert(f.agg(min($"s"), max($"s")).as[(Long, Long)].head() == (0L, 24L))
+  }
+
+  test("shingleMd5s: distinct shingles; short doc gets one whole-doc shingle") {
+    val out = docs(1L -> "a b a b a").toDF()
+      .select(TextOps.tokens($"text").as("toks"))
+      .select(Curation.shingleMd5s($"toks", 3).as("sh"))
+      .select(size($"sh")).as[Int].head()
+    // shingles: "a b a", "b a b", "a b a" -> 2 distinct
+    assert(out == 2)
+    val short = docs(2L -> "x y").toDF()
+      .select(TextOps.tokens($"text").as("toks"))
+      .select(Curation.shingleMd5s($"toks", 3).as("sh"))
+      .select(size($"sh")).as[Int].head()
+    assert(short == 1)
+  }
+}
