@@ -98,6 +98,29 @@ object CurationQueries {
     // hex parse, not just a digit slice), per-shard size and the FIRST
     // example in shuffled order (min_by on the md5 order key, = DuckDB
     // arg_min). Rerun/engine/partition-layout independent by design.
+    // training-shard SINK round trip: write documents partitioned by
+    // shard id (the file layout a training job reads — shard dirs are
+    // partition-pruning keys, see CurationSpec's pruning assert), read
+    // the directory tree back, and aggregate per shard. The oracle
+    // recomputes the same aggregates from the parquet SOURCE, so any
+    // loss in the partitioned write/read — rows, text bytes, or the
+    // partition-column recovery itself — turns the row red.
+    "q87_shard_sink" -> ((s, dir) => {
+      val path = graft.sources.Io.scratchDir("graft_shard_sink")
+      val sharded = Tables.documents(s, dir).select(
+        col("doc_id"), col("text"),
+        Curation.shardId(col("doc_id"), nShards = 8, salt = "epoch0").as("shard"))
+      graft.sources.Io.writeParquet(sharded, path, partitionBy = Seq("shard"))
+      s.read.parquet(path)
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text"))).as("n_texts"),
+          sum(length(col("text"))).cast("long").as("sum_chars"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy("shard")
+    }),
+
     "q86_shard_assign" -> ((s, dir) => {
       val sharded = Tables.documents(s, dir).select(
         col("doc_id"),
@@ -187,6 +210,20 @@ object CurationQueries {
         |SELECT doc_id, CAST(rk AS BIGINT) AS rk, tk, tf, df,
         | round(tfidf * 1000000.0) / 1000000.0 + 0.0 AS tfidf
         |FROM rk WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+
+    // aggregates recomputed from the SOURCE — equality proves the
+    // partitioned sink round trip lossless
+    "q87_shard_sink" ->
+      """WITH s AS (
+        | SELECT doc_id, text,
+        |  CAST(CAST('0x' || substr(md5('epoch0:' || CAST(doc_id AS VARCHAR)), 1, 12)
+        |    AS UBIGINT) % 8 AS BIGINT) AS shard
+        | FROM documents)
+        |SELECT shard, count(*) AS n_docs,
+        | count(DISTINCT md5(text)) AS n_texts,
+        | CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+        | min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM s GROUP BY shard ORDER BY shard""".stripMargin,
 
     "q86_shard_assign" ->
       """WITH s AS (

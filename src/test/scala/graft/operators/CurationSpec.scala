@@ -82,6 +82,29 @@ class CurationSpec extends SparkSpec {
     assert(f.agg(min($"s"), max($"s")).as[(Long, Long)].head() == (0L, 24L))
   }
 
+  test("partitioned shard sink: a single-shard read prunes at the directory level") {
+    val path = graft.sources.Io.scratchDir("graft_shard_sink_spec")
+    val df = spark.range(2000L).toDF("id")
+      .withColumn("shard", Curation.shardId($"id", 8, "s"))
+      .withColumn("payload", md5($"id".cast("string")))
+    graft.sources.Io.writeParquet(df, path, partitionBy = Seq("shard"))
+    val one = spark.read.parquet(path).filter($"shard" === 3)
+    one.collect()
+    val scan = one.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no FileSourceScanExec in plan"))
+    // the shard predicate must land in PartitionFilters (directory
+    // pruning), NOT as a data filter over all shards
+    assert(scan.partitionFilters.exists(_.references.exists(_.name == "shard")),
+      s"partitionFilters: ${scan.partitionFilters}")
+    assert(scan.relation.location.inputFiles.length >
+      scan.selectedPartitions.totalNumberOfFiles,
+      "scan read every shard directory")
+    // and the round trip preserves membership
+    val expected = df.filter($"shard" === 3).count()
+    assert(one.count() == expected && expected > 0)
+  }
+
   test("shingleMd5s: distinct shingles; short doc gets one whole-doc shingle") {
     val out = docs(1L -> "a b a b a").toDF()
       .select(TextOps.tokens($"text").as("toks"))
