@@ -66,6 +66,35 @@ object StreamingQueries {
       val rows = out.collect()
       s.catalog.dropTempView(name)
       s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    }),
+
+    // streaming exact dedup: the content-hash dropDuplicates path run by
+    // the STREAMING engine over a file-source stream of documents plus
+    // planted copies of every 20th doc (q61's planting — so the dedup
+    // state provably discards something). Which arrival survives is
+    // partition-order dependent, so the emitted surface is the
+    // arrival-order-free one: the distinct content-hash set, which must
+    // EQUAL DuckDB's batch DISTINCT md5(text) — the stream ≡ batch
+    // equivalence proof for the dedup operator. Bounded state: one
+    // 32-char hash per distinct text, no payload retained.
+    "q88_stream_dedup" -> ((s, dir) => {
+      val rawSchema = s.read.parquet(s"$dir/documents.parquet").schema
+      val stream = s.readStream.schema(rawSchema)
+        .parquet(s"$dir/documents.parque[t]")
+      val withCopies = stream.unionByName(
+        stream.filter(col("doc_id") % 20 === 0)
+          .withColumn("doc_id", col("doc_id") + lit(100000000L)))
+      val deduped = withCopies
+        .select(md5(col("text")).as("content_hash"))
+        .dropDuplicates("content_hash")
+      val name = s"q88_sink_${sinkId.incrementAndGet()}"
+      val q = deduped.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val out = s.table(name).orderBy("content_hash")
+      val rows = out.collect()
+      s.catalog.dropTempView(name)
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     })
   )
 
@@ -76,6 +105,12 @@ object StreamingQueries {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         | count(*) AS n,
         | round((sum(value)) * 10000.0) / 10000.0 + 0.0 AS total_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // batch twin: planted copies add no new distinct hash, so the
+    // deduped set is exactly the corpus's distinct content hashes
+    "q88_stream_dedup" ->
+      """SELECT DISTINCT md5(text) AS content_hash
+        |FROM documents ORDER BY content_hash""".stripMargin
   )
 }

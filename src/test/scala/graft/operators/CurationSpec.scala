@@ -82,6 +82,17 @@ class CurationSpec extends SparkSpec {
     assert(f.agg(min($"s"), max($"s")).as[(Long, Long)].head() == (0L, 24L))
   }
 
+  test("contamination: eval grams join as a broadcast, corpus side never shuffles") {
+    val d = docs((0L until 200L).map(i => i -> s"w$i x$i y$i z$i q$i"): _*)
+    val ev = Seq("w1 x1 y1").toDF("s").select(md5($"s").as("g"))
+    val out = Curation.contamination(d, "doc_id", "text", ev, shingleLen = 3)
+    out.collect()
+    val plan = out.queryExecution.executedPlan
+    assert(plan.toString.contains("BroadcastHashJoin"),
+      s"expected broadcast join in:\n$plan")
+    assert(!plan.toString.contains("SortMergeJoin"))
+  }
+
   test("partitioned shard sink: a single-shard read prunes at the directory level") {
     val path = graft.sources.Io.scratchDir("graft_shard_sink_spec")
     val df = spark.range(2000L).toDF("id")
