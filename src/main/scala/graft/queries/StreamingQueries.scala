@@ -95,6 +95,45 @@ object StreamingQueries {
       val rows = out.collect()
       s.catalog.dropTempView(name)
       s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    }),
+
+    // custom keyed state through the real streaming engine:
+    // mapGroupsWithState maintains per-user running count/sum/max across
+    // micro-batches (the streaming analog of the batch expanding
+    // windows W1-W5). Update mode emits a profile row per key per batch;
+    // the FINAL profile per user (n is monotone — max_by(·, n)) must
+    // equal the batch groupBy aggregates DuckDB computes. The sum is
+    // qz(4)-quantized: state folds in arrival order, the oracle in scan
+    // order — associativity slack is below 1e-4 at this value range.
+    "q89_stream_state" -> ((s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(rawSchema)
+        .parquet(s"$dir/events.parque[t]")
+      val evs =
+        (if (rawSchema("ts").dataType == LongType)
+          stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        else stream)
+          .select(col("user_id"), col("ts"), col("value"))
+          .as[graft.streaming.StreamingOps.Event]
+      val profiles = evs.groupByKey(_.user_id)
+        .mapGroupsWithState(
+          org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())(
+          graft.streaming.StreamingOps.updateProfile)
+      val name = s"q89_sink_${sinkId.incrementAndGet()}"
+      val q = profiles.toDF().writeStream.format("memory").queryName(name)
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val out = s.table(name)
+        .groupBy("user_id")
+        .agg(max(col("n")).as("n"),
+          qz(max_by(col("total"), col("n")), 4).as("total_value"),
+          max_by(col("maxValue"), col("n")).as("max_value"))
+        .orderBy("user_id")
+      val rows = out.collect()
+      s.catalog.dropTempView(name)
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     })
   )
 
@@ -111,6 +150,14 @@ object StreamingQueries {
     // deduped set is exactly the corpus's distinct content hashes
     "q88_stream_dedup" ->
       """SELECT DISTINCT md5(text) AS content_hash
-        |FROM documents ORDER BY content_hash""".stripMargin
+        |FROM documents ORDER BY content_hash""".stripMargin,
+
+    // batch twin of the keyed-state profile: expanding aggregates at
+    // end-of-stream are plain per-key aggregates
+    "q89_stream_state" ->
+      """SELECT user_id, count(*) AS n,
+        | round((sum(value)) * 10000.0) / 10000.0 + 0.0 AS total_value,
+        | max(value) AS max_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }
