@@ -47,6 +47,23 @@ object Sampling {
              salt: String = ""): DataFrame =
     df.filter(keepRow(key, fraction, salt))
 
+  /** WEIGHTED Bernoulli: P(keep) = clamp(weight, 0, 1) evaluated per
+    * row — quality-proportional downsampling (keep good documents at a
+    * higher rate) with the same engine/layout independence as keepRow.
+    * The per-row threshold compares numerically (first 8 md5 hex digits
+    * parsed as an integer vs floor(weight·2^32)) because a string
+    * threshold cannot vary per row. DuckDB twin:
+    * CAST('0x' || substr(md5(key),1,8) AS UBIGINT)
+    *   < floor(least(greatest(w,0),1) * 4294967296.0). */
+  def weightedKeep(key: Column, weight: Column, salt: String = ""): Column =
+    conv(substring(memberHash(key, salt), 1, 8), 16, 10).cast("long") <
+      floor(least(greatest(weight, lit(0.0)), lit(1.0)) * 4294967296.0)
+
+  /** Weighted sample: rate given by `weight` (clamped to [0,1]). */
+  def weightedSample(df: DataFrame, key: Column, weight: Column,
+                     salt: String = ""): DataFrame =
+    df.filter(weightedKeep(key, weight, salt))
+
   /** Stratified sample: an independent rate per stratum value (pandas
     * groupby-sample / sampleBy capability, without their partition- or
     * seed-layout dependence). Strata absent from `fractions` drop. */

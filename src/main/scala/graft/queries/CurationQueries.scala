@@ -132,10 +132,77 @@ object CurationQueries {
           max(col("doc_id")).as("max_doc"),
           min_by(col("doc_id"), col("ord")).as("first_doc"))
         .orderBy("shard")
+    }),
+
+    // quality-proportional (weighted) deterministic sampling: longer
+    // docs kept at a higher rate, membership a pure key function — the
+    // row set must be IDENTICAL in DuckDB (q66's guarantee, per-row rate)
+    "q91_weighted_sample" -> ((s, dir) => {
+      val w = least(length(col("text")).cast("double") / 400.0, lit(1.0))
+      graft.operators.Sampling.weightedSample(
+          Tables.documents(s, dir), col("doc_id"), w, salt = "wq")
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    }),
+
+    // per-source top-3 documents by quality score (the keep-best-N-per-
+    // domain curation step). Ranking key is the 6dp-quantized quality
+    // (bit-identical cross-engine — q51 proves it) with doc_id as the
+    // total-order tie-break, so row_number is deterministic in both
+    // engines. One hash exchange on source; no global sort.
+    "q92_topk_per_source" -> ((s, dir) => {
+      val stop = TextOps.langWords.head._2
+      val q = qz(TextOps.qualityScore(col("text"), stop), 6)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), q.as("quality"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("source").orderBy(col("quality").desc, col("doc_id"))))
+        .filter(col("rk") <= 3)
+        .select(col("source"), col("rk").cast("long").as("rk"),
+          col("doc_id"), col("quality"))
+        .orderBy("source", "rk")
     })
   )
 
+  private val stopList = "['the','a','of','to','and','is','in']"
+
   def oracle: Map[String, String] = Map(
+    // same per-row-rate md5 predicate — identical row set required
+    "q91_weighted_sample" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents
+        |WHERE CAST('0x' || substr(md5('wq:' || CAST(doc_id AS VARCHAR)), 1, 8)
+        |   AS UBIGINT)
+        |  < floor(least(CAST(length(text) AS DOUBLE) / 400.0, 1.0) * 4294967296.0)
+        |ORDER BY doc_id""".stripMargin,
+
+    // q51's quality formula, ranked per source (6dp-quantized key +
+    // doc_id tie-break = deterministic row_number in both engines)
+    "q92_topk_per_source" ->
+      s"""WITH t AS (
+         | SELECT doc_id, source,
+         |  regexp_split_to_array(trim(text), '\\s+') AS toks,
+         |  len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct
+         | FROM documents),
+         |f AS (
+         | SELECT doc_id, source,
+         |  CAST(len(toks) AS DOUBLE) AS n,
+         |  len(list_filter(toks, x -> list_contains($stopList, x))) AS stop_hits,
+         |  n_punct
+         | FROM t),
+         |q AS (
+         | SELECT doc_id, source,
+         |  round((0.4 * least(1.0, n / 100.0)
+         |   + 0.3 * (stop_hits / n)
+         |   + 0.3 * (1.0 - least(1.0, n_punct / n))) * 1000000.0) / 1000000.0
+         |   + 0.0 AS quality
+         | FROM f),
+         |r AS (
+         | SELECT source, doc_id, quality, row_number() OVER (
+         |   PARTITION BY source ORDER BY quality DESC, doc_id) AS rk
+         | FROM q)
+         |SELECT source, CAST(rk AS BIGINT) AS rk, doc_id, quality
+         |FROM r WHERE rk <= 3 ORDER BY source, rk""".stripMargin,
     "q81_chunking" ->
       """WITH t AS (
         | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks

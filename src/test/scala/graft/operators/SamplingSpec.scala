@@ -51,6 +51,29 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.sample(ids, $"id", 1.0).count() == 20000)
   }
 
+  test("weightedKeep: per-row rate tracks the weight, clamps, and is layout-independent") {
+    // weight 0.25 for even ids, 0.75 for odd — observed rates must track
+    val w = when($"id" % 2 === 0, 0.25).otherwise(0.75)
+    val kept = Sampling.weightedSample(ids, $"id", w)
+    val evenRate = kept.filter($"id" % 2 === 0).count() / 10000.0
+    val oddRate = kept.filter($"id" % 2 === 1).count() / 10000.0
+    assert(math.abs(evenRate - 0.25) < 0.02, s"even rate $evenRate")
+    assert(math.abs(oddRate - 0.75) < 0.02, s"odd rate $oddRate")
+    // clamping: weight >= 1 keeps everything, <= 0 keeps nothing
+    assert(Sampling.weightedSample(ids, $"id", lit(3.0)).count() == 20000)
+    assert(Sampling.weightedSample(ids, $"id", lit(-1.0)).count() == 0)
+    // pure key+weight function: survives repartitioning
+    val a = kept.collect().map(_.getLong(0)).toSet
+    val b = Sampling.weightedSample(ids.repartition(17, $"id" % 3), $"id", w)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    // degenerate-fraction consistency with the unweighted path: a
+    // constant weight selects the same rows as sample() at that fraction
+    // only in distribution, but must at least match its rate closely
+    val c = Sampling.weightedSample(ids, $"id", lit(0.1)).count() / 20000.0
+    assert(math.abs(c - 0.1) < 0.01, s"const-weight rate $c")
+  }
+
   test("salt/key boundary pairs hash independently (delimited), empty salt hashes bare key") {
     // bare concatenation would collide (salt "a1", key "2") with
     // (salt "a", key "12") — both md5("a12") — coupling numeric-suffixed
