@@ -311,16 +311,16 @@ object Dedup {
     // stage the token array as its own projection: referencing the raw
     // tokens(text) expression inside the transform lambda would re-run
     // the regex split once per shingle (O(n²) interpreted — the same
-    // trap as per-element vector normalization, see Ivf)
+    // trap as per-element vector normalization, see Ivf). The shingle
+    // expression itself is the ONE shared md5-shingle form
+    // (Curation.shingleMd5s — distinct is harmless here: array_min is
+    // dedup-invariant and n_shingles wants the distinct count anyway).
     val staged = docs.select(col(id).as("doc_id"),
       TextOps.tokens(col(text)).as("__toks"))
-    val toks = col("__toks")
-    val idxs = sequence(lit(0), greatest(size(toks) - shingleLen, lit(0)))
-    val shingles = transform(idxs, i =>
-      md5(array_join(slice(toks, i + 1, lit(shingleLen)), " ")))
-    staged.select(col("doc_id"), shingles.as("__sh")) // digest once per doc
+    staged.select(col("doc_id"),
+        Curation.shingleMd5s(col("__toks"), shingleLen).as("__sh"))
       .select(col("doc_id"),
         array_min(col("__sh")).as("fingerprint_md5"),
-        size(array_distinct(col("__sh"))).cast("long").as("n_shingles"))
+        size(col("__sh")).cast("long").as("n_shingles"))
   }
 }

@@ -59,6 +59,11 @@ object TextOps {
     "de" -> Seq("der", "die", "das", "und", "ein", "ist"),
     "es" -> Seq("el", "los", "de", "y", "un", "es"))
 
+  /** The English stopword list as a DuckDB array literal — the ONE
+    * source for every oracle that mirrors langWords.head (q51, q92);
+    * derived, so the three can never drift. */
+  def stopListSql: String = langWords.head._2.mkString("['", "','", "']")
+
   def langHits(text: Column): Seq[(String, Column)] =
     langWords.map { case (l, ws) => l -> hitCount(text, ws) }
 

@@ -73,31 +73,34 @@ object CurationQueries {
         .limit(25)),
 
     // per-document top-3 TF-IDF terms (tf · ln(N/df)) — the classic
-    // keyword surface for corpus exploration. The vocabulary frame is
-    // tiny (distinct tokens) → broadcast to the per-doc counts; N rides
-    // in as a broadcast 1-row frame (no driver-side action).
+    // keyword surface for corpus exploration. ONE tokenizing pass: df is
+    // derived from the (doc, token) tf frame (its rows are distinct by
+    // construction, so counting them per token IS the document
+    // frequency), and N comes from the documents table without any
+    // explode. The tiny vocabulary frame broadcasts to the per-doc
+    // counts; N rides in as a broadcast 1-row frame (no driver action).
+    // The RANK KEY is the 6dp-quantized tfidf (q92/q51 convention):
+    // Java's and libm's ln can differ in the last ulp, and row_number
+    // over a raw double would let near-ties order differently per
+    // engine — quantize first, tie-break on token.
     "q85_tfidf" -> ((s, dir) => {
-      val tok = Tables.documents(s, dir)
+      val tf = Tables.documents(s, dir)
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tk"))
-      val tf = tok.groupBy("doc_id", "tk").agg(count(lit(1)).as("tf"))
-      val df = tok.groupBy("tk").agg(countDistinct(col("doc_id")).as("df"))
-      val n = tok.agg(countDistinct(col("doc_id")).as("n_docs"))
+        .groupBy("doc_id", "tk").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("tk").agg(count(lit(1)).as("df"))
+      val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
       val scored = tf.join(broadcast(df), Seq("tk")).crossJoin(broadcast(n))
-        .withColumn("tfidf", col("tf") * log(col("n_docs").cast("double") / col("df")))
+        .withColumn("tfidf",
+          qz(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
       scored
         .withColumn("rk", row_number().over(
           Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("tk"))))
         .filter(col("rk") <= 3)
         .select(col("doc_id"), col("rk").cast("long").as("rk"), col("tk"),
-          col("tf"), col("df"), qz(col("tfidf"), 6).as("tfidf"))
+          col("tf"), col("df"), col("tfidf"))
         .orderBy("doc_id", "rk")
     }),
 
-    // deterministic shard assignment (the global training-data shuffle):
-    // 25 shards (deliberately not a power of 16 — proves the full 48-bit
-    // hex parse, not just a digit slice), per-shard size and the FIRST
-    // example in shuffled order (min_by on the md5 order key, = DuckDB
-    // arg_min). Rerun/engine/partition-layout independent by design.
     // training-shard SINK round trip: write documents partitioned by
     // shard id (the file layout a training job reads — shard dirs are
     // partition-pruning keys, see CurationSpec's pruning assert), read
@@ -121,6 +124,11 @@ object CurationQueries {
         .orderBy("shard")
     }),
 
+    // deterministic shard assignment (the global training-data shuffle):
+    // 25 shards (deliberately not a power of 16 — proves the full 48-bit
+    // hex parse, not just a digit slice), per-shard size and the FIRST
+    // example in shuffled order (min_by on the md5 order key, = DuckDB
+    // arg_min). Rerun/engine/partition-layout independent by design.
     "q86_shard_assign" -> ((s, dir) => {
       val sharded = Tables.documents(s, dir).select(
         col("doc_id"),
@@ -164,7 +172,7 @@ object CurationQueries {
     })
   )
 
-  private val stopList = "['the','a','of','to','and','is','in']"
+  private val stopList = TextOps.stopListSql
 
   def oracle: Map[String, String] = Map(
     // same per-row-rate md5 predicate — identical row set required
@@ -259,23 +267,25 @@ object CurationQueries {
         |      FROM documents)
         |GROUP BY tk ORDER BY tf DESC, tk LIMIT 25""".stripMargin,
 
+    // rank key is the ROUNDED tfidf on both sides (deterministic
+    // cross-engine row_number; see the Spark-side comment)
     "q85_tfidf" ->
       """WITH tok AS (
         | SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tk
         | FROM documents),
         |tf AS (SELECT doc_id, tk, count(*) AS tf FROM tok GROUP BY doc_id, tk),
-        |df AS (SELECT tk, count(DISTINCT doc_id) AS df FROM tok GROUP BY tk),
-        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tok),
+        |df AS (SELECT tk, count(*) AS df FROM tf GROUP BY tk),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
         |scored AS (
         | SELECT tf.doc_id, tf.tk, tf.tf, df.df,
-        |  tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS tfidf
+        |  round((tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df)) * 1000000.0)
+        |   / 1000000.0 + 0.0 AS tfidf
         | FROM tf JOIN df ON tf.tk = df.tk CROSS JOIN n),
         |rk AS (
         | SELECT *, row_number() OVER (PARTITION BY doc_id
         |   ORDER BY tfidf DESC, tk) AS rk
         | FROM scored)
-        |SELECT doc_id, CAST(rk AS BIGINT) AS rk, tk, tf, df,
-        | round(tfidf * 1000000.0) / 1000000.0 + 0.0 AS tfidf
+        |SELECT doc_id, CAST(rk AS BIGINT) AS rk, tk, tf, df, tfidf
         |FROM rk WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
 
     // aggregates recomputed from the SOURCE — equality proves the

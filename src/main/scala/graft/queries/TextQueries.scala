@@ -213,7 +213,7 @@ object TextQueries {
       .select("doc1", "doc2", "jaccard")
   }
 
-  private val stopList = "['the','a','of','to','and','is','in']"
+  private val stopList = TextOps.stopListSql
 
   def oracle: Map[String, String] = Map(
     // exact 3-shingle-set Jaccard >= 0.5 pairs via an inverted-index
