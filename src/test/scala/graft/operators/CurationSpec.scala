@@ -35,6 +35,52 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("chunk reconstruction: dropping the overlap from each later chunk rebuilds every doc") {
+    // the coverage invariant that makes chunking lossless for training:
+    // chunk0 ++ (chunks 1..n minus their leading overlap) == token stream
+    val d = docs((0L until 50L).map { i =>
+      i -> (1 to (10 + (i * 7 % 90)).toInt).map(t => s"d${i}t$t").mkString(" ")
+    }: _*)
+    val chunks = Curation.chunk(d, "doc_id", "text", chunkTokens = 16, overlapTokens = 5)
+      .collect().groupBy(_.getAs[Long]("doc_id"))
+    d.collect().foreach { r =>
+      val id = r.getLong(0)
+      val toks = r.getString(1).split(" ").toSeq
+      val cs = chunks(id).sortBy(_.getAs[Long]("chunk_id"))
+        .map(_.getAs[String]("chunk_text").split(" ").toSeq)
+      val rebuilt = cs.head ++ cs.tail.flatMap(_.drop(5))
+      assert(rebuilt == toks, s"doc $id: ${rebuilt.length} vs ${toks.length}")
+    }
+  }
+
+  test("chunk with zero overlap: disjoint cover, stride == chunkTokens") {
+    val text = (1 to 23).map(i => s"t$i").mkString(" ")
+    val out = Curation.chunk(docs(1L -> text), "doc_id", "text", 10, 0)
+      .orderBy("chunk_id").collect()
+    assert(out.map(_.getAs[Long]("n_chunk_tokens")).toSeq == Seq(10L, 10L, 3L))
+    assert(out.flatMap(_.getAs[String]("chunk_text").split(" ")).toSeq ==
+      (1 to 23).map("t" + _))
+  }
+
+  test("contamination: empty eval set flags nothing, all rows still emitted") {
+    val d = docs(1L -> "a b c d", 2L -> "e f g h")
+    val ev = Seq.empty[String].toDF("s").select(md5($"s").as("g"))
+    val out = Curation.contamination(d, "doc_id", "text", ev, shingleLen = 3)
+      .orderBy("doc_id").collect()
+    assert(out.length == 2)
+    assert(out.forall(r => r.getAs[Long]("n_hits") == 0L &&
+      !r.getAs[Boolean]("contaminated")))
+  }
+
+  test("redactPii is idempotent: redacting redacted text changes nothing") {
+    val messy = "a bob@x.io b https://y.z/1234567890 c 8.8.8.8 d 123456789012 e"
+    val once = Seq(messy).toDF("t")
+      .select(Curation.redactPii($"t").as("r")).as[String].head()
+    val twice = Seq(once).toDF("t")
+      .select(Curation.redactPii($"t").as("r")).as[String].head()
+    assert(once == twice)
+  }
+
   test("contamination: flags exactly the docs sharing a shingle with the eval set") {
     val d = docs(
       1L -> "the quick brown fox jumps",  // contains eval trigram
