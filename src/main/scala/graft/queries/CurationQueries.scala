@@ -142,6 +142,72 @@ object CurationQueries {
         .orderBy("shard")
     }),
 
+    // unigram log-probability scoring — the corpus-trained shape of a
+    // perplexity quality filter (KenLM-style filters score against a
+    // reference LM; the engine-side mechanics are identical: token ->
+    // probability lookup -> per-doc mean log-prob). Vocabulary frame
+    // broadcasts; one tokenizing pass; avg of ~doc-length doubles is
+    // engine-order sensitive only below the 6dp quantization.
+    "q93_unigram_logprob" -> ((s, dir) => {
+      val tok = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tk"))
+      val tf = tok.groupBy("tk").agg(count(lit(1)).as("tf"))
+      val total = tok.agg(count(lit(1)).as("total"))
+      tok.join(broadcast(tf), Seq("tk")).crossJoin(broadcast(total))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_tokens"),
+          qz(avg(log(col("tf").cast("double") / col("total"))), 6)
+            .as("avg_logprob"))
+        .orderBy("doc_id")
+    }),
+
+    // source rebalancing to a uniform target mix — THE data-mixing step
+    // of a pretraining pipeline: per-source keep rate =
+    // min(1, targetShare/actualShare), applied with the deterministic
+    // weighted sampler, so the SELECTED ROW SET is engine-reproducible
+    // (not just the rates). The harness corpus is source-uniform, which
+    // would make every rate clamp to 1 and the row vacuously green — so
+    // the query PLANTS skew (q69 pattern): 4 of 5 docs are reassigned
+    // to one oversized source, whose rate then must fall to ~1/4 and
+    // provably drop rows. Rates ride a broadcast source->rate frame.
+    "q94_source_rebalance" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, col("source"))
+          .otherwise(lit("src_big")).as("mix_src"))
+      val counts = docs.groupBy("mix_src").agg(count(lit(1)).as("src_n"))
+      val totals = docs.agg(count(lit(1)).as("n"),
+        countDistinct(col("mix_src")).as("n_src"))
+      val rates = counts.crossJoin(broadcast(totals))
+        .select(col("mix_src"),
+          least(lit(1.0),
+            (col("n").cast("double") / col("n_src")) / col("src_n")).as("rate"))
+      docs.join(broadcast(rates), Seq("mix_src"))
+        .filter(graft.operators.Sampling.weightedKeep(
+          col("doc_id"), col("rate"), salt = "mix"))
+        .select(col("doc_id"), col("mix_src"))
+        .orderBy("doc_id")
+    }),
+
+    // token-budget sequence packing: within each training shard, in the
+    // deterministic shuffled order, pack documents into 2048-token
+    // context bins by running token count (integer prefix sum — exact in
+    // any engine; `div` keeps the bin id integral). One window exchange
+    // on shard; no global sort.
+    "q95_sequence_packing" -> ((s, dir) => {
+      val sharded = Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextOps.nTokens(col("text")).cast("long").as("n_tokens"),
+        Curation.shardId(col("doc_id"), nShards = 8, salt = "pack").as("shard"),
+        Curation.shardOrder(col("doc_id"), salt = "pack").as("ord"))
+      sharded
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(
+          Window.partitionBy("shard").orderBy("ord")))
+        .select(col("doc_id"), col("shard"), col("n_tokens"),
+          col("cum_tokens").cast("long").as("cum_tokens"),
+          expr("(cum_tokens - 1) div 2048").cast("long").as("bin"))
+        .orderBy("doc_id")
+    }),
+
     // quality-proportional (weighted) deterministic sampling: longer
     // docs kept at a higher rate, membership a pure key function — the
     // row set must be IDENTICAL in DuckDB (q66's guarantee, per-row rate)
@@ -175,6 +241,55 @@ object CurationQueries {
   private val stopList = TextOps.stopListSql
 
   def oracle: Map[String, String] = Map(
+    "q93_unigram_logprob" ->
+      """WITH tok AS (
+        | SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tk
+        | FROM documents),
+        |tf AS (SELECT tk, count(*) AS tf FROM tok GROUP BY tk),
+        |n AS (SELECT count(*) AS total FROM tok)
+        |SELECT tok.doc_id, count(*) AS n_tokens,
+        | round((avg(ln(CAST(tf.tf AS DOUBLE) / n.total))) * 1000000.0)
+        |  / 1000000.0 + 0.0 AS avg_logprob
+        |FROM tok JOIN tf ON tok.tk = tf.tk CROSS JOIN n
+        |GROUP BY tok.doc_id ORDER BY tok.doc_id""".stripMargin,
+
+    // identical row set: the rate formula and the weighted predicate are
+    // both pure functions of the table
+    "q94_source_rebalance" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 0 THEN source ELSE 'src_big' END AS mix_src
+        | FROM documents),
+        |c AS (SELECT mix_src, count(*) AS src_n FROM d GROUP BY mix_src),
+        |t AS (SELECT count(*) AS n, count(DISTINCT mix_src) AS n_src FROM d),
+        |r AS (
+        | SELECT c.mix_src,
+        |  least(1.0, (CAST(t.n AS DOUBLE) / t.n_src) / c.src_n) AS rate
+        | FROM c CROSS JOIN t)
+        |SELECT d.doc_id, d.mix_src
+        |FROM d JOIN r ON d.mix_src = r.mix_src
+        |WHERE CAST('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+        |   AS UBIGINT)
+        |  < floor(least(greatest(r.rate, 0.0), 1.0) * 4294967296.0)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q95_sequence_packing" ->
+      """WITH s AS (
+        | SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(CAST('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 12)
+        |    AS UBIGINT) % 8 AS BIGINT) AS shard,
+        |  md5('pack:' || CAST(doc_id AS VARCHAR)) AS ord
+        | FROM documents),
+        |w AS (
+        | SELECT doc_id, shard, n_tokens,
+        |  sum(n_tokens) OVER (PARTITION BY shard ORDER BY ord
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        | FROM s)
+        |SELECT doc_id, shard, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+        | CAST((cum_tokens - 1) // 2048 AS BIGINT) AS bin
+        |FROM w ORDER BY doc_id""".stripMargin,
+
     // same per-row-rate md5 predicate — identical row set required
     "q91_weighted_sample" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars

@@ -162,6 +162,33 @@ class CurationSpec extends SparkSpec {
     assert(one.count() == expected && expected > 0)
   }
 
+  test("sequence packing invariant: bins are contiguous and never overflow by more than one doc") {
+    // mirror the q95 shape on a synthetic frame: within each shard's
+    // deterministic order, bin = (cum-1) div B. A bin's total can exceed
+    // B only by the straddling doc's tokens — never by more.
+    val B = 100L
+    val df = spark.range(1000L).toDF("id")
+      .withColumn("n_tokens", ($"id" % 37) + 1)
+      .withColumn("shard", Curation.shardId($"id", 4, "p"))
+      .withColumn("ord", Curation.shardOrder($"id", "p"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("ord")
+    val packed = df.withColumn("cum", sum($"n_tokens").over(w))
+      .withColumn("bin", expr(s"(cum - 1) div $B"))
+    val bins = packed.groupBy("shard", "bin")
+      .agg(sum($"n_tokens").as("tot"), max($"n_tokens").as("mx"))
+      .collect()
+    bins.foreach { r =>
+      val (tot, mx) = (r.getAs[Long]("tot"), r.getAs[Long]("mx"))
+      assert(tot <= B + mx - 1,
+        s"bin ${r.getAs[Long]("bin")} overflows: tot=$tot max_doc=$mx")
+    }
+    // bins within a shard are contiguous 0..maxBin
+    packed.groupBy("shard").agg(countDistinct($"bin").as("nb"), max($"bin").as("mb"))
+      .collect().foreach(r =>
+        assert(r.getAs[Long]("nb") == r.getAs[Long]("mb") + 1))
+  }
+
   test("shingleMd5s: distinct shingles; short doc gets one whole-doc shingle") {
     val out = docs(1L -> "a b a b a").toDF()
       .select(TextOps.tokens($"text").as("toks"))
