@@ -208,6 +208,28 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // incremental ingest dedup: a "new batch" (planted: 50 exact copies
+    // of corpus docs + 100 genuinely-new docs derived by prefixing every
+    // 5th doc's text) is deduplicated AGAINST the existing corpus by
+    // content-hash LEFT ANTI join — the shape a daily-ingest pipeline
+    // runs: the join shuffles 32-char hashes, never text, and the
+    // corpus side carries only its distinct hash set. Exactly the 100
+    // modified docs must survive.
+    "q96_ingest_dedup" -> ((s, dir) => {
+      val corpus = Tables.documents(s, dir)
+      val copies = corpus.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 200000000L).as("doc_id"), col("text"))
+      val fresh = corpus.filter(col("doc_id") % 5 === 1)
+        .select((col("doc_id") + 300000000L).as("doc_id"),
+          concat(lit("new: "), col("text")).as("text"))
+      val batch = copies.unionByName(fresh)
+        .select(col("doc_id"), md5(col("text")).as("content_hash"))
+      val known = corpus.select(md5(col("text")).as("content_hash")).distinct()
+      batch.join(known, Seq("content_hash"), "left_anti")
+        .select(col("doc_id"), col("content_hash"))
+        .orderBy("doc_id")
+    }),
+
     // quality-proportional (weighted) deterministic sampling: longer
     // docs kept at a higher rate, membership a pure key function — the
     // row set must be IDENTICAL in DuckDB (q66's guarantee, per-row rate)
@@ -289,6 +311,20 @@ object CurationQueries {
         |SELECT doc_id, shard, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
         | CAST((cum_tokens - 1) // 2048 AS BIGINT) AS bin
         |FROM w ORDER BY doc_id""".stripMargin,
+
+    // only the genuinely-new (prefixed) docs survive the anti join
+    "q96_ingest_dedup" ->
+      """WITH batch AS (
+        | SELECT doc_id + 200000000 AS doc_id, md5(text) AS content_hash
+        | FROM documents WHERE doc_id % 10 = 0
+        | UNION ALL
+        | SELECT doc_id + 300000000, md5('new: ' || text)
+        | FROM documents WHERE doc_id % 5 = 1)
+        |SELECT b.doc_id, b.content_hash
+        |FROM batch b
+        |WHERE NOT EXISTS (
+        | SELECT 1 FROM documents d WHERE md5(d.text) = b.content_hash)
+        |ORDER BY b.doc_id""".stripMargin,
 
     // same per-row-rate md5 predicate — identical row set required
     "q91_weighted_sample" ->
