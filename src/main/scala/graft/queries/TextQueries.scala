@@ -165,14 +165,18 @@ object TextQueries {
         .withColumn("doc_id", col("doc_id") + 1000000L)
       val all = docs.unionByName(planted)
       // text-equal pairs necessarily sit at hamming 0 — drop the
-      // probabilistic near-miss pairs BEFORE dragging text through joins
+      // probabilistic near-miss pairs BEFORE the equality verification,
+      // and verify on the md5 CONTENT HASH, not the text: the joins then
+      // ship 32-char digests instead of kilobyte documents (the same
+      // hashes-shuffle-text-never rule as q50/q61/q96; md5 equality is
+      // the exact-dup operator's own definition of "same content")
       val pairs = Dedup.simHashPairs(all, "doc_id", "text", "source", maxDist = 2)
         .filter(col("hamming") === 0)
-      val texts = all.select(col("doc_id"), col("text"))
+      val hashes = all.select(col("doc_id"), md5(col("text")).as("h"))
       pairs
-        .join(texts.select(col("doc_id").as("doc1"), col("text").as("t1")), Seq("doc1"))
-        .join(texts.select(col("doc_id").as("doc2"), col("text").as("t2")), Seq("doc2"))
-        .filter(col("t1") === col("t2"))
+        .join(hashes.select(col("doc_id").as("doc1"), col("h").as("h1")), Seq("doc1"))
+        .join(hashes.select(col("doc_id").as("doc2"), col("h").as("h2")), Seq("doc2"))
+        .filter(col("h1") === col("h2"))
         .select(col("doc1"), col("doc2"), col("hamming").cast("long").as("hamming"))
         .orderBy("doc1", "doc2")
     }),
