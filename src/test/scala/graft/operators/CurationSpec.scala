@@ -37,20 +37,30 @@ class CurationSpec extends SparkSpec {
 
   test("chunk reconstruction: dropping the overlap from each later chunk rebuilds every doc") {
     // the coverage invariant that makes chunking lossless for training:
-    // chunk0 ++ (chunks 1..n minus their leading overlap) == token stream
+    // chunk0 ++ (chunks 1..n minus their leading overlap) == token
+    // stream — held across doc lengths 10..99 and several (chunk,
+    // overlap) configurations, including zero overlap and a stride of 1
     val d = docs((0L until 50L).map { i =>
       i -> (1 to (10 + (i * 7 % 90)).toInt).map(t => s"d${i}t$t").mkString(" ")
     }: _*)
-    val chunks = Curation.chunk(d, "doc_id", "text", chunkTokens = 16, overlapTokens = 5)
-      .collect().groupBy(_.getAs[Long]("doc_id"))
-    d.collect().foreach { r =>
-      val id = r.getLong(0)
-      val toks = r.getString(1).split(" ").toSeq
-      val cs = chunks(id).sortBy(_.getAs[Long]("chunk_id"))
-        .map(_.getAs[String]("chunk_text").split(" ").toSeq)
-      val rebuilt = cs.head ++ cs.tail.flatMap(_.drop(5))
-      assert(rebuilt == toks, s"doc $id: ${rebuilt.length} vs ${toks.length}")
+    for ((ck, ov) <- Seq((16, 5), (8, 0), (12, 11), (40, 10))) {
+      val chunks = Curation.chunk(d, "doc_id", "text", ck, ov)
+        .collect().groupBy(_.getAs[Long]("doc_id"))
+      d.collect().foreach { r =>
+        val id = r.getLong(0)
+        val toks = r.getString(1).split(" ").toSeq
+        val cs = chunks(id).sortBy(_.getAs[Long]("chunk_id"))
+          .map(_.getAs[String]("chunk_text").split(" ").toSeq)
+        val rebuilt = cs.head ++ cs.tail.flatMap(_.drop(ov))
+        assert(rebuilt == toks,
+          s"($ck,$ov) doc $id: ${rebuilt.length} vs ${toks.length}")
+      }
     }
+  }
+
+  test("shardId rejects a non-positive shard count") {
+    intercept[IllegalArgumentException] { Curation.shardId(lit(1L), 0) }
+    intercept[IllegalArgumentException] { Curation.shardId(lit(1L), -3) }
   }
 
   test("chunk with zero overlap: disjoint cover, stride == chunkTokens") {
