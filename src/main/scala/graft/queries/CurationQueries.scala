@@ -152,7 +152,7 @@ object CurationQueries {
       val tok = Tables.documents(s, dir)
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tk"))
       val tf = tok.groupBy("tk").agg(count(lit(1)).as("tf"))
-      val total = tok.agg(count(lit(1)).as("total"))
+      val total = tf.agg(sum(col("tf")).as("total")) // reuses tf's exchange
       tok.join(broadcast(tf), Seq("tk")).crossJoin(broadcast(total))
         .groupBy("doc_id")
         .agg(count(lit(1)).cast("long").as("n_tokens"),
@@ -175,8 +175,10 @@ object CurationQueries {
         when(col("doc_id") % 5 === 0, col("source"))
           .otherwise(lit("src_big")).as("mix_src"))
       val counts = docs.groupBy("mix_src").agg(count(lit(1)).as("src_n"))
-      val totals = docs.agg(count(lit(1)).as("n"),
-        countDistinct(col("mix_src")).as("n_src"))
+      // n and n_src both fall out of the per-source counts — no second
+      // pass over the table
+      val totals = counts.agg(sum(col("src_n")).as("n"),
+        count(lit(1)).as("n_src"))
       val rates = counts.crossJoin(broadcast(totals))
         .select(col("mix_src"),
           least(lit(1.0),
@@ -201,7 +203,8 @@ object CurationQueries {
         Curation.shardOrder(col("doc_id"), salt = "pack").as("ord"))
       sharded
         .withColumn("cum_tokens", sum(col("n_tokens")).over(
-          Window.partitionBy("shard").orderBy("ord")))
+          Window.partitionBy("shard").orderBy("ord")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .select(col("doc_id"), col("shard"), col("n_tokens"),
           col("cum_tokens").cast("long").as("cum_tokens"),
           expr("(cum_tokens - 1) div 2048").cast("long").as("bin"))
