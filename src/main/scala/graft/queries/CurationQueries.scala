@@ -2,8 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.operators.Curation
-import graft.operators.TextOps
+import graft.operators.{Curation, Dedup, TextOps}
 import graft.sources.Tables
 import Util.{Q, qz}
 
@@ -233,6 +232,62 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // corpus-vs-corpus similarity: exact shingle-set Jaccard between two
+    // overlapping document corpora (planted: corpus B re-includes every
+    // 10th doc of corpus A), plus the mergeable MinHash SKETCH estimate
+    // (functions/MinHashSketchAgg — k longs per corpus, map-side
+    // combined, shingles never shuffle) checked against the exact value
+    // with a tolerance flag (q17/q62 pattern; k=128 -> sd ~ 0.04, the
+    // 0.15 bound is ~4 sigma and the fixed seed makes est deterministic
+    // per dataset). This is the dataset-diff primitive: at 100 TB the
+    // sketches are the ONLY thing two corpus snapshots exchange.
+    "q97_corpus_sketch" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val ca = docs.filter(col("doc_id") % 2 === 0)
+      val cb = docs.filter(col("doc_id") % 2 === 1)
+        .unionByName(docs.filter(col("doc_id") % 10 === 0))
+      // ONE pass over each corpus: the side-tagged distinct shingle-set
+      // frame carries everything downstream (counts, intersection, AND
+      // the minhash input hashes — xxhash64 of the gram mod 2^31-1;
+      // set-Jaccard is invariant under the injective re-hash). A first
+      // cut evaluated the corpus shingle pipeline six times (two counts,
+      // a two-sided join, two sketch streams) and cost 11.7 s at sf0.1;
+      // this form caches the ~vocab-sized tagged frame, materializes the
+      // three bounded aggregates eagerly (q88/q89 pattern), and releases
+      // the cache before returning: ~1 s.
+      def shingleSet(df: org.apache.spark.sql.DataFrame) = df
+        .select(TextOps.tokens(col("text")).as("__toks"))
+        .select(explode(Curation.shingleMd5s(col("__toks"), 3)).as("g"))
+        .distinct()
+      val tagged = shingleSet(ca).select(col("g"), lit(1).as("in_a"), lit(0).as("in_b"))
+        .unionByName(shingleSet(cb).select(col("g"), lit(0).as("in_a"), lit(1).as("in_b")))
+        .groupBy("g")
+        .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+        .withColumn("h", pmod(xxhash64(col("g")), lit(2147483647L)))
+        .persist()
+      val counts = tagged.agg(
+        sum(col("in_a")).cast("long").as("n_a"),
+        sum(col("in_b")).cast("long").as("n_b"),
+        sum(col("in_a") * col("in_b")).cast("long").as("inter")).head()
+      val agg = new graft.functions.MinHashSketchAgg(128, 42L)
+      val skA = tagged.filter(col("in_a") === 1).select(col("h")).as[Long]
+        .select(agg.toColumn).head()
+      val skB = tagged.filter(col("in_b") === 1).select(col("h")).as[Long]
+        .select(agg.toColumn).head()
+      tagged.unpersist()
+      val est = graft.functions.MinHashSketchAgg.estimate(skA, skB)
+      // re-enter the engine for the emitted row so exact_j's rounding is
+      // the same qz expression the oracle mirrors
+      Seq((counts.getLong(0), counts.getLong(1), counts.getLong(2), est))
+        .toDF("n_a", "n_b", "inter", "est")
+        .select(col("n_a"), col("n_b"), col("inter"),
+          qz(col("inter").cast("double") /
+            (col("n_a") + col("n_b") - col("inter")), 6).as("exact_j"),
+          (abs(col("est") - col("inter").cast("double") /
+            (col("n_a") + col("n_b") - col("inter"))) <= 0.15).as("est_ok"))
+    }),
+
     // quality-proportional (weighted) deterministic sampling: longer
     // docs kept at a higher rate, membership a pure key function — the
     // row set must be IDENTICAL in DuckDB (q66's guarantee, per-row rate)
@@ -314,6 +369,36 @@ object CurationQueries {
         |SELECT doc_id, shard, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
         | CAST((cum_tokens - 1) // 2048 AS BIGINT) AS bin
         |FROM w ORDER BY doc_id""".stripMargin,
+
+    // exact counts + jaccard recomputed; the sketch tolerance flag is
+    // the predicted-true emission (q17/q62 pattern)
+    "q97_corpus_sketch" ->
+      """WITH ta AS (
+        | SELECT regexp_split_to_array(trim(text), '\s+') AS toks
+        | FROM documents WHERE doc_id % 2 = 0),
+        |tb AS (
+        | SELECT regexp_split_to_array(trim(text), '\s+') AS toks
+        | FROM documents WHERE doc_id % 2 = 1
+        | UNION ALL
+        | SELECT regexp_split_to_array(trim(text), '\s+')
+        | FROM documents WHERE doc_id % 10 = 0),
+        |sa AS (
+        | SELECT DISTINCT unnest(list_transform(
+        |   generate_series(0, greatest(len(toks) - 3, 0)),
+        |   i -> md5(array_to_string(toks[i+1:i+3], ' ')))) AS g FROM ta),
+        |sb AS (
+        | SELECT DISTINCT unnest(list_transform(
+        |   generate_series(0, greatest(len(toks) - 3, 0)),
+        |   i -> md5(array_to_string(toks[i+1:i+3], ' ')))) AS g FROM tb),
+        |m AS (
+        | SELECT (SELECT count(*) FROM sa) AS n_a,
+        |  (SELECT count(*) FROM sb) AS n_b,
+        |  (SELECT count(*) FROM sa JOIN sb ON sa.g = sb.g) AS inter)
+        |SELECT n_a, n_b, inter,
+        | round((CAST(inter AS DOUBLE) / (n_a + n_b - inter)) * 1000000.0)
+        |  / 1000000.0 + 0.0 AS exact_j,
+        | TRUE AS est_ok
+        |FROM m""".stripMargin,
 
     // only the genuinely-new (prefixed) docs survive the anti join
     "q96_ingest_dedup" ->
