@@ -288,6 +288,26 @@ object CurationQueries {
             (col("n_a") + col("n_b") - col("inter"))) <= 0.15).as("est_ok"))
     }),
 
+    // per-document NOVELTY: the fraction of a doc's distinct shingles
+    // that appear in no other document — the doc-granular originality
+    // signal (near-1 = unique content, near-0 = boilerplate/dup echo).
+    // One tokenizing pass; the gram->doc-frequency frame joins back on
+    // the gram key (both sides already hashed strings — text never
+    // shuffles); per-doc aggregation is a map-side-combined groupBy.
+    "q98_novelty" -> ((s, dir) => {
+      val grams = Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("__toks"))
+        .select(col("doc_id"),
+          explode(Curation.shingleMd5s(col("__toks"), 3)).as("g"))
+      val df = grams.groupBy("g").agg(countDistinct(col("doc_id")).as("gdf"))
+      grams.join(df, Seq("g"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_grams"),
+          sum((col("gdf") === 1).cast("long")).cast("long").as("n_unique"),
+          qz(avg((col("gdf") === 1).cast("double")), 6).as("novelty"))
+        .orderBy("doc_id")
+    }),
+
     // quality-proportional (weighted) deterministic sampling: longer
     // docs kept at a higher rate, membership a pure key function — the
     // row set must be IDENTICAL in DuckDB (q66's guarantee, per-row rate)
@@ -399,6 +419,23 @@ object CurationQueries {
         |  / 1000000.0 + 0.0 AS exact_j,
         | TRUE AS est_ok
         |FROM m""".stripMargin,
+
+    "q98_novelty" ->
+      """WITH t AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        | FROM documents),
+        |sh AS (
+        | SELECT doc_id, unnest(list_distinct(list_transform(
+        |   generate_series(0, greatest(len(toks) - 3, 0)),
+        |   i -> md5(array_to_string(toks[i+1:i+3], ' '))))) AS g
+        | FROM t),
+        |df AS (SELECT g, count(DISTINCT doc_id) AS gdf FROM sh GROUP BY g)
+        |SELECT sh.doc_id, count(*) AS n_grams,
+        | CAST(sum(CASE WHEN df.gdf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+        | round((avg(CASE WHEN df.gdf = 1 THEN 1.0 ELSE 0.0 END)) * 1000000.0)
+        |  / 1000000.0 + 0.0 AS novelty
+        |FROM sh JOIN df ON sh.g = df.g
+        |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin,
 
     // only the genuinely-new (prefixed) docs survive the anti join
     "q96_ingest_dedup" ->
