@@ -7,10 +7,15 @@ import graft.sources.Tables
 import Util.{Q, qz}
 
 /** Training-data curation queries over `documents` (SURVEY.md §7
-  * extensions beyond the reference): context-window chunking, benchmark
-  * decontamination, PII redaction, token census, TF-IDF, deterministic
-  * shard assignment. All six are fully oracle-checked — every semantic
-  * keeps to the md5/regex/array common subset DuckDB reproduces.
+  * extensions beyond the reference): context-window chunking (q81),
+  * benchmark decontamination (q82), PII redaction (q83), token census /
+  * TF-IDF / unigram log-prob / novelty scoring (q84/q85/q93/q98),
+  * deterministic + weighted sampling and source rebalancing (q91/q94),
+  * shard assignment + partitioned sink + sequence packing
+  * (q86/q87/q95), incremental ingest dedup (q96), per-source top-k
+  * (q92), and the corpus-vs-corpus MinHash sketch (q97). ALL fully
+  * oracle-checked — every semantic keeps to the md5/regex/array common
+  * subset DuckDB reproduces.
   */
 object CurationQueries {
 
