@@ -27,17 +27,13 @@ class MinHashSketchAgg(k: Int = 128, seed: Long = 42L)
     extends Aggregator[Long, Array[Long], Array[Long]] {
   require(k > 0, s"k must be positive, got $k")
 
-  private val P = 2147483647L // Mersenne 2^31-1, matches Dedup.MersenneP
-  // same derivation as Dedup.hashFamily — the (a, b) draws INTERLEAVE
-  // (a1, b1, a2, b2, ...), so the pairs must be drawn together
-  // (scala.util.Random is a stable deterministic PRNG for a fixed seed)
-  private val params: Array[(Long, Long)] = {
-    val rnd = new scala.util.Random(seed)
-    Array.fill(k)((1L + rnd.nextInt((P - 1).toInt),
-      rnd.nextInt(P.toInt).toLong))
+  private val P = graft.operators.Dedup.MersenneP
+  // THE hash family — shared with the column form (Dedup.hashFamily),
+  // so the two can never fork; only pa/pb ship in the closure
+  private val (pa: Array[Long], pb: Array[Long]) = {
+    val params = graft.operators.Dedup.hashFamily(k, seed)
+    (params.map(_._1).toArray, params.map(_._2).toArray)
   }
-  private val pa: Array[Long] = params.map(_._1)
-  private val pb: Array[Long] = params.map(_._2)
 
   /** Sentinel = P (no hash mod P reaches it), matching the column form's
     * array_repeat(MersenneP) zero. */

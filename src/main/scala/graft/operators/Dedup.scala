@@ -57,11 +57,13 @@ object Dedup {
     shingleCombine(tokenHashesMod(text), n)
 
   /** Mersenne prime 2^31−1: affine hashes stay under 2^62 — no long
-    * overflow (ANSI mode errors on wraparound multiplies). */
-  private val MersenneP = 2147483647L
+    * overflow (ANSI mode errors on wraparound multiplies). Shared with
+    * functions.MinHashSketchAgg — ONE MinHash contract. */
+  private[graft] val MersenneP = 2147483647L
 
-  /** Deterministic affine hash family params mod p (seeded, fixed). */
-  private def hashFamily(k: Int, seed: Long): Seq[(Long, Long)] = {
+  /** Deterministic affine hash family params mod p (seeded, fixed).
+    * Shared with functions.MinHashSketchAgg (equivalence-spec'd). */
+  private[graft] def hashFamily(k: Int, seed: Long): Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(seed)
     Seq.fill(k)((1L + rnd.nextInt((MersenneP - 1).toInt),
       rnd.nextInt(MersenneP.toInt).toLong))

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.operators.{Curation, Dedup, TextOps}
+import graft.operators.{Curation, TextOps}
 import graft.sources.Tables
 import Util.{Q, qz}
 
@@ -242,8 +242,8 @@ object CurationQueries {
     // 10th doc of corpus A), plus the mergeable MinHash SKETCH estimate
     // (functions/MinHashSketchAgg — k longs per corpus, map-side
     // combined, shingles never shuffle) checked against the exact value
-    // with a tolerance flag (q17/q62 pattern; k=128 -> sd ~ 0.04, the
-    // 0.15 bound is ~4 sigma and the fixed seed makes est deterministic
+    // with a tolerance flag (q17/q62 pattern; k=128 -> sd <= 0.044, the
+    // 0.15 bound is ~3.4 sigma and the fixed seed makes est deterministic
     // per dataset). This is the dataset-diff primitive: at 100 TB the
     // sketches are the ONLY thing two corpus snapshots exchange.
     "q97_corpus_sketch" -> ((s, dir) => {
@@ -252,29 +252,32 @@ object CurationQueries {
       val ca = docs.filter(col("doc_id") % 2 === 0)
       val cb = docs.filter(col("doc_id") % 2 === 1)
         .unionByName(docs.filter(col("doc_id") % 10 === 0))
-      // ONE pass over each corpus: the side-tagged distinct shingle-set
-      // frame carries everything downstream (counts, intersection, AND
-      // the minhash input hashes — xxhash64 of the gram mod 2^31-1;
-      // set-Jaccard is invariant under the injective re-hash). A first
-      // cut evaluated the corpus shingle pipeline six times (two counts,
-      // a two-sided join, two sketch streams) and cost 11.7 s at sf0.1;
-      // this form caches the ~vocab-sized tagged frame, materializes the
-      // three bounded aggregates eagerly (q88/q89 pattern), and releases
-      // the cache before returning: ~1 s.
-      def shingleSet(df: org.apache.spark.sql.DataFrame) = df
+      // ONE pass over each corpus: the side-tagged shingle stream (the
+      // tag-merging groupBy dedups, so no per-side distinct shuffle)
+      // carries everything downstream — counts, intersection, AND the
+      // minhash input hashes (xxhash64 of the gram mod 2^31-1; Jaccard
+      // is preserved up to rare 2^31-space collisions, far below the
+      // flag tolerance). A first cut evaluated the corpus shingle
+      // pipeline six times (two counts, a two-sided join, two sketch
+      // streams) and cost 11.7 s at sf0.1; this form caches the
+      // ~vocab-sized tagged frame, materializes the three bounded
+      // aggregates eagerly (q88/q89 pattern), and releases the cache
+      // before returning: ~1 s.
+      def shingleStream(df: org.apache.spark.sql.DataFrame) = df
         .select(TextOps.tokens(col("text")).as("__toks"))
         .select(explode(Curation.shingleMd5s(col("__toks"), 3)).as("g"))
-        .distinct()
-      val tagged = shingleSet(ca).select(col("g"), lit(1).as("in_a"), lit(0).as("in_b"))
-        .unionByName(shingleSet(cb).select(col("g"), lit(0).as("in_a"), lit(1).as("in_b")))
+      val tagged = shingleStream(ca).select(col("g"), lit(1).as("in_a"), lit(0).as("in_b"))
+        .unionByName(shingleStream(cb).select(col("g"), lit(0).as("in_a"), lit(1).as("in_b")))
         .groupBy("g")
         .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
         .withColumn("h", pmod(xxhash64(col("g")), lit(2147483647L)))
         .persist()
+      // coalesce: an empty source yields a single all-null sum row —
+      // emit zeros, not an NPE
       val counts = tagged.agg(
-        sum(col("in_a")).cast("long").as("n_a"),
-        sum(col("in_b")).cast("long").as("n_b"),
-        sum(col("in_a") * col("in_b")).cast("long").as("inter")).head()
+        coalesce(sum(col("in_a")), lit(0)).cast("long").as("n_a"),
+        coalesce(sum(col("in_b")), lit(0)).cast("long").as("n_b"),
+        coalesce(sum(col("in_a") * col("in_b")), lit(0)).cast("long").as("inter")).head()
       val agg = new graft.functions.MinHashSketchAgg(128, 42L)
       val skA = tagged.filter(col("in_a") === 1).select(col("h")).as[Long]
         .select(agg.toColumn).head()
@@ -296,16 +299,19 @@ object CurationQueries {
     // per-document NOVELTY: the fraction of a doc's distinct shingles
     // that appear in no other document — the doc-granular originality
     // signal (near-1 = unique content, near-0 = boilerplate/dup echo).
-    // One tokenizing pass; the gram->doc-frequency frame joins back on
-    // the gram key (both sides already hashed strings — text never
-    // shuffles); per-doc aggregation is a map-side-combined groupBy.
+    // The gram's document frequency is a COUNT WINDOW over the gram key
+    // (shingleMd5s is per-doc distinct, so rows per gram == documents
+    // containing it): one evaluation of the tokenize->shingle lineage
+    // and one shuffle on the hashed gram — a groupBy-then-join-back
+    // form re-ran the whole scan+shingle pipeline for the probe side.
+    // Window partitions are gram-df-sized (bounded by doc count), never
+    // corpus-sized; text never shuffles.
     "q98_novelty" -> ((s, dir) => {
-      val grams = Tables.documents(s, dir)
+      Tables.documents(s, dir)
         .select(col("doc_id"), TextOps.tokens(col("text")).as("__toks"))
         .select(col("doc_id"),
           explode(Curation.shingleMd5s(col("__toks"), 3)).as("g"))
-      val df = grams.groupBy("g").agg(countDistinct(col("doc_id")).as("gdf"))
-      grams.join(df, Seq("g"))
+        .withColumn("gdf", count(lit(1)).over(Window.partitionBy("g")))
         .groupBy("doc_id")
         .agg(count(lit(1)).cast("long").as("n_grams"),
           sum((col("gdf") === 1).cast("long")).cast("long").as("n_unique"),
