@@ -319,6 +319,32 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // CONTENT-DEFINED chunking (the CDC complement to q81's fixed
+    // windows): a token opens a new chunk iff its own hash satisfies
+    // the boundary predicate (first md5 hex digit = '0', p=1/16 ->
+    // mean chunk ~16 tokens). Boundaries depend on CONTENT, not
+    // position, so an insertion early in a document shifts only the
+    // chunk it lands in — every later chunk re-aligns (the property
+    // storage dedup and shift-robust near-dup pipelines rely on; see
+    // CurationSpec's shift-realignment test). Per-doc position windows
+    // (doc-sized partitions); chunk text rebuilt order-deterministically
+    // via sort_array over (pos, token) structs.
+    "q99_cdc_chunking" -> ((s, dir) => {
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))))
+        .withColumnRenamed("col", "tok")
+        .withColumn("b", (substring(md5(col("tok")), 1, 1) === "0").cast("long"))
+        .withColumn("chunk_id", sum(col("b")).over(w))
+        .groupBy("doc_id", "chunk_id")
+        .agg(count(lit(1)).cast("long").as("n_tokens"),
+          md5(concat_ws(" ",
+            transform(sort_array(collect_list(struct(col("pos"), col("tok")))),
+              x => x.getField("tok")))).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
     // quality-proportional (weighted) deterministic sampling: longer
     // docs kept at a higher rate, membership a pure key function — the
     // row set must be IDENTICAL in DuckDB (q66's guarantee, per-row rate)
@@ -447,6 +473,27 @@ object CurationQueries {
         |  / 1000000.0 + 0.0 AS novelty
         |FROM sh JOIN df ON sh.g = df.g
         |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin,
+
+    // same boundary predicate + running boundary count; chunk text
+    // rebuilt with an ORDER BY inside list()
+    "q99_cdc_chunking" ->
+      """WITH t AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        | FROM documents),
+        |p AS (
+        | SELECT doc_id, i - 1 AS pos, toks[i] AS tok,
+        |  CASE WHEN substr(md5(toks[i]), 1, 1) = '0' THEN 1 ELSE 0 END AS b
+        | FROM t, unnest(generate_series(1, len(toks))) AS u(i)),
+        |c AS (
+        | SELECT doc_id, pos, tok,
+        |  sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chunk_id
+        | FROM p)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        | count(*) AS n_tokens,
+        | md5(array_to_string(list(tok ORDER BY pos), ' ')) AS chunk_md5
+        |FROM c GROUP BY doc_id, chunk_id
+        |ORDER BY doc_id, chunk_id""".stripMargin,
 
     // only the genuinely-new (prefixed) docs survive the anti join
     "q96_ingest_dedup" ->

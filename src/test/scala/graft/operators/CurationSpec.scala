@@ -199,6 +199,40 @@ class CurationSpec extends SparkSpec {
         assert(r.getAs[Long]("nb") == r.getAs[Long]("mb") + 1))
   }
 
+  test("content-defined chunking re-aligns after an insertion (fixed windows don't)") {
+    // build a ~200-token doc, then a copy with 3 tokens inserted near
+    // the front. CDC boundaries depend only on token content, so every
+    // chunk strictly after the insertion point is IDENTICAL across the
+    // two versions — while q81-style fixed windows shift all later
+    // chunk contents. Mirror q99's derivation exactly.
+    val toks = (1 to 200).map(i => s"w${i * 7 % 97}")
+    val orig = toks.mkString(" ")
+    val edited = (toks.take(10) ++ Seq("INS1", "INS2", "INS3") ++ toks.drop(10)).mkString(" ")
+    val d = docs(1L -> orig, 2L -> edited)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val chunks = d
+      .select($"doc_id", posexplode(TextOps.tokens($"text")))
+      .withColumnRenamed("col", "tok")
+      .withColumn("b", (substring(md5($"tok"), 1, 1) === "0").cast("long"))
+      .withColumn("chunk_id", sum($"b").over(w))
+      .groupBy("doc_id", "chunk_id")
+      .agg(concat_ws(" ",
+        transform(sort_array(collect_list(struct($"pos", $"tok"))),
+          x => x.getField("tok"))).as("chunk"))
+      .collect().groupBy(_.getLong(0))
+    val c1 = chunks(1L).map(_.getAs[String]("chunk")).toSet
+    val c2 = chunks(2L).map(_.getAs[String]("chunk")).toSet
+    // the tail chunks (well past the insertion) re-align: strong overlap
+    val shared = c1 & c2
+    assert(shared.size >= c1.size / 2,
+      s"expected re-alignment: ${shared.size} shared of ${c1.size}")
+    // and the doc content differs, so at least one chunk must differ
+    assert(c1 != c2)
+  }
+
   test("shingleMd5s: distinct shingles; short doc gets one whole-doc shingle") {
     val out = docs(1L -> "a b a b a").toDF()
       .select(TextOps.tokens($"text").as("toks"))
