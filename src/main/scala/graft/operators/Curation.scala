@@ -63,6 +63,33 @@ object Curation {
           .as("chunk_text"))
   }
 
+  /** CONTENT-DEFINED chunking (the CDC complement to `chunk`'s fixed
+    * windows): a token opens a new chunk iff its own hash satisfies the
+    * boundary predicate (first md5 hex digit = '0', p = 1/16 → mean
+    * chunk ~16 tokens). Boundaries depend on CONTENT, not position, so
+    * an insertion early in a document shifts only the chunk it lands
+    * in — every later chunk re-aligns (the property storage dedup and
+    * shift-robust near-dup pipelines rely on; spec-proven in
+    * CurationSpec). Per-doc position windows (doc-sized partitions);
+    * chunk text rebuilt order-deterministically via sort_array over
+    * (pos, token) structs. Returns (id, chunk_id, n_tokens, chunk_text). */
+  def cdcChunk(docs: DataFrame, id: String, text: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(id).orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs
+      .select(col(id), posexplode(TextOps.tokens(col(text))))
+      .withColumnRenamed("col", "tok")
+      .withColumn("b", (substring(md5(col("tok")), 1, 1) === "0").cast("long"))
+      .withColumn("chunk_id", sum(col("b")).over(w))
+      .groupBy(col(id), col("chunk_id"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        concat_ws(" ",
+          transform(sort_array(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok"))).as("chunk_text"))
+  }
+
   /** Benchmark decontamination: per-document count of `shingleLen`-token
     * shingles that also appear in the evaluation set's shingle inventory
     * (`evalGrams`: one column `g` of md5 shingle strings). A document

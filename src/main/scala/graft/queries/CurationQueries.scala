@@ -319,31 +319,14 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
-    // CONTENT-DEFINED chunking (the CDC complement to q81's fixed
-    // windows): a token opens a new chunk iff its own hash satisfies
-    // the boundary predicate (first md5 hex digit = '0', p=1/16 ->
-    // mean chunk ~16 tokens). Boundaries depend on CONTENT, not
-    // position, so an insertion early in a document shifts only the
-    // chunk it lands in — every later chunk re-aligns (the property
-    // storage dedup and shift-robust near-dup pipelines rely on; see
-    // CurationSpec's shift-realignment test). Per-doc position windows
-    // (doc-sized partitions); chunk text rebuilt order-deterministically
-    // via sort_array over (pos, token) structs.
-    "q99_cdc_chunking" -> ((s, dir) => {
-      val w = Window.partitionBy("doc_id").orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.documents(s, dir)
-        .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))))
-        .withColumnRenamed("col", "tok")
-        .withColumn("b", (substring(md5(col("tok")), 1, 1) === "0").cast("long"))
-        .withColumn("chunk_id", sum(col("b")).over(w))
-        .groupBy("doc_id", "chunk_id")
-        .agg(count(lit(1)).cast("long").as("n_tokens"),
-          md5(concat_ws(" ",
-            transform(sort_array(collect_list(struct(col("pos"), col("tok")))),
-              x => x.getField("tok")))).as("chunk_md5"))
-        .orderBy("doc_id", "chunk_id")
-    }),
+    // CONTENT-DEFINED chunking — see Curation.cdcChunk for the design
+    // (boundary predicate, shift re-alignment, window shape); emitted as
+    // per-chunk md5 so the hash compare covers every chunk byte
+    "q99_cdc_chunking" -> ((s, dir) =>
+      Curation.cdcChunk(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
+          md5(col("chunk_text")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id")),
 
     // quality-proportional (weighted) deterministic sampling: longer
     // docs kept at a higher rate, membership a pure key function — the

@@ -208,23 +208,10 @@ class CurationSpec extends SparkSpec {
     val toks = (1 to 200).map(i => s"w${i * 7 % 97}")
     val orig = toks.mkString(" ")
     val edited = (toks.take(10) ++ Seq("INS1", "INS2", "INS3") ++ toks.drop(10)).mkString(" ")
-    val d = docs(1L -> orig, 2L -> edited)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    val chunks = d
-      .select($"doc_id", posexplode(TextOps.tokens($"text")))
-      .withColumnRenamed("col", "tok")
-      .withColumn("b", (substring(md5($"tok"), 1, 1) === "0").cast("long"))
-      .withColumn("chunk_id", sum($"b").over(w))
-      .groupBy("doc_id", "chunk_id")
-      .agg(concat_ws(" ",
-        transform(sort_array(collect_list(struct($"pos", $"tok"))),
-          x => x.getField("tok"))).as("chunk"))
+    val chunks = Curation.cdcChunk(docs(1L -> orig, 2L -> edited), "doc_id", "text")
       .collect().groupBy(_.getLong(0))
-    val c1 = chunks(1L).map(_.getAs[String]("chunk")).toSet
-    val c2 = chunks(2L).map(_.getAs[String]("chunk")).toSet
+    val c1 = chunks(1L).map(_.getAs[String]("chunk_text")).toSet
+    val c2 = chunks(2L).map(_.getAs[String]("chunk_text")).toSet
     // the tail chunks (well past the insertion) re-align: strong overlap
     val shared = c1 & c2
     assert(shared.size >= c1.size / 2,
