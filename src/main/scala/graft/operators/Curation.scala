@@ -124,7 +124,10 @@ object Curation {
     "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}" -> "<EMAIL>",
     "https?://[^ ]+" -> "<URL>",
     "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
-    "\\b\\d{9,16}\\b" -> "<NUM>")
+    // open-ended run length: a bounded {9,16} cannot match a 17+ digit
+    // run AT ALL (no interior \b exists), so the longest, most sensitive
+    // account/IBAN-like numbers would pass through unredacted
+    "\\b\\d{9,}\\b" -> "<NUM>")
 
   /** Apply the full redaction chain (linear per-row regex pipeline;
     * stage the result ONCE per the repo's HOF-staging rule when several

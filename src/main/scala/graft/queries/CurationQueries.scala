@@ -81,19 +81,23 @@ object CurationQueries {
     // derived from the (doc, token) tf frame (its rows are distinct by
     // construction, so counting them per token IS the document
     // frequency), and N comes from the documents table without any
-    // explode. The tiny vocabulary frame broadcasts to the per-doc
-    // counts; N rides in as a broadcast 1-row frame (no driver action).
-    // The RANK KEY is the 6dp-quantized tfidf (q92/q51 convention):
-    // Java's and libm's ln can differ in the last ulp, and row_number
-    // over a raw double would let near-ties order differently per
-    // engine — quantize first, tie-break on token.
+    // explode. The df join is deliberately UNHINTED: vocabulary grows
+    // with corpus size (Heaps' law — 10^8-10^9 distinct tokens at
+    // 100 TB), so a forced broadcast would OOM executors at scale; both
+    // sides are already keyed on tk, so AQE broadcasts while the vocab
+    // is small and falls back to a one-exchange shuffle join when it
+    // isn't. Only N rides in as a broadcast 1-row frame (no driver
+    // action). The RANK KEY is the 6dp-quantized tfidf (q92/q51
+    // convention): Java's and libm's ln can differ in the last ulp, and
+    // row_number over a raw double would let near-ties order
+    // differently per engine — quantize first, tie-break on token.
     "q85_tfidf" -> ((s, dir) => {
       val tf = Tables.documents(s, dir)
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tk"))
         .groupBy("doc_id", "tk").agg(count(lit(1)).as("tf"))
       val df = tf.groupBy("tk").agg(count(lit(1)).as("df"))
       val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
-      val scored = tf.join(broadcast(df), Seq("tk")).crossJoin(broadcast(n))
+      val scored = tf.join(df, Seq("tk")).crossJoin(broadcast(n))
         .withColumn("tfidf",
           qz(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
       scored
@@ -149,15 +153,17 @@ object CurationQueries {
     // unigram log-probability scoring — the corpus-trained shape of a
     // perplexity quality filter (KenLM-style filters score against a
     // reference LM; the engine-side mechanics are identical: token ->
-    // probability lookup -> per-doc mean log-prob). Vocabulary frame
-    // broadcasts; one tokenizing pass; avg of ~doc-length doubles is
-    // engine-order sensitive only below the 6dp quantization.
+    // probability lookup -> per-doc mean log-prob). The vocabulary join
+    // is UNHINTED (q85's rationale: vocab grows with corpus — a forced
+    // broadcast is a 100 TB OOM; AQE picks broadcast while it fits);
+    // one tokenizing pass; avg of ~doc-length doubles is engine-order
+    // sensitive only below the 6dp quantization.
     "q93_unigram_logprob" -> ((s, dir) => {
       val tok = Tables.documents(s, dir)
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tk"))
       val tf = tok.groupBy("tk").agg(count(lit(1)).as("tf"))
       val total = tf.agg(sum(col("tf")).as("total")) // reuses tf's exchange
-      tok.join(broadcast(tf), Seq("tk")).crossJoin(broadcast(total))
+      tok.join(tf, Seq("tk")).crossJoin(broadcast(total))
         .groupBy("doc_id")
         .agg(count(lit(1)).cast("long").as("n_tokens"),
           qz(avg(log(col("tf").cast("double") / col("total"))), 6)
@@ -252,48 +258,50 @@ object CurationQueries {
       val ca = docs.filter(col("doc_id") % 2 === 0)
       val cb = docs.filter(col("doc_id") % 2 === 1)
         .unionByName(docs.filter(col("doc_id") % 10 === 0))
-      // ONE pass over each corpus: the side-tagged shingle stream (the
+      // ONE pass, ONE job: the side-tagged shingle stream (the
       // tag-merging groupBy dedups, so no per-side distinct shuffle)
       // carries everything downstream — counts, intersection, AND the
       // minhash input hashes (xxhash64 of the gram mod 2^31-1; Jaccard
       // is preserved up to rare 2^31-space collisions, far below the
       // flag tolerance). A first cut evaluated the corpus shingle
-      // pipeline six times (two counts, a two-sided join, two sketch
-      // streams) and cost 11.7 s at sf0.1; this form caches the
-      // ~vocab-sized tagged frame, materializes the three bounded
-      // aggregates eagerly (q88/q89 pattern), and releases the cache
-      // before returning: ~1 s.
+      // pipeline six times (11.7 s at sf0.1); round 6 cut that to three
+      // actions over a persisted frame (~1 s); this form folds all five
+      // aggregates — three sums + the two SIDE-FILTERED sketches
+      // (MinHashSketchAgg.Tagged) — into a single typed select, so the
+      // tagged frame is consumed exactly once and nothing is cached.
       def shingleStream(df: org.apache.spark.sql.DataFrame) = df
         .select(TextOps.tokens(col("text")).as("__toks"))
         .select(explode(Curation.shingleMd5s(col("__toks"), 3)).as("g"))
-      val tagged = shingleStream(ca).select(col("g"), lit(1).as("in_a"), lit(0).as("in_b"))
-        .unionByName(shingleStream(cb).select(col("g"), lit(0).as("in_a"), lit(1).as("in_b")))
-        .groupBy("g")
-        .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
-        .withColumn("h", pmod(xxhash64(col("g")), lit(2147483647L)))
-        .persist()
-      // coalesce: an empty source yields a single all-null sum row —
-      // emit zeros, not an NPE
-      val counts = tagged.agg(
-        coalesce(sum(col("in_a")), lit(0)).cast("long").as("n_a"),
-        coalesce(sum(col("in_b")), lit(0)).cast("long").as("n_b"),
-        coalesce(sum(col("in_a") * col("in_b")), lit(0)).cast("long").as("inter")).head()
-      val agg = new graft.functions.MinHashSketchAgg(128, 42L)
-      val skA = tagged.filter(col("in_a") === 1).select(col("h")).as[Long]
-        .select(agg.toColumn).head()
-      val skB = tagged.filter(col("in_b") === 1).select(col("h")).as[Long]
-        .select(agg.toColumn).head()
-      tagged.unpersist()
-      val est = graft.functions.MinHashSketchAgg.estimate(skA, skB)
+      import graft.functions.MinHashSketchAgg
+      val (na, nb, inter, skA, skB) =
+        shingleStream(ca).select(col("g"), lit(1).as("in_a"), lit(0).as("in_b"))
+          .unionByName(shingleStream(cb).select(col("g"), lit(0).as("in_a"), lit(1).as("in_b")))
+          .groupBy("g")
+          .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+          .select(col("in_a"), col("in_b"),
+            pmod(xxhash64(col("g")), lit(2147483647L)).as("h"))
+          .as[(Int, Int, Long)]
+          .select(new MinHashSketchAgg.TaggedSum(_._1.toLong).toColumn,
+            new MinHashSketchAgg.TaggedSum(_._2.toLong).toColumn,
+            new MinHashSketchAgg.TaggedSum(t => (t._1 * t._2).toLong).toColumn,
+            new MinHashSketchAgg.Tagged(128, 42L, 0).toColumn,
+            new MinHashSketchAgg.Tagged(128, 42L, 1).toColumn)
+          .head()
+      val est = MinHashSketchAgg.estimate(skA, skB)
       // re-enter the engine for the emitted row so exact_j's rounding is
-      // the same qz expression the oracle mirrors
-      Seq((counts.getLong(0), counts.getLong(1), counts.getLong(2), est))
+      // the same qz expression the oracle mirrors. The union (n_a + n_b
+      // - inter) can only be 0 when both corpora are empty — guard the
+      // quotient (0.0, and est_ok trivially true) so the empty-source
+      // path is total, not engine-dependent NaN.
+      val denom = col("n_a") + col("n_b") - col("inter")
+      Seq((na, nb, inter, est))
         .toDF("n_a", "n_b", "inter", "est")
         .select(col("n_a"), col("n_b"), col("inter"),
-          qz(col("inter").cast("double") /
-            (col("n_a") + col("n_b") - col("inter")), 6).as("exact_j"),
-          (abs(col("est") - col("inter").cast("double") /
-            (col("n_a") + col("n_b") - col("inter"))) <= 0.15).as("est_ok"))
+          when(denom > 0, qz(col("inter").cast("double") / denom, 6))
+            .otherwise(lit(0.0)).as("exact_j"),
+          when(denom > 0,
+            abs(col("est") - col("inter").cast("double") / denom) <= 0.15)
+            .otherwise(lit(true)).as("est_ok"))
     }),
 
     // per-document NOVELTY: the fraction of a doc's distinct shingles
@@ -571,7 +579,7 @@ object CurationQueries {
         |   '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
         |   'https?://[^ ]+', '<URL>', 'g'),
         |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-        |   '\b\d{9,16}\b', '<NUM>', 'g') AS red
+        |   '\b\d{9,}\b', '<NUM>', 'g') AS red
         | FROM m)
         |SELECT doc_id, md5(red) AS red_md5,
         | CAST(messy_len - length(red) AS BIGINT) AS removed_chars
