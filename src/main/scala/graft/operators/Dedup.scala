@@ -72,13 +72,18 @@ object Dedup {
   /** MinHash signature from a materialized shingle-hash column: one fold
     * over the shingles updates all k minima together (vs k independent
     * array_min(transform(...)) expressions, which would re-shingle the
-    * document k times — measured 60× slower at sf0.1). Shingle hashes
-    * are already < 2^31, so the affine permutes stay overflow-free. */
+    * document k times — measured 60× slower at sf0.1). Inputs contract
+    * to be already reduced mod P (tokenHashesMod/shingleCombine output),
+    * but a raw 64-bit hash would overflow h·a past 2^63 into a
+    * wrong-but-plausible signature — one pmod per shingle (outside the
+    * per-permutation lambda, so it runs once per element, not k times)
+    * makes the precondition total, mirroring MinHashSketchAgg.reduce's
+    * floorMod: ONE MinHash contract for raw and reduced inputs alike. */
   def minHashFromShingles(sh: Column, k: Int = 32, seed: Long = 42L): Column = {
     val params = array(hashFamily(k, seed).map { case (a, b) =>
       struct(lit(a).as("a"), lit(b).as("b"))
     }: _*)
-    aggregate(sh,
+    aggregate(transform(sh, h => pmod(h, lit(MersenneP))),
       array_repeat(lit(MersenneP), k),
       (acc, h) => zip_with(acc, params,
         (m, p) => least(m,

@@ -443,8 +443,10 @@ object CurationQueries {
         |  (SELECT count(*) FROM sb) AS n_b,
         |  (SELECT count(*) FROM sa JOIN sb ON sa.g = sb.g) AS inter)
         |SELECT n_a, n_b, inter,
-        | round((CAST(inter AS DOUBLE) / (n_a + n_b - inter)) * 1000000.0)
-        |  / 1000000.0 + 0.0 AS exact_j,
+        | CASE WHEN n_a + n_b - inter > 0 THEN
+        |  round((CAST(inter AS DOUBLE) / (n_a + n_b - inter)) * 1000000.0)
+        |   / 1000000.0 + 0.0
+        | ELSE 0.0 END AS exact_j,
         | TRUE AS est_ok
         |FROM m""".stripMargin,
 

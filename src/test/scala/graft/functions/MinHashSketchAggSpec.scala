@@ -55,4 +55,64 @@ class MinHashSketchAggSpec extends SparkSpec {
     val s2 = base.repartition(17).as[Long].select(agg.toColumn).head()
     assert(s1.toSeq == s2.toSeq)
   }
+
+  test("raw (unreduced, negative) hashes: Aggregator and column form still agree") {
+    // the out-of-contract input both forms must now survive identically:
+    // raw xxhash64 output spans the full signed 64-bit range; both sides
+    // defensively reduce mod P before the affine step, so the ONE-
+    // contract equivalence holds for raw hashes too, not just
+    // tokenHashesMod output
+    val raw = Seq(Long.MinValue, -1L, 0L, Long.MaxValue,
+      -987654321098765L, 1234567890123456789L)
+    val viaAgg = raw.toDS()
+      .select(new MinHashSketchAgg(32, 42L).toColumn).head()
+    val viaColumn = Seq(raw).toDF("all")
+      .select(Dedup.minHashFromShingles(col("all"), 32, 42L)).head()
+      .getSeq[Long](0).toArray
+    assert(viaAgg.toSeq == viaColumn.toSeq)
+    // and the reduced-equivalent input yields the same signature
+    val reduced = raw.map(h => java.lang.Math.floorMod(h, Dedup.MersenneP))
+    val viaReduced = reduced.toDS()
+      .select(new MinHashSketchAgg(32, 42L).toColumn).head()
+    assert(viaAgg.toSeq == viaReduced.toSeq)
+  }
+
+  test("Tagged(side) equals the unfiltered aggregator over the side's hash stream") {
+    // tagged rows: (in_a, in_b, h) — side 0 folds rows with in_a=1,
+    // side 1 folds rows with in_b=1; each must equal MinHashSketchAgg
+    // over the equivalent pre-filtered stream
+    val rows: Seq[(Int, Int, Long)] = (0L until 2000L).map { h =>
+      ((h % 2).toInt, (h % 3 == 0, h % 2 == 1) match {
+        case (true, _) => 1; case (_, true) => 1; case _ => 0
+      }, h * 2654435761L % Dedup.MersenneP)
+    }
+    val ds = rows.toDS()
+    for (side <- Seq(0, 1)) {
+      val tagged = ds.select(
+        new MinHashSketchAgg.Tagged(64, 42L, side).toColumn).head()
+      val filtered = ds
+        .filter(t => (if (side == 0) t._1 else t._2) == 1).map(_._3)
+        .select(new MinHashSketchAgg(64, 42L).toColumn).head()
+      assert(tagged.toSeq == filtered.toSeq, s"side $side")
+    }
+  }
+
+  test("TaggedSum picks reproduce filtered count semantics, including empty input") {
+    val rows: Seq[(Int, Int, Long)] = Seq((1, 0, 10L), (0, 1, 20L),
+      (1, 1, 30L), (0, 0, 40L), (1, 0, 50L))
+    val ds = rows.toDS()
+    def sumOf(pick: ((Int, Int, Long)) => Long): Long =
+      ds.select(new MinHashSketchAgg.TaggedSum(pick).toColumn).head()
+    assert(sumOf(t => t._1.toLong) == 3L)              // |A| membership count
+    assert(sumOf(t => t._2.toLong) == 2L)              // |B|
+    assert(sumOf(t => (t._1 & t._2).toLong) == 1L)     // |A ∩ B|
+    // empty input: zero, not null/NaN (q97's empty-corpus path)
+    val empty = spark.emptyDataset[(Int, Int, Long)]
+    assert(empty.select(new MinHashSketchAgg.TaggedSum(_._1.toLong).toColumn)
+      .head() == 0L)
+    // Tagged over empty input yields the zero sketch (all-P sentinel)
+    val zeroSk = empty.select(
+      new MinHashSketchAgg.Tagged(16, 42L, 0).toColumn).head()
+    assert(zeroSk.toSeq == Seq.fill(16)(Dedup.MersenneP))
+  }
 }
