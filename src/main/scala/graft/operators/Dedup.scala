@@ -242,58 +242,120 @@ object Dedup {
     * pairwise candidates (MinHash/SimHash/Jaccard) into actionable
     * dedup decisions.
     *
-    * Algorithm: distributed min-label propagation — each round every
-    * node adopts min(own label, neighbors' labels), one shuffle per
-    * round, converging in O(graph diameter) rounds. Near-dup clusters
-    * are cliques or short chains (diameter ≲ 3), so the loop is a few
-    * rounds even at 100 TB; `maxIter` bounds adversarial chains, and
-    * each round's frame is checkpointed so lineage (and the plan)
-    * stays constant-size instead of growing per iteration.
+    * Algorithm: alternating large-star / small-star contraction (the
+    * MapReduce CC algorithm of Kiveris et al., "Connected Components in
+    * MapReduce and Beyond") — each round every node links its larger
+    * neighbors (large-star) then its smaller neighbors (small-star) to
+    * the minimum of its neighborhood, contracting the graph toward
+    * star graphs whose centers are the component minima. Converges in
+    * O(log n) rounds on ANY topology — a 2^20-node pathological chain
+    * is ~21 rounds where min-label propagation needs 10^6 — while
+    * near-dup cliques still finish in 1-2 rounds. Each half-step is a
+    * groupBy-min + co-partitioned join-back (NO collect_list: partial
+    * aggregation combines map-side, so a million-node star center
+    * costs its partitions one long each, not a giant array).
     *
-    * Checkpoint durability: when the session has a checkpoint dir
-    * configured (`sc.setCheckpointDir`), rounds use RELIABLE
-    * `checkpoint()` — an executor loss mid-loop recovers from the
-    * checkpoint store, which is what a multi-hour 100 TB run needs.
-    * Without one, rounds fall back to `localCheckpoint()` (blocks held
-    * un-replicated on executors): faster, but an executor loss aborts
-    * the job — acceptable for short interactive runs only.
+    * Each round's edge frame is checkpointed so lineage (and the plan)
+    * stays constant-size instead of growing per iteration. Checkpoint
+    * durability: when the session has a checkpoint dir configured
+    * (`sc.setCheckpointDir`), rounds use RELIABLE `checkpoint()` — an
+    * executor loss mid-loop recovers from the checkpoint store, which
+    * is what a multi-hour 100 TB run needs. Without one, rounds fall
+    * back to `localCheckpoint()` (blocks held un-replicated on
+    * executors): faster, but an executor loss aborts the job —
+    * acceptable for short interactive runs only.
     *
     * Returns (id, canonical_id) for every node that appears in `pairs`.
     */
   def connectedComponents(pairs: DataFrame, src: String, dst: String,
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 25): DataFrame =
+    connectedComponentsWithRounds(pairs, src, dst, maxIter)._1
+
+  /** `connectedComponents` plus the number of rounds it took — the
+    * round count is part of the operator's contract (O(log n)) and the
+    * spec asserts it on a planted pathological chain. */
+  private[graft] def connectedComponentsWithRounds(
+      pairs: DataFrame, src: String, dst: String,
+      maxIter: Int = 25): (DataFrame, Int) = {
     def cp(df: DataFrame): DataFrame =
       if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
       else df.localCheckpoint()
-    val edges = pairs.select(col(src).as("a"), col(dst).as("b"))
-      .unionByName(pairs.select(col(dst).as("a"), col(src).as("b")))
-      .distinct().cache()
-    var labels = cp(edges.select(col("a").as("id")).distinct()
-      .withColumn("canonical_id", col("id")))
-    var changed = 1L
-    var i = 0
-    while (changed > 0 && i < maxIter) {
-      val nbrMin = edges
-        .join(labels.select(col("id").as("b"), col("canonical_id").as("bl")), Seq("b"))
-        .groupBy(col("a").as("id")).agg(min(col("bl")).as("nmin"))
-      val next = cp(labels
-        .join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("canonical_id"), coalesce(col("nmin"), col("canonical_id")))
-            .as("canonical_id")))
-      changed = next
-        .join(labels.select(col("id"), col("canonical_id").as("old")), Seq("id"))
-        .filter(col("canonical_id") =!= col("old")).count()
-      labels = next
-      i += 1
+
+    // ONE traversal of the (possibly expensive) pair pipeline: the
+    // checkpointed base keeps self-loops so the node universe — which
+    // owes an output row even to a node seen only as (x, x) — and the
+    // working edge set both derive from it without recomputing `pairs`
+    val base = cp(pairs
+      .select(least(col(src), col(dst)).as("u"),
+        greatest(col(src), col(dst)).as("v"))
+      .distinct())
+    val nodes = base.select(col("u").as("id"))
+      .unionByName(base.select(col("v").as("id"))).distinct()
+    var edges = base.filter(col("u") =!= col("v"))
+
+    import org.apache.spark.sql.expressions.Window
+
+    /** Large-star: every node links its LARGER neighbors to the min of
+      * its closed neighborhood. A whole-partition window min costs ONE
+      * exchange of the (doubled) adjacency — vs groupBy+join-back which
+      * shuffles it twice. No distinct here: duplicate emissions are
+      * absorbed by small-star's min-agg and final distinct. Output
+      * keeps u < v by construction (m ≤ a < b). */
+    def largeStar(e: DataFrame): DataFrame =
+      e.select(col("u").as("a"), col("v").as("b"))
+        .unionByName(e.select(col("v").as("a"), col("u").as("b")))
+        .withColumn("nmin", min("b").over(Window.partitionBy("a")))
+        .filter(col("b") > col("a"))
+        .select(least(col("a"), col("nmin")).as("u"), col("b").as("v"))
+
+    /** Small-star: every node links its SMALLER neighbors (and itself)
+      * to the minimum of them. Edges are already oriented small < large,
+      * so partitioning by the large end v gives exactly the smaller
+      * neighborhood; same one-exchange window shape as large-star. */
+    def smallStar(e: DataFrame): DataFrame = {
+      val withM = e.withColumn("m", min("u").over(Window.partitionBy("v")))
+      withM.select(col("m").as("u"), col("u").as("v"))
+        .filter(col("u") =!= col("v"))
+        .unionByName(withM.select(col("m").as("u"), col("v")))
+        .distinct()
     }
-    edges.unpersist()
+
+    /** Structural convergence test, ONE cheap job per round: the edge
+      * set is final iff it is already a union of stars — every v has
+      * exactly one parent and no node is both a parent and a child
+      * (with the u < v orientation, each star's center is then its
+      * component minimum, and stars are stable under both half-steps).
+      * Testing the OUTPUT's shape instead of comparing consecutive edge
+      * sets kills the pure-confirmation round a fixed-point comparison
+      * needs: clique-like dup graphs finish in ONE round. */
+    def isStars(e: DataFrame): Boolean =
+      e.select(col("u").as("id"), lit(1L).as("p"), lit(0L).as("c"))
+        .unionAll(e.select(col("v").as("id"), lit(0L).as("p"), lit(1L).as("c")))
+        .groupBy("id").agg(sum("p").as("np"), sum("c").as("nc"))
+        .filter(col("nc") > 1 || (col("np") > 0 && col("nc") > 0))
+        .limit(1).isEmpty
+
+    // pair lists from clique-shaped dup groups are often ALREADY stars
+    // (e.g. every doc paired with the group min) — skip the loop then
+    var converged = isStars(edges)
+    var i = 0
+    while (!converged && i < maxIter) {
+      edges = cp(smallStar(largeStar(edges)))
+      i += 1
+      converged = isStars(edges)
+    }
     // a silent non-converged result would split real clusters into
     // several keep-groups with no signal — fail loudly instead
-    require(changed == 0,
-      s"connectedComponents did not converge within $maxIter rounds " +
-        "(graph diameter exceeds maxIter) - raise maxIter")
-    labels
+    require(converged,
+      s"connectedComponents did not converge within $maxIter rounds - " +
+        "raise maxIter")
+    // stars: every non-center appears exactly once as v with u = its
+    // component min; centers and isolated/self-paired nodes map to
+    // themselves via the left join
+    val labels = nodes
+      .join(edges.select(col("v").as("id"), col("u").as("root")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("root"), col("id")).as("canonical_id"))
+    (labels, i)
   }
 
   /** Winnowing-style fingerprint: the minimum shingle hash — one stable

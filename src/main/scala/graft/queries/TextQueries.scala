@@ -197,7 +197,7 @@ object TextQueries {
     * q54/q65 red), which is the candidate-generation recall guarantee
     * that matters at 100 TB. Short docs get one whole-doc shingle —
     * same contract as q56. */
-  private def verifiedNearDupPairs(s: org.apache.spark.sql.SparkSession,
+  private[graft] def verifiedNearDupPairs(s: org.apache.spark.sql.SparkSession,
                                    dir: String): org.apache.spark.sql.DataFrame = {
     val docs = Tables.documents(s, dir)
     val cands = Dedup.minHashCandidatePairs(docs, "doc_id", "text",

@@ -121,11 +121,30 @@ class TextDedupSpec extends SparkSpec {
     // empty pair list -> empty components, no crash
     assert(Dedup.connectedComponents(
       pairs.limit(0), "doc1", "doc2").count() == 0)
-    // a longer chain still converges (diameter rounds): 10-11-...-16
+    // a longer chain still converges: 10-11-...-16
     val chain = (10L until 16L).map(i => (i, i + 1)).toDF("doc1", "doc2")
     val c2 = Dedup.connectedComponents(chain, "doc1", "doc2")
       .collect().map(r => r.getLong(1)).distinct
     assert(c2.toSeq == Seq(10L))
+    // self-pair-only nodes still get an output row (x, x)
+    val selfOnly = Seq((42L, 42L), (1L, 2L)).toDF("doc1", "doc2")
+    val c3 = Dedup.connectedComponents(selfOnly, "doc1", "doc2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c3 == Map(42L -> 42L, 1L -> 1L, 2L -> 1L))
+  }
+
+  test("connected components: pathological chain converges in O(log n) rounds") {
+    // a 50-node path is the adversarial case for min-label propagation
+    // (diameter 49 -> 49 rounds); the large-star/small-star contraction
+    // must finish in <= ceil(log2 n) + 1 alternation rounds
+    val n = 50
+    val chain = (0L until (n - 1).toLong).map(i => (i + 1, i)).toDF("doc1", "doc2")
+    val (labels, rounds) =
+      Dedup.connectedComponentsWithRounds(chain, "doc1", "doc2")
+    val out = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(out.length == n && out.forall(_._2 == 0L))
+    val bound = math.ceil(math.log(n.toDouble) / math.log(2.0)).toInt + 1
+    assert(rounds <= bound, s"took $rounds rounds, bound $bound")
   }
 
   test("language id: deterministic argmax with priority tie-break") {
