@@ -47,6 +47,29 @@ object Embeddings {
     graft.functions.NativeVector.cosine(a, b)
   }
 
+  /** EXACT cosine threshold pairs restricted to a bounded PROBE set:
+    * probes broadcast against the corpus — a linear scan (|probes|·n
+    * cosines), no LSH, no n². This is the recall yardstick for the
+    * probabilistic near-dup operator below (q74's oracle pattern, the
+    * same shape as q62's exact top-5 truth for IVF): exact truth over
+    * the full corpus is O(n²), but truth restricted to a bounded probe
+    * set stays linear at any corpus size. Pairs are canonicalized
+    * (id1 < id2) and de-duplicated; the two orientations of a
+    * probe-probe pair compute bit-identical sims (dot and |a||b| are
+    * per-term commutative), so distinct collapses them exactly. */
+  def cosineProbePairs(probes: DataFrame, corpus: DataFrame, id: String,
+                       vec: String, minSim: Double): DataFrame = {
+    val p = probes.select(col(id).as("pid"), col(vec).as("pv"))
+    val c = corpus.select(col(id).as("cid"), col(vec).as("cv"))
+    c.join(broadcast(p), col("pid") =!= col("cid"))
+      .withColumn("sim",
+        round(nativeCosine(corpus.sparkSession, col("pv"), col("cv")) * 1e6) / 1e6)
+      .filter(col("sim") >= minSim)
+      .select(least(col("pid"), col("cid")).as("id1"),
+        greatest(col("pid"), col("cid")).as("id2"), col("sim"))
+      .distinct()
+  }
+
   def cosineTopK(queries: DataFrame, corpus: DataFrame, qid: String,
                  cid: String, vec: String, k: Int): DataFrame = {
     val q = queries.select(col(qid).as("query_id"), col(vec).as("qv"))

@@ -79,14 +79,23 @@ object EmbeddingQueries {
     }),
 
     // embedding-cosine NEAR-dup detection (vector half of the dedup
-    // family), oracle-checked end to end like q54: multi-table SRP-LSH
-    // generates candidates, exact cosine verifies, and the emitted set
-    // must EQUAL the exact cosine>=0.9 pair set DuckDB computes directly
-    // on the same derived corpus. Planted copies are PERTURBED (first
-    // coordinate +0.01, double math both engines reproduce bit-equal) so
-    // this tests genuine near-dups at cosine ~0.9998 — missed by any one
-    // table w.p. ~0.16 but by all 8 w.p. ~1e-9 — while natural pairs
-    // (cosine <= ~0.65) stay far under the 0.9 threshold.
+    // family), oracle-checked on the operator's HONEST contract (the
+    // q62 pattern): exact precision, floor-gated probabilistic recall.
+    // Round-8 finding (sf1 gate): the old exact-pair-set oracle was
+    // satisfiable only by accident — at sim exactly 0.9 a 12x8 SRP
+    // misses ~26% of pairs (p = 1 - acos(0.9)/pi = 0.856, miss =
+    // (1-p^12)^8 = 0.26), and the driver SFs simply have no
+    // boundary-sim pairs, while the sf1 replicas' noise pairs sit right
+    // at the threshold (measured recall 0.80 there). No bounded-cost
+    // LSH emits the exact pair set at a threshold; what the operator
+    // genuinely promises is (a) every emitted pair is exact-verified
+    // >= minSim, (b) near-certain recall well above the threshold
+    // (perturbed planted copies at cosine ~0.9998: missed by one table
+    // w.p. ~0.16, by all 8 w.p. ~1e-9), (c) floor-bounded recall AT the
+    // threshold. The emitted surface pins all three with exact
+    // DuckDB-recomputable values: probe-restricted truth count + sim
+    // mass, planted-pair count with an all-found flag, and a 0.7
+    // recall floor (vs ~0.1 if candidate generation breaks).
     "q74_cosine_neardup" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       val base = e.select(col("vec_id"),
@@ -95,15 +104,39 @@ object EmbeddingQueries {
         .select((col("vec_id") + 200000L).as("vec_id"),
           concat(array(element_at(col("v"), 1) + lit(0.01)),
             slice(col("v"), lit(2), size(col("v")) - 1)).as("v"))
-      Embeddings.cosineNearDupPairs(base.unionByName(planted),
-          "vec_id", "v", minSim = 0.9, nPlanes = 12, nTables = 8, dim = 64)
-        .orderBy("id1", "id2")
+      val corpus = base.unionByName(planted)
+      def isProbe(c: org.apache.spark.sql.Column) =
+        c < 40 || (c >= 200000L && c < 200040L)
+      // exact truth restricted to the 80 probe vectors: linear work at
+      // any corpus size, recomputable verbatim by DuckDB
+      val truth = Embeddings.cosineProbePairs(
+        corpus.filter(isProbe(col("vec_id"))), corpus, "vec_id", "v",
+        minSim = 0.9)
+      val found = Embeddings.cosineNearDupPairs(corpus, "vec_id", "v",
+          minSim = 0.9, nPlanes = 12, nTables = 8, dim = 64)
+        .filter(isProbe(col("id1")) || isProbe(col("id2")))
+      // found ⊆ truth by construction (identical exact-verify expression
+      // and threshold), so a left join + hit flag measures recall
+      val plantedPair = col("id2") === col("id1") + 200000L && col("id1") < 40
+      truth
+        .join(found.select(col("id1"), col("id2"), lit(1L).as("hit")),
+          Seq("id1", "id2"), "left")
+        .agg(count(lit(1)).cast("long").as("n_true"),
+          qz(sum(col("sim")), 4).as("sum_sim_true"),
+          sum(when(plantedPair, 1L).otherwise(0L)).cast("long").as("n_planted"),
+          sum(when(plantedPair, coalesce(col("hit"), lit(0L))).otherwise(0L)).as("_pf"),
+          coalesce(sum(col("hit")), lit(0L)).as("_nh"))
+        .select(col("n_true"), col("sum_sim_true"), col("n_planted"),
+          (col("_pf") === col("n_planted")).as("planted_all_found"),
+          (col("n_true") === 0 ||
+            col("_nh").cast("double") / col("n_true") >= 0.7).as("recall_ok"))
     })
   )
 
   def oracle: Map[String, String] = Map(
-    // exact cosine>=0.9 pairs over the same derived corpus (originals +
-    // perturbed copies) — candidate generation must not lose one
+    // exact probe-restricted truth recomputed directly (count, sim
+    // mass, planted-pair count); the two probabilistic floors are
+    // predicted-true emissions (q17/q62 pattern)
     "q74_cosine_neardup" ->
       """WITH e AS (
         | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -113,13 +146,21 @@ object EmbeddingQueries {
         | UNION ALL
         | SELECT vec_id + 200000, list_concat([v[1] + 0.01], v[2:]) AS v
         | FROM e WHERE vec_id < 40),
-        |sims AS (
-        | SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |pr AS (SELECT * FROM ad
+        |  WHERE vec_id < 40 OR (vec_id >= 200000 AND vec_id < 200040)),
+        |tr AS (
+        | SELECT DISTINCT least(a.vec_id, b.vec_id) AS id1,
+        |  greatest(a.vec_id, b.vec_id) AS id2,
         |  round((list_dot_product(a.v, b.v)
         |   / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))) * 1000000.0) / 1000000.0 + 0.0 AS sim
-        | FROM ad a JOIN ad b ON a.vec_id < b.vec_id)
-        |SELECT id1, id2, sim FROM sims WHERE sim >= 0.9
-        |ORDER BY id1, id2""".stripMargin,
+        | FROM pr a JOIN ad b ON a.vec_id <> b.vec_id),
+        |t2 AS (SELECT * FROM tr WHERE sim >= 0.9)
+        |SELECT count(*) AS n_true,
+        | round((sum(sim)) * 10000.0) / 10000.0 + 0.0 AS sum_sim_true,
+        | CAST(sum(CASE WHEN id2 = id1 + 200000 AND id1 < 40 THEN 1 ELSE 0 END) AS BIGINT) AS n_planted,
+        | TRUE AS planted_all_found,
+        | TRUE AS recall_ok
+        |FROM t2""".stripMargin,
 
     // the planted exact copies are the complete >=0.999 pair set
     "q59_lsh_neighbors" ->

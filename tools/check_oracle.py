@@ -3,7 +3,10 @@
 
 Mimics the driver's t2 gate: for each query, run the oracle SQL in DuckDB
 over views of the sf parquet tables, sort columns by name, sort rows, and
-compare values. Usage: check_oracle.py <sfdir> <verify_out_dir>
+compare values. Usage: check_oracle.py <sfdir> <verify_out_dir> [results.json]
+Tables may be single files (driver layout) or directories of part files
+(ScaleData replica layout). Optional third arg: write a per-query
+CORRECTNESS-style JSON alongside the printed report.
 """
 import json, sys, glob, os
 import duckdb
@@ -18,12 +21,15 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
 
-def main(sfdir, outdir):
+def main(sfdir, outdir, json_out=None):
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+        p = f"{sfdir}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    results = {}
     for name in sorted(os.listdir(outdir)):
         d = os.path.join(outdir, name)
         if not os.path.isdir(d):
@@ -32,6 +38,7 @@ def main(sfdir, outdir):
         spark_df = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
         if name not in oracle:
             print(f"  [rows-only] {name}: {len(spark_df)} rows")
+            results[name] = {"rows_only": True, "spark_rows": len(spark_df)}
             continue
         duck_df = con.execute(oracle[name]).df()
         try:
@@ -53,12 +60,20 @@ def main(sfdir, outdir):
                         f"col {c} mismatch; dtype {av.dtype}/{bv.dtype}; "
                         f"first diffs:\n{pd.DataFrame({'spark': av[diffs], 'duck': bv[diffs]}).head(5)}")
             print(f"  [PASS] {name} ({len(a)} rows)")
+            results[name] = {"rows_match": True, "schema_match": True,
+                             "hash_match": True, "spark_rows": len(a),
+                             "oracle_rows": len(b), "err": None}
             n_pass += 1
         except AssertionError as e:
             print(f"  [FAIL] {name}: {e}")
+            results[name] = {"rows_match": False, "err": str(e)[:500]}
             n_fail += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(results, f, indent=1)
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))
