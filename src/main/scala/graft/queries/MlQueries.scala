@@ -153,6 +153,49 @@ object MlQueries {
           element_at(col("features"), 3).cast("long").as("byte_min"),
           element_at(col("features"), 4).cast("long").as("byte_max"))
         .orderBy("media_id")
+    }),
+
+    // §7 multimodal, tier 2 (round 8): REAL container-header decode.
+    // Each doc gets a format-correct PNG/GIF/WAV/JPEG header BLOB built
+    // in-engine from deterministic per-doc parameters (width/height/
+    // channels/rate as pure doc_id arithmetic, bytes assembled with
+    // hex-string literals + unhex — real magic numbers, real endianness),
+    // and Multimodal.parseHeader decodes them back from the raw bytes.
+    // The oracle recomputes the parameters arithmetically, so the row
+    // goes red if the parser misreads ANY field of ANY format — a
+    // construct→parse round trip over 4 container layouts per SF's worth
+    // of documents. Garbage/truncation handling is spec-covered
+    // (MultimodalHeaderSpec).
+    "q100_media_headers" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"))
+      val w = (col("doc_id") % 1000 + 1).cast("long")
+      val h = (col("doc_id") % 600 + 1).cast("long")
+      val ch = (col("doc_id") % 2 + 1).cast("long")
+      val rate = (lit(8000L) + (col("doc_id") % 8) * 4000L).cast("long")
+      def beHex(c: org.apache.spark.sql.Column, digits: Int) =
+        lpad(hex(c), digits, "0")
+      def le16(c: org.apache.spark.sql.Column) = {
+        val be = beHex(c, 4)
+        concat(substring(be, 3, 2), substring(be, 1, 2))
+      }
+      def le32(c: org.apache.spark.sql.Column) = {
+        val be = beHex(c, 8)
+        concat(substring(be, 7, 2), substring(be, 5, 2),
+          substring(be, 3, 2), substring(be, 1, 2))
+      }
+      val pngHex = concat(lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
+        beHex(w, 8), beHex(h, 8), lit("0806000000"))
+      val gifHex = concat(lit("474946383961"), le16(w), le16(h), lit("80"))
+      val wavHex = concat(lit("52494646" + "24000000" + "57415645" +
+        "666D7420" + "10000000" + "0100"), le16(ch), le32(rate))
+      val jpegHex = concat(lit("FFD8" + "FFC0" + "0011" + "08"),
+        beHex(h, 4), beHex(w, 4), lit("03"))
+      val kind = col("doc_id") % 4
+      val blobHex = when(kind === 0, pngHex).when(kind === 1, gifHex)
+        .when(kind === 2, wavHex).otherwise(jpegHex)
+      val media = d.select(col("doc_id").as("media_id"),
+        unhex(blobHex).as("blob"))
+      Multimodal.describeHeaders(media).orderBy("media_id")
     })
   )
 
@@ -206,6 +249,25 @@ object MlQueries {
         | CAST(list_sum(codes) % 16777216 AS BIGINT) AS byte_sum,
         | CAST(coalesce(list_min(codes), 0) AS BIGINT) AS byte_min,
         | CAST(coalesce(list_max(codes), 0) AS BIGINT) AS byte_max
-        |FROM b ORDER BY media_id""".stripMargin
+        |FROM b ORDER BY media_id""".stripMargin,
+
+    // arithmetic twin of the construct→parse round trip: the planted
+    // header fields are pure doc_id arithmetic, so the oracle
+    // recomputes them directly — equality proves the engine's byte-
+    // level parser read every field of every format correctly
+    "q100_media_headers" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id,
+        | CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+        |  WHEN 2 THEN 'wav' ELSE 'jpeg' END AS format,
+        | CASE WHEN doc_id % 4 = 2 THEN 0
+        |  ELSE CAST(doc_id % 1000 + 1 AS BIGINT) END AS width,
+        | CASE WHEN doc_id % 4 = 2 THEN 0
+        |  ELSE CAST(doc_id % 600 + 1 AS BIGINT) END AS height,
+        | CASE WHEN doc_id % 4 = 2 THEN CAST(doc_id % 2 + 1 AS BIGINT)
+        |  ELSE 0 END AS channels,
+        | CASE WHEN doc_id % 4 = 2 THEN CAST(8000 + (doc_id % 8) * 4000 AS BIGINT)
+        |  ELSE 0 END AS sample_rate,
+        | TRUE AS valid
+        |FROM documents ORDER BY media_id""".stripMargin
   )
 }
