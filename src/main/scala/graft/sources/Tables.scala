@@ -25,13 +25,27 @@ object Tables {
   /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
     * vectorized reader rejects. Read nanos as long (legacy conf) and
     * truncate to microseconds — the same ns→µs floor DuckDB applies when
-    * it loads the file, so both engines see identical event times. */
+    * it loads the file, so both engines see identical event times.
+    *
+    * The conf is save/restored around the read, not left set (round-8
+    * leak fix): the parquet relation captures its hadoop conf when
+    * `spark.read.parquet` builds it, so later actions on the returned
+    * lazy frame don't need the session conf anymore (probed
+    * empirically: count/collect succeed after an unset), while a leaked
+    * `true` would make any OTHER nanos-parquet read silently see longs. */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = read(spark, dir, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try {
+      val raw = read(spark, dir, "events")
+      if (raw.schema("ts").dataType == LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")

@@ -46,5 +46,10 @@ class StreamingOracleSpec extends SparkSpec {
       .select(md5(col("text")).as("content_hash")).distinct()
     assert(q88.exceptAll(distinctHashes).isEmpty &&
       distinctHashes.exceptAll(q88).isEmpty)
+
+    // Tables.events (used for the batch twin above) must not leak the
+    // conf either — the round-8 save/restore covers BOTH read paths
+    assert(spark.conf.getOption(NanosKey) == before,
+      "nanosAsLong leaked from Tables.events")
   }
 }
