@@ -1,0 +1,270 @@
+package graft.serve
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import java.time.{Instant, LocalDateTime, ZoneOffset}
+import java.util.concurrent.Executors
+import java.util.concurrent.atomic.{DoubleAdder, LongAdder}
+
+import scala.util.Try
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.ObjectNode
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import org.apache.spark.sql.SparkSession
+
+/** HTTP serving shell over the driver-local scorer — the engine-side
+  * twin of the reference's FastAPI surface (`api/main.py:100-404`):
+  * `POST /score`, `POST /score/batch`, `GET /health`, `GET /stats`,
+  * `GET /models`, `GET /api-info`. Built on the JDK's own
+  * `com.sun.net.httpserver` (zero added dependencies) and Jackson from
+  * the Spark classpath.
+  *
+  * Design: the hot path (`/score`) touches NOTHING distributed — it is
+  * `LocalScorer.score`, plain Scala at ~microsecond latency, which
+  * TransactionSpec proves bit-equal to the Spark Column path. Spark is
+  * only consulted by the OPTIONAL model-inventory hook (registry
+  * metadata for `/models`, `/health`, `/stats`), mirroring how the
+  * reference loads artifacts at startup but serves scores in-process.
+  *
+  * Running stats (`prediction_count`, `total_latency`,
+  * `api/main.py:30-32`) use `LongAdder`/`DoubleAdder` — the same
+  * observable surface as the reference's module globals, but actually
+  * safe under the server's thread pool (the reference's `+=` on a
+  * global is racy under concurrent workers; parity of semantics, not
+  * of the race).
+  */
+object HttpApi {
+
+  private val mapper = new ObjectMapper()
+
+  /** One registered model's display row for `/models`. */
+  final case class ModelInfo(name: String, version: Long, metrics: Map[String, Double])
+
+  /** Inventory hook backed by ModelRegistry metadata (bounded small
+    * frame — one row per (model, version, metric)). */
+  def registryInventory(spark: SparkSession, root: String): () => Seq[ModelInfo] =
+    () => {
+      val rows = ModelRegistry.list(spark, root)
+        .select("name", "version", "metric", "value").collect()
+      rows.groupBy(r => (r.getString(0), r.getLong(1))).toSeq
+        .map { case ((n, v), rs) =>
+          val ms = rs.collect {
+            case r if r.getString(2).nonEmpty && !r.getDouble(3).isNaN =>
+              r.getString(2) -> r.getDouble(3)
+          }.toMap
+          ModelInfo(n, v, ms)
+        }
+        .groupBy(_.name).map { case (_, vs) => vs.maxBy(_.version) } // latest per name
+        .toSeq.sortBy(_.name)
+    }
+
+  final class Server private[HttpApi] (srv: HttpServer,
+                                       val inventory: () => Seq[ModelInfo]) {
+    private[HttpApi] val predictionCount = new LongAdder
+    private[HttpApi] val totalLatencyMs = new DoubleAdder
+    def port: Int = srv.getAddress.getPort
+    def stop(): Unit = srv.stop(0)
+  }
+
+  /** Start the API on `port` (0 = ephemeral). Caller owns the returned
+    * server's lifecycle (`stop()`). */
+  def start(port: Int = 0,
+            inventory: () => Seq[ModelInfo] = () => Seq.empty,
+            nThreads: Int = 8): Server = {
+    val srv = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    srv.setExecutor(Executors.newFixedThreadPool(nThreads))
+    val server = new Server(srv, inventory)
+    srv.createContext("/", (ex: HttpExchange) => route(server, ex))
+    srv.start()
+    server
+  }
+
+  // ---- routing ------------------------------------------------------
+
+  private def route(s: Server, ex: HttpExchange): Unit =
+    try {
+      val path = ex.getRequestURI.getPath
+      val get = ex.getRequestMethod == "GET"
+      val post = ex.getRequestMethod == "POST"
+      (path, get, post) match {
+        case ("/health", true, _)      => respond(ex, 200, health(s))
+        case ("/api-info", true, _)    => respond(ex, 200, apiInfo(s))
+        case ("/stats", true, _)       => respond(ex, 200, stats(s))
+        case ("/models", true, _)      => respond(ex, 200, models(s))
+        case ("/score", _, true)       => scoreOne(s, ex)
+        case ("/score/batch", _, true) => scoreBatch(s, ex)
+        case (p, _, _) if Set("/health", "/api-info", "/stats", "/models",
+                              "/score", "/score/batch")(p) =>
+          respond(ex, 405, err("method not allowed"))
+        case _ => respond(ex, 404, err("not found"))
+      }
+    } catch {
+      case e: Exception => // malformed body / internal failure must not kill the worker
+        Try(respond(ex, 500, err(Option(e.getMessage).getOrElse(e.getClass.getName))))
+        ()
+    } finally ex.close()
+
+  // ---- endpoints ----------------------------------------------------
+
+  private def health(s: Server): ObjectNode = {
+    val o = mapper.createObjectNode()
+    o.put("status", "healthy")
+    val arr = o.putArray("models_loaded")
+    s.inventory().foreach(m => arr.add(m.name))
+    o.put("timestamp", Instant.now().toString)
+    o
+  }
+
+  private def apiInfo(s: Server): ObjectNode = {
+    val o = mapper.createObjectNode()
+    o.put("service", "Fraud Detection API")
+    o.put("version", "1.0.0")
+    o.put("docs", "/docs")
+    o.put("dashboard", "/dashboard")
+    val arr = o.putArray("models_loaded")
+    s.inventory().foreach(m => arr.add(m.name))
+    o
+  }
+
+  private def stats(s: Server): ObjectNode = {
+    val o = mapper.createObjectNode()
+    val names = s.inventory().map(_.name)
+    val arr = o.putArray("models_loaded")
+    (if (names.nonEmpty) names else Seq("none")).foreach(arr.add)
+    // reference picks the first loaded of its model zoo, else "Heuristic"
+    o.put("primary_model", names.headOption.map(_.toUpperCase).getOrElse("Heuristic"))
+    val n = s.predictionCount.sum()
+    o.put("total_predictions", n)
+    o.put("average_latency_ms",
+      round2(if (n > 0) s.totalLatencyMs.sum() / n else 0.0))
+    o.put("last_updated", Instant.now().toString)
+    o
+  }
+
+  private def models(s: Server): ObjectNode = {
+    val o = mapper.createObjectNode()
+    val inv = s.inventory()
+    val m = o.putObject("models")
+    inv.foreach { mi =>
+      val e = m.putObject(mi.name)
+      e.put("loaded", true)
+      e.put("version", mi.version)
+      val met = e.putObject("metrics")
+      mi.metrics.toSeq.sortBy(_._1).foreach { case (k, v) => met.put(k, v) }
+    }
+    o.put("total_loaded", inv.size)
+    o
+  }
+
+  private def scoreOne(s: Server, ex: HttpExchange): Unit =
+    parseTransaction(mapper.readTree(ex.getRequestBody)) match {
+      case Left(msg) => respond(ex, 422, err(msg))
+      case Right(t)  => respond(ex, 200, scoreNode(s, t))
+    }
+
+  private def scoreBatch(s: Server, ex: HttpExchange): Unit = {
+    val body = mapper.readTree(ex.getRequestBody)
+    val txns = body.path("transactions")
+    if (!txns.isArray) { respond(ex, 422, err("transactions must be an array")); return }
+    val t0 = System.nanoTime()
+    val parsed = (0 until txns.size()).map(i => parseTransaction(txns.get(i)))
+    parsed.collectFirst { case Left(m) => m } match {
+      case Some(msg) => respond(ex, 422, err(msg))
+      case None =>
+        val results = parsed.collect { case Right(t) => scoreNode(s, t) }
+        val o = mapper.createObjectNode()
+        o.put("total_transactions", results.size)
+        o.put("fraud_count", results.count(_.get("is_fraud").asBoolean()))
+        val arr = o.putArray("results")
+        results.foreach(arr.add)
+        o.put("total_processing_time_ms", round2((System.nanoTime() - t0) / 1e6))
+        respond(ex, 200, o)
+    }
+  }
+
+  // ---- scoring ------------------------------------------------------
+
+  private def scoreNode(s: Server, t: Transaction): ObjectNode = {
+    val t0 = System.nanoTime()
+    val r = LocalScorer.score(t)
+    val ms = (System.nanoTime() - t0) / 1e6
+    s.predictionCount.increment()
+    s.totalLatencyMs.add(ms)
+    val o = mapper.createObjectNode()
+    o.put("transaction_id", t.transaction_id)
+    o.put("fraud_score", round4(r.riskScore))
+    o.put("is_fraud", r.isFraud)
+    o.put("risk_level", r.riskLevel)
+    o.put("model_used", "Heuristic")
+    o.put("processing_time_ms", round2(ms))
+    o.put("confidence", round4(r.confidence))
+    if (r.reasons.nonEmpty) {
+      val arr = o.putArray("reasons")
+      r.reasons.foreach(arr.add)
+    } else o.putNull("reasons") // reference: `reasons or None`
+    o
+  }
+
+  // ---- request parsing (Pydantic-parity defaults, api/main.py:120-146)
+
+  private def parseTransaction(n: JsonNode): Either[String, Transaction] = {
+    def reqStr(f: String): Either[String, String] = {
+      val v = n.path(f)
+      if (v.isTextual && v.asText.nonEmpty) Right(v.asText)
+      else Left(s"field '$f' is required")
+    }
+    def optStr(f: String, dflt: String): String = {
+      val v = n.path(f); if (v.isTextual) v.asText else dflt
+    }
+    def optNullable(f: String): Option[String] = {
+      val v = n.path(f); if (v.isTextual) Some(v.asText) else None
+    }
+    for {
+      id <- reqStr("transaction_id")
+      user <- reqStr("user_id")
+      merchant <- reqStr("merchant_id")
+      amtNode = n.path("transaction_amount")
+      amt <- if (!amtNode.isNumber) Left("field 'transaction_amount' is required")
+             else if (amtNode.asDouble <= 0) Left("transaction_amount must be > 0")
+             else Right(amtNode.asDouble)
+      ts <- parseTimestamp(n.path("transaction_timestamp"))
+    } yield Transaction(
+      transaction_id = id, user_id = user, transaction_amount = amt,
+      merchant_id = merchant,
+      product_code = optStr("product_code", "W"),
+      card_type = optStr("card_type", "visa"),
+      device_info = optNullable("device_info"),
+      email_domain = optNullable("email_domain"),
+      transaction_timestamp = ts)
+  }
+
+  /** ISO-8601, naive treated as UTC (LocalScorer computes the hour in
+    * UTC); missing field defaults to now, like the reference's
+    * `default_factory=datetime.now`. */
+  private def parseTimestamp(v: JsonNode): Either[String, java.sql.Timestamp] =
+    if (v.isMissingNode || v.isNull) Right(java.sql.Timestamp.from(Instant.now()))
+    else if (!v.isTextual) Left("transaction_timestamp must be an ISO-8601 string")
+    else Try(Instant.parse(v.asText))
+      .orElse(Try(LocalDateTime.parse(v.asText).toInstant(ZoneOffset.UTC)))
+      .toEither.left.map(_ => s"unparseable timestamp '${v.asText}'")
+      .map(java.sql.Timestamp.from)
+
+  // ---- plumbing -----------------------------------------------------
+
+  private def round4(x: Double): Double = math.rint(x * 1e4) / 1e4
+  private def round2(x: Double): Double = math.rint(x * 1e2) / 1e2
+
+  private def err(msg: String): ObjectNode = {
+    val o = mapper.createObjectNode(); o.put("detail", msg); o
+  }
+
+  private def respond(ex: HttpExchange, code: Int, body: JsonNode): Unit = {
+    val bytes = mapper.writeValueAsBytes(body)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length.toLong)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+}
