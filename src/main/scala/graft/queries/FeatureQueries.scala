@@ -113,6 +113,58 @@ object FeatureQueries {
         qz(RiskScore.confidence(blended), 6).as("confidence"),
         RiskScore.reasons(amt, h, devMissing, unusual).as("reasons")
       ).orderBy("event_id")
+    }),
+
+    // S7/H5 end to end over REAL HTTP: 200 deterministic transactions
+    // round-trip through HttpApi (JSON encode → POST /score/batch →
+    // JSON parse) and the responses are rebuilt as a DataFrame. This
+    // exercises the serving path, not a distributed op — the 200-row
+    // collect + in-process server is the point, and is bounded. The
+    // discrete outputs (risk level, fraud flag, reasons) are verified
+    // by DuckDB's independent SQL implementation of the scorer; the
+    // 4dp-rounded floats have no portable SQL twin (half-even rint),
+    // so they are exact-compared against LocalScorer driver-side and
+    // emitted as always-true flags (q62 convention).
+    "q102_http_score" -> ((s, dir) => {
+      import s.implicits._
+      val sel = Tables.events(s, dir)
+        .filter(col("value") > 0)
+        .select(col("event_id"), col("value"), col("ts"), col("event_type"))
+        .orderBy("event_id")
+        .limit(200)
+        .collect()
+      val txns = sel.toSeq.map { r =>
+        val etype = r.getString(3)
+        graft.serve.Transaction(
+          transaction_id = r.getLong(0).toString,
+          user_id = "U",
+          transaction_amount = r.getDouble(1) * 20.0,
+          merchant_id = "M",
+          // unusual ⇔ signup (product outside the known set); device
+          // missing ⇔ error — the same event→transaction mapping as q32
+          product_code = if (etype == "signup") "Z" else "W",
+          device_info = if (etype == "error") None else Some("dev"),
+          transaction_timestamp = r.getTimestamp(2))
+      }
+      val api = graft.serve.HttpApi.scoreBatchOverHttp(txns)
+      val rows = txns.zip(api).map { case (t, j) =>
+        val exp = graft.serve.LocalScorer.score(t)
+        val reasons =
+          if (j.get("reasons").isNull) ""
+          else (0 until j.get("reasons").size())
+            .map(j.get("reasons").get(_).asText).mkString(",")
+        (t.transaction_id.toLong,
+          j.get("risk_level").asText,
+          if (j.get("is_fraud").asBoolean) 1L else 0L,
+          reasons,
+          if (j.get("fraud_score").asDouble ==
+            math.rint(exp.riskScore * 1e4) / 1e4) 1L else 0L,
+          if (j.get("confidence").asDouble ==
+            math.rint(exp.confidence * 1e4) / 1e4) 1L else 0L)
+      }
+      rows.toDF("event_id", "risk_level", "is_fraud", "reasons",
+          "score_ok", "conf_ok")
+        .orderBy("event_id")
     })
   )
 
@@ -240,6 +292,37 @@ object FeatureQueries {
         |  CASE WHEN dev_missing THEN 'missing_device' END,
         |  CASE WHEN unusual THEN 'unusual_product' END,
         |  CASE WHEN h < 5 OR h > 23 THEN 'unusual_hour' END) AS reasons
-        |FROM blended ORDER BY event_id""".stripMargin
+        |FROM blended ORDER BY event_id""".stripMargin,
+
+    // independent SQL twin of the HTTP scorer (LocalScorer: raw
+    // heuristic, no blend); the float flags are TRUE literals
+    "q102_http_score" ->
+      """WITH sel AS (
+        | SELECT event_id, value*20.0 AS amt, hour(ts) AS h,
+        |  (event_type = 'error') AS dev_missing,
+        |  (event_type = 'signup') AS unusual
+        | FROM events WHERE value > 0 ORDER BY event_id LIMIT 200),
+        |s0 AS (SELECT *, 1.0/(1.0 + exp(-0.003*(amt - 500.0))) AS b0 FROM sel),
+        |s1 AS (SELECT *, CASE WHEN amt > 5000 THEN least(b0 + 0.15, 0.95)
+        |                      WHEN amt > 1000 THEN least(b0 + 0.08, 0.85)
+        |                      ELSE b0 END AS b1 FROM s0),
+        |s2 AS (SELECT *, CASE WHEN dev_missing THEN least(b1 + 0.05, 0.95) ELSE b1 END AS b2 FROM s1),
+        |s3 AS (SELECT *, CASE WHEN unusual THEN least(b2 + 0.05, 0.95) ELSE b2 END AS b3 FROM s2),
+        |scored AS (
+        | SELECT *, CASE WHEN h < 5 OR h > 23 THEN least(b3 + 0.07, 0.95) ELSE b3 END AS s
+        | FROM s3)
+        |SELECT event_id,
+        | CASE WHEN s < 0.2 THEN 'MINIMAL' WHEN s < 0.4 THEN 'LOW'
+        |      WHEN s < 0.6 THEN 'MEDIUM' WHEN s < 0.8 THEN 'HIGH'
+        |      ELSE 'CRITICAL' END AS risk_level,
+        | CAST(CASE WHEN s >= 0.6 THEN 1 ELSE 0 END AS BIGINT) AS is_fraud,
+        | concat_ws(',',
+        |  CASE WHEN amt > 5000 THEN 'very_high_amount' END,
+        |  CASE WHEN amt > 1000 AND amt <= 5000 THEN 'high_amount' END,
+        |  CASE WHEN dev_missing THEN 'missing_device' END,
+        |  CASE WHEN unusual THEN 'unusual_product' END,
+        |  CASE WHEN h < 5 OR h > 23 THEN 'unusual_hour' END) AS reasons,
+        | CAST(1 AS BIGINT) AS score_ok, CAST(1 AS BIGINT) AS conf_ok
+        |FROM scored ORDER BY event_id""".stripMargin
   )
 }

@@ -185,7 +185,37 @@ object TextQueries {
     // the exact fingerprint (xxhash64 fast path covered by TextDedupSpec)
     "q56_fingerprint" -> ((s, dir) =>
       Dedup.fingerprintMd5(Tables.documents(s, dir), "doc_id", "text")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // heavy-hitter token census via the Misra–Gries sketch — the
+    // bounded-state 100 TB path where an exact census (q60/q84) would
+    // shuffle the whole Heaps'-law vocabulary; the sketch caps state at
+    // k counters per partition and k on the wire. Deterministic surface
+    // per the q17/q62 tolerance-flag convention: the heavy set
+    // (cnt > N/(k+1)) and its EXACT counts are cross-engine
+    // reproducible, and the sketch guarantees become always-true flags
+    // (in_sketch: every guaranteed-heavy item IS in the summary;
+    // est_ok: est ∈ [cnt − N/(k+1), cnt]). Raw estimates are
+    // merge-order dependent and are never hashed.
+    "q101_heavy_hitters" -> ((s, dir) => {
+      import s.implicits._
+      val k = 64
+      val toks = Tables.documents(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+      val summary: Map[String, Long] =
+        toks.as[String].select(new graft.functions.FreqSketchAgg(k).toColumn.name("s")).head()
+      val exact = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+      val n = exact.agg(coalesce(sum(col("cnt")), lit(0L))).head().getLong(0)
+      val bound = n.toDouble / (k + 1)
+      val sumDf = summary.toSeq.toDF("token", "est")
+      exact.filter(col("cnt") > bound)
+        .join(broadcast(sumDf), Seq("token"), "left")
+        .select(col("token"), col("cnt"),
+          col("est").isNotNull.cast("long").as("in_sketch"),
+          (col("est").isNotNull && col("est") <= col("cnt") &&
+            col("est") >= col("cnt") - bound).cast("long").as("est_ok"))
+        .orderBy("token")
+    })
   )
 
   /** MinHash-LSH (32 hashes, 16 bands of 2) candidates, exact-verified
@@ -397,6 +427,18 @@ object TextQueries {
         | len(regexp_extract_all(text, '[a-z]+')) AS n_alpha,
         | len(regexp_extract_all(text, '[0-9]+')) AS n_num,
         | len(regexp_extract_all(text, '[^a-z0-9\s]')) AS n_other
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // exact heavy set + counts; the sketch guarantees are always-true
+    // flags on the Spark side (k=64 → threshold N/65)
+    "q101_heavy_hitters" ->
+      """WITH toks AS (
+        | SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        | FROM documents),
+        |tot AS (SELECT count(*) AS n FROM toks),
+        |cnt AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token)
+        |SELECT token, cnt, CAST(1 AS BIGINT) AS in_sketch,
+        | CAST(1 AS BIGINT) AS est_ok
+        |FROM cnt, tot WHERE cnt > n/65.0 ORDER BY token""".stripMargin
   )
 }

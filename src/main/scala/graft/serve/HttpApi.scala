@@ -1,6 +1,6 @@
 package graft.serve
 
-import java.net.InetSocketAddress
+import java.net.{InetSocketAddress, URI}
 import java.nio.charset.StandardCharsets.UTF_8
 import java.time.{Instant, LocalDateTime, ZoneOffset}
 import java.util.concurrent.Executors
@@ -61,11 +61,15 @@ object HttpApi {
     }
 
   final class Server private[HttpApi] (srv: HttpServer,
+                                       pool: java.util.concurrent.ExecutorService,
                                        val inventory: () => Seq[ModelInfo]) {
     private[HttpApi] val predictionCount = new LongAdder
     private[HttpApi] val totalLatencyMs = new DoubleAdder
     def port: Int = srv.getAddress.getPort
-    def stop(): Unit = srv.stop(0)
+    // the pool's threads are non-daemon: without the shutdown the JVM
+    // never exits after main returns (a batch job that serves and stops
+    // would hang forever)
+    def stop(): Unit = { srv.stop(0); pool.shutdown() }
   }
 
   /** Start the API on `port` (0 = ephemeral). Caller owns the returned
@@ -74,11 +78,48 @@ object HttpApi {
             inventory: () => Seq[ModelInfo] = () => Seq.empty,
             nThreads: Int = 8): Server = {
     val srv = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
-    srv.setExecutor(Executors.newFixedThreadPool(nThreads))
-    val server = new Server(srv, inventory)
+    val pool = Executors.newFixedThreadPool(nThreads)
+    srv.setExecutor(pool)
+    val server = new Server(srv, pool, inventory)
     srv.createContext("/", (ex: HttpExchange) => route(server, ex))
     srv.start()
     server
+  }
+
+  /** Client-side batch round trip for end-to-end verification (q102):
+    * start an ephemeral server, serialize the transactions to JSON,
+    * POST /score/batch over real HTTP, parse the response rows. The
+    * caller gets exactly what a reference-API client would see. */
+  def scoreBatchOverHttp(txns: Seq[Transaction]): Seq[JsonNode] = {
+    val server = start()
+    try {
+      val req = mapper.createObjectNode()
+      val arr = req.putArray("transactions")
+      txns.foreach { t =>
+        val o = arr.addObject()
+        o.put("transaction_id", t.transaction_id)
+        o.put("user_id", t.user_id)
+        o.put("transaction_amount", t.transaction_amount)
+        o.put("merchant_id", t.merchant_id)
+        o.put("product_code", t.product_code)
+        o.put("card_type", t.card_type)
+        t.device_info.foreach(o.put("device_info", _))
+        t.email_domain.foreach(o.put("email_domain", _))
+        o.put("transaction_timestamp", t.transaction_timestamp.toInstant.toString)
+      }
+      val client = java.net.http.HttpClient.newHttpClient()
+      val resp = client.send(
+        java.net.http.HttpRequest
+          .newBuilder(URI.create(s"http://127.0.0.1:${server.port}/score/batch"))
+          .header("Content-Type", "application/json")
+          .POST(java.net.http.HttpRequest.BodyPublishers
+            .ofByteArray(mapper.writeValueAsBytes(req)))
+          .build(),
+        java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+      require(resp.statusCode == 200, s"batch scoring failed: HTTP ${resp.statusCode}")
+      val results = mapper.readTree(resp.body()).path("results")
+      (0 until results.size()).map(results.get)
+    } finally server.stop()
   }
 
   // ---- routing ------------------------------------------------------
