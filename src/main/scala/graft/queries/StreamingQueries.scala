@@ -87,6 +87,75 @@ object StreamingQueries {
     stage.toString
   }
 
+  /** Write one slice as a SINGLE parquet file with an explicit
+    * modification time — the file source processes files in (modTime,
+    * path) order, so spaced mod times (and slice_N names, which agree
+    * lexicographically) make the micro-batch arrival order
+    * deterministic. */
+  private def writeSliceFile(s: SparkSession, df: DataFrame, stage: Path,
+                             name: String, modTime: Long): Unit = {
+    val fs = stage.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val tmp = new Path(stage, s"_tmp_$name")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = fs.listStatus(tmp).map(_.getPath)
+      .find(_.getName.startsWith("part-"))
+      .getOrElse(sys.error(s"no part file written for slice $name"))
+    val dest = new Path(stage, s"$name.parquet")
+    if (fs.exists(dest)) fs.delete(dest, false)
+    if (!fs.rename(part, dest)) sys.error(s"rename failed for slice $name")
+    fs.delete(tmp, true)
+    fs.setTimes(dest, modTime, -1)
+  }
+
+  /** Stage the watermark-lateness scenario for q103 (idempotent, keyed
+    * by sf dir): events split into three TIME-ORDERED slices plus two
+    * plantings with poisoned values (+1e6 — invisible only if the
+    * engine handles them correctly):
+    *   slice_0: ts < t1                 (t1 = min + (max-min)/3, µs)
+    *   slice_1: t1 ≤ ts < t2, PLUS clones of the last pre-t1 hour
+    *            (late vs slice_0, but ABOVE the watermark max(slice_0)
+    *            − 2 h — must be ACCEPTED into their still-open windows)
+    *   slice_2: ts ≥ t2
+    *   slice_3: clones of the first DAY (weeks below the watermark by
+    *            now — must be DROPPED, and their early windows are
+    *            already finalized)
+    * The oracle counts the accepted clones in and the dropped clones
+    * out; either mistake shifts n and the poisoned sums by 1e6-sized
+    * amounts. */
+  private def stageLatenessFiles(s: SparkSession, dir: String): String = {
+    val key = java.lang.Integer.toHexString(
+      new java.io.File(dir).getAbsolutePath.hashCode)
+    val stage = new Path(
+      new Path(System.getProperty("java.io.tmpdir"), "graft_stream_stage"),
+      s"late_events_$key")
+    val fs = stage.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val marker = new Path(stage, "_STAGED")
+    if (!fs.exists(marker)) {
+      val ev = graft.sources.Tables.events(s, dir)
+        .select(col("ts"), col("event_type"), col("value"))
+      val bounds = ev.agg(min(unix_micros(col("ts"))),
+        max(unix_micros(col("ts")))).head()
+      val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
+      val t1 = mn + (mx - mn) / 3  // floor div — DuckDB mirrors with //
+      val t2 = mn + 2 * ((mx - mn) / 3)
+      val us = unix_micros(col("ts"))
+      val hourUs = 3600000000L
+      val base = System.currentTimeMillis() - 60000
+      writeSliceFile(s, ev.filter(us < t1), stage, "slice_0", base)
+      val acceptPlants = ev.filter(us >= t1 - hourUs && us < t1)
+        .withColumn("value", col("value") + 1000000.0)
+      writeSliceFile(s,
+        ev.filter(us >= t1 && us < t2).unionByName(acceptPlants),
+        stage, "slice_1", base + 2000)
+      writeSliceFile(s, ev.filter(us >= t2), stage, "slice_2", base + 4000)
+      val dropPlants = ev.filter(us < mn + 24 * hourUs)
+        .withColumn("value", col("value") + 1000000.0)
+      writeSliceFile(s, dropPlants, stage, "slice_3", base + 6000)
+      fs.create(marker).close()
+    }
+    stage.toString
+  }
+
   /** readStream over a staged multi-file dir, one file per micro-batch.
     * Streams need an explicit schema; the staged dir's own (already
     * normalized) batch schema is it. */
@@ -193,6 +262,33 @@ object StreamingQueries {
           qz(max_by(col("total"), col("n")), 4).as("total_value"),
           max_by(col("maxValue"), col("n")).as("max_value"))
         .orderBy("user_id"))
+    }),
+
+    // watermark LATENESS semantics through the real engine, both sides
+    // of the boundary at once (staging doc above): within-delay late
+    // rows must be ACCEPTED into their still-open windows, rows below
+    // the watermark must be DROPPED and their finalized windows left
+    // untouched. Append mode + 2h watermark: the sink holds exactly the
+    // windows whose end ≤ final watermark (max on-time event time − 2h;
+    // the trailing 2h of windows are legitimately withheld, and the
+    // oracle applies the same cut). Both plantings carry +1e6 poisoned
+    // values, so a wrong accept/drop shifts n and the sums by 1e6-sized
+    // amounts — hash-visible. The ms-floor the engine applies to the
+    // watermark cannot shift the cut: window ends are hour-aligned and
+    // the data's max timestamp is not, so no window end falls in the
+    // sub-ms gap.
+    "q103_stream_late" -> ((s, dir) => {
+      val evs = streamStaged(s, stageLatenessFiles(s, dir))
+      val agg = evs
+        .withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"), col("total_value"))
+      runToSink(s, agg, "append", _
+        .select(col("window_start"), col("event_type"), col("n"),
+          qz(col("total_value"), 4).as("total_value"))
+        .orderBy("window_start", "event_type"))
     })
   )
 
@@ -217,6 +313,31 @@ object StreamingQueries {
       """SELECT user_id, count(*) AS n,
         | round((sum(value)) * 10000.0) / 10000.0 + 0.0 AS total_value,
         | max(value) AS max_value
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // batch twin of the lateness run: on-time events plus the ACCEPTED
+    // within-delay clones (last pre-t1 hour, +1e6 values), the DROPPED
+    // first-day clones absent, windows cut at the final watermark
+    // (max event time − 2h)
+    "q103_stream_late" ->
+      """WITH b AS (
+        | SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx FROM events),
+        |t AS (SELECT mn + (mx - mn) // 3 AS t1, mx FROM b),
+        |accept AS (
+        | SELECT ts, event_type, value + 1000000.0 AS value
+        | FROM events, t
+        | WHERE epoch_us(ts) >= t1 - 3600000000 AND epoch_us(ts) < t1),
+        |ontime AS (
+        | SELECT ts, event_type, value FROM events
+        | UNION ALL SELECT ts, event_type, value FROM accept),
+        |agg AS (
+        | SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS n, sum(value) AS tv
+        | FROM ontime GROUP BY 1, 2)
+        |SELECT window_start, event_type, n,
+        | round(tv * 10000.0) / 10000.0 + 0.0 AS total_value
+        |FROM agg, t
+        |WHERE epoch_us(window_start) + 3600000000 <= mx - 7200000000
+        |ORDER BY window_start, event_type""".stripMargin
   )
 }
