@@ -165,4 +165,53 @@ object TextOps {
 
     verify(smallPairs).unionByName(verify(bigPairs))
   }
+
+  /** Gopher/MassiveText-style intra-document REPETITION signals — the
+    * standard pretraining quality filters the reference's cleaning stage
+    * lacks (Rae et al. 2021 §A1.1, public): per document,
+    *   - dup_{n}gram_frac: fraction of n-gram OCCURRENCES that are
+    *     repeats of an earlier occurrence (1 − distinct/total);
+    *   - top_{n}gram_frac: fraction contributed by the single most
+    *     frequent n-gram.
+    * Distributed shape (the only one that scales — a per-row
+    * aggregate-over-distinct-grams HOF would be O(distinct·total) per
+    * doc and allocate the whole gram multiset in one task): explode
+    * (doc, n, gram) once for all requested n, count by (doc, n, gram)
+    * with map-side partial aggregation, then roll up to (doc, n) and
+    * pivot the (small, fixed) n set with conditional aggregates. Two
+    * shuffles, both on keys that only shrink; no doc's state ever
+    * exceeds its own gram count.
+    *
+    * Gram construction mirrors the q53 oracle form exactly:
+    * generate_series(0, greatest(len−n, 0)) slices joined with spaces —
+    * a doc with fewer than n tokens yields its whole token list as one
+    * truncated "gram" on BOTH engines (total ≥ 1, so the fractions are
+    * total; parity over elegance). */
+  def repetitionSignals(docs: DataFrame, id: String, text: String,
+                        ns: Seq[Int] = Seq(2, 3)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), s"bad gram orders $ns")
+    val toks = col("toks")
+    val gramStructs = ns.map { n =>
+      transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => struct(lit(n).as("n"), concat_ws(" ", slice(toks, i + 1, lit(n))).as("g")))
+    }
+    val grams = docs
+      .select(col(id), tokens(col(text)).as("toks"))
+      .select(col(id), explode(flatten(array(gramStructs: _*))).as("gr"))
+      .select(col(id), col("gr.n").as("n"), col("gr.g").as("g"))
+    val perGram = grams.groupBy(col(id), col("n"), col("g"))
+      .agg(count(lit(1)).as("c"))
+    val perOrder = perGram.groupBy(col(id), col("n"))
+      .agg(sum("c").as("tot"), count(lit(1)).as("dist"), max("c").as("top"))
+    // one row per (doc, n) — max() is just the pivot pick
+    val picks = ns.flatMap { n =>
+      Seq(
+        s"n_${n}grams" -> max(when(col("n") === n, col("tot"))).cast("long"),
+        s"d_${n}grams" -> max(when(col("n") === n, col("dist"))).cast("long"),
+        s"top_${n}gram" -> max(when(col("n") === n, col("top"))).cast("long"))
+    }
+    perOrder.groupBy(col(id))
+      .agg(picks.head._2.as(picks.head._1),
+        picks.tail.map { case (nm, c) => c.as(nm) }: _*)
+  }
 }

@@ -156,6 +156,68 @@ object StreamingQueries {
     stage.toString
   }
 
+  /** Stage the stream-stream-join scenario for q104 (idempotent, keyed
+    * by sf dir): events plus DETERMINISTIC planted purchase/click pairs
+    * that straddle every slice boundary, written as four TIME-ORDERED
+    * slice files (quartiles of the event-time span). At each boundary
+    * t_i (i=1..3), synthetic user 1000000+i gets 5 clicks at t_i −
+    * 1..5 min (landing in slice i−1) and 5 purchases at t_i + 1..5 min
+    * (landing in slice i): 25 within-the-hour pairs per boundary whose
+    * click arrives a MICRO-BATCH EARLIER than its purchase — the join
+    * must buffer the click side across batches to emit them, so their
+    * presence in the oracle-matched output is cross-batch state
+    * evidence, independent of where natural pairs fall. Planted values
+    * are poisoned (2e6/3e6 + j) so a lost or duplicated pair is
+    * hash-visible. */
+  private def stageJoinFiles(s: SparkSession, dir: String): String = {
+    val key = java.lang.Integer.toHexString(
+      new java.io.File(dir).getAbsolutePath.hashCode)
+    val stage = new Path(
+      new Path(System.getProperty("java.io.tmpdir"), "graft_stream_stage"),
+      s"join_events_$key")
+    val fs = stage.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val marker = new Path(stage, "_STAGED")
+    if (!fs.exists(marker)) {
+      val ev = graft.sources.Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val bounds = ev.agg(min(unix_micros(col("ts"))),
+        max(unix_micros(col("ts")))).head()
+      val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
+      val q = (mx - mn) / 4  // floor div — DuckDB mirrors with //
+      val minuteUs = 60000000L
+      val idx = s.range(0, 15).select(
+        (col("id") / 5 + 1).cast("long").as("i"),
+        (col("id") % 5).cast("long").as("j"))
+      val plants =
+        idx.select(
+          (lit(900000000L) + col("i") * 100 + col("j")).as("event_id"),
+          timestamp_micros(lit(mn) + col("i") * q + (col("j") + 1) * minuteUs).as("ts"),
+          (lit(1000000L) + col("i")).as("user_id"),
+          lit("purchase").as("event_type"),
+          (lit(2000000.0) + col("j")).as("value"))
+        .unionByName(idx.select(
+          (lit(910000000L) + col("i") * 100 + col("j")).as("event_id"),
+          timestamp_micros(lit(mn) + col("i") * q - (col("j") + 1) * minuteUs).as("ts"),
+          (lit(1000000L) + col("i")).as("user_id"),
+          lit("click").as("event_type"),
+          (lit(3000000.0) + col("j")).as("value")))
+      val all = ev.unionByName(plants)
+      val us = unix_micros(col("ts"))
+      val base = System.currentTimeMillis() - 60000
+      (0 until 4).foreach { i =>
+        val lo = mn + i * q
+        val slice =
+          if (i == 0) all.filter(us < lo + q)
+          else if (i == 3) all.filter(us >= lo)
+          else all.filter(us >= lo && us < lo + q)
+        writeSliceFile(s, slice, stage, s"slice_$i", base + 2000L * i)
+      }
+      fs.create(marker).close()
+    }
+    stage.toString
+  }
+
   /** readStream over a staged multi-file dir, one file per micro-batch.
     * Streams need an explicit schema; the staged dir's own (already
     * normalized) batch schema is it. */
@@ -172,8 +234,24 @@ object StreamingQueries {
   private def runToSink(s: SparkSession, frame: DataFrame, mode: String,
                         finish: DataFrame => DataFrame): DataFrame = {
     val name = s"q_stream_sink_${sinkId.incrementAndGet()}"
-    val q = frame.writeStream.format("memory").queryName(name)
+    // Stateful streaming cost here is dominated by STATE STORE COMMITS,
+    // not data: every micro-batch commits one store per shuffle
+    // partition per stateful-operator instance (a stream-stream join
+    // keeps FOUR per partition), so partitions × batches × instances
+    // small-file commits swamp second-long batches when partitions is
+    // sized for batch shuffles (32 here → q104 was 13.9 s of which
+    // ~11 s was commit overhead). The streaming query captures
+    // shuffle.partitions at START and keeps it for life; pin a
+    // state-sized value around start() and restore after — batch
+    // queries on the session are unaffected. At cluster scale the same
+    // knob is sized to executor count × state volume, not to the
+    // batch-shuffle width.
+    val partsKey = "spark.sql.shuffle.partitions"
+    val prevParts = s.conf.get(partsKey)
+    s.conf.set(partsKey, "8")
+    val q = try frame.writeStream.format("memory").queryName(name)
       .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    finally s.conf.set(partsKey, prevParts)
     q.awaitTermination()
     val dataBatches = q.recentProgress.count(_.numInputRows > 0)
     require(dataBatches >= MinBatches,
@@ -289,6 +367,60 @@ object StreamingQueries {
         .select(col("window_start"), col("event_type"), col("n"),
           qz(col("total_value"), 4).as("total_value"))
         .orderBy("window_start", "event_type"))
+    }),
+
+    // STREAM-STREAM interval join through the real engine — the last
+    // §2.10 shape the gate didn't pin: purchases joined to the same
+    // user's clicks within the preceding hour, both sides watermarked
+    // (2 h ≥ the 1 h join range, so with the time-ordered slice files
+    // nothing is ever late and the watermarked bounded-state join must
+    // equal DuckDB's unbounded batch join — the stream ≡ batch proof).
+    // The staged plants guarantee pairs whose click arrives a micro-
+    // batch before its purchase (see stageJoinFiles): matching the
+    // oracle proves the click-side buffer carried across batches.
+    // Append is the only output mode stream-stream joins support;
+    // state on both sides is bounded by the watermark horizon, so at
+    // 100 TB the state store holds 2-3 h of keys, not the stream.
+    "q104_stream_join" -> ((s, dir) => {
+      val stage = stageJoinFiles(s, dir)
+      val p = streamStaged(s, stage)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_event"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"), col("value").as("p_value"))
+        .withWatermark("p_ts", "2 hours")
+      val c = streamStaged(s, stage)
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("c_event"), col("user_id").as("c_user"),
+          col("ts").as("c_ts"), col("value").as("c_value"))
+        .withWatermark("c_ts", "2 hours")
+      val joined = p.join(c,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") < col("p_ts"))
+        .select(col("p_event"), col("c_event"), col("p_user").as("user_id"),
+          qz(col("p_value") + col("c_value"), 4).as("pair_value"))
+      runToSink(s, joined, "append", _.orderBy("p_event", "c_event"))
+    }),
+
+    // stream-STATIC enrichment join + downstream streaming agg: the
+    // events stream joins the static customer dimension (broadcast — a
+    // static dim never re-shuffles the stream; at cluster scale this is
+    // the map-side hash join every enrichment pipeline wants), then
+    // aggregates counts/sums per (event_type, segment). Complete mode:
+    // the result is bounded by |event types| × |segments|, not rows.
+    // Multi-batch (≥3 asserted): the per-group totals are provably
+    // merged across micro-batches.
+    "q106_stream_enrich" -> ((s, dir) => {
+      val evs = streamStaged(s, stageMultiFile(s, dir, "events"))
+      val dim = graft.sources.Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val agg = evs.join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .groupBy(col("event_type"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+      runToSink(s, agg, "complete", _
+        .select(col("event_type"), col("c_mktsegment"), col("n"),
+          qz(col("total_value"), 4).as("total_value"))
+        .orderBy("event_type", "c_mktsegment"))
     })
   )
 
@@ -338,6 +470,46 @@ object StreamingQueries {
         | round(tv * 10000.0) / 10000.0 + 0.0 AS total_value
         |FROM agg, t
         |WHERE epoch_us(window_start) + 3600000000 <= mx - 7200000000
-        |ORDER BY window_start, event_type""".stripMargin
+        |ORDER BY window_start, event_type""".stripMargin,
+
+    // batch twin of the stream-stream join: the same plants (exact µs
+    // arithmetic mirrored) unioned in, then the unbounded interval join
+    "q104_stream_join" ->
+      """WITH b AS (
+        | SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx FROM events),
+        |t AS (SELECT mn, (mx - mn) // 4 AS q FROM b),
+        |idx AS (
+        | SELECT i, j FROM generate_series(1, 3) AS s1(i),
+        |  generate_series(0, 4) AS s2(j)),
+        |plants AS (
+        | SELECT 900000000 + i*100 + j AS event_id,
+        |  make_timestamp(mn + i*q + (j+1)*60000000) AS ts,
+        |  1000000 + i AS user_id, 'purchase' AS event_type,
+        |  2000000.0 + j AS value
+        | FROM idx, t
+        | UNION ALL
+        | SELECT 910000000 + i*100 + j,
+        |  make_timestamp(mn + i*q - (j+1)*60000000),
+        |  1000000 + i, 'click', 3000000.0 + j
+        | FROM idx, t),
+        |al AS (
+        | SELECT event_id, ts, user_id, event_type, value FROM events
+        | UNION ALL SELECT * FROM plants),
+        |p AS (SELECT event_id AS p_event, user_id, epoch_us(ts) AS pus,
+        |  value AS pv FROM al WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS c_event, user_id, epoch_us(ts) AS cus,
+        |  value AS cv FROM al WHERE event_type = 'click')
+        |SELECT p_event, c_event, p.user_id AS user_id,
+        | round((pv + cv) * 10000.0) / 10000.0 + 0.0 AS pair_value
+        |FROM p JOIN c ON p.user_id = c.user_id
+        | AND cus >= pus - 3600000000 AND cus < pus
+        |ORDER BY p_event, c_event""".stripMargin,
+
+    // batch twin of the enrichment pipeline: plain join + group-by
+    "q106_stream_enrich" ->
+      """SELECT e.event_type, c.c_mktsegment, count(*) AS n,
+        | round(sum(e.value) * 10000.0) / 10000.0 + 0.0 AS total_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -215,6 +215,32 @@ object TextQueries {
           (col("est").isNotNull && col("est") <= col("cnt") &&
             col("est") >= col("cnt") - bound).cast("long").as("est_ok"))
         .orderBy("token")
+    }),
+
+    // Gopher-style intra-doc repetition signals (dup/top n-gram
+    // fractions, n ∈ {2,3}) with planted high-repetition docs (every
+    // 25th doc's first-5-token phrase repeated 12×) so the filter flag
+    // provably fires — the pretraining quality filter between cleaning
+    // and dedup. Thresholds compare the QUANTIZED fractions on both
+    // engines, so the flag can't straddle a rounding boundary.
+    "q105_repetition" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val phrase = array_join(slice(TextOps.tokens(col("text")), 1, 5), " ")
+      val planted = docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 200000000L).as("doc_id"),
+          rtrim(repeat(concat(phrase, lit(" ")), 12)).as("text"))
+      val sig = TextOps.repetitionSignals(
+        docs.unionByName(planted), "doc_id", "text")
+      sig.select(col("doc_id"),
+        col("n_2grams"), col("d_2grams"),
+        qz(lit(1.0) - col("d_2grams").cast("double") / col("n_2grams"), 6).as("dup_2gram_frac"),
+        qz(col("top_2gram").cast("double") / col("n_2grams"), 6).as("top_2gram_frac"),
+        col("n_3grams"),
+        qz(lit(1.0) - col("d_3grams").cast("double") / col("n_3grams"), 6).as("dup_3gram_frac"),
+        qz(col("top_3gram").cast("double") / col("n_3grams"), 6).as("top_3gram_frac"))
+        .withColumn("rep_flag",
+          (col("top_2gram_frac") > 0.2 || col("dup_3gram_frac") > 0.3).cast("long"))
+        .orderBy("doc_id")
     })
   )
 
@@ -439,6 +465,49 @@ object TextQueries {
         |cnt AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token)
         |SELECT token, cnt, CAST(1 AS BIGINT) AS in_sketch,
         | CAST(1 AS BIGINT) AS est_ok
-        |FROM cnt, tot WHERE cnt > n/65.0 ORDER BY token""".stripMargin
+        |FROM cnt, tot WHERE cnt > n/65.0 ORDER BY token""".stripMargin,
+
+    // same planted union + q53-style gram construction, rolled up the
+    // same two levels; thresholds applied to the quantized fractions
+    "q105_repetition" ->
+      """WITH planted AS (
+        | SELECT doc_id + 200000000 AS doc_id,
+        |  rtrim(repeat(array_to_string(
+        |    (regexp_split_to_array(trim(text), '\s+'))[1:5], ' ') || ' ', 12)) AS text
+        | FROM documents WHERE doc_id % 25 = 0),
+        |al AS (SELECT doc_id, text FROM documents
+        | UNION ALL SELECT doc_id, text FROM planted),
+        |t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM al),
+        |g AS (
+        | SELECT doc_id, 2 AS n, unnest(list_transform(
+        |   generate_series(0, greatest(len(toks) - 2, 0)),
+        |   i -> array_to_string(toks[i+1:i+2], ' '))) AS g
+        | FROM t
+        | UNION ALL
+        | SELECT doc_id, 3 AS n, unnest(list_transform(
+        |   generate_series(0, greatest(len(toks) - 3, 0)),
+        |   i -> array_to_string(toks[i+1:i+3], ' '))) AS g
+        | FROM t),
+        |c AS (SELECT doc_id, n, g, count(*) AS c FROM g GROUP BY doc_id, n, g),
+        |st AS (SELECT doc_id, n, CAST(sum(c) AS BIGINT) AS tot,
+        |  CAST(count(*) AS BIGINT) AS dist, max(c) AS top
+        | FROM c GROUP BY doc_id, n),
+        |w AS (SELECT doc_id,
+        |  max(CASE WHEN n = 2 THEN tot END) AS n2,
+        |  max(CASE WHEN n = 2 THEN dist END) AS d2,
+        |  max(CASE WHEN n = 2 THEN top END) AS t2,
+        |  max(CASE WHEN n = 3 THEN tot END) AS n3,
+        |  max(CASE WHEN n = 3 THEN dist END) AS d3,
+        |  max(CASE WHEN n = 3 THEN top END) AS t3
+        | FROM st GROUP BY doc_id),
+        |f AS (SELECT doc_id, n2 AS n_2grams, d2 AS d_2grams,
+        |  round((1.0 - CAST(d2 AS DOUBLE) / n2) * 1000000.0) / 1000000.0 + 0.0 AS dup_2gram_frac,
+        |  round((CAST(t2 AS DOUBLE) / n2) * 1000000.0) / 1000000.0 + 0.0 AS top_2gram_frac,
+        |  n3 AS n_3grams,
+        |  round((1.0 - CAST(d3 AS DOUBLE) / n3) * 1000000.0) / 1000000.0 + 0.0 AS dup_3gram_frac,
+        |  round((CAST(t3 AS DOUBLE) / n3) * 1000000.0) / 1000000.0 + 0.0 AS top_3gram_frac
+        | FROM w)
+        |SELECT f.*, CAST(top_2gram_frac > 0.2 OR dup_3gram_frac > 0.3 AS BIGINT) AS rep_flag
+        |FROM f ORDER BY doc_id""".stripMargin
   )
 }

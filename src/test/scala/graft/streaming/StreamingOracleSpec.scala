@@ -52,4 +52,39 @@ class StreamingOracleSpec extends SparkSpec {
     assert(spark.conf.getOption(NanosKey) == before,
       "nanosAsLong leaked from Tables.events")
   }
+
+  test("q104 stream-stream join: planted cross-batch pairs present, no session-conf delta") {
+    val before = spark.conf.getOption(NanosKey)
+    val q104 = StreamingQueries.queries("q104_stream_join")(spark, dir)
+    // every planted pair must be in the output: 3 boundaries x 5
+    // purchases x 5 clicks, every planted click within the hour before
+    // every planted purchase of the same synthetic user. The planted
+    // CLICKS arrive a micro-batch before their purchases, so these 75
+    // rows existing at all proves the click-side join buffer carried
+    // across micro-batches.
+    val planted = q104.filter(col("p_event") >= 900000000L)
+    assert(planted.count() == 75L,
+      s"expected 75 planted cross-batch pairs, got ${planted.count()}")
+    // poisoned values: pair_value = (2e6 + j_p) + (3e6 + j_c) >= 5e6
+    assert(planted.filter(col("pair_value") < 5000000.0).isEmpty)
+    // natural pairs only involve real users (< 1e6)
+    assert(q104.filter(col("p_event") < 900000000L &&
+      col("user_id") >= 1000000L).isEmpty)
+    assert(spark.conf.getOption(NanosKey) == before,
+      "nanosAsLong leaked from stageJoinFiles")
+  }
+
+  test("q106 stream-static enrichment equals the batch join+agg twin") {
+    val q106 = StreamingQueries.queries("q106_stream_enrich")(spark, dir)
+    val batch = graft.sources.Tables.events(spark, dir)
+      .join(graft.sources.Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("user_id") === col("c_custkey"))
+      .groupBy("event_type", "c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        graft.queries.Util.qz(sum("value"), 4).as("total_value"))
+      .select("event_type", "c_mktsegment", "n", "total_value")
+    assert(q106.exceptAll(batch).isEmpty && batch.exceptAll(q106).isEmpty,
+      "stream-static enrichment diverged from the batch twin")
+  }
 }
