@@ -190,25 +190,27 @@ object TextOps {
   def repetitionSignals(docs: DataFrame, id: String, text: String,
                         ns: Seq[Int] = Seq(2, 3)): DataFrame = {
     require(ns.nonEmpty && ns.forall(_ >= 1), s"bad gram orders $ns")
-    val toks = col("toks")
+    // __-prefixed internals (repo convention for staged columns): a
+    // caller frame carrying its own "n"/"g"/"toks" must not collide
+    val toks = col("__toks")
     val gramStructs = ns.map { n =>
       transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
         i => struct(lit(n).as("n"), concat_ws(" ", slice(toks, i + 1, lit(n))).as("g")))
     }
     val grams = docs
-      .select(col(id), tokens(col(text)).as("toks"))
-      .select(col(id), explode(flatten(array(gramStructs: _*))).as("gr"))
-      .select(col(id), col("gr.n").as("n"), col("gr.g").as("g"))
-    val perGram = grams.groupBy(col(id), col("n"), col("g"))
-      .agg(count(lit(1)).as("c"))
-    val perOrder = perGram.groupBy(col(id), col("n"))
-      .agg(sum("c").as("tot"), count(lit(1)).as("dist"), max("c").as("top"))
+      .select(col(id), tokens(col(text)).as("__toks"))
+      .select(col(id), explode(flatten(array(gramStructs: _*))).as("__gr"))
+      .select(col(id), col("__gr.n").as("__n"), col("__gr.g").as("__g"))
+    val perGram = grams.groupBy(col(id), col("__n"), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+    val perOrder = perGram.groupBy(col(id), col("__n"))
+      .agg(sum("__c").as("__tot"), count(lit(1)).as("__dist"), max("__c").as("__top"))
     // one row per (doc, n) — max() is just the pivot pick
     val picks = ns.flatMap { n =>
       Seq(
-        s"n_${n}grams" -> max(when(col("n") === n, col("tot"))).cast("long"),
-        s"d_${n}grams" -> max(when(col("n") === n, col("dist"))).cast("long"),
-        s"top_${n}gram" -> max(when(col("n") === n, col("top"))).cast("long"))
+        s"n_${n}grams" -> max(when(col("__n") === n, col("__tot"))).cast("long"),
+        s"d_${n}grams" -> max(when(col("__n") === n, col("__dist"))).cast("long"),
+        s"top_${n}gram" -> max(when(col("__n") === n, col("__top"))).cast("long"))
     }
     perOrder.groupBy(col(id))
       .agg(picks.head._2.as(picks.head._1),

@@ -59,33 +59,65 @@ object StreamingQueries {
     }
   }
 
-  /** Stage `$dir/$table.parquet` as a multi-file parquet directory under
-    * java.io.tmpdir, normalizing nanos timestamps to proper microsecond
-    * timestamps in the process (so the STREAM needs neither the legacy
-    * conf nor a per-query ts cast — the conf stays confined to this
-    * eager, finally-restored write). Idempotent: keyed by the source
-    * dir's absolute path, written once, reused by later invocations of
-    * any streaming query at the same sf — the bench's k-run medians
-    * don't pay the write k times. Round-robin repartition(n) spreads
-    * rows evenly, so all n files are non-empty for any table with ≥n
-    * rows and maxFilesPerTrigger=1 yields n data-carrying batches. */
-  private def stageMultiFile(s: SparkSession, dir: String, table: String,
-                             nFiles: Int = 4): String = {
-    val key = java.lang.Integer.toHexString(new java.io.File(dir).getAbsolutePath.hashCode)
+  /** Shared staging mechanics for every streaming scenario dir under
+    * java.io.tmpdir: one place owns the cache key, the done-marker
+    * protocol, and the FileSystem plumbing (review round 8 s3 — three
+    * hand-rolled copies had already diverged).
+    *
+    * The key is `<scenario>_v<version>_<md5(abs sf dir)[0,8)>`:
+    *  - md5 prefix, NOT String.hashCode — 32-bit hashCode collisions
+    *    across two sf dirs would silently serve one sf's staged data
+    *    for the other;
+    *  - `version` names the CONSTRUCTION SCHEME. Staged dirs outlive
+    *    the JVM, so any change to what `build` writes (plant constants,
+    *    slicing, normalization) must bump the scenario's version or
+    *    machines staged under the old scheme keep serving stale files
+    *    and an oracle mismatch looks like an engine bug.
+    * `build` runs once per key; the `_STAGED` marker commits it. */
+  private def stagedDir(s: SparkSession, scenario: String, version: Int,
+                        dir: String)(build: Path => Unit): String = {
+    val abs = new java.io.File(dir).getAbsolutePath
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(abs.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
     val stage = new Path(
       new Path(System.getProperty("java.io.tmpdir"), "graft_stream_stage"),
-      s"${table}_${key}_$nFiles")
+      s"${scenario}_v${version}_$key")
     val fs = stage.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new Path(stage, "_SUCCESS"))) withNanosAsLong(s) {
-      val raw = s.read.parquet(s"$dir/$table.parquet")
-      val normalized =
-        if (raw.schema.exists(f => f.name == "ts" && f.dataType == LongType))
-          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        else raw
-      normalized.repartition(nFiles).write.mode("overwrite").parquet(stage.toString)
+    val marker = new Path(stage, "_STAGED")
+    if (!fs.exists(marker)) {
+      build(stage)
+      fs.create(marker).close()
     }
     stage.toString
   }
+
+  /** (min, max) event time of `df.ts` in epoch micros. */
+  private def tsBoundsUs(df: DataFrame): (Long, Long) = {
+    val r = df.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Stage `$dir/$table.parquet` as a multi-file parquet directory,
+    * normalizing nanos timestamps to proper microsecond timestamps in
+    * the process (so the STREAM needs neither the legacy conf nor a
+    * per-query ts cast — the conf stays confined to this eager,
+    * finally-restored write). Written once per (sf dir, table), reused
+    * by later invocations — the bench's k-run medians don't pay the
+    * write k times. Round-robin repartition(n) spreads rows evenly, so
+    * all n files are non-empty for any table with ≥n rows and
+    * maxFilesPerTrigger=1 yields n data-carrying batches. */
+  private def stageMultiFile(s: SparkSession, dir: String, table: String,
+                             nFiles: Int = 4): String =
+    stagedDir(s, s"${table}_$nFiles", 1, dir) { stage =>
+      withNanosAsLong(s) {
+        val raw = s.read.parquet(s"$dir/$table.parquet")
+        val normalized =
+          if (raw.schema.exists(f => f.name == "ts" && f.dataType == LongType))
+            raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          else raw
+        normalized.repartition(nFiles).write.mode("overwrite").parquet(stage.toString)
+      }
+    }
 
   /** Write one slice as a SINGLE parquet file with an explicit
     * modification time — the file source processes files in (modTime,
@@ -122,20 +154,11 @@ object StreamingQueries {
     * The oracle counts the accepted clones in and the dropped clones
     * out; either mistake shifts n and the poisoned sums by 1e6-sized
     * amounts. */
-  private def stageLatenessFiles(s: SparkSession, dir: String): String = {
-    val key = java.lang.Integer.toHexString(
-      new java.io.File(dir).getAbsolutePath.hashCode)
-    val stage = new Path(
-      new Path(System.getProperty("java.io.tmpdir"), "graft_stream_stage"),
-      s"late_events_$key")
-    val fs = stage.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val marker = new Path(stage, "_STAGED")
-    if (!fs.exists(marker)) {
+  private def stageLatenessFiles(s: SparkSession, dir: String): String =
+    stagedDir(s, "late_events", 1, dir) { stage =>
       val ev = graft.sources.Tables.events(s, dir)
         .select(col("ts"), col("event_type"), col("value"))
-      val bounds = ev.agg(min(unix_micros(col("ts"))),
-        max(unix_micros(col("ts")))).head()
-      val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
+      val (mn, mx) = tsBoundsUs(ev)
       val t1 = mn + (mx - mn) / 3  // floor div — DuckDB mirrors with //
       val t2 = mn + 2 * ((mx - mn) / 3)
       val us = unix_micros(col("ts"))
@@ -151,10 +174,7 @@ object StreamingQueries {
       val dropPlants = ev.filter(us < mn + 24 * hourUs)
         .withColumn("value", col("value") + 1000000.0)
       writeSliceFile(s, dropPlants, stage, "slice_3", base + 6000)
-      fs.create(marker).close()
     }
-    stage.toString
-  }
 
   /** Stage the stream-stream-join scenario for q104 (idempotent, keyed
     * by sf dir): events plus DETERMINISTIC planted purchase/click pairs
@@ -169,23 +189,21 @@ object StreamingQueries {
     * evidence, independent of where natural pairs fall. Planted values
     * are poisoned (2e6/3e6 + j) so a lost or duplicated pair is
     * hash-visible. */
-  private def stageJoinFiles(s: SparkSession, dir: String): String = {
-    val key = java.lang.Integer.toHexString(
-      new java.io.File(dir).getAbsolutePath.hashCode)
-    val stage = new Path(
-      new Path(System.getProperty("java.io.tmpdir"), "graft_stream_stage"),
-      s"join_events_$key")
-    val fs = stage.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val marker = new Path(stage, "_STAGED")
-    if (!fs.exists(marker)) {
+  private def stageJoinFiles(s: SparkSession, dir: String): String =
+    stagedDir(s, "join_events", 1, dir) { stage =>
       val ev = graft.sources.Tables.events(s, dir)
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
-      val bounds = ev.agg(min(unix_micros(col("ts"))),
-        max(unix_micros(col("ts")))).head()
-      val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
+      val (mn, mx) = tsBoundsUs(ev)
       val q = (mx - mn) / 4  // floor div — DuckDB mirrors with //
       val minuteUs = 60000000L
+      // the plant placement (clicks at t_i − 1..5 min land a slice
+      // EARLIER than their purchases at t_i + 1..5 min) and the
+      // 4-non-empty-slice contract both assume quartiles wider than
+      // the 5-minute plant offset — fail at the actual cause, not as
+      // a confusing MinBatches error downstream
+      require(q > 5 * minuteUs,
+        s"stageJoinFiles needs an event-time span > 20 min, got ${mx - mn} us")
       val idx = s.range(0, 15).select(
         (col("id") / 5 + 1).cast("long").as("i"),
         (col("id") % 5).cast("long").as("j"))
@@ -213,10 +231,7 @@ object StreamingQueries {
           else all.filter(us >= lo && us < lo + q)
         writeSliceFile(s, slice, stage, s"slice_$i", base + 2000L * i)
       }
-      fs.create(marker).close()
     }
-    stage.toString
-  }
 
   /** readStream over a staged multi-file dir, one file per micro-batch.
     * Streams need an explicit schema; the staged dir's own (already
@@ -246,12 +261,18 @@ object StreamingQueries {
     // queries on the session are unaffected. At cluster scale the same
     // knob is sized to executor count × state volume, not to the
     // batch-shuffle width.
+    // getOption/unset restore (the withNanosAsLong form): a get/set
+    // restore would turn a never-set key into an explicitly-set one —
+    // exactly the session-conf delta the leak specs police
     val partsKey = "spark.sql.shuffle.partitions"
-    val prevParts = s.conf.get(partsKey)
+    val prevParts = s.conf.getOption(partsKey)
     s.conf.set(partsKey, "8")
     val q = try frame.writeStream.format("memory").queryName(name)
       .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-    finally s.conf.set(partsKey, prevParts)
+    finally prevParts match {
+      case Some(v) => s.conf.set(partsKey, v)
+      case None    => s.conf.unset(partsKey)
+    }
     q.awaitTermination()
     val dataBatches = q.recentProgress.count(_.numInputRows > 0)
     require(dataBatches >= MinBatches,
