@@ -442,6 +442,31 @@ object StreamingQueries {
         .select(col("event_type"), col("c_mktsegment"), col("n"),
           qz(col("total_value"), 4).as("total_value"))
         .orderBy("event_type", "c_mktsegment"))
+    }),
+
+    // STATELESS streaming scoring — the reference's real-time scoring
+    // loop (HTTP /score per transaction) expressed as the scale-out
+    // form: a file-source stream scored by the SAME RiskScore column
+    // expressions the batch (q32) and HTTP (q102) paths use, append
+    // sink, zero state. Oracle equality closes the three-way
+    // batch ≡ stream ≡ serving contract on the scorer; the ≥3
+    // micro-batch floor proves scores are computed per arriving batch,
+    // not one big pass. At 100 TB/day this is the shape that scores an
+    // event firehose: narrow projection, no shuffle, no state store.
+    "q107_stream_score" -> ((s, dir) => {
+      val evs = streamStaged(s, stageMultiFile(s, dir, "events"))
+      val amt = col("value") * 20.0
+      val h = hour(col("ts"))
+      val devMissing = col("event_type") === "error"
+      val unusual = col("event_type") === "signup"
+      val heuristic =
+        graft.serve.RiskScore.heuristicScore(amt, h, devMissing, unusual)
+      val blended =
+        graft.serve.RiskScore.blend(least(lit(1.0), amt / 10000.0), heuristic)
+      val scored = evs.select(col("event_id"),
+        qz(blended, 6).as("risk_score"),
+        graft.serve.RiskScore.riskLevel(blended).as("risk_level"))
+      runToSink(s, scored, "append", _.orderBy("event_id"))
     })
   )
 
@@ -531,6 +556,34 @@ object StreamingQueries {
       """SELECT e.event_type, c.c_mktsegment, count(*) AS n,
         | round(sum(e.value) * 10000.0) / 10000.0 + 0.0 AS total_value
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // batch twin of the streaming scorer — the q32 heuristic/blend
+    // chain trimmed to the streamed projection
+    "q107_stream_score" ->
+      """WITH base AS (
+        | SELECT event_id, value*20.0 AS amt, hour(ts) AS h,
+        |  (event_type = 'error') AS dev_missing,
+        |  (event_type = 'signup') AS unusual
+        | FROM events),
+        |s0 AS (SELECT *, 1.0/(1.0 + exp(-0.003*(amt - 500.0))) AS b0 FROM base),
+        |s1 AS (SELECT *, CASE WHEN amt > 5000 THEN least(b0 + 0.15, 0.95)
+        |                      WHEN amt > 1000 THEN least(b0 + 0.08, 0.85)
+        |                      ELSE b0 END AS b1 FROM s0),
+        |s2 AS (SELECT *, CASE WHEN dev_missing THEN least(b1 + 0.05, 0.95) ELSE b1 END AS b2 FROM s1),
+        |s3 AS (SELECT *, CASE WHEN unusual THEN least(b2 + 0.05, 0.95) ELSE b2 END AS b3 FROM s2),
+        |scored AS (
+        | SELECT *, CASE WHEN h < 5 OR h > 23 THEN least(b3 + 0.07, 0.95) ELSE b3 END AS heuristic,
+        |  least(1.0, amt/10000.0) AS model
+        | FROM s3),
+        |blended AS (
+        | SELECT *, least(1.0, greatest(0.0, model*0.4 + heuristic*0.6)) AS b
+        | FROM scored)
+        |SELECT event_id,
+        | round(b * 1000000.0) / 1000000.0 + 0.0 AS risk_score,
+        | CASE WHEN b < 0.2 THEN 'MINIMAL' WHEN b < 0.4 THEN 'LOW'
+        |      WHEN b < 0.6 THEN 'MEDIUM' WHEN b < 0.8 THEN 'HIGH'
+        |      ELSE 'CRITICAL' END AS risk_level
+        |FROM blended ORDER BY event_id""".stripMargin
   )
 }

@@ -74,6 +74,21 @@ class StreamingOracleSpec extends SparkSpec {
       "nanosAsLong leaked from stageJoinFiles")
   }
 
+  test("q107 stateless streaming scoring equals the batch scorer") {
+    import graft.queries.Util.qz
+    val q107 = StreamingQueries.queries("q107_stream_score")(spark, dir)
+    val amt = col("value") * 20.0
+    val heuristic = graft.serve.RiskScore.heuristicScore(amt, hour(col("ts")),
+      col("event_type") === "error", col("event_type") === "signup")
+    val blended = graft.serve.RiskScore.blend(
+      least(lit(1.0), amt / 10000.0), heuristic)
+    val batch = graft.sources.Tables.events(spark, dir).select(
+      col("event_id"), qz(blended, 6).as("risk_score"),
+      graft.serve.RiskScore.riskLevel(blended).as("risk_level"))
+    assert(q107.exceptAll(batch).isEmpty && batch.exceptAll(q107).isEmpty,
+      "streaming scorer diverged from the batch scorer")
+  }
+
   test("q106 stream-static enrichment equals the batch join+agg twin") {
     val q106 = StreamingQueries.queries("q106_stream_enrich")(spark, dir)
     val batch = graft.sources.Tables.events(spark, dir)
