@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{FloatDotProduct, SimHash32, SortedLongIntersectCount}
+import graft.functions.{BloomMightContainExpr, BloomSketch, FloatDotProduct, SimHash32, SortedLongIntersectCount}
 
 /** SparkSessionExtensions hook (SURVEY.md §4.4): registers the engine's
   * native codegen expressions as permanent SQL functions at session
@@ -42,5 +42,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("simhash32"),
       new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
       checked("simhash32", 1)(e => SimHash32(e.head))))
+    ext.injectFunction((
+      new FunctionIdentifier(BloomSketch.FnName),
+      new ExpressionInfo(classOf[BloomMightContainExpr].getName, BloomSketch.FnName),
+      checked(BloomSketch.FnName, 2)(e => BloomMightContainExpr(e(0), e(1)))))
   }
 }

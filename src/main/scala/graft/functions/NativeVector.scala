@@ -211,6 +211,9 @@ object NativeVector {
       IntersectFnName, checked(IntersectFnName, 2)(e => SortedLongIntersectCount(e(0), e(1))), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       SimHashFnName, checked(SimHashFnName, 1)(e => SimHash32(e.head)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      BloomSketch.FnName, checked(BloomSketch.FnName, 2)(
+        e => BloomMightContainExpr(e(0), e(1))), "built-in")
   }
 
   def dot(a: Column, b: Column): Column = call_function(FnName, a, b)

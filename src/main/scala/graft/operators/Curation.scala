@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.BloomSketch
+
 /** Training-data curation operators (SURVEY.md §7 extensions): document
   * chunking, benchmark decontamination, PII redaction, deterministic
   * shard assignment. These are the steps a 100 TB pretraining pipeline
@@ -112,6 +114,42 @@ object Curation {
       .agg(count(col("__eg")).as("n_hits"))
       .select(col(id), col("n_hits"),
         (col("n_hits") > 0).as("contaminated"))
+  }
+
+  /** Decontamination, sketch-prefiltered: the exact same answer as
+    * [[contamination]], computed with the 100 TB-shaped plan. The exact
+    * form broadcasts the distinct eval-gram STRINGS — ~40 bytes/gram,
+    * multi-GB per executor once the eval closure reaches 10⁸ grams. The
+    * sketch form ships a Bloom filter of the inventory (~1.2 bytes/gram
+    * at 1% FPP) as a plan literal, prefilters the corpus-side shingles
+    * BELOW the first shuffle with a codegen'd membership probe, and
+    * exact-verifies only the survivors (unhinted join — AQE broadcasts
+    * while the eval side is small, shuffles when it is not). No false
+    * negatives ⇒ no lost hits; the verify join kills false positives ⇒
+    * bit-identical output to the exact operator, ~FPP of the corpus
+    * grams reaching the join instead of all of them.
+    *
+    * Zero-hit docs are restored by a doc-id left join (bounded by doc
+    * count) because the prefilter legitimately drops ALL grams of an
+    * uncontaminated doc. */
+  def contaminationBloom(docs: DataFrame, id: String, text: String,
+                         evalGrams: DataFrame, shingleLen: Int,
+                         fpp: Double = 0.01): DataFrame = {
+    graft.functions.NativeVector.register(docs.sparkSession)
+    val ev = evalGrams.select(col("g")).distinct()
+    // exact distinct count sizes the bit array: one cheap job over the
+    // (small) eval side; at scale pass an upper bound instead
+    val bloom = BloomSketch.build(ev, "g", ev.count(), fpp)
+    val hits = docs
+      .select(col(id), TextOps.tokens(col(text)).as("__toks"))
+      .select(col(id), explode(shingleMd5s(col("__toks"), shingleLen)).as("__g"))
+      .filter(BloomSketch.mightContain(col("__g"), bloom))
+      .join(ev.select(col("g").as("__eg")), col("__g") === col("__eg"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("__h"))
+    docs.select(col(id)).join(hits, Seq(id), "left")
+      .select(col(id), coalesce(col("__h"), lit(0L)).as("n_hits"),
+        (coalesce(col("__h"), lit(0L)) > 0).as("contaminated"))
   }
 
   /** PII redaction patterns, applied IN ORDER (email before URL before

@@ -363,6 +363,27 @@ object CurationQueries {
         .select(col("source"), col("rk").cast("long").as("rk"),
           col("doc_id"), col("quality"))
         .orderBy("source", "rk")
+    }),
+
+    // Bloom-prefiltered decontamination: SAME semantics as q82 (per-doc
+    // eval-gram hit counts), DIFFERENT plan — the eval inventory rides
+    // the plan as a ~1.2 byte/gram Bloom literal probed below the first
+    // shuffle, and only surviving grams reach the exact verify join
+    // (unhinted, AQE decides). The oracle is the exact closure: Bloom
+    // false positives MUST be invisible in the answer, so a green row
+    // here proves the prefilter-then-verify contract, not just the
+    // happy path. Eval set differs from q82 (every 7th doc, 6-token
+    // snippet at tokens 11..16) so the two queries cannot mask each
+    // other's staging bugs.
+    "q108_bloom_decontam" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val toks = TextOps.tokens(col("text"))
+      val evalGrams = docs.filter(col("doc_id") % 7 === 3)
+        .select(md5(concat_ws(" ", slice(toks, 11, 6))).as("g"))
+      Curation.contaminationBloom(docs, "doc_id", "text", evalGrams,
+          shingleLen = 6, fpp = 0.01)
+        .select(col("doc_id"), col("n_hits"), col("contaminated"))
+        .orderBy("doc_id")
     })
   )
 
@@ -638,6 +659,24 @@ object CurationQueries {
         | FROM documents)
         |SELECT shard, count(*) AS n_docs, min(doc_id) AS min_doc,
         | max(doc_id) AS max_doc, arg_min(doc_id, ord) AS first_doc
-        |FROM s GROUP BY shard ORDER BY shard""".stripMargin
+        |FROM s GROUP BY shard ORDER BY shard""".stripMargin,
+
+    // the EXACT decontamination closure — the Bloom prefilter must be
+    // invisible in the result
+    "q108_bloom_decontam" ->
+      """WITH t AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        | FROM documents),
+        |ev AS (
+        | SELECT DISTINCT md5(array_to_string(toks[11:16], ' ')) AS g
+        | FROM t WHERE doc_id % 7 = 3),
+        |sh AS (
+        | SELECT doc_id, unnest(list_distinct(list_transform(
+        |   generate_series(0, greatest(len(toks) - 6, 0)),
+        |   i -> md5(array_to_string(toks[i+1:i+6], ' '))))) AS g
+        | FROM t)
+        |SELECT sh.doc_id, count(ev.g) AS n_hits, count(ev.g) > 0 AS contaminated
+        |FROM sh LEFT JOIN ev ON sh.g = ev.g
+        |GROUP BY sh.doc_id ORDER BY doc_id""".stripMargin
   )
 }
