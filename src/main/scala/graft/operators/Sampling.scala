@@ -64,6 +64,43 @@ object Sampling {
                      salt: String = ""): DataFrame =
     df.filter(weightedKeep(key, weight, salt))
 
+  /** Temperature-based mixture rates (the `share^α` data-mixing rule:
+    * α=1 preserves natural proportions, α→0 approaches uniform over
+    * sources, α=0.5 is the classic sqrt-temperature). Input: one row
+    * per source with its row count; output: (source, rate) where
+    * rate_i = min(1, p_i · budget·N / n_i) and p_i ∝ tempWeight(n_i/N)
+    * — filter the corpus with [[weightedKeep]] on the joined rate.
+    *
+    * Cross-engine determinism is designed in, not hoped for:
+    * `tempWeight` outputs are converted to integer NANO-UNITS
+    * (round(w·1e9) as long) BEFORE normalization, so the weight sum is
+    * an exact integer sum (float sums are accumulation-order-dependent
+    * — the one thing two engines never agree on), and every remaining
+    * division has bit-identical operands in both engines. Callers
+    * wanting oracle parity must pass a correctly-rounded tempWeight
+    * (`sqrt` is IEEE-exact; `pow(x, α)` for general α is NOT guaranteed
+    * bit-equal across libms — engine-only use).
+    *
+    * Scale: `counts` is one row per SOURCE (dozens), so every frame
+    * here is driver-trivial; the corpus-side cost is the same pure
+    * key-function filter as every sampler in this file — no shuffle. */
+  def temperatureRates(counts: DataFrame, srcCol: String, nCol: String,
+                       budgetFraction: Double,
+                       tempWeight: Column => Column): DataFrame = {
+    val totals = counts.agg(sum(col(nCol)).as("__N"))
+    val w = counts.crossJoin(broadcast(totals))
+      .select(col(srcCol), col(nCol), col("__N"),
+        round(tempWeight(col(nCol).cast("double") / col("__N").cast("double"))
+          * 1e9).cast("long").as("__w"))
+    val wsum = w.agg(sum(col("__w")).as("__ws"))
+    w.crossJoin(broadcast(wsum))
+      .select(col(srcCol),
+        least(lit(1.0),
+          (col("__w").cast("double") / col("__ws").cast("double"))
+            * lit(budgetFraction) * col("__N").cast("double")
+            / col(nCol).cast("double")).as("rate"))
+  }
+
   /** Stratified sample: an independent rate per stratum value (pandas
     * groupby-sample / sampleBy capability, without their partition- or
     * seed-layout dependence). Strata absent from `fractions` drop. */

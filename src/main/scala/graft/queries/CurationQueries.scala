@@ -365,6 +365,29 @@ object CurationQueries {
         .orderBy("source", "rk")
     }),
 
+    // Temperature-based mixture sampling (share^0.5): the data-mixing
+    // rule that up-weights small sources relative to their natural
+    // share without discarding the big ones' long tail. α=0.5 because
+    // sqrt is IEEE-correctly-rounded — the oracle must reproduce every
+    // rate bit-for-bit (see Sampling.temperatureRates); integer
+    // nano-unit weights make the normalization sum exact in both
+    // engines. The kept row SET must be identical in DuckDB (q66/q91's
+    // guarantee, now with per-source computed rates).
+    "q109_temperature_mix" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, col("source"))
+          .otherwise(lit("src_big")).as("mix_src"))
+      val counts = docs.groupBy("mix_src").agg(count(lit(1)).as("src_n"))
+      val rates = graft.operators.Sampling.temperatureRates(
+        counts, "mix_src", "src_n", budgetFraction = 0.5, sqrt)
+      // rates is bounded by source count — broadcast is structural
+      docs.join(broadcast(rates), Seq("mix_src"))
+        .filter(graft.operators.Sampling.weightedKeep(
+          col("doc_id"), col("rate"), salt = "temp"))
+        .select(col("doc_id"), col("mix_src"))
+        .orderBy("doc_id")
+    }),
+
     // Bloom-prefiltered decontamination: SAME semantics as q82 (per-doc
     // eval-gram hit counts), DIFFERENT plan — the eval inventory rides
     // the plan as a ~1.2 byte/gram Bloom literal probed below the first
@@ -660,6 +683,33 @@ object CurationQueries {
         |SELECT shard, count(*) AS n_docs, min(doc_id) AS min_doc,
         | max(doc_id) AS max_doc, arg_min(doc_id, ord) AS first_doc
         |FROM s GROUP BY shard ORDER BY shard""".stripMargin,
+
+    // every rate re-derived from scratch: counts → sqrt-share in exact
+    // nano-units → normalized budget rate → md5 keep predicate
+    "q109_temperature_mix" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 0 THEN source ELSE 'src_big' END AS mix_src
+        | FROM documents),
+        |c AS (SELECT mix_src, count(*) AS src_n FROM d GROUP BY mix_src),
+        |t AS (SELECT sum(src_n) AS n FROM c),
+        |w AS (
+        | SELECT mix_src, src_n, n,
+        |  CAST(round(sqrt(CAST(src_n AS DOUBLE) / CAST(n AS DOUBLE))
+        |    * 1000000000.0) AS BIGINT) AS w_int
+        | FROM c CROSS JOIN t),
+        |ws AS (SELECT sum(w_int) AS ws FROM w),
+        |r AS (
+        | SELECT mix_src,
+        |  least(1.0, (CAST(w_int AS DOUBLE) / CAST(ws AS DOUBLE))
+        |    * 0.5 * CAST(n AS DOUBLE) / CAST(src_n AS DOUBLE)) AS rate
+        | FROM w CROSS JOIN ws)
+        |SELECT d.doc_id, d.mix_src
+        |FROM d JOIN r ON d.mix_src = r.mix_src
+        |WHERE CAST('0x' || substr(md5('temp:' || CAST(doc_id AS VARCHAR)), 1, 8)
+        |   AS UBIGINT)
+        |  < floor(least(greatest(rate, 0.0), 1.0) * 4294967296.0)
+        |ORDER BY doc_id""".stripMargin,
 
     // the EXACT decontamination closure — the Bloom prefilter must be
     // invisible in the result

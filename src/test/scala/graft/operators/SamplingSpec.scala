@@ -74,6 +74,38 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(c - 0.1) < 0.01, s"const-weight rate $c")
   }
 
+  test("temperature rates: identity is flat, sqrt up-weights small sources, budget holds") {
+    // three sources, 9:3:1 natural shares — chosen so no sqrt rate
+    // clamps at 1 (tiny's rate is ~0.906 at budget 0.4), keeping the
+    // kept-mass identity exact
+    val docs = spark.range(26000L).select($"id",
+      when($"id" % 13 === 0, "tiny").when($"id" % 13 < 4, "mid")
+        .otherwise("big").as("src"))
+    val counts = docs.groupBy("src").agg(count(lit(1)).as("n"))
+
+    // α=1 (identity weight): p_i = share_i, so every source's rate is
+    // exactly the budget fraction (nano-unit rounding ≤ 1e-9 of drift)
+    val flat = Sampling.temperatureRates(counts, "src", "n", 0.4, identity)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    flat.values.foreach(r => assert(math.abs(r - 0.4) < 1e-6, flat.toString))
+
+    // α=0.5: per-doc keep rate strictly increases as sources shrink
+    val temp = Sampling.temperatureRates(counts, "src", "n", 0.4, sqrt)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(temp("tiny") > temp("mid") && temp("mid") > temp("big"), temp.toString)
+    temp.values.foreach(r => assert(r >= 0.0 && r <= 1.0))
+
+    // expected kept mass ≈ budget·N when nothing clamps at 1
+    val n = counts.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = n.map { case (s, c) => temp(s) * c }.sum
+    assert(math.abs(expected / 26000.0 - 0.4) < 1e-6, expected.toString)
+    // and the realized sample is close to it
+    val kept = docs.join(
+        Sampling.temperatureRates(counts, "src", "n", 0.4, sqrt), Seq("src"))
+      .filter(Sampling.weightedKeep($"id", $"rate", "t")).count()
+    assert(math.abs(kept / 26000.0 - 0.4) < 0.02, s"kept $kept")
+  }
+
   test("salt/key boundary pairs hash independently (delimited), empty salt hashes bare key") {
     // bare concatenation would collide (salt "a1", key "2") with
     // (salt "a", key "12") — both md5("a12") — coupling numeric-suffixed
