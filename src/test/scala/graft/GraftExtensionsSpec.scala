@@ -9,7 +9,7 @@ import org.apache.spark.sql.SparkSession
   * otherwise return the existing session and skip the extensions). */
 class GraftExtensionsSpec extends SparkSpec {
 
-  test("spark.sql.extensions registers float_dot/sorted_long_intersect/simhash32") {
+  test("spark.sql.extensions registers float_dot/sorted_long_intersect/simhash32/bloom_might_contain") {
     val base = spark // force the shared session first
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
@@ -31,6 +31,18 @@ class GraftExtensionsSpec extends SparkSpec {
       graft.functions.NativeVector.register(base)
       val viaTemp = base.sql("SELECT simhash32(array(1L, 3L))").collect()(0).getLong(0)
       assert(r.getLong(2) == viaTemp)
+      // bloom_might_contain through pure SQL on the extensions session:
+      // membership of an inserted value, rejection of a disjoint one
+      val members = ext.range(100)
+        .selectExpr("md5(concat('m', id)) AS s")
+      val bloom = graft.functions.BloomSketch.build(members, "s", 100, 0.01)
+      // the Column API routes through the same permanent-function
+      // registry the extension filled (call_function by name)
+      import org.apache.spark.sql.functions.{col, sum => ssum}
+      val hits = members.select(ssum(
+        graft.functions.BloomSketch.mightContain(col("s"), bloom)
+          .cast("int"))).collect()(0).getLong(0)
+      assert(hits == 100L, s"members missed: ${100 - hits}")
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
