@@ -54,9 +54,11 @@ case class BloomMightContainExpr(left: Expression, right: Expression)
   // expression instance shipped with the plan); readFrom validates the
   // stream so a corrupted literal fails loudly here, not with garbage
   // membership answers
-  @transient private lazy val bloom: BloomFilter =
-    BloomFilter.readFrom(
-      new ByteArrayInputStream(right.eval().asInstanceOf[Array[Byte]]))
+  @transient private lazy val bloom: BloomFilter = {
+    val bytes = right.eval().asInstanceOf[Array[Byte]]
+    require(bytes != null, "bloom_might_contain: the sketch literal is NULL")
+    BloomFilter.readFrom(new ByteArrayInputStream(bytes))
+  }
 
   /** Codegen callback — membership on the raw UTF8 bytes. */
   def contains(s: UTF8String): Boolean = bloom.mightContainBinary(s.getBytes)

@@ -147,7 +147,11 @@ object Curation {
       .join(ev.select(col("g").as("__eg")), col("__g") === col("__eg"))
       .groupBy(col(id))
       .agg(count(lit(1)).as("__h"))
-    docs.select(col(id)).join(hits, Seq(id), "left")
+    // distinct: the exact operator's groupBy(id) emits ONE row per doc
+    // id even for degenerate duplicate-id input — mirror that here or
+    // the restore join would duplicate output rows (shuffle bounded by
+    // doc count, same as the hit aggregation)
+    docs.select(col(id)).distinct().join(hits, Seq(id), "left")
       .select(col(id), coalesce(col("__h"), lit(0L)).as("n_hits"),
         (coalesce(col("__h"), lit(0L)) > 0).as("contaminated"))
   }
