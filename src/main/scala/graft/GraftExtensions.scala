@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{BloomMightContainExpr, BloomSketch, FloatDotProduct, SimHash32, SortedLongIntersectCount}
+import graft.functions.{BloomMightContainExpr, BloomSketch, FloatDotProduct, SimHash32, SortedLongIntersectCount, TokenClassCounts}
 
 /** SparkSessionExtensions hook (SURVEY.md §4.4): registers the engine's
   * native codegen expressions as permanent SQL functions at session
@@ -46,5 +46,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier(BloomSketch.FnName),
       new ExpressionInfo(classOf[BloomMightContainExpr].getName, BloomSketch.FnName),
       checked(BloomSketch.FnName, 2)(e => BloomMightContainExpr(e(0), e(1)))))
+    ext.injectFunction((
+      new FunctionIdentifier("token_class_counts"),
+      new ExpressionInfo(classOf[TokenClassCounts].getName, "token_class_counts"),
+      checked("token_class_counts", 1)(e => TokenClassCounts(e.head))))
   }
 }

@@ -189,10 +189,88 @@ case class SimHash32(child: Expression)
     copy(child = newChild)
 }
 
+/** Single-pass token-class census over a string: maximal [a-z]+ runs,
+  * maximal [0-9]+ runs, and characters outside [a-z0-9\s] — the exact
+  * counts `regexp_count(t, '[a-z]+') / '[0-9]+' / '[^a-z0-9\s]'`
+  * produce, without the three java.util.regex scans (q60 was the
+  * heavy battery's largest pure-CPU cost: per-row regex is ~linear in
+  * corpus bytes × passes, and this fuses the passes into one branchy
+  * byte loop). Whitespace is the ASCII regex \s set (space, \t \n \x0B
+  * \f \r) in BOTH java.util.regex and RE2's default — the DuckDB
+  * oracle keeps the regexp form, so the gate proves the loop and the
+  * three regexes agree character class by character class. Non-ASCII
+  * code points (multi-byte UTF-8) match [^a-z0-9\s] in both engines:
+  * counted as `other`, one per code point, and they break runs. */
+case class TokenClassCounts(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = TokenClassCounts.schema
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"token_class_counts expects a string, got ${child.dataType}")
+  }
+
+  override def nullSafeEval(s: Any): Any =
+    TokenClassCounts.count(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TokenClassCounts.count($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TokenClassCounts {
+  val schema: StructType = StructType(Seq(
+    StructField("n_alpha", LongType, nullable = false),
+    StructField("n_num", LongType, nullable = false),
+    StructField("n_other", LongType, nullable = false)))
+
+  /** The fused loop (static so codegen and interpreted eval share it;
+    * JIT compiles it once). Byte-level walk: ASCII classifies directly,
+    * a multi-byte lead counts one `other` code point and skips its
+    * continuation bytes. */
+  def count(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val n = s.numBytes()
+    var i = 0
+    var alpha = 0L; var num = 0L; var other = 0L
+    var inAlpha = false; var inNum = false
+    while (i < n) {
+      val b = s.getByte(i) & 0xFF
+      if (b < 0x80) {
+        if (b >= 'a' && b <= 'z') {
+          if (!inAlpha) alpha += 1
+          inAlpha = true; inNum = false
+        } else if (b >= '0' && b <= '9') {
+          if (!inNum) num += 1
+          inNum = true; inAlpha = false
+        } else {
+          inAlpha = false; inNum = false
+          if (!(b == ' ' || (b >= '\t' && b <= '\r'))) other += 1
+        }
+        i += 1
+      } else {
+        inAlpha = false; inNum = false
+        other += 1
+        i += (if (b >= 0xF0) 4 else if (b >= 0xE0) 3 else 2)
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](alpha, num, other))
+  }
+}
+
 object NativeVector {
   val FnName = "float_dot"
   val IntersectFnName = "sorted_long_intersect"
   val SimHashFnName = "simhash32"
+  val TokenClassFnName = "token_class_counts"
 
   /** Register once per session; then `dot`/`sortedIntersect` resolve to
     * the native expressions through the function registry. Arity is
@@ -214,12 +292,16 @@ object NativeVector {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       BloomSketch.FnName, checked(BloomSketch.FnName, 2)(
         e => BloomMightContainExpr(e(0), e(1))), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      TokenClassFnName, checked(TokenClassFnName, 1)(
+        e => TokenClassCounts(e.head)), "built-in")
   }
 
   def dot(a: Column, b: Column): Column = call_function(FnName, a, b)
   def sortedIntersect(a: Column, b: Column): Column =
     call_function(IntersectFnName, a, b)
   def simhash32(a: Column): Column = call_function(SimHashFnName, a)
+  def tokenClassCounts(a: Column): Column = call_function(TokenClassFnName, a)
 
   /** cos(a,b) from raw float arrays: dot/(‖a‖·‖b‖), every norm evaluated
     * once per row via the native dot. THE single cosine form — Embeddings

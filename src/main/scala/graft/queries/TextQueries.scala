@@ -91,15 +91,22 @@ object TextQueries {
     }),
 
     // token-class counts (whitespace + BPE-ish regex token census)
+    // token_class_counts fuses what were three full java.util.regex
+    // scans into ONE native byte loop (NativeVector.TokenClassCounts —
+    // this was the heavy battery's largest pure-CPU cost, 25 s at sf5).
+    // The DuckDB oracle still computes the regexp_count truth, so the
+    // gate proves loop ≡ regex class by class on the whole corpus.
     "q60_token_classes" -> ((s, dir) => {
+      graft.functions.NativeVector.register(s)
       val t = col("text")
-      Tables.documents(s, dir).select(
-        col("doc_id"),
-        TextOps.nTokens(t).cast("long").as("n_ws_tokens"),
-        regexp_count(t, lit("[a-z]+")).cast("long").as("n_alpha"),
-        regexp_count(t, lit("[0-9]+")).cast("long").as("n_num"),
-        regexp_count(t, lit("[^a-z0-9\\s]")).cast("long").as("n_other")
-      ).orderBy("doc_id")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.nTokens(t).cast("long").as("n_ws_tokens"),
+          graft.functions.NativeVector.tokenClassCounts(t).as("tc"))
+        .select(col("doc_id"), col("n_ws_tokens"),
+          col("tc.n_alpha").as("n_alpha"),
+          col("tc.n_num").as("n_num"),
+          col("tc.n_other").as("n_other"))
+        .orderBy("doc_id")
     }),
 
     // MinHash + LSH near-dup DETECTION, oracle-checked end to end: LSH

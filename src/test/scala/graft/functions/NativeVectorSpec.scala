@@ -83,4 +83,50 @@ class NativeVectorSpec extends SparkSpec {
     info(f"1M x dim-64 dots: native $tNative%.2fs vs higher-order $tHof%.2fs")
     assert(tNative < tHof) // codegen'd loop beats interpreted lambdas
   }
+
+  test("token_class_counts equals the three regexp_counts on adversarial strings") {
+    NativeVector.register(spark)
+    // run boundaries, whitespace variants (incl. \x0B vertical tab),
+    // non-ASCII (2- and 3-byte UTF-8), empties, class transitions
+    val rows = Seq(
+      "", " ", "abc", "abc123", "123abc456", "a1b2c3",
+      "  leading and trailing  ", "tabs\tand\nnewlines\f\r",
+      "café naïve 世界", "UPPER lower", "a.b,c;d",
+      "run1 2run 3 4 5x", "!!!???", " nbsp ", "0", "z",
+      "abécd12é34", "---0---a---") ++
+      (0 until 200).map(i => s"doc $i with ${i * 7} tokens; punct#$i!")
+    val df = rows.toDF("t")
+    val cmp = df.select(
+      NativeVector.tokenClassCounts($"t").as("tc"),
+      regexp_count($"t", lit("[a-z]+")).cast("long").as("ra"),
+      regexp_count($"t", lit("[0-9]+")).cast("long").as("rn"),
+      regexp_count($"t", lit("[^a-z0-9\\s]")).cast("long").as("ro"))
+      .filter($"tc.n_alpha" =!= $"ra" || $"tc.n_num" =!= $"rn" ||
+        $"tc.n_other" =!= $"ro")
+    assert(cmp.isEmpty, cmp.collect().mkString("\n"))
+  }
+
+  test("token_class_counts: one fused pass beats three regex scans") {
+    NativeVector.register(spark)
+    val docs = spark.range(200000L).select(concat_ws(" ",
+      lit("lorem ipsum 42 dolor sit 7 amet!"), col("id").cast("string"),
+      lit("consectetur 1337 adipiscing elit, sed do eiusmod tempor."))
+      .as("t"))
+    def time(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime(); val n = f
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    // warm-up both paths, then time
+    docs.select(NativeVector.tokenClassCounts($"t")).count()
+    docs.select(regexp_count($"t", lit("[a-z]+"))).count()
+    val (tNative, a) = time(docs.select(
+      NativeVector.tokenClassCounts($"t").as("tc"))
+      .agg(sum($"tc.n_alpha")).first().getLong(0))
+    val (tRegex, b) = time(docs.select(
+      (regexp_count($"t", lit("[a-z]+")) + regexp_count($"t", lit("[0-9]+"))
+        + regexp_count($"t", lit("[^a-z0-9\\s]"))).cast("long").as("s"))
+      .agg(sum($"s")).first().getLong(0))
+    info(f"200k docs: fused loop $tNative%.2fs vs 3 regex scans $tRegex%.2fs (sums $a/$b)")
+    assert(tNative < tRegex)
+  }
 }
