@@ -467,6 +467,38 @@ object StreamingQueries {
         qz(blended, 6).as("risk_score"),
         graft.serve.RiskScore.riskLevel(blended).as("risk_level"))
       runToSink(s, scored, "append", _.orderBy("event_id"))
+    }),
+
+    // INCREMENTAL CURATION: the batch curation tier (q51 quality score,
+    // q52 lang-ID, q50/q88 content-hash dedup) run as ONE streaming
+    // pipeline — the shape that curates a corpus arriving continuously
+    // at 100 TB/day: stateless per-batch filter expressions, then a
+    // content-hash aggregation whose state is bounded by DISTINCT
+    // surviving content, not stream length. Every 20th doc is cloned
+    // under a disjoint id (q88's planting), so the min(doc_id) keeper
+    // choice must merge groups ACROSS micro-batches; the oracle
+    // recomputes quality, language, and keeper from scratch in SQL.
+    "q110_stream_curate" -> ((s, dir) => {
+      val stream = streamStaged(s, stageMultiFile(s, dir, "documents"))
+      val withCopies = stream.unionByName(
+        stream.filter(col("doc_id") % 20 === 0)
+          .withColumn("doc_id", col("doc_id") + lit(200000000L)))
+      val t = col("text")
+      val stop = graft.operators.TextOps.langWords.head._2
+      val scored = withCopies.select(col("doc_id"),
+        md5(t).as("content_hash"),
+        qz(graft.operators.TextOps.qualityScore(t, stop), 6).as("quality"),
+        graft.operators.TextOps.predictLang(t).as("pred_lang"))
+      val kept = scored
+        .filter(col("quality") >= 0.55 && col("pred_lang") === "en")
+        .groupBy("content_hash")
+        .agg(min(col("doc_id")).as("doc_id"), max(col("quality")).as("quality"))
+      // update mode emits a row per group per batch it changes in; the
+      // finish fold keeps the final state (min doc_id is monotone
+      // nonincreasing, quality constant within a hash)
+      runToSink(s, kept, "update", _.groupBy("content_hash")
+        .agg(min(col("doc_id")).as("doc_id"), max(col("quality")).as("quality"))
+        .orderBy("content_hash"))
     })
   )
 
@@ -584,6 +616,41 @@ object StreamingQueries {
         | CASE WHEN b < 0.2 THEN 'MINIMAL' WHEN b < 0.4 THEN 'LOW'
         |      WHEN b < 0.6 THEN 'MEDIUM' WHEN b < 0.8 THEN 'HIGH'
         |      ELSE 'CRITICAL' END AS risk_level
-        |FROM blended ORDER BY event_id""".stripMargin
+        |FROM blended ORDER BY event_id""".stripMargin,
+
+    // the whole curation chain re-derived in SQL: planted clones in,
+    // quality + lang + per-hash keeper out
+    "q110_stream_curate" ->
+      s"""WITH base AS (
+         | SELECT doc_id, text FROM documents
+         | UNION ALL
+         | SELECT doc_id + 200000000, text FROM documents WHERE doc_id % 20 = 0),
+         |t AS (
+         | SELECT doc_id, md5(text) AS content_hash,
+         |  regexp_split_to_array(trim(text), '\\s+') AS toks,
+         |  len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct
+         | FROM base),
+         |f AS (
+         | SELECT doc_id, content_hash, len(toks) AS n_tokens, n_punct,
+         |  len(list_filter(toks, x -> list_contains(${graft.operators.TextOps.stopListSql}, x))) AS stop_hits,
+         |  len(list_filter(toks, x -> list_contains(['the','a','of','to','and','is','in'], x))) AS hits_en,
+         |  len(list_filter(toks, x -> list_contains(['le','la','de','et','un','est'], x))) AS hits_fr,
+         |  len(list_filter(toks, x -> list_contains(['der','die','das','und','ein','ist'], x))) AS hits_de,
+         |  len(list_filter(toks, x -> list_contains(['el','los','de','y','un','es'], x))) AS hits_es
+         | FROM t),
+         |q AS (
+         | SELECT doc_id, content_hash,
+         |  round((0.4*least(1.0, CAST(n_tokens AS DOUBLE)/100.0)
+         |   + 0.3*(CAST(stop_hits AS DOUBLE)/n_tokens)
+         |   + 0.3*(1.0 - least(1.0, CAST(n_punct AS DOUBLE)/n_tokens))) * 1000000.0) / 1000000.0 + 0.0 AS quality,
+         |  CASE WHEN hits_en > 0 AND hits_en >= greatest(hits_fr, hits_de, hits_es) THEN 'en'
+         |       WHEN hits_fr > 0 AND hits_fr >= greatest(hits_de, hits_es) THEN 'fr'
+         |       WHEN hits_de > 0 AND hits_de >= hits_es THEN 'de'
+         |       WHEN hits_es > 0 THEN 'es'
+         |       ELSE 'unknown' END AS pred_lang
+         | FROM f)
+         |SELECT content_hash, min(doc_id) AS doc_id, max(quality) AS quality
+         |FROM q WHERE quality >= 0.55 AND pred_lang = 'en'
+         |GROUP BY content_hash ORDER BY content_hash""".stripMargin
   )
 }

@@ -102,4 +102,22 @@ class StreamingOracleSpec extends SparkSpec {
     assert(q106.exceptAll(batch).isEmpty && batch.exceptAll(q106).isEmpty,
       "stream-static enrichment diverged from the batch twin")
   }
+
+  test("q110 incremental curation: clones lose to originals, hashes unique, filters bite") {
+    val out = StreamingQueries.queries("q110_stream_curate")(spark, dir)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // the planted clone (doc_id + 2e8) shares its original's content
+    // hash, so min(doc_id) must ALWAYS pick the original — one clone id
+    // in the output means dedup state failed to merge across batches
+    val cloneWins = rows.count(_.getAs[Long]("doc_id") >= 200000000L)
+    assert(cloneWins == 0, s"$cloneWins planted clones won their group")
+    // dedup contract: one row per content hash
+    val hashes = rows.map(_.getAs[String]("content_hash"))
+    assert(hashes.distinct.length == hashes.length)
+    // the quality gate actually filtered (else the threshold is vacuous)
+    assert(rows.forall(_.getAs[Double]("quality") >= 0.55))
+    val total = graft.sources.Tables.documents(spark, dir).count()
+    assert(rows.length < total, "quality/lang filters dropped nothing")
+  }
 }
