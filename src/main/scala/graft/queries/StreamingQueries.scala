@@ -260,7 +260,9 @@ object StreamingQueries {
     // state-sized value around start() and restore after — batch
     // queries on the session are unaffected. At cluster scale the same
     // knob is sized to executor count × state volume, not to the
-    // batch-shuffle width.
+    // batch-shuffle width. 8 is MEASURED, not assumed: 32 → 13.9 s
+    // q104, 8 → 6.4 s, 4 → 9.5 s (halving again loses more per-batch
+    // parallelism than it saves in commits — the curve bottoms here).
     // getOption/unset restore (the withNanosAsLong form): a get/set
     // restore would turn a never-set key into an explicitly-set one —
     // exactly the session-conf delta the leak specs police
