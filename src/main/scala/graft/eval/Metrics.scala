@@ -225,6 +225,47 @@ object Metrics {
           col("cum_pos") / col("cum_cnt"))).as("avg_precision"))
   }
 
+  /** Population Stability Index between a reference and a current score
+    * population — the score-drift monitor a deployed scorer needs
+    * (PSI < 0.1 stable, 0.1–0.25 moderate, > 0.25 retrain). One scan:
+    * `isCurrent` tags each row's side, so both populations bin in a
+    * single groupBy (bins bounded, shuffle rows ≤ B) — never two
+    * passes over an events table that is the 100 TB side of this.
+    * Laplace-smoothed proportions ((n_b+1)/(N+B)) keep ln defined for
+    * empty bins and make the result total; a bin spine restores bins
+    * absent from BOTH sides. Scores are clamped into [0,1) bins with
+    * least(floor(score·B), B−1). */
+  def psi(df: DataFrame, score: Column, isCurrent: Column,
+          bins: Int = 10): DataFrame = {
+    // clamp BOTH ends: without greatest(·, 0) a negative score bins
+    // below the spine and its row would silently vanish in the
+    // spine-left-join (a dropped population row, not an error)
+    val counts = df
+      .select(greatest(least(floor(score * bins), lit(bins - 1)), lit(0))
+          .cast("long").as("bin"),
+        isCurrent.cast("int").as("__cur"))
+      .groupBy("bin")
+      .agg(sum(when(col("__cur") === 0, 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("__cur") === 1, 1L).otherwise(0L)).as("n_cur"))
+    val spine = df.sparkSession.range(bins).select(col("id").as("bin"))
+    val full = spine.join(counts, Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val tot = full.agg(sum("n_ref").as("__tr"), sum("n_cur").as("__tc"))
+    val contrib = full.crossJoin(broadcast(tot)).select(
+      col("bin"), col("n_ref"), col("n_cur"),
+      (((col("n_cur") + 1).cast("double") / (col("__tc") + bins)) -
+        ((col("n_ref") + 1).cast("double") / (col("__tr") + bins))).as("__d"),
+      log(((col("n_cur") + 1).cast("double") / (col("__tc") + bins)) /
+        ((col("n_ref") + 1).cast("double") / (col("__tr") + bins))).as("__l"))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        (col("__d") * col("__l")).as("psi_contrib"))
+    contrib.crossJoin(broadcast(
+        contrib.agg(sum("psi_contrib").as("psi"))))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        col("psi_contrib"), col("psi"))
+  }
+
   /** E7: metrics at a grid of thresholds via explode — one shuffle-free
     * pass over (rows × |grid|) conditional sums. */
   def thresholdGrid(df: DataFrame, label: Column, score: Column,

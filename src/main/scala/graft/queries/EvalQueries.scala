@@ -83,6 +83,34 @@ object EvalQueries {
           qz(coalesce(col("precision"), lit(0.0)), 6).as("prec"),
           qz(coalesce(col("recall"), lit(0.0)), 6).as("rec"))
         .orderBy("tau")
+    }),
+
+    // beyond-ref: PSI score-drift monitor over the PRODUCTION scorer —
+    // the q32/q107 heuristic/blend chain scored over events, reference
+    // population = first half of event time, current = second half
+    // (split at the midpoint of the time span, an exact integer in
+    // both engines). One scan bins both sides (side-tagged conditional
+    // sums); Laplace smoothing keeps every ln defined. The oracle
+    // re-derives score, split, bins, proportions and the PSI sum from
+    // scratch.
+    "q111_drift_psi" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val amt = col("value") * 20.0
+      val heuristic = graft.serve.RiskScore.heuristicScore(
+        amt, hour(col("ts")),
+        col("event_type") === "error", col("event_type") === "signup")
+      val blended = graft.serve.RiskScore.blend(
+        least(lit(1.0), amt / 10000.0), heuristic)
+      val mid = ev.agg(expr(
+        "(min(unix_micros(ts)) + max(unix_micros(ts))) div 2").as("mid"))
+      val scored = ev.crossJoin(broadcast(mid))
+        .select(blended.as("score"),
+          (unix_micros(col("ts")) > col("mid")).as("cur"))
+      Metrics.psi(scored, col("score"), col("cur"), bins = 10)
+        .select(col("bin"), col("n_ref"), col("n_cur"),
+          qz(col("psi_contrib"), 6).as("psi_contrib"),
+          qz(col("psi"), 6).as("psi"))
+        .orderBy("bin")
     })
   )
 
@@ -217,6 +245,52 @@ object EvalQueries {
         |SELECT tau,
         | round((coalesce(CAST(tp AS DOUBLE)/nullif(tp+fp,0), 0.0)) * 1000000.0) / 1000000.0 + 0.0 AS prec,
         | round((coalesce(CAST(tp AS DOUBLE)/nullif(tp+fn,0), 0.0)) * 1000000.0) / 1000000.0 + 0.0 AS rec
-        |FROM m ORDER BY tau""".stripMargin
+        |FROM m ORDER BY tau""".stripMargin,
+
+    // the q107 scorer chain + time split + bins + smoothed PSI sum,
+    // all re-derived
+    "q111_drift_psi" ->
+      """WITH base AS (
+        | SELECT value*20.0 AS amt, hour(ts) AS h,
+        |  (event_type = 'error') AS dev_missing,
+        |  (event_type = 'signup') AS unusual,
+        |  epoch_us(ts) AS us
+        | FROM events),
+        |m AS (SELECT (min(us) + max(us)) // 2 AS mid FROM base),
+        |s0 AS (SELECT *, 1.0/(1.0 + exp(-0.003*(amt - 500.0))) AS b0 FROM base),
+        |s1 AS (SELECT *, CASE WHEN amt > 5000 THEN least(b0 + 0.15, 0.95)
+        |                      WHEN amt > 1000 THEN least(b0 + 0.08, 0.85)
+        |                      ELSE b0 END AS b1 FROM s0),
+        |s2 AS (SELECT *, CASE WHEN dev_missing THEN least(b1 + 0.05, 0.95) ELSE b1 END AS b2 FROM s1),
+        |s3 AS (SELECT *, CASE WHEN unusual THEN least(b2 + 0.05, 0.95) ELSE b2 END AS b3 FROM s2),
+        |sc AS (
+        | SELECT *, CASE WHEN h < 5 OR h > 23 THEN least(b3 + 0.07, 0.95) ELSE b3 END AS heuristic,
+        |  least(1.0, amt/10000.0) AS model
+        | FROM s3),
+        |bl AS (
+        | SELECT least(1.0, greatest(0.0, model*0.4 + heuristic*0.6)) AS b, us
+        | FROM sc),
+        |bn AS (
+        | SELECT CAST(greatest(least(floor(b*10), 9), 0) AS BIGINT) AS bin, (us > mid) AS cur
+        | FROM bl CROSS JOIN m),
+        |c AS (
+        | SELECT bin, count(*) FILTER (WHERE NOT cur) AS n_ref,
+        |  count(*) FILTER (WHERE cur) AS n_cur
+        | FROM bn GROUP BY bin),
+        |spine AS (SELECT unnest(generate_series(0, 9)) AS bin),
+        |f AS (
+        | SELECT spine.bin, coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+        | FROM spine LEFT JOIN c ON spine.bin = c.bin),
+        |t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM f),
+        |k AS (
+        | SELECT bin, n_ref, n_cur,
+        |  ((CAST(n_cur+1 AS DOUBLE)/(tc+10)) - (CAST(n_ref+1 AS DOUBLE)/(tr+10)))
+        |   * ln((CAST(n_cur+1 AS DOUBLE)/(tc+10)) / (CAST(n_ref+1 AS DOUBLE)/(tr+10))) AS c
+        | FROM f CROSS JOIN t),
+        |tot AS (SELECT sum(c) AS psi FROM k)
+        |SELECT bin, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+        | round(c * 1000000.0) / 1000000.0 + 0.0 AS psi_contrib,
+        | round(psi * 1000000.0) / 1000000.0 + 0.0 AS psi
+        |FROM k CROSS JOIN tot ORDER BY bin""".stripMargin
   )
 }

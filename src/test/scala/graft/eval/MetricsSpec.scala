@@ -123,4 +123,36 @@ class MetricsSpec extends SparkSpec {
     assert(g(0).getAs[Double]("recall") == 1.0)  // everything predicted pos
     assert(g(1).isNullAt(1) || g(1).getAs[Double]("precision") == 0.0) // no preds ≥ .95
   }
+
+  test("psi: zero for proportional populations, large for a shifted one, spine totals") {
+    // two populations with IDENTICAL bin proportions (counts 2:1) —
+    // smoothing preserves p_ref == p_cur only when totals make
+    // (n+1)/(N+B) equal, so use equal totals: same distribution twice
+    val same = spark.range(1000).select(
+      (($"id" % 10).cast("double") / 10.0 + 0.05).as("score"),
+      ($"id" >= 500).as("cur"))  // first/second half: same bin mix
+    val p0 = Metrics.psi(same, $"score", $"cur").collect()
+    assert(p0.length == 10)
+    assert(math.abs(p0.head.getAs[Double]("psi")) < 1e-12, p0.head.toString)
+
+    // current population shifted wholesale into the top bins
+    val shifted = spark.range(1000).select(
+      when($"id" < 500, ($"id" % 5).cast("double") / 10.0 + 0.05)
+        .otherwise(($"id" % 5).cast("double") / 10.0 + 0.55).as("score"),
+      ($"id" >= 500).as("cur"))
+    val p1 = Metrics.psi(shifted, $"score", $"cur").collect()
+    assert(p1.head.getAs[Double]("psi") > 0.25, p1.head.toString) // retrain territory
+
+    // empty bins come back through the spine with zero counts, and the
+    // per-bin counts total the populations
+    assert(p1.map(_.getAs[Long]("n_ref")).sum == 500)
+    assert(p1.map(_.getAs[Long]("n_cur")).sum == 500)
+    assert(p1.count(r => r.getAs[Long]("n_ref") == 0 && r.getAs[Long]("n_cur") > 0) > 0)
+    // clamp: out-of-range scores land in the edge bins, never a new bin
+    val edge = Seq((1.7, false), (-0.3, true)).toDF("score", "cur")
+    val pe = Metrics.psi(edge, $"score", $"cur").collect()
+    assert(pe.length == 10)
+    assert(pe.find(_.getAs[Long]("bin") == 9).get.getAs[Long]("n_ref") == 1)
+    assert(pe.find(_.getAs[Long]("bin") == 0).get.getAs[Long]("n_cur") == 1)
+  }
 }
