@@ -239,9 +239,18 @@ object Metrics {
           bins: Int = 10): DataFrame = {
     // clamp BOTH ends: without greatest(·, 0) a negative score bins
     // below the spine and its row would silently vanish in the
-    // spine-left-join (a dropped population row, not an error)
+    // spine-left-join (a dropped population row, not an error).
+    // NULL and NaN scores are EXCLUDED from both populations BY
+    // CONTRACT, with an EXPLICIT guard — it cannot be left to null
+    // propagation because least/greatest IGNORE nulls (least(null, 9)
+    // is 9, so an unguarded null score would silently land in the top
+    // bin). NaN gets the same treatment (Spark's floor(NaN).toLong is
+    // 0 — bin 0 — where the DuckDB twin drops it). A null `isCurrent`
+    // likewise counts toward neither side in either engine.
+    val sc = score.cast("double")
+    val rawBin = greatest(least(floor(sc * bins), lit(bins - 1)), lit(0))
     val counts = df
-      .select(greatest(least(floor(score * bins), lit(bins - 1)), lit(0))
+      .select(when(sc.isNull || isnan(sc), lit(null)).otherwise(rawBin)
           .cast("long").as("bin"),
         isCurrent.cast("int").as("__cur"))
       .groupBy("bin")

@@ -136,9 +136,13 @@ object Curation {
                          evalGrams: DataFrame, shingleLen: Int,
                          fpp: Double = 0.01): DataFrame = {
     graft.functions.NativeVector.register(docs.sparkSession)
+    // persist the (small) eval side ONCE: the sizing count, the sketch
+    // build, and the verify join all read the same cache — unpersisted,
+    // the eval lineage (often itself a tokenize+shingle pipeline, q108)
+    // would execute three times per invocation. Spark's ContextCleaner
+    // drops the cache entry when the frame is GC'd.
     val ev = evalGrams.select(col("g")).distinct()
-    // exact distinct count sizes the bit array: one cheap job over the
-    // (small) eval side; at scale pass an upper bound instead
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bloom = BloomSketch.build(ev, "g", ev.count(), fpp)
     val hits = docs
       .select(col(id), TextOps.tokens(col(text)).as("__toks"))
@@ -147,11 +151,19 @@ object Curation {
       .join(ev.select(col("g").as("__eg")), col("__g") === col("__eg"))
       .groupBy(col(id))
       .agg(count(lit(1)).as("__h"))
-    // distinct: the exact operator's groupBy(id) emits ONE row per doc
-    // id even for degenerate duplicate-id input — mirror that here or
-    // the restore join would duplicate output rows (shuffle bounded by
-    // doc count, same as the hit aggregation)
-    docs.select(col(id)).distinct().join(hits, Seq(id), "left")
+    // Restore docs whose grams ALL failed the prefilter — but the doc
+    // list must be the EXACT operator's doc set, or the contract
+    // diverges on degenerate input: a NULL text tokenizes to null and
+    // explodes to NOTHING (the exact operator emits no row for it), and
+    // a NULL id must keep its hit count through a null-SAFE join
+    // instead of silently zeroing. distinct mirrors groupBy(id)'s
+    // one-row-per-id on duplicate-id input.
+    val docIds = docs
+      .select(col(id), TextOps.tokens(col(text)).as("__toks"))
+      .filter(col("__toks").isNotNull)
+      .select(col(id)).distinct()
+    docIds.join(hits.withColumnRenamed(id, "__hid"),
+        docIds(id) <=> col("__hid"), "left")
       .select(col(id), coalesce(col("__h"), lit(0L)).as("n_hits"),
         (coalesce(col("__h"), lit(0L)) > 0).as("contaminated"))
   }

@@ -95,12 +95,7 @@ object EvalQueries {
     // scratch.
     "q111_drift_psi" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
-      val amt = col("value") * 20.0
-      val heuristic = graft.serve.RiskScore.heuristicScore(
-        amt, hour(col("ts")),
-        col("event_type") === "error", col("event_type") === "signup")
-      val blended = graft.serve.RiskScore.blend(
-        least(lit(1.0), amt / 10000.0), heuristic)
+      val blended = graft.serve.RiskScore.EventScore.blended
       val mid = ev.agg(expr(
         "(min(unix_micros(ts)) + max(unix_micros(ts))) div 2").as("mid"))
       val scored = ev.crossJoin(broadcast(mid))

@@ -97,21 +97,17 @@ object FeatureQueries {
     // H1-H4: heuristic scorer + blend + bucketing + confidence + reasons,
     // one set-oriented select (vs the reference's per-request loop)
     "q32_risk_score" -> ((s, dir) => {
-      val amt = col("value") * 20.0
-      val h = hour(col("ts"))
-      val devMissing = col("event_type") === "error"
-      val unusual = col("event_type") === "signup"
-      val heuristic = RiskScore.heuristicScore(amt, h, devMissing, unusual)
-      val model = least(lit(1.0), amt / 10000.0)
-      val blended = RiskScore.blend(model, heuristic)
+      val es = RiskScore.EventScore
+      val blended = es.blended
       Tables.events(s, dir).select(
         col("event_id"),
-        qz(heuristic, 6).as("heuristic"),
+        qz(es.heuristic, 6).as("heuristic"),
         qz(blended, 6).as("blended"),
         RiskScore.riskLevel(blended).as("risk_level"),
         RiskScore.isFraud(blended).cast("long").as("is_fraud"),
         qz(RiskScore.confidence(blended), 6).as("confidence"),
-        RiskScore.reasons(amt, h, devMissing, unusual).as("reasons")
+        RiskScore.reasons(es.amount, es.hourOfDay, es.deviceMissing,
+          es.unusualProduct).as("reasons")
       ).orderBy("event_id")
     }),
 

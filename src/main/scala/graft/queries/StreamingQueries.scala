@@ -457,14 +457,7 @@ object StreamingQueries {
     // event firehose: narrow projection, no shuffle, no state store.
     "q107_stream_score" -> ((s, dir) => {
       val evs = streamStaged(s, stageMultiFile(s, dir, "events"))
-      val amt = col("value") * 20.0
-      val h = hour(col("ts"))
-      val devMissing = col("event_type") === "error"
-      val unusual = col("event_type") === "signup"
-      val heuristic =
-        graft.serve.RiskScore.heuristicScore(amt, h, devMissing, unusual)
-      val blended =
-        graft.serve.RiskScore.blend(least(lit(1.0), amt / 10000.0), heuristic)
+      val blended = graft.serve.RiskScore.EventScore.blended
       val scored = evs.select(col("event_id"),
         qz(blended, 6).as("risk_score"),
         graft.serve.RiskScore.riskLevel(blended).as("risk_level"))

@@ -67,4 +67,22 @@ object RiskScore {
       when(deviceMissing, "missing_device"),
       when(unusualProduct, "unusual_product"),
       when(hour < 5 || hour > 23, "unusual_hour"))
+
+  /** THE canonical events→transaction scoring column mapping
+    * (amount = value·20, hour of ts, device-missing ⇔ error,
+    * unusual-product ⇔ signup, model = min(1, amount/10⁴)). One
+    * definition — q32 (batch), q107 (streaming), q111 (drift monitor)
+    * and the specs all score through these columns, so "batch ≡ stream
+    * ≡ serving ≡ monitored" holds by construction instead of by four
+    * hand-copied expression chains staying in sync. */
+  object EventScore {
+    def amount: Column = col("value") * 20.0
+    def hourOfDay: Column = hour(col("ts"))
+    def deviceMissing: Column = col("event_type") === "error"
+    def unusualProduct: Column = col("event_type") === "signup"
+    def heuristic: Column =
+      heuristicScore(amount, hourOfDay, deviceMissing, unusualProduct)
+    def model: Column = least(lit(1.0), amount / 10000.0)
+    def blended: Column = blend(model, heuristic)
+  }
 }

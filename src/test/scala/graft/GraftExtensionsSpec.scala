@@ -43,6 +43,13 @@ class GraftExtensionsSpec extends SparkSpec {
         graft.functions.BloomSketch.mightContain(col("s"), bloom)
           .cast("int"))).collect()(0).getLong(0)
       assert(hits == 100L, s"members missed: ${100 - hits}")
+      // and disjoint probes are (almost all) rejected — an expression
+      // that resolved to constant-true would pass the member check
+      val disjoint = ext.range(1000).selectExpr("md5(concat('x', id)) AS s")
+      val fp = disjoint.select(ssum(
+        graft.functions.BloomSketch.mightContain(col("s"), bloom)
+          .cast("int"))).collect()(0).getLong(0)
+      assert(fp <= 30L, s"non-member acceptance $fp/1000 far above 1% FPP")
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)

@@ -148,11 +148,18 @@ class MetricsSpec extends SparkSpec {
     assert(p1.map(_.getAs[Long]("n_ref")).sum == 500)
     assert(p1.map(_.getAs[Long]("n_cur")).sum == 500)
     assert(p1.count(r => r.getAs[Long]("n_ref") == 0 && r.getAs[Long]("n_cur") > 0) > 0)
-    // clamp: out-of-range scores land in the edge bins, never a new bin
-    val edge = Seq((1.7, false), (-0.3, true)).toDF("score", "cur")
+    // clamp: out-of-range scores land in the edge bins, never a new bin;
+    // NULL and NaN scores are excluded from both populations (the
+    // documented cross-engine contract — DuckDB drops them too)
+    val edge = Seq(
+      (Some(1.7), false), (Some(-0.3), true),
+      (None: Option[Double], false), (Some(Double.NaN), true))
+      .toDF("score", "cur")
     val pe = Metrics.psi(edge, $"score", $"cur").collect()
     assert(pe.length == 10)
     assert(pe.find(_.getAs[Long]("bin") == 9).get.getAs[Long]("n_ref") == 1)
     assert(pe.find(_.getAs[Long]("bin") == 0).get.getAs[Long]("n_cur") == 1)
+    assert(pe.map(_.getAs[Long]("n_ref")).sum == 1) // null dropped
+    assert(pe.map(_.getAs[Long]("n_cur")).sum == 1) // NaN dropped
   }
 }

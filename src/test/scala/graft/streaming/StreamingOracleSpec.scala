@@ -77,11 +77,7 @@ class StreamingOracleSpec extends SparkSpec {
   test("q107 stateless streaming scoring equals the batch scorer") {
     import graft.queries.Util.qz
     val q107 = StreamingQueries.queries("q107_stream_score")(spark, dir)
-    val amt = col("value") * 20.0
-    val heuristic = graft.serve.RiskScore.heuristicScore(amt, hour(col("ts")),
-      col("event_type") === "error", col("event_type") === "signup")
-    val blended = graft.serve.RiskScore.blend(
-      least(lit(1.0), amt / 10000.0), heuristic)
+    val blended = graft.serve.RiskScore.EventScore.blended
     val batch = graft.sources.Tables.events(spark, dir).select(
       col("event_id"), qz(blended, 6).as("risk_score"),
       graft.serve.RiskScore.riskLevel(blended).as("risk_level"))
