@@ -204,11 +204,22 @@ object TextQueries {
     // (in_sketch: every guaranteed-heavy item IS in the summary;
     // est_ok: est ∈ [cnt − N/(k+1), cnt]). Raw estimates are
     // merge-order dependent and are never hashed.
+    // PLANTED heavy set (round-8 fix of the sf1 vacuity caveat): the
+    // ScaleData replicas dilute every natural token below N/(k+1), so a
+    // green row proved only 0 = 0 at sf1. Ten __hot_i tokens are
+    // unioned in with m = n0 div 40 + 1 copies each: the new total is
+    // N = n0 + 10m ≈ 1.25·n0, so m ≈ n0/40 clears the N/65 ≈ 0.019·n0
+    // threshold with ~30% margin AT ANY SF — the heavy set is provably
+    // nonempty and the sketch guarantees are exercised, never vacuous.
     "q101_heavy_hitters" -> ((s, dir) => {
       import s.implicits._
       val k = 64
-      val toks = Tables.documents(s, dir)
+      val natural = Tables.documents(s, dir)
         .select(explode(TextOps.tokens(col("text"))).as("token"))
+      val m = natural.count() / 40 + 1
+      val plants = s.range(10 * m)
+        .select(concat(lit("__hot_"), col("id") % 10).as("token"))
+      val toks = natural.unionByName(plants)
       val summary: Map[String, Long] =
         toks.as[String].select(new graft.functions.FreqSketchAgg(k).toColumn.name("s")).head()
       val exact = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
@@ -465,9 +476,16 @@ object TextQueries {
     // exact heavy set + counts; the sketch guarantees are always-true
     // flags on the Spark side (k=64 → threshold N/65)
     "q101_heavy_hitters" ->
-      """WITH toks AS (
+      """WITH nat AS (
         | SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
         | FROM documents),
+        |n0 AS (SELECT count(*) AS c FROM nat),
+        |plant AS (
+        | SELECT unnest(regexp_split_to_array(rtrim(repeat(
+        |   '__hot_' || CAST(h AS VARCHAR) || ' ',
+        |   CAST((SELECT c // 40 + 1 FROM n0) AS BIGINT))), '\s+')) AS token
+        | FROM generate_series(0, 9) AS t(h)),
+        |toks AS (SELECT token FROM nat UNION ALL SELECT token FROM plant),
         |tot AS (SELECT count(*) AS n FROM toks),
         |cnt AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token)
         |SELECT token, cnt, CAST(1 AS BIGINT) AS in_sketch,
