@@ -70,6 +70,40 @@ object Embeddings {
       .distinct()
   }
 
+  /** SemDeDup-shaped semantic dedup (cluster-then-dedup, per the public
+    * SemDeDup method: Abbas et al. 2023, arXiv:2303.09540): partition
+    * the corpus by the IVF coarse quantizer's centroid assignment, then
+    * emit exact-cosine-verified near-duplicate pairs WITHIN each
+    * cluster. The pair join is quadratic only inside a centroid bucket
+    * — Σ|bucket|² work, never corpus² — and the verify cosine runs only
+    * on co-clustered candidates, which is the property that makes
+    * embedding-level dedup feasible at 10⁹ documents: the quantizer is
+    * a bounded driver-side k-means (Ivf.build) and the assignment is a
+    * map-side argmax, so the only shuffle is the bucket hash.
+    *
+    * Recall contract: a near-duplicate pair is found iff both sides
+    * land in the same centroid bucket. For true near-dups (cos → 1)
+    * the argmax centroid is the same unless the pair straddles a
+    * Voronoi boundary — the standard SemDeDup trade, surfaced honestly
+    * (q112 plants COLINEAR clones, which provably co-cluster: scaling
+    * a vector scales every centroid dot by the same positive constant,
+    * preserving the argmax). Downstream: group pairs (q65's connected
+    * components) and keep min-id per group. */
+  def semanticDedupPairs(df: DataFrame, id: String, vec: String,
+                         nLists: Int, minSim: Double): DataFrame = {
+    val idx = Ivf.build(df, id, vec, nLists)
+    val a = idx.assigned.filter(col("centroid_id") >= 0)
+      .select(col("centroid_id"), col(id).as("id1"), col(vec).as("v1"))
+    val b = idx.assigned.filter(col("centroid_id") >= 0)
+      .select(col("centroid_id"), col(id).as("id2"), col(vec).as("v2"))
+    a.join(b, Seq("centroid_id"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("sim",
+        nativeCosine(df.sparkSession, col("v1"), col("v2")))
+      .filter(col("sim") >= minSim)
+      .select(col("id1"), col("id2"), col("sim"))
+  }
+
   def cosineTopK(queries: DataFrame, corpus: DataFrame, qid: String,
                  cid: String, vec: String, k: Int): DataFrame = {
     val q = queries.select(col(qid).as("query_id"), col(vec).as("qv"))

@@ -130,6 +130,29 @@ object EmbeddingQueries {
           (col("_pf") === col("n_planted")).as("planted_all_found"),
           (col("n_true") === 0 ||
             col("_nh").cast("double") / col("n_true") >= 0.7).as("recall_ok"))
+    }),
+
+    // SemDeDup (cluster-then-dedup) with a PROVABLE planted recall set:
+    // every 25th vector gets a COLINEAR clone (×1.001 scaling) under a
+    // disjoint id — scaling multiplies every centroid dot by the same
+    // positive constant, so the clone's argmax centroid equals its
+    // original's and the pair cannot straddle a Voronoi boundary. The
+    // emitted surface is the (original, clone) containment set: one
+    // missing row = the bucketed pair join lost a guaranteed-recall
+    // pair; one extra row is impossible (no natural pair reaches 0.99
+    // on this corpus — verified, and the filter pins the id offset).
+    // qz(sim,3) rounds the float-arithmetic cosine of colinear vectors
+    // (1 − O(1e-7)) to exactly 1.0 in both engines.
+    "q112_semantic_dedup" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val clones = e.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 1000000000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
+      Embeddings.semanticDedupPairs(e.unionByName(clones),
+          "vec_id", "embedding", nLists = 8, minSim = 0.99)
+        .filter(col("id2") === col("id1") + 1000000000L)
+        .select(col("id1"), col("id2"), qz(col("sim"), 3).as("sim"))
+        .orderBy("id1")
     })
   )
 
@@ -217,6 +240,13 @@ object EmbeddingQueries {
         |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
         | FROM sims)
         |SELECT query_id, neighbor_id, sim FROM ranked WHERE rn <= 5
-        |ORDER BY query_id, neighbor_id""".stripMargin
+        |ORDER BY query_id, neighbor_id""".stripMargin,
+
+    // the guaranteed-recall containment set: one row per planted
+    // colinear clone, sim exactly 1.0 at 3 decimals
+    "q112_semantic_dedup" ->
+      """SELECT vec_id AS id1, vec_id + 1000000000 AS id2,
+        | 1.0 + 0.0 AS sim
+        |FROM embeddings WHERE vec_id % 25 = 0 ORDER BY id1""".stripMargin
   )
 }

@@ -47,4 +47,33 @@ class EmbeddingsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("mean") - 2.0 / 3) < 1e-12)
     assert(r.getAs[Double]("min_v") == 0.0 && r.getAs[Double]("max_v") == 1.0)
   }
+
+  test("semanticDedupPairs: colinear clones found, dissimilar pairs absent, CC keeps min id") {
+    // 40 well-separated random vectors + a colinear clone of every 4th:
+    // clones MUST pair with their original (same argmax centroid — the
+    // scaling argument), and no random-random pair reaches 0.95
+    val rnd = new scala.util.Random(11)
+    val base = (0 until 40).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() - 0.5f)))
+    val clones = base.filter(_._1 % 4 == 0).map { case (i, v) =>
+      (i + 1000L, v.map(x => x * 1.001f)) }
+    val df = (base ++ clones).toDF("vec_id", "embedding")
+    val pairs = Embeddings.semanticDedupPairs(df, "vec_id", "embedding",
+      nLists = 4, minSim = 0.95)
+    val rows = pairs.collect()
+    val clonePairs = rows.filter(r => r.getLong(1) == r.getLong(0) + 1000L)
+    assert(clonePairs.length == 10,
+      s"expected 10 clone pairs, got ${clonePairs.length}: ${rows.mkString(",")}")
+    assert(rows.forall(_.getAs[Double]("sim") >= 0.95))
+    // dedup composition: connected components over the pairs keeps the
+    // original (min id) as every group's canonical representative
+    val cc = graft.operators.Dedup.connectedComponents(
+      pairs.select(col("id1").as("doc1"), col("id2").as("doc2")), "doc1", "doc2")
+    val canon = cc.collect().map(r =>
+      r.getAs[Long]("id") -> r.getAs[Long]("canonical_id")).toMap
+    clonePairs.foreach { p =>
+      assert(canon(p.getLong(1)) == p.getLong(0),
+        s"clone ${p.getLong(1)} should canonicalize to ${p.getLong(0)}")
+    }
+  }
 }
