@@ -85,10 +85,11 @@ object Embeddings {
     * land in the same centroid bucket. For true near-dups (cos → 1)
     * the argmax centroid is the same unless the pair straddles a
     * Voronoi boundary — the standard SemDeDup trade, surfaced honestly
-    * (q112 plants COLINEAR clones, which provably co-cluster: scaling
-    * a vector scales every centroid dot by the same positive constant,
-    * preserving the argmax). Downstream: group pairs (q65's connected
-    * components) and keep min-id per group. */
+    * (q112 plants clones scaled by EXACTLY 2: power-of-two scaling
+    * commutes with IEEE rounding, so every centroid dot and the argmax
+    * are exact doubles of the original's and co-clustering is an
+    * arithmetic identity, not a rounding-dependent claim). Downstream:
+    * group pairs (q65's connected components), keep min-id per group. */
   def semanticDedupPairs(df: DataFrame, id: String, vec: String,
                          nLists: Int, minSim: Double): DataFrame = {
     val idx = Ivf.build(df, id, vec, nLists)
@@ -98,8 +99,11 @@ object Embeddings {
       .select(col("centroid_id"), col(id).as("id2"), col(vec).as("v2"))
     a.join(b, Seq("centroid_id"))
       .filter(col("id1") < col("id2"))
+      // 1e-6 quantization: the codebase's pair-sim determinism
+      // convention (cosineProbePairs/lshNeighborPairs apply the same),
+      // so the threshold cut and emitted sims are run-stable
       .withColumn("sim",
-        nativeCosine(df.sparkSession, col("v1"), col("v2")))
+        round(nativeCosine(df.sparkSession, col("v1"), col("v2")) * 1e6) / 1e6)
       .filter(col("sim") >= minSim)
       .select(col("id1"), col("id2"), col("sim"))
   }

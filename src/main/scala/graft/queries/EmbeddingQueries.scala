@@ -133,24 +133,29 @@ object EmbeddingQueries {
     }),
 
     // SemDeDup (cluster-then-dedup) with a PROVABLE planted recall set:
-    // every 25th vector gets a COLINEAR clone (×1.001 scaling) under a
-    // disjoint id — scaling multiplies every centroid dot by the same
-    // positive constant, so the clone's argmax centroid equals its
-    // original's and the pair cannot straddle a Voronoi boundary. The
-    // emitted surface is the (original, clone) containment set: one
-    // missing row = the bucketed pair join lost a guaranteed-recall
-    // pair; one extra row is impossible (no natural pair reaches 0.99
-    // on this corpus — verified, and the filter pins the id offset).
-    // qz(sim,3) rounds the float-arithmetic cosine of colinear vectors
-    // (1 − O(1e-7)) to exactly 1.0 in both engines.
+    // every 25th vector gets a clone scaled by EXACTLY 2 under a
+    // disjoint id. ×2 is a power of two, and IEEE rounding commutes
+    // with power-of-two scaling — every float component, every centroid
+    // dot, and the argmax are EXACT doubles of the original's, so the
+    // clone co-clusters with its original by arithmetic identity (not
+    // "up to rounding"), and cos(v, 2v) is exactly 1.0. The emitted
+    // surface is the (original, clone) containment set: one missing
+    // row = the bucketed pair join lost a guaranteed-recall pair; one
+    // extra row is impossible (no natural pair reaches 0.99 on this
+    // corpus — verified — and the 1e12 id offset is disjoint from
+    // ScaleData's replica stride at any copies count, unlike 1e9
+    // which collides at copies ≥ 100). nLists scales as √n per the
+    // Ivf sizing rule, keeping the in-bucket pair work ~n^1.5, not n².
     "q112_semantic_dedup" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
       val clones = e.filter(col("vec_id") % 25 === 0)
-        .select((col("vec_id") + 1000000000L).as("vec_id"),
-          transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
-      Embeddings.semanticDedupPairs(e.unionByName(clones),
-          "vec_id", "embedding", nLists = 8, minSim = 0.99)
-        .filter(col("id2") === col("id1") + 1000000000L)
+        .select((col("vec_id") + 1000000000000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      val corpus = e.unionByName(clones)
+      val nLists = math.max(8, math.sqrt(corpus.count().toDouble).toInt)
+      Embeddings.semanticDedupPairs(corpus,
+          "vec_id", "embedding", nLists, minSim = 0.99)
+        .filter(col("id2") === col("id1") + 1000000000000L)
         .select(col("id1"), col("id2"), qz(col("sim"), 3).as("sim"))
         .orderBy("id1")
     })
@@ -245,7 +250,7 @@ object EmbeddingQueries {
     // the guaranteed-recall containment set: one row per planted
     // colinear clone, sim exactly 1.0 at 3 decimals
     "q112_semantic_dedup" ->
-      """SELECT vec_id AS id1, vec_id + 1000000000 AS id2,
+      """SELECT vec_id AS id1, vec_id + 1000000000000 AS id2,
         | 1.0 + 0.0 AS sim
         |FROM embeddings WHERE vec_id % 25 = 0 ORDER BY id1""".stripMargin
   )

@@ -214,16 +214,22 @@ object TextQueries {
     "q101_heavy_hitters" -> ((s, dir) => {
       import s.implicits._
       val k = 64
+      // persist: the tokenized stream feeds the sizing count, the
+      // sketch pass and the exact census — unpersisted it would
+      // re-tokenize the corpus per job (the verify-skill persist rule)
       val natural = Tables.documents(s, dir)
         .select(explode(TextOps.tokens(col("text"))).as("token"))
-      val m = natural.count() / 40 + 1
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n0 = natural.count()
+      val m = n0 / 40 + 1
       val plants = s.range(10 * m)
         .select(concat(lit("__hot_"), col("id") % 10).as("token"))
       val toks = natural.unionByName(plants)
       val summary: Map[String, Long] =
         toks.as[String].select(new graft.functions.FreqSketchAgg(k).toColumn.name("s")).head()
       val exact = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
-      val n = exact.agg(coalesce(sum(col("cnt")), lit(0L))).head().getLong(0)
+      // total is driver arithmetic, not a fourth pass: n = n0 + 10·m
+      val n = n0 + 10 * m
       val bound = n.toDouble / (k + 1)
       val sumDf = summary.toSeq.toDF("token", "est")
       exact.filter(col("cnt") > bound)

@@ -49,14 +49,16 @@ class EmbeddingsSpec extends SparkSpec {
   }
 
   test("semanticDedupPairs: colinear clones found, dissimilar pairs absent, CC keeps min id") {
-    // 40 well-separated random vectors + a colinear clone of every 4th:
-    // clones MUST pair with their original (same argmax centroid — the
-    // scaling argument), and no random-random pair reaches 0.95
+    // 40 well-separated random vectors + an exactly-colinear (×2)
+    // clone of every 4th: clones MUST pair with their original (×2 is
+    // a power of two — centroid dots and the argmax are exact doubles,
+    // co-clustering is an arithmetic identity), and no random-random
+    // pair reaches 0.95 (seeded)
     val rnd = new scala.util.Random(11)
     val base = (0 until 40).map(i =>
       (i.toLong, Array.fill(16)(rnd.nextFloat() - 0.5f)))
     val clones = base.filter(_._1 % 4 == 0).map { case (i, v) =>
-      (i + 1000L, v.map(x => x * 1.001f)) }
+      (i + 1000L, v.map(x => x * 2.0f)) }
     val df = (base ++ clones).toDF("vec_id", "embedding")
     val pairs = Embeddings.semanticDedupPairs(df, "vec_id", "embedding",
       nLists = 4, minSim = 0.95)
@@ -64,7 +66,10 @@ class EmbeddingsSpec extends SparkSpec {
     val clonePairs = rows.filter(r => r.getLong(1) == r.getLong(0) + 1000L)
     assert(clonePairs.length == 10,
       s"expected 10 clone pairs, got ${clonePairs.length}: ${rows.mkString(",")}")
-    assert(rows.forall(_.getAs[Double]("sim") >= 0.95))
+    // EXACTLY the clone pairs: a regressed pair filter (id1 <= id2, a
+    // dropped orientation guard) or a loosened verify would add rows
+    assert(rows.length == 10, s"expected exactly 10 pairs, got ${rows.length}")
+    assert(rows.forall(_.getAs[Double]("sim") == 1.0))
     // dedup composition: connected components over the pairs keeps the
     // original (min id) as every group's canonical representative
     val cc = graft.operators.Dedup.connectedComponents(
