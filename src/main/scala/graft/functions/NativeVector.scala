@@ -266,11 +266,162 @@ object TokenClassCounts {
   }
 }
 
+/** Single-pass per-document n-gram census: (total, distinct, top count)
+  * over the space-joined n-grams of a token array — the three numbers
+  * Gopher-style repetition filters need (dup fraction, top fraction).
+  *
+  * The composable form (explode n-gram structs → groupBy(doc, n, gram)
+  * → groupBy(doc, n) → pivot) shuffles EVERY GRAM of the corpus twice
+  * for what is a per-row computation: at 100 TB that shuffle is the
+  * whole job. This expression computes all three statistics in one
+  * local pass (map-side, zero exchanges), inside whole-stage codegen.
+  *
+  * Exactness: grams are counted by their TOKEN-ID sequences, not the
+  * joined strings — valid because tokens are produced by `\s+` splits
+  * and so contain no whitespace, making "join with space" injective on
+  * token sequences (the DuckDB oracle counts the joined strings; both
+  * counts are the same partition of gram positions). Gram positions
+  * mirror the composed form exactly: i ∈ [0, max(len−n, 0)], the tail
+  * grams clipped by the slice, a 0-length array yielding the single
+  * empty gram. */
+case class NgramStats(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = NgramStats.schema
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"ngram_stats expects (array<string>, int), got ${l.simpleString}, ${r.simpleString}")
+    }
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    NgramStats.stats(a.asInstanceOf[ArrayData], b.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.NgramStats.stats($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object NgramStats {
+  val schema: StructType = StructType(Seq(
+    StructField("total", LongType, nullable = false),
+    StructField("distinct", LongType, nullable = false),
+    StructField("top", LongType, nullable = false)))
+
+  /** Shared by interpreted eval and codegen (JIT compiles it once).
+    *
+    * Two-phase: intern tokens to dense ids via one hash map (exact —
+    * id equality IS string equality), then count gram KEYS in an
+    * open-addressed long→count table. A gram key packs the (id+1)
+    * sequence into one long (0 = past-the-end padding for clipped tail
+    * grams), so n=2 always fits (31 bits/id) and n=3 fits while a doc
+    * has < 2²¹ distinct tokens; wider grams or absurdly diverse docs
+    * fall back to counting the joined UTF8String keys — same numbers,
+    * no silent cap. */
+  def stats(toks: ArrayData, n: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    require(n >= 1, s"ngram_stats: gram order must be >= 1, got $n")
+    val len = toks.numElements()
+    if (len == 0) return row(1L, 1L, 1L) // the single empty gram
+    val total = math.max(len - n, 0) + 1
+    val bitsPerId = if (n <= 2) 31 else 63 / n
+    // intern tokens; null elements count as "" (concat_ws parity is
+    // unreachable — \s+ split arrays carry no nulls — but never NPE)
+    val ids = new Array[Int](len)
+    val intern = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer](len * 2)
+    var i = 0
+    while (i < len) {
+      val t = toks.getUTF8String(i)
+      val key = if (t == null) org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8 else t
+      val seen = intern.get(key)
+      if (seen == null) { ids(i) = intern.size(); intern.put(key, ids(i)) }
+      else ids(i) = seen.intValue()
+      i += 1
+    }
+    if (intern.size() + 1 < (1 << bitsPerId)) packedCount(ids, len, n, total, bitsPerId)
+    else stringCount(toks, len, n, total)
+  }
+
+  private def row(total: Long, distinct: Long, top: Long) =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](total, distinct, top))
+
+  private def packedCount(ids: Array[Int], len: Int, n: Int, total: Int,
+                          bitsPerId: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    // open addressing, power-of-two capacity >= 2*total, keys never 0
+    // (the leading id+1 is >= 1)
+    var cap = 4
+    while (cap < total * 2) cap <<= 1
+    val keys = new Array[Long](cap)
+    val counts = new Array[Int](cap)
+    val mask = cap - 1
+    var distinct = 0L
+    var top = 0L
+    var i = 0
+    while (i < total) {
+      var key = 0L
+      var j = 0
+      while (j < n) {
+        val id = if (i + j < len) ids(i + j) + 1 else 0
+        key = (key << bitsPerId) | id.toLong
+        j += 1
+      }
+      var slot = (scramble(key) & mask).toInt
+      while (keys(slot) != 0L && keys(slot) != key) slot = (slot + 1) & mask
+      if (keys(slot) == 0L) { keys(slot) = key; distinct += 1 }
+      counts(slot) += 1
+      if (counts(slot) > top) top = counts(slot)
+      i += 1
+    }
+    row(total.toLong, distinct, top)
+  }
+
+  private def scramble(key: Long): Long = {
+    val h = key * 0x9E3779B97F4A7C15L
+    h ^ (h >>> 32)
+  }
+
+  private def stringCount(toks: ArrayData, len: Int, n: Int,
+                          total: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val space = UTF8String.fromString(" ")
+    val m = new java.util.HashMap[UTF8String, Array[Int]](total * 2)
+    var distinct = 0L
+    var top = 0L
+    var i = 0
+    while (i < total) {
+      val parts = new Array[UTF8String](math.min(n, len - i))
+      var j = 0
+      while (j < parts.length) {
+        val t = toks.getUTF8String(i + j)
+        parts(j) = if (t == null) UTF8String.EMPTY_UTF8 else t
+        j += 1
+      }
+      val g = UTF8String.concatWs(space, parts: _*)
+      var c = m.get(g)
+      if (c == null) { c = Array(0); m.put(g, c); distinct += 1 }
+      c(0) += 1
+      if (c(0) > top) top = c(0)
+      i += 1
+    }
+    row(total.toLong, distinct, top)
+  }
+}
+
 object NativeVector {
   val FnName = "float_dot"
   val IntersectFnName = "sorted_long_intersect"
   val SimHashFnName = "simhash32"
   val TokenClassFnName = "token_class_counts"
+  val NgramStatsFnName = "ngram_stats"
 
   /** Register once per session; then `dot`/`sortedIntersect` resolve to
     * the native expressions through the function registry. Arity is
@@ -295,6 +446,9 @@ object NativeVector {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       TokenClassFnName, checked(TokenClassFnName, 1)(
         e => TokenClassCounts(e.head)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      NgramStatsFnName, checked(NgramStatsFnName, 2)(
+        e => NgramStats(e(0), e(1))), "built-in")
   }
 
   def dot(a: Column, b: Column): Column = call_function(FnName, a, b)
@@ -302,6 +456,8 @@ object NativeVector {
     call_function(IntersectFnName, a, b)
   def simhash32(a: Column): Column = call_function(SimHashFnName, a)
   def tokenClassCounts(a: Column): Column = call_function(TokenClassFnName, a)
+  def ngramStats(toks: Column, n: Int): Column =
+    call_function(NgramStatsFnName, toks, org.apache.spark.sql.functions.lit(n))
 
   /** cos(a,b) from raw float arrays: dot/(‖a‖·‖b‖), every norm evaluated
     * once per row via the native dot. THE single cosine form — Embeddings

@@ -173,14 +173,9 @@ object TextOps {
     *     repeats of an earlier occurrence (1 − distinct/total);
     *   - top_{n}gram_frac: fraction contributed by the single most
     *     frequent n-gram.
-    * Distributed shape (the only one that scales — a per-row
-    * aggregate-over-distinct-grams HOF would be O(distinct·total) per
-    * doc and allocate the whole gram multiset in one task): explode
-    * (doc, n, gram) once for all requested n, count by (doc, n, gram)
-    * with map-side partial aggregation, then roll up to (doc, n) and
-    * pivot the (small, fixed) n set with conditional aggregates. Two
-    * shuffles, both on keys that only shrink; no doc's state ever
-    * exceeds its own gram count.
+    * Per-doc state is bounded by the doc's own gram count — the same
+    * bound the old explode → two-shuffle rollup paid, now without any
+    * exchange at all (see inline comment).
     *
     * Gram construction mirrors the q53 oracle form exactly:
     * generate_series(0, greatest(len−n, 0)) slices joined with spaces —
@@ -190,30 +185,24 @@ object TextOps {
   def repetitionSignals(docs: DataFrame, id: String, text: String,
                         ns: Seq[Int] = Seq(2, 3)): DataFrame = {
     require(ns.nonEmpty && ns.forall(_ >= 1), s"bad gram orders $ns")
+    graft.functions.NativeVector.register(docs.sparkSession)
     // __-prefixed internals (repo convention for staged columns): a
-    // caller frame carrying its own "n"/"g"/"toks" must not collide
-    val toks = col("__toks")
-    val gramStructs = ns.map { n =>
-      transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
-        i => struct(lit(n).as("n"), concat_ws(" ", slice(toks, i + 1, lit(n))).as("g")))
-    }
-    val grams = docs
+    // caller frame carrying its own "toks" must not collide.
+    // The statistics are strictly per-document, so the scalable shape is
+    // ZERO exchanges: the native ngram_stats expression (one local
+    // counting pass per (doc, n) inside whole-stage codegen) replaces
+    // the earlier explode → groupBy(doc, n, gram) → groupBy(doc, n) →
+    // pivot pipeline, which shuffled every gram of the corpus twice —
+    // at 100 TB that shuffle IS the job. A null text tokenizes to null
+    // and emits no row, matching the explode form's drop.
+    val staged = docs
       .select(col(id), tokens(col(text)).as("__toks"))
-      .select(col(id), explode(flatten(array(gramStructs: _*))).as("__gr"))
-      .select(col(id), col("__gr.n").as("__n"), col("__gr.g").as("__g"))
-    val perGram = grams.groupBy(col(id), col("__n"), col("__g"))
-      .agg(count(lit(1)).as("__c"))
-    val perOrder = perGram.groupBy(col(id), col("__n"))
-      .agg(sum("__c").as("__tot"), count(lit(1)).as("__dist"), max("__c").as("__top"))
-    // one row per (doc, n) — max() is just the pivot pick
-    val picks = ns.flatMap { n =>
-      Seq(
-        s"n_${n}grams" -> max(when(col("__n") === n, col("__tot"))).cast("long"),
-        s"d_${n}grams" -> max(when(col("__n") === n, col("__dist"))).cast("long"),
-        s"top_${n}gram" -> max(when(col("__n") === n, col("__top"))).cast("long"))
-    }
-    perOrder.groupBy(col(id))
-      .agg(picks.head._2.as(picks.head._1),
-        picks.tail.map { case (nm, c) => c.as(nm) }: _*)
+      .filter(col("__toks").isNotNull)
+      .select(col(id) +: ns.map(n =>
+        graft.functions.NativeVector.ngramStats(col("__toks"), n).as(s"__st_$n")): _*)
+    staged.select(col(id) +: ns.flatMap(n => Seq(
+      col(s"__st_$n.total").as(s"n_${n}grams"),
+      col(s"__st_$n.distinct").as(s"d_${n}grams"),
+      col(s"__st_$n.top").as(s"top_${n}gram"))): _*)
   }
 }

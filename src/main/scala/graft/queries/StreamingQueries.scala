@@ -6,7 +6,6 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
-import org.apache.spark.sql.types.LongType
 import Util.{Q, qz}
 
 /** Streaming queries with BATCH oracles (SURVEY.md §2.10 H6).
@@ -108,13 +107,13 @@ object StreamingQueries {
     * maxFilesPerTrigger=1 yields n data-carrying batches. */
   private def stageMultiFile(s: SparkSession, dir: String, table: String,
                              nFiles: Int = 4): String =
-    stagedDir(s, s"${table}_$nFiles", 1, dir) { stage =>
+    // v2: driver testdata regenerated round 9 (events.ts re-encoded
+    // TIMESTAMP(NANOS) → µs-NTZ, values re-drawn) — v1 stages on disk
+    // were built from the old files and must not be served
+    stagedDir(s, s"${table}_$nFiles", 2, dir) { stage =>
       withNanosAsLong(s) {
-        val raw = s.read.parquet(s"$dir/$table.parquet")
-        val normalized =
-          if (raw.schema.exists(f => f.name == "ts" && f.dataType == LongType))
-            raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-          else raw
+        val normalized = graft.sources.Tables.normalizeTs(
+          s.read.parquet(s"$dir/$table.parquet"))
         normalized.repartition(nFiles).write.mode("overwrite").parquet(stage.toString)
       }
     }
@@ -155,7 +154,7 @@ object StreamingQueries {
     * out; either mistake shifts n and the poisoned sums by 1e6-sized
     * amounts. */
   private def stageLatenessFiles(s: SparkSession, dir: String): String =
-    stagedDir(s, "late_events", 1, dir) { stage =>
+    stagedDir(s, "late_events", 2, dir) { stage =>  // v2: round-9 data regen
       val ev = graft.sources.Tables.events(s, dir)
         .select(col("ts"), col("event_type"), col("value"))
       val (mn, mx) = tsBoundsUs(ev)
@@ -190,7 +189,7 @@ object StreamingQueries {
     * are poisoned (2e6/3e6 + j) so a lost or duplicated pair is
     * hash-visible. */
   private def stageJoinFiles(s: SparkSession, dir: String): String =
-    stagedDir(s, "join_events", 1, dir) { stage =>
+    stagedDir(s, "join_events", 2, dir) { stage =>  // v2: round-9 data regen
       val ev = graft.sources.Tables.events(s, dir)
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))

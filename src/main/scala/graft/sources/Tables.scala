@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the harness star schema (TESTDATA.md).
   *
@@ -22,27 +22,40 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = read(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame     = read(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame     = read(spark, dir, "region")
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. Read nanos as long (legacy conf) and
-    * truncate to microseconds — the same ns→µs floor DuckDB applies when
-    * it loads the file, so both engines see identical event times.
-    *
-    * The conf is save/restored around the read, not left set (round-8
-    * leak fix): the parquet relation captures its hadoop conf when
-    * `spark.read.parquet` builds it, so later actions on the returned
-    * lazy frame don't need the session conf anymore (probed
+  /** Normalize an event-time column to proper TIMESTAMP no matter how
+    * the writer encoded it — the driver testdata has shipped `events.ts`
+    * in two physical forms across rounds:
+    *  - parquet TIMESTAMP(NANOS): Spark's vectorized reader rejects it;
+    *    with the legacy nanos-as-long conf it arrives as LongType nanos,
+    *    floored to µs here (the same ns→µs floor DuckDB applies);
+    *  - parquet timestamp[us] with isAdjustedToUTC=false: Spark ≥3.4
+    *    infers TIMESTAMP_NTZ. Every graft session pins the UTC session
+    *    timezone, so `cast(ntz as timestamp)` reinterprets the wall
+    *    clock as UTC — the exact epoch micros DuckDB's naive TIMESTAMP
+    *    read yields for the same file.
+    * Either way downstream code sees one type (TimestampType, UTC), and
+    * `unix_micros`/`window()`/`getTimestamp` all keep working when the
+    * driver regenerates the data in the other encoding. */
+  def normalizeTs(df: DataFrame, c: String = "ts"): DataFrame =
+    df.schema.find(_.name == c).map(_.dataType) match {
+      case Some(LongType)         => df.withColumn(c, timestamp_micros(expr(s"`$c` div 1000")))
+      case Some(TimestampNTZType) => df.withColumn(c, col(c).cast(TimestampType))
+      case _                      => df
+    }
+
+  /** The nanos-as-long conf is save/restored around the read, not left
+    * set (round-8 leak fix): the parquet relation captures its hadoop
+    * conf when `spark.read.parquet` builds it, so later actions on the
+    * returned lazy frame don't need the session conf anymore (probed
     * empirically: count/collect succeed after an unset), while a leaked
-    * `true` would make any OTHER nanos-parquet read silently see longs. */
+    * `true` would make any OTHER nanos-parquet read silently see longs.
+    * It is a no-op for the µs-NTZ encoding. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "true")
-    try {
-      val raw = read(spark, dir, "events")
-      if (raw.schema("ts").dataType == LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
-    } finally prev match {
+    try normalizeTs(read(spark, dir, "events"))
+    finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None    => spark.conf.unset(key)
     }

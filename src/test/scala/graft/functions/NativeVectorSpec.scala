@@ -129,4 +129,55 @@ class NativeVectorSpec extends SparkSpec {
     info(f"200k docs: fused loop $tNative%.2fs vs 3 regex scans $tRegex%.2fs (sums $a/$b)")
     assert(tNative < tRegex)
   }
+
+  /** Brute-force reference for ngram_stats: count the space-joined gram
+    * strings exactly as the q105 oracle does. */
+  private def gramRef(toks: Seq[String], n: Int): (Long, Long, Long) = {
+    val total = math.max(toks.length - n, 0) + 1
+    val grams = (0 until total).map(i => toks.slice(i, i + n).mkString(" "))
+    val counts = grams.groupBy(identity).view.mapValues(_.size).toMap
+    (total.toLong, counts.size.toLong, counts.values.max.toLong)
+  }
+
+  test("ngram_stats matches brute-force joined-string counting (random docs, both paths)") {
+    NativeVector.register(spark)
+    val rnd = new scala.util.Random(11)
+    // small vocab forces heavy repetition (exercises top/dup); lengths
+    // 0..40 cover len < n clipping and the single-empty-gram case
+    val docs = (0 until 400).map { i =>
+      val len = rnd.nextInt(41)
+      (i.toLong, Seq.fill(len)(s"w${rnd.nextInt(6)}"))
+    }
+    // n=22 drives bitsPerId to 2, so any doc with >2 distinct tokens
+    // takes the string-keyed fallback — both code paths under one ref
+    for (n <- Seq(1, 2, 3, 22)) {
+      val got = docs.toDF("id", "toks")
+        .select($"id", NativeVector.ngramStats($"toks", n).as("st"))
+        .select($"id", $"st.total", $"st.distinct", $"st.top")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      docs.foreach { case (id, toks) =>
+        assert(got(id) == gramRef(toks, n), s"doc $id n=$n toks=$toks")
+      }
+    }
+  }
+
+  test("ngram_stats stays inside whole-stage codegen") {
+    NativeVector.register(spark)
+    // input must depend on the row (a literal constant-folds at plan
+    // time); the expression must live INSIDE a WholeStageCodegen stage,
+    // not fall back to interpreted projection
+    val df = spark.range(4L)
+      .select(split(concat(lit("a b a b w"), $"id"), " ").as("toks"))
+      .select(NativeVector.ngramStats($"toks", 2).as("st"))
+    val inCodegen = df.queryExecution.executedPlan.exists {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec =>
+        w.toString.contains("ngramstats")
+      case _ => false
+    }
+    assert(inCodegen, df.queryExecution.executedPlan.toString)
+    // "a b a b w0": 2-grams "a b", "b a", "a b", "b w0"
+    val r = df.select($"st.total", $"st.distinct", $"st.top").first()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((4L, 3L, 2L)))
+  }
 }
