@@ -275,6 +275,59 @@ object Metrics {
         col("psi_contrib"), col("psi"))
   }
 
+  /** Calibration diagnostics for a probabilistic scorer: per-bin
+    * reliability rows (n, mean predicted score, observed positive
+    * fraction) over B equal-width score bins, plus the two standard
+    * scalar summaries on every row (spine-total, q111 convention):
+    *   - ECE  = Σ_b (n_b/N)·|mean_score_b − frac_pos_b|
+    *   - Brier = mean((score − label)²)
+    * A well-calibrated scorer has mean_score ≈ frac_pos in every bin —
+    * the check a fraud-ops team runs before trusting "risk 0.8" to mean
+    * 80%. One scan: binning is a bounded groupBy (shuffle rows ≤ B, map-
+    * side combined), Brier folds into the same pass as conditional sums.
+    * Null/NaN scores are EXCLUDED with the explicit guard (least/
+    * greatest ignore nulls — the q111 lesson); scores clamp into
+    * [0,1) bins with greatest(least(floor(s·B), B−1), 0).
+    *
+    * Cross-engine parity: mean_score and frac_pos are quantized (qz 6)
+    * BEFORE the |diff|, so ECE is a B-term sum of identically-rounded
+    * operands in both engines (quantize-before-derive, the windowed-
+    * quotient rule). */
+  def calibration(df: DataFrame, label: Column, score: Column,
+                  bins: Int = 10): DataFrame = {
+    val sc = score.cast("double")
+    val y = label.cast("long")
+    val rawBin = greatest(least(floor(sc * bins), lit(bins - 1)), lit(0))
+    val perBin = df
+      .select(when(sc.isNull || isnan(sc), lit(null)).otherwise(rawBin)
+          .cast("long").as("bin"),
+        sc.as("__s"), y.as("__y"))
+      .filter(col("bin").isNotNull)
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(col("__s")).as("__sum_s"),
+        sum(col("__y")).as("__sum_y"),
+        sum((col("__s") - col("__y")) * (col("__s") - col("__y"))).as("__sum_sq"))
+    val spine = df.sparkSession.range(bins).select(col("id").as("bin"))
+    val q6 = (c: Column) => round(c * 1e6) / 1e6
+    val full = spine.join(perBin, Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("__sum_s"), lit(0.0)).as("__sum_s"),
+        coalesce(col("__sum_y"), lit(0L)).as("__sum_y"),
+        coalesce(col("__sum_sq"), lit(0.0)).as("__sum_sq"))
+      .select(col("bin"), col("n"),
+        when(col("n") > 0, q6(col("__sum_s") / col("n"))).as("mean_score"),
+        when(col("n") > 0, q6(col("__sum_y").cast("double") / col("n"))).as("frac_pos"),
+        col("__sum_sq"))
+    val tot = full.agg(sum("n").as("__N"), sum("__sum_sq").as("__SQ"),
+      sum(when(col("n") > 0,
+        abs(col("mean_score") - col("frac_pos")) * col("n"))).as("__E"))
+    full.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n"), col("mean_score"), col("frac_pos"),
+        when(col("__N") > 0, col("__E") / col("__N")).as("ece"),
+        when(col("__N") > 0, col("__SQ") / col("__N")).as("brier"))
+  }
+
   /** E7: metrics at a grid of thresholds via explode — one shuffle-free
     * pass over (rows × |grid|) conditional sums. */
   def thresholdGrid(df: DataFrame, label: Column, score: Column,

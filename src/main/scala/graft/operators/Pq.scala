@@ -1,0 +1,257 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.NativeVector
+
+/** Product quantization (PQ) for embedding compression + approximate
+  * nearest-neighbor search — the byte-code memory tier of the ANN family
+  * (SURVEY.md §7), next to SRP-LSH (recall-oriented) and IVF (scan-
+  * pruning). Public technique: Jégou, Douze, Schmid, "Product
+  * Quantization for Nearest Neighbor Search", IEEE TPAMI 2011 — the
+  * coarse shape FAISS's IndexPQ implements.
+  *
+  * A D-dim float vector (4·D bytes) becomes M sub-codes (M bytes at
+  * k=256): split into M contiguous subvectors, quantize each against its
+  * own k-center codebook. Search is ADC (asymmetric distance
+  * computation): the query stays EXACT; its distance to any code is the
+  * sum of M table lookups, where the per-query M×k table of partial
+  * squared distances is computed once against the codebooks.
+  *
+  * Scale shape, same doctrine as Ivf: codebooks train DRIVER-SIDE on a
+  * bounded deterministic sample (quality converges with a few hundred
+  * points per cell — independent of corpus size), ride the plan as
+  * literals, and encoding is a map-side argmin per subspace — zero
+  * shuffles, zero iterative jobs over the corpus. The 100 TB win is
+  * memory traffic: a 768-dim float corpus is 3 KB/vector; at M=64 the
+  * scan reads 64 B/vector — a 48× smaller working set that turns a
+  * spill-bound scan into a cache-resident one, composable with IVF
+  * cells (scan fewer vectors, each 48× cheaper).
+  */
+object Pq {
+
+  /** Trained codebooks: `centers(m)(j)` is the j-th center of subspace
+    * m (subDim floats each). Unit-normalized inputs ⇒ ADC L2 ranking ==
+    * cosine ranking (‖a−b‖² = 2 − 2·cos on the unit sphere). */
+  final case class Codebooks(centers: Array[Array[Array[Float]]],
+                             m: Int, k: Int, dim: Int) {
+    val subDim: Int = dim / m
+  }
+
+  /** Train per-subspace codebooks on the `maxTrainRows` smallest
+    * id-hashes (the Ivf sampling contract: deterministic pseudo-random
+    * subset, one TakeOrdered pass, stable across partitioning/reruns).
+    * Vectors are unit-normalized before splitting so code geometry
+    * matches the cosine searches the engine runs elsewhere; non-finite
+    * vectors are excluded from training (a NaN would poison k-means). */
+  def train(df: DataFrame, id: String, vec: String, m: Int, k: Int,
+            seed: Long = 42L, maxIter: Int = 12,
+            maxTrainRows: Int = 16384): Codebooks = {
+    val sample: Array[Array[Float]] = df
+      .select(col(vec))
+      .filter(!exists(col(vec), x => isnan(x.cast("double")) ||
+        abs(x.cast("double")) === lit(Double.PositiveInfinity)))
+      .orderBy(xxhash64(col(id)))
+      .limit(maxTrainRows)
+      .collect()
+      .map { r =>
+        val v = r.getAs[scala.collection.Seq[Float]](0).toArray
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+        val n = math.sqrt(s)
+        if (n > 0) { i = 0; while (i < v.length) { v(i) = (v(i) / n).toFloat; i += 1 } }
+        v
+      }
+    require(sample.nonEmpty, "empty PQ training sample")
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val subDim = dim / m
+    val centers = Array.tabulate(m) { j =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, j * subDim, (j + 1) * subDim))
+      // distinct seed per subspace — identical seeds would correlate
+      // the k-means++ draws across subspaces on structured data
+      localKMeans(sub, k, maxIter, seed + j)
+    }
+    Codebooks(centers, m, k, dim)
+  }
+
+  /** Plain L2 k-means (k-means++ seeding, Lloyd) on driver-local
+    * points. Unlike Ivf's spherical variant, centroids are NOT
+    * renormalized — subvectors of unit vectors are not themselves unit,
+    * and PQ approximates the subvector mean, not its direction.
+    * O(points · k · subDim · iters): milliseconds at any corpus scale. */
+  private[operators] def localKMeans(points: Array[Array[Float]], k: Int,
+                                     maxIter: Int, seed: Long): Array[Array[Float]] = {
+    val rnd = new scala.util.Random(seed)
+    val n = points.length
+    val dim = points(0).length
+    val kk = math.min(k, n)
+    def sqDist(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val d = a(i).toDouble - b(i); s += d * d; i += 1 }
+      s
+    }
+    val centers = Array.ofDim[Array[Float]](kk)
+    centers(0) = points(rnd.nextInt(n)).clone()
+    val minD2 = Array.fill(n)(Double.MaxValue)
+    var c = 1
+    while (c < kk) {
+      var i = 0
+      var tot = 0.0
+      while (i < n) {
+        val d = sqDist(points(i), centers(c - 1))
+        if (d < minD2(i)) minD2(i) = d
+        tot += minD2(i)
+        i += 1
+      }
+      // k-means++ draw ∝ D²; degenerate all-zero mass falls back uniform
+      var pick = if (tot > 0) rnd.nextDouble() * tot else -1.0
+      var chosen = rnd.nextInt(n)
+      if (pick >= 0) {
+        i = 0
+        var acc = 0.0
+        while (i < n && pick >= 0) {
+          acc += minD2(i)
+          if (acc >= pick) { chosen = i; pick = -2.0 }
+          i += 1
+        }
+      }
+      centers(c) = points(chosen).clone()
+      c += 1
+    }
+    val assign = new Array[Int](n)
+    var it = 0
+    var moved = true
+    while (it < maxIter && moved) {
+      moved = false
+      var i = 0
+      while (i < n) {
+        var best = 0; var bd = Double.MaxValue
+        var j = 0
+        while (j < kk) {
+          val d = sqDist(points(i), centers(j))
+          if (d < bd) { bd = d; best = j }
+          j += 1
+        }
+        if (assign(i) != best || it == 0) { assign(i) = best; moved = true }
+        i += 1
+      }
+      val sums = Array.ofDim[Double](kk, dim)
+      val cnt = new Array[Int](kk)
+      i = 0
+      while (i < n) {
+        val a = assign(i)
+        cnt(a) += 1
+        var d = 0
+        while (d < dim) { sums(a)(d) += points(i)(d); d += 1 }
+        i += 1
+      }
+      var j = 0
+      while (j < kk) {
+        if (cnt(j) > 0) {
+          var d = 0
+          while (d < dim) { centers(j)(d) = (sums(j)(d) / cnt(j)).toFloat; d += 1 }
+        } // empty cell keeps its seed — deterministic, never NaN
+        j += 1
+      }
+      it += 1
+    }
+    centers
+  }
+
+  /** Unit-normalize staged once (HOF-staging rule: the norm must not
+    * re-evaluate per element). Zero vectors stay zero. */
+  private def unitize(vec: Column): Column = {
+    val norm = sqrt(NativeVector.dot(vec, vec))
+    when(norm > 0, transform(vec, x => (x.cast("double") / norm).cast("float")))
+      .otherwise(vec)
+  }
+
+  /** Encode every vector as M codes (int 0..k−1): per subspace, argmin
+    * squared L2 against the codebook literal == argmax of
+    * (x·c − ‖c‖²/2) (the ‖x‖² term is constant per argmin) — evaluated
+    * with the native dot on a STAGED unit-normalized subvector slice.
+    * Pure map-side; ties break toward the lower code (array_position
+    * takes the first maximum). Output: input columns + `codes`. */
+  def encode(df: DataFrame, id: String, vec: String, cb: Codebooks): DataFrame = {
+    NativeVector.register(df.sparkSession)
+    val staged = df.select(col(id), col(vec),
+      unitize(col(vec)).as("__unit"))
+    val codeCols: Seq[Column] = (0 until cb.m).map { j =>
+      val sub = slice(col("__unit"), j * cb.subDim + 1, cb.subDim)
+      val scores = typedLit(cb.centers(j).map { c =>
+        var s = 0.0; var i = 0
+        while (i < c.length) { s += c(i).toDouble * c(i); i += 1 }
+        (c.toSeq, s / 2.0)
+      }.toSeq).cast("array<struct<c:array<float>,h:double>>")
+      val perCenter = transform(scores,
+        s => NativeVector.dot(sub, s.getField("c")) - s.getField("h"))
+      (array_position(perCenter, array_max(perCenter)) - 1).cast("int")
+    }
+    staged
+      .select(col(id), col(vec), array(codeCols: _*).as("codes"))
+  }
+
+  /** ADC top-k: queries stay exact floats; each query's M×k table of
+    * partial squared L2 distances to every codebook center is computed
+    * DRIVER-SIDE (queries are few by contract — this is the per-query
+    * O(k·D) table build of the PQ paper, independent of corpus size),
+    * broadcast, and the per-row distance is Σ_m table[m·k + code_m] —
+    * M array lookups per corpus row, no float math on the corpus side.
+    * Emits (query_id, neighbor_id, adc_dist, sim_est) with sim_est =
+    * 1 − adc/2 (unit sphere: cos = 1 − ‖a−b‖²/2). Top-k per query via
+    * the usual rank window (bounded: ranks within one query's
+    * candidates). */
+  def adcSearch(encoded: DataFrame, cb: Codebooks, queries: DataFrame,
+                qid: String, qvec: String, topK: Int): DataFrame = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val qrows = queries.select(col(qid).cast("long"), col(qvec)).collect().map { r =>
+      val v = r.getAs[scala.collection.Seq[Float]](1).toArray
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+      val n = math.sqrt(s)
+      if (n > 0) { i = 0; while (i < v.length) { v(i) = (v(i) / n).toFloat; i += 1 } }
+      (r.getLong(0), v)
+    }
+    val tables = qrows.map { case (id, q) =>
+      val tab = new Array[Double](cb.m * cb.k)
+      var j = 0
+      while (j < cb.m) {
+        var c = 0
+        while (c < cb.centers(j).length) {
+          val cen = cb.centers(j)(c)
+          var s = 0.0; var d = 0
+          while (d < cb.subDim) {
+            val diff = q(j * cb.subDim + d).toDouble - cen(d)
+            s += diff * diff
+            d += 1
+          }
+          tab(j * cb.k + c) = s
+          c += 1
+        }
+        j += 1
+      }
+      (id, tab.toSeq)
+    }.toSeq.toDF("query_id", "__qtab")
+    val adc = (0 until cb.m)
+      .map(j => element_at(col("__qtab"),
+        lit(j * cb.k) + element_at(col("codes"), j + 1) + 1))
+      .reduce(_ + _)
+    val scored = encoded.crossJoin(broadcast(tables))
+      .select(col("query_id"), col(encodedId(encoded)).as("neighbor_id"),
+        adc.as("adc_dist"))
+      .withColumn("sim_est", lit(1.0) - col("adc_dist") / 2.0)
+    // deterministic rank: distance, then neighbor id
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    scored.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= topK)
+      .drop("__rk")
+  }
+
+  /** `encode` fixes the output shape (id, vec, codes) — id is the first
+    * column by construction. */
+  private def encodedId(encoded: DataFrame): String = encoded.columns(0)
+}

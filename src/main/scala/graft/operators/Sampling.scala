@@ -109,4 +109,19 @@ object Sampling {
     df.filter(fractions.foldLeft(lit(false): Column) {
       case (acc, (s, f)) => when(strata === s, keepRow(key, f, salt)).otherwise(acc)
     })
+
+  /** Deterministic k-fold assignment: fold(key) = (first 8 md5 hex
+    * digits of salt:key) mod k — the cross-validation splitter with the
+    * same guarantees as every sampler here (pure key function: stable
+    * under repartition/AQE/engine change, zero shuffle, and any engine
+    * can recompute which fold a row landed in). Within any stratum the
+    * md5 prefix is uniform, so folds are balanced per class without a
+    * per-stratum pass — "stratified enough" by hashing, measured rather
+    * than enforced (emit fold×stratum counts and check, q116).
+    * DuckDB twin: CAST('0x' || substr(md5(salt || ':' || CAST(key AS
+    * VARCHAR)), 1, 8) AS UBIGINT) % k. */
+  def foldOf(key: Column, k: Int, salt: String = "fold"): Column = {
+    require(k >= 2, s"k-fold needs k >= 2, got $k")
+    conv(substring(memberHash(key, salt), 1, 8), 16, 10).cast("long") % k
+  }
 }

@@ -407,6 +407,23 @@ object CurationQueries {
           shingleLen = 6, fpp = 0.01)
         .select(col("doc_id"), col("n_hits"), col("contaminated"))
         .orderBy("doc_id")
+    }),
+
+    // deterministic k-fold assignment audited per stratum: fold is a
+    // pure key function (md5 prefix mod k — repartition/engine/rerun
+    // independent), the output is the fold × language contingency with
+    // each fold's within-stratum share, i.e. the balance evidence a CV
+    // split needs. The oracle recomputes the fold hash from scratch.
+    "q116_kfold_strata" -> ((s, dir) => {
+      val folded = Tables.documents(s, dir)
+        .select(col("lang"),
+          graft.operators.Sampling.foldOf(col("doc_id"), 5).as("fold"))
+      val strata = folded.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+      folded.groupBy("lang", "fold").agg(count(lit(1)).as("n"))
+        .join(strata, Seq("lang"))   // |langs| rows — AQE broadcasts
+        .select(col("lang"), col("fold"), col("n"),
+          qz(col("n").cast("double") / col("n_lang"), 6).as("share"))
+        .orderBy("lang", "fold")
     })
   )
 
@@ -727,6 +744,20 @@ object CurationQueries {
         | FROM t)
         |SELECT sh.doc_id, count(ev.g) AS n_hits, count(ev.g) > 0 AS contaminated
         |FROM sh LEFT JOIN ev ON sh.g = ev.g
-        |GROUP BY sh.doc_id ORDER BY doc_id""".stripMargin
+        |GROUP BY sh.doc_id ORDER BY doc_id""".stripMargin,
+
+    // fold hash recomputed from scratch: md5('fold:' || id) prefix mod 5
+    "q116_kfold_strata" ->
+      """WITH f AS (
+        | SELECT lang,
+        |  CAST(CAST('0x' || substr(md5('fold:' || CAST(doc_id AS VARCHAR)), 1, 8)
+        |    AS UBIGINT) % 5 AS BIGINT) AS fold
+        | FROM documents),
+        |s AS (SELECT lang, count(*) AS n_lang FROM f GROUP BY 1),
+        |c AS (SELECT lang, fold, count(*) AS n FROM f GROUP BY 1, 2)
+        |SELECT c.lang AS lang, c.fold, c.n,
+        | round(CAST(c.n AS DOUBLE) / n_lang * 1000000.0) / 1000000.0 + 0.0 AS share
+        |FROM c JOIN s ON c.lang = s.lang
+        |ORDER BY c.lang, c.fold""".stripMargin
   )
 }

@@ -106,6 +106,23 @@ object EvalQueries {
           qz(col("psi_contrib"), 6).as("psi_contrib"),
           qz(col("psi"), 6).as("psi"))
         .orderBy("bin")
+    }),
+
+    // beyond-ref: calibration diagnostics (reliability bins + ECE +
+    // Brier) for the production scorer against the deterministic
+    // event label — the "does risk 0.8 mean 80%?" check that belongs
+    // next to PSI in any deployed-scorer monitoring suite. The oracle
+    // re-derives the score chain, the binning, and both summaries from
+    // scratch in SQL.
+    "q115_calibration" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val blended = graft.serve.RiskScore.EventScore.blended
+      val scored = ev.select(blended.as("score"),
+        (col("event_type") === "error").cast("long").as("label"))
+      Metrics.calibration(scored, col("label"), col("score"), bins = 10)
+        .select(col("bin"), col("n"), col("mean_score"), col("frac_pos"),
+          qz(col("ece"), 6).as("ece"), qz(col("brier"), 6).as("brier"))
+        .orderBy("bin")
     })
   )
 
@@ -286,6 +303,54 @@ object EvalQueries {
         |SELECT bin, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
         | round(c * 1000000.0) / 1000000.0 + 0.0 AS psi_contrib,
         | round(psi * 1000000.0) / 1000000.0 + 0.0 AS psi
-        |FROM k CROSS JOIN tot ORDER BY bin""".stripMargin
+        |FROM k CROSS JOIN tot ORDER BY bin""".stripMargin,
+
+    // same scorer chain as q111/q107; then reliability bins, ECE from
+    // the PRE-QUANTIZED per-bin means (quantize-before-derive), Brier
+    // from the raw squared errors
+    "q115_calibration" ->
+      """WITH base AS (
+        | SELECT value*20.0 AS amt, hour(ts) AS h,
+        |  (event_type = 'error') AS dev_missing,
+        |  (event_type = 'signup') AS unusual
+        | FROM events),
+        |s0 AS (SELECT *, 1.0/(1.0 + exp(-0.003*(amt - 500.0))) AS b0 FROM base),
+        |s1 AS (SELECT *, CASE WHEN amt > 5000 THEN least(b0 + 0.15, 0.95)
+        |                      WHEN amt > 1000 THEN least(b0 + 0.08, 0.85)
+        |                      ELSE b0 END AS b1 FROM s0),
+        |s2 AS (SELECT *, CASE WHEN dev_missing THEN least(b1 + 0.05, 0.95) ELSE b1 END AS b2 FROM s1),
+        |s3 AS (SELECT *, CASE WHEN unusual THEN least(b2 + 0.05, 0.95) ELSE b2 END AS b3 FROM s2),
+        |sc AS (
+        | SELECT *, CASE WHEN h < 5 OR h > 23 THEN least(b3 + 0.07, 0.95) ELSE b3 END AS heuristic,
+        |  least(1.0, amt/10000.0) AS model
+        | FROM s3),
+        |bl AS (
+        | SELECT least(1.0, greatest(0.0, model*0.4 + heuristic*0.6)) AS s,
+        |  CAST(dev_missing AS BIGINT) AS y
+        | FROM sc),
+        |bn AS (
+        | SELECT CAST(greatest(least(floor(s*10), 9), 0) AS BIGINT) AS bin, s, y
+        | FROM bl),
+        |c AS (
+        | SELECT bin, count(*) AS n, sum(s) AS sum_s, sum(y) AS sum_y,
+        |  sum((s - y)*(s - y)) AS sum_sq
+        | FROM bn GROUP BY bin),
+        |spine AS (SELECT unnest(generate_series(0, 9)) AS bin),
+        |f AS (
+        | SELECT spine.bin, coalesce(n, 0) AS n,
+        |  CASE WHEN coalesce(n, 0) > 0
+        |    THEN round(sum_s / n * 1000000.0) / 1000000.0 + 0.0 END AS mean_score,
+        |  CASE WHEN coalesce(n, 0) > 0
+        |    THEN round(CAST(sum_y AS DOUBLE) / n * 1000000.0) / 1000000.0 + 0.0 END AS frac_pos,
+        |  coalesce(sum_sq, 0.0) AS sum_sq
+        | FROM spine LEFT JOIN c ON spine.bin = c.bin),
+        |t AS (
+        | SELECT sum(n) AS tot_n, sum(sum_sq) AS tot_sq,
+        |  sum(CASE WHEN n > 0 THEN abs(mean_score - frac_pos) * n END) AS tot_e
+        | FROM f)
+        |SELECT bin, CAST(n AS BIGINT) AS n, mean_score, frac_pos,
+        | round(tot_e / tot_n * 1000000.0) / 1000000.0 + 0.0 AS ece,
+        | round(tot_sq / tot_n * 1000000.0) / 1000000.0 + 0.0 AS brier
+        |FROM f CROSS JOIN t ORDER BY bin""".stripMargin
   )
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.{Dedup, TextOps}
+import graft.operators.{CorpusStats, Dedup, TextOps}
 import Util.{Q, qz}
 
 /** Text-pipeline queries over `documents` (SURVEY.md §7 extensions):
@@ -265,7 +265,30 @@ object TextQueries {
         .withColumn("rep_flag",
           (col("top_2gram_frac") > 0.2 || col("dup_3gram_frac") > 0.3).cast("long"))
         .orderBy("doc_id")
-    })
+    }),
+
+    // per-source Jensen-Shannon divergence vs the whole-corpus token
+    // distribution — the domain-mix representativeness monitor. The
+    // absent-token tail is the closed form 0.5·ln2·(1 − present mass),
+    // so only each source's OWN tokens materialize (see CorpusStats);
+    // the oracle recomputes distributions, the present-token sum AND
+    // the closed form independently.
+    "q113_js_divergence" -> ((s, dir) =>
+      CorpusStats.jsDivergenceVsCorpus(Tables.documents(s, dir), "source", "text")
+        .select(col("source"), col("n_tokens"), col("n_types"),
+          qz(col("js"), 6).as("js"), qz(col("js_norm"), 6).as("js_norm"))
+        .orderBy("source")),
+
+    // Zipf power-law fit of the token-frequency head (top-1000 by
+    // count desc, token asc): alpha = -OLS slope on (ln rank, ln count),
+    // r2 as the is-it-Zipfian check. Rank window runs over the top-K
+    // only (constant-bounded after TakeOrderedAndProject).
+    "q114_zipf_fit" -> ((s, dir) =>
+      CorpusStats.zipfFit(Tables.documents(s, dir), "text", topK = 1000)
+        .select(col("n_vocab"), col("n_tokens"), col("k_fit"),
+          qz(col("alpha"), 6).as("alpha"),
+          qz(col("intercept"), 6).as("intercept"),
+          qz(col("r2"), 6).as("r2")))
   )
 
   /** MinHash-LSH (32 hashes, 16 bands of 2) candidates, exact-verified
@@ -539,6 +562,58 @@ object TextQueries {
         |  round((CAST(t3 AS DOUBLE) / n3) * 1000000.0) / 1000000.0 + 0.0 AS top_3gram_frac
         | FROM w)
         |SELECT f.*, CAST(top_2gram_frac > 0.2 OR dup_3gram_frac > 0.3 AS BIGINT) AS rep_flag
-        |FROM f ORDER BY doc_id""".stripMargin
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    // the same sparse JS identity: present-token sum + closed-form
+    // absent tail 0.5*ln(2)*(1 - present mass of the global side)
+    "q113_js_divergence" ->
+      """WITH toks AS (
+        | SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+        | FROM documents),
+        |c AS (SELECT source, t, count(*) AS cs FROM toks GROUP BY 1, 2),
+        |g AS (SELECT t, sum(cs) AS cg FROM c GROUP BY 1),
+        |ts AS (SELECT source, sum(cs) AS tot_s, count(*) AS n_types
+        | FROM c GROUP BY 1),
+        |tg AS (SELECT sum(cg) AS tot_g FROM g),
+        |j AS (
+        | SELECT c.source,
+        |  CAST(cs AS DOUBLE) / tot_s AS ps,
+        |  CAST(cg AS DOUBLE) / tot_g AS pg
+        | FROM c JOIN g USING (t) JOIN ts ON c.source = ts.source
+        |  CROSS JOIN tg),
+        |agg AS (
+        | SELECT source,
+        |  sum(0.5*ps*ln(ps/((ps+pg)/2)) + 0.5*pg*ln(pg/((ps+pg)/2))) AS present,
+        |  sum(pg) AS mass_g
+        | FROM j GROUP BY 1)
+        |SELECT ts.source, CAST(tot_s AS BIGINT) AS n_tokens,
+        | CAST(n_types AS BIGINT) AS n_types,
+        | round((present + 0.5*ln(2)*(1.0 - mass_g)) * 1000000.0) / 1000000.0 + 0.0 AS js,
+        | round((present + 0.5*ln(2)*(1.0 - mass_g)) / ln(2) * 1000000.0) / 1000000.0 + 0.0 AS js_norm
+        |FROM agg JOIN ts USING (source) ORDER BY source""".stripMargin,
+
+    // identical head construction (count desc, token asc) + OLS over
+    // (ln rank, ln count)
+    "q114_zipf_fit" ->
+      """WITH toks AS (
+        | SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+        | FROM documents),
+        |c AS (SELECT t, count(*) AS cnt FROM toks GROUP BY 1),
+        |v AS (SELECT count(*) AS n_vocab, sum(cnt) AS n_tokens FROM c),
+        |top AS (
+        | SELECT cnt, row_number() OVER (ORDER BY cnt DESC, t ASC) AS r
+        | FROM c ORDER BY cnt DESC, t ASC LIMIT 1000),
+        |fit AS (
+        | SELECT count(*) AS k_fit,
+        |  -regr_slope(ln(CAST(cnt AS DOUBLE)), ln(CAST(r AS DOUBLE))) AS alpha,
+        |  regr_intercept(ln(CAST(cnt AS DOUBLE)), ln(CAST(r AS DOUBLE))) AS intercept,
+        |  regr_r2(ln(CAST(cnt AS DOUBLE)), ln(CAST(r AS DOUBLE))) AS r2
+        | FROM top)
+        |SELECT CAST(n_vocab AS BIGINT) AS n_vocab,
+        | CAST(n_tokens AS BIGINT) AS n_tokens, CAST(k_fit AS BIGINT) AS k_fit,
+        | round(alpha * 1000000.0) / 1000000.0 + 0.0 AS alpha,
+        | round(intercept * 1000000.0) / 1000000.0 + 0.0 AS intercept,
+        | round(r2 * 1000000.0) / 1000000.0 + 0.0 AS r2
+        |FROM fit CROSS JOIN v""".stripMargin
   )
 }

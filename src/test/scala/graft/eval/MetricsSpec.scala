@@ -162,4 +162,29 @@ class MetricsSpec extends SparkSpec {
     assert(pe.map(_.getAs[Long]("n_ref")).sum == 1) // null dropped
     assert(pe.map(_.getAs[Long]("n_cur")).sum == 1) // NaN dropped
   }
+
+  test("calibration: perfectly calibrated bins give ECE 0, known Brier; null/NaN excluded") {
+    // 100 rows at score 0.25 with 25 positives, 100 at 0.75 with 75:
+    // mean_score == frac_pos in both occupied bins -> ECE exactly 0.
+    // Brier = (25*(.75)^2 + 75*(.25)^2 + 75*(.25)^2 + 25*(.75)^2)/200
+    val rows = (0 until 100).map(i => (0.25, if (i < 25) 1 else 0)) ++
+      (0 until 100).map(i => (0.75, if (i < 75) 1 else 0))
+    val out = Metrics.calibration(rows.toDF("score", "label"),
+      $"label", $"score").collect()
+    assert(out.length == 10)
+    val b2 = out.find(_.getAs[Long]("bin") == 2).get
+    assert(b2.getAs[Long]("n") == 100)
+    assert(b2.getAs[Double]("mean_score") == 0.25)
+    assert(b2.getAs[Double]("frac_pos") == 0.25)
+    assert(out.head.getAs[Double]("ece") == 0.0)
+    val brier = (25 * 0.5625 + 150 * 0.0625 + 25 * 0.5625) / 200.0
+    assert(math.abs(out.head.getAs[Double]("brier") - brier) < 1e-12)
+    // empty bins emit n=0 with null means (spine-total), and null/NaN
+    // scores are excluded by the explicit guard
+    assert(out.count(_.getAs[Long]("n") == 0) == 8)
+    val edge = Seq((Some(0.5), 1), (None: Option[Double], 1),
+      (Some(Double.NaN), 0)).toDF("score", "label")
+    val oe = Metrics.calibration(edge, $"label", $"score").collect()
+    assert(oe.map(_.getAs[Long]("n")).sum == 1)
+  }
 }

@@ -118,4 +118,26 @@ class SamplingSpec extends SparkSpec {
     assert(r.getString(0) != r.getString(1))
     assert(r.getString(2) == r.getString(3))
   }
+
+  test("foldOf: pure key function — layout-independent, in range, roughly balanced") {
+    val n = 20000L
+    val base = spark.range(n).select($"id", Sampling.foldOf($"id", 5).as("fold"))
+    // every fold in [0, 5), all rows assigned
+    assert(base.filter($"fold" < 0 || $"fold" >= 5).isEmpty)
+    // identical assignment after an adversarial relayout
+    val relaid = spark.range(n).repartition(17, $"id" % 3)
+      .select($"id", Sampling.foldOf($"id", 5).as("fold2"))
+    assert(base.join(relaid, "id").filter($"fold" =!= $"fold2").isEmpty)
+    // md5-uniform: each fold holds ~1/5 within 5% relative
+    val counts = base.groupBy("fold").count().collect()
+      .map(r => r.getAs[Long]("fold") -> r.getAs[Long]("count")).toMap
+    assert(counts.size == 5)
+    counts.values.foreach(c => assert(math.abs(c - n / 5.0) < n * 0.05 / 5, counts))
+    // distinct salts give independent splits (a fold-0 row under one
+    // salt is not preferentially fold 0 under another)
+    val cross = spark.range(n).select(
+        Sampling.foldOf($"id", 5).as("a"), Sampling.foldOf($"id", 5, "fold2").as("b"))
+      .filter($"a" === 0 && $"b" === 0).count()
+    assert(math.abs(cross - n / 25.0) < n * 0.2 / 25, cross)
+  }
 }
