@@ -204,7 +204,8 @@ object Pq {
     * the usual rank window (bounded: ranks within one query's
     * candidates). */
   def adcSearch(encoded: DataFrame, cb: Codebooks, queries: DataFrame,
-                qid: String, qvec: String, topK: Int): DataFrame = {
+                qid: String, qvec: String, topK: Int,
+                dropSelf: Boolean = false): DataFrame = {
     val spark = encoded.sparkSession
     import spark.implicits._
     val qrows = queries.select(col(qid).cast("long"), col(qvec)).collect().map { r =>
@@ -239,10 +240,14 @@ object Pq {
       .map(j => element_at(col("__qtab"),
         lit(j * cb.k) + element_at(col("codes"), j + 1) + 1))
       .reduce(_ + _)
-    val scored = encoded.crossJoin(broadcast(tables))
+    val all = encoded.crossJoin(broadcast(tables))
       .select(col("query_id"), col(encodedId(encoded)).as("neighbor_id"),
         adc.as("adc_dist"))
       .withColumn("sim_est", lit(1.0) - col("adc_dist") / 2.0)
+    // dropSelf: when queries come from the corpus itself, exclude the
+    // identity pair BEFORE ranking (cosineTopK parity)
+    val scored =
+      if (dropSelf) all.filter(col("neighbor_id") =!= col("query_id")) else all
     // deterministic rank: distance, then neighbor id
     val w = Window.partitionBy("query_id")
       .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
@@ -254,4 +259,40 @@ object Pq {
   /** `encode` fixes the output shape (id, vec, codes) — id is the first
     * column by construction. */
   private def encodedId(encoded: DataFrame): String = encoded.columns(0)
+
+  /** ADC shortlist + EXACT re-rank — the deployment shape PQ is used in
+    * (the paper's ADC+R): the byte-code scan prunes the corpus to
+    * `shortlist` candidates per query, then true cosine re-scores ONLY
+    * those and keeps `topK`. Recall is set by the cheap scan's ability
+    * to keep the true neighbors anywhere in a generous shortlist (far
+    * easier than ranking them exactly), while every emitted similarity
+    * is exact. Scale: the re-rank join touches shortlist·|queries| rows
+    * — bounded by the search call, not the corpus; float vectors are
+    * only read for candidates (at 100 TB the full-precision corpus can
+    * live in cold storage while the codes stay hot). */
+  def searchReranked(encoded: DataFrame, cb: Codebooks, queries: DataFrame,
+                     qid: String, qvec: String, shortlist: Int, topK: Int,
+                     dropSelf: Boolean = false): DataFrame = {
+    val idC = encodedId(encoded)
+    val vecC = encoded.columns(1)
+    val cands = adcSearch(encoded, cb, queries, qid, qvec, shortlist, dropSelf)
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = broadcast(
+      queries.select(col(qid).cast("long").as("query_id"), col(qvec).as("__qv")))
+    // sim rounded to 1e-6 BEFORE ranking — cosineTopK's canonical
+    // ranking semantic, so full-shortlist PQ+R reproduces brute force
+    // bit-for-bit (PqSpec machinery proof) instead of diverging on
+    // sub-µ ties
+    val scored = cands
+      .join(encoded.select(col(idC).as("neighbor_id"), col(vecC).as("__nv")),
+        Seq("neighbor_id"))
+      .join(qv, Seq("query_id"))
+      .withColumn("sim",
+        round(NativeVector.cosine(col("__qv"), col("__nv")) * 1e6) / 1e6)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+  }
 }

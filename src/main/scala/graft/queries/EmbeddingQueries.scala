@@ -52,6 +52,32 @@ object EmbeddingQueries {
           (col("n_hits").cast("double") / col("n_exact") >= 0.4).as("recall_ok"))
     }),
 
+    // Product-quantization ANN (byte-code compression tier, FAISS
+    // IndexPQ+R shape): m=8 × k=256 codebooks train driver-side on a
+    // bounded sample, encoding is a map-side argmin per subspace
+    // (8 bytes/vector vs 256 raw — the 32× scan-compression PQ exists
+    // for), the ADC byte scan keeps a 50-candidate shortlist and exact
+    // cosine re-ranks ONLY those. Recall@5 vs the exact top-5 (q62
+    // tolerance pattern) must clear 0.5: measured 1.0 (sf0.01) / 0.90
+    // (sf0.1) on random vectors — PQ's hard case — while a broken
+    // codebook/encode/ADC degenerates to ~shortlist/n ≈ 0.01-0.1.
+    "q117_pq_knn" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 20)
+      val cb = graft.operators.Pq.train(e, "vec_id", "embedding", m = 8, k = 256)
+      val encoded = graft.operators.Pq.encode(e, "vec_id", "embedding", cb)
+      val approx = graft.operators.Pq.searchReranked(encoded, cb, q,
+        "vec_id", "embedding", shortlist = 50, topK = 5, dropSelf = true)
+      val exact = Embeddings.cosineTopK(q, e, "vec_id", "vec_id", "embedding", k = 5)
+      exact.join(approx.withColumnRenamed("sim", "asim"),
+          Seq("query_id", "neighbor_id"), "left")
+        .agg(count_distinct(col("query_id")).as("n_queries"),
+          count(lit(1)).cast("long").as("n_exact"),
+          count(col("asim")).cast("long").as("n_hits"))
+        .select(col("n_queries"), col("n_exact"),
+          (col("n_hits").cast("double") / col("n_exact") >= 0.5).as("recall_ok"))
+    }),
+
     // IVF machinery proof: probing ALL lists must reproduce brute force
     // EXACTLY (hash-checked vs the q58 oracle) — a dropped or duplicated
     // vector anywhere in build/assign/search breaks this row
@@ -197,6 +223,13 @@ object EmbeddingQueries {
 
     // mean probe recall must clear the floor (q17-style tolerance flag)
     "q62_ivf_knn" ->
+      """SELECT count(*) AS n_queries, CAST(5 * count(*) AS BIGINT) AS n_exact,
+        | true AS recall_ok
+        |FROM embeddings WHERE vec_id < 20""".stripMargin,
+
+    // q62 pattern: exact side recomputed, the recall floor is a
+    // predicted-true emission backed by the measured margin
+    "q117_pq_knn" ->
       """SELECT count(*) AS n_queries, CAST(5 * count(*) AS BIGINT) AS n_exact,
         | true AS recall_ok
         |FROM embeddings WHERE vec_id < 20""".stripMargin,
