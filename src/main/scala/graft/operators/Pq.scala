@@ -172,12 +172,12 @@ object Pq {
     * squared L2 against the codebook literal == argmax of
     * (x·c − ‖c‖²/2) (the ‖x‖² term is constant per argmin) — evaluated
     * with the native dot on a STAGED unit-normalized subvector slice.
-    * Pure map-side; ties break toward the lower code (array_position
-    * takes the first maximum). Output: input columns + `codes`. */
-  def encode(df: DataFrame, id: String, vec: String, cb: Codebooks): DataFrame = {
+    * Pure map-side; ties break toward the lower code
+    * (array_position takes the first maximum). Output: ALL input
+    * columns + `codes` — composes with IVF's `centroid_id`. */
+  def encode(df: DataFrame, vec: String, cb: Codebooks): DataFrame = {
     NativeVector.register(df.sparkSession)
-    val staged = df.select(col(id), col(vec),
-      unitize(col(vec)).as("__unit"))
+    val staged = df.withColumn("__unit", unitize(col(vec)))
     val codeCols: Seq[Column] = (0 until cb.m).map { j =>
       val sub = slice(col("__unit"), j * cb.subDim + 1, cb.subDim)
       val scores = typedLit(cb.centers(j).map { c =>
@@ -189,24 +189,17 @@ object Pq {
         s => NativeVector.dot(sub, s.getField("c")) - s.getField("h"))
       (array_position(perCenter, array_max(perCenter)) - 1).cast("int")
     }
-    staged
-      .select(col(id), col(vec), array(codeCols: _*).as("codes"))
+    staged.withColumn("codes", array(codeCols: _*)).drop("__unit")
   }
 
-  /** ADC top-k: queries stay exact floats; each query's M×k table of
-    * partial squared L2 distances to every codebook center is computed
-    * DRIVER-SIDE (queries are few by contract — this is the per-query
-    * O(k·D) table build of the PQ paper, independent of corpus size),
-    * broadcast, and the per-row distance is Σ_m table[m·k + code_m] —
-    * M array lookups per corpus row, no float math on the corpus side.
-    * Emits (query_id, neighbor_id, adc_dist, sim_est) with sim_est =
-    * 1 − adc/2 (unit sphere: cos = 1 − ‖a−b‖²/2). Top-k per query via
-    * the usual rank window (bounded: ranks within one query's
-    * candidates). */
-  def adcSearch(encoded: DataFrame, cb: Codebooks, queries: DataFrame,
-                qid: String, qvec: String, topK: Int,
-                dropSelf: Boolean = false): DataFrame = {
-    val spark = encoded.sparkSession
+  /** Per-query M×k table of partial squared L2 distances to every
+    * codebook center, computed DRIVER-SIDE (queries are few by contract
+    * — the per-query O(k·D) table build of the PQ paper, independent of
+    * corpus size) over the unit-normalized query. One row per query:
+    * (query_id, __qtab). */
+  private def qTables(cb: Codebooks, queries: DataFrame,
+                      qid: String, qvec: String): DataFrame = {
+    val spark = queries.sparkSession
     import spark.implicits._
     val qrows = queries.select(col(qid).cast("long"), col(qvec)).collect().map { r =>
       val v = r.getAs[scala.collection.Seq[Float]](1).toArray
@@ -216,7 +209,7 @@ object Pq {
       if (n > 0) { i = 0; while (i < v.length) { v(i) = (v(i) / n).toFloat; i += 1 } }
       (r.getLong(0), v)
     }
-    val tables = qrows.map { case (id, q) =>
+    qrows.map { case (id, q) =>
       val tab = new Array[Double](cb.m * cb.k)
       var j = 0
       while (j < cb.m) {
@@ -236,19 +229,25 @@ object Pq {
       }
       (id, tab.toSeq)
     }.toSeq.toDF("query_id", "__qtab")
+  }
+
+  /** Rank candidate rows by ADC distance: Σ_m table[m·k + code_m] — M
+    * array lookups per row, no float math on the corpus side. `cands`
+    * carries (query_id, __qtab, codes, `id`). Emits sim_est = 1 − adc/2
+    * (unit sphere: cos = 1 − ‖a−b‖²/2); rank window is per-query. */
+  private def adcRank(cands: DataFrame, id: String, cb: Codebooks,
+                      topK: Int, dropSelf: Boolean): DataFrame = {
     val adc = (0 until cb.m)
       .map(j => element_at(col("__qtab"),
         lit(j * cb.k) + element_at(col("codes"), j + 1) + 1))
       .reduce(_ + _)
-    val all = encoded.crossJoin(broadcast(tables))
-      .select(col("query_id"), col(encodedId(encoded)).as("neighbor_id"),
-        adc.as("adc_dist"))
+    val all = cands
+      .select(col("query_id"), col(id).as("neighbor_id"), adc.as("adc_dist"))
       .withColumn("sim_est", lit(1.0) - col("adc_dist") / 2.0)
     // dropSelf: when queries come from the corpus itself, exclude the
     // identity pair BEFORE ranking (cosineTopK parity)
     val scored =
       if (dropSelf) all.filter(col("neighbor_id") =!= col("query_id")) else all
-    // deterministic rank: distance, then neighbor id
     val w = Window.partitionBy("query_id")
       .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
     scored.withColumn("__rk", row_number().over(w))
@@ -256,9 +255,13 @@ object Pq {
       .drop("__rk")
   }
 
-  /** `encode` fixes the output shape (id, vec, codes) — id is the first
-    * column by construction. */
-  private def encodedId(encoded: DataFrame): String = encoded.columns(0)
+  /** ADC top-k over the WHOLE encoded corpus (flat IndexPQ): every row
+    * costs M lookups against the broadcast query tables. */
+  def adcSearch(encoded: DataFrame, id: String, cb: Codebooks,
+                queries: DataFrame, qid: String, qvec: String, topK: Int,
+                dropSelf: Boolean = false): DataFrame =
+    adcRank(encoded.crossJoin(broadcast(qTables(cb, queries, qid, qvec))),
+      id, cb, topK, dropSelf)
 
   /** ADC shortlist + EXACT re-rank — the deployment shape PQ is used in
     * (the paper's ADC+R): the byte-code scan prunes the corpus to
@@ -270,21 +273,17 @@ object Pq {
     * — bounded by the search call, not the corpus; float vectors are
     * only read for candidates (at 100 TB the full-precision corpus can
     * live in cold storage while the codes stay hot). */
-  def searchReranked(encoded: DataFrame, cb: Codebooks, queries: DataFrame,
-                     qid: String, qvec: String, shortlist: Int, topK: Int,
-                     dropSelf: Boolean = false): DataFrame = {
-    val idC = encodedId(encoded)
-    val vecC = encoded.columns(1)
-    val cands = adcSearch(encoded, cb, queries, qid, qvec, shortlist, dropSelf)
-      .select(col("query_id"), col("neighbor_id"))
+  /** Exact-cosine re-rank of a (query_id, neighbor_id) shortlist. sim
+    * is rounded to 1e-6 BEFORE ranking — cosineTopK's canonical ranking
+    * semantic, so full-shortlist PQ+R reproduces brute force bit-for-bit
+    * (PqSpec machinery proof) instead of diverging on sub-µ ties. */
+  private def rerank(cands: DataFrame, corpus: DataFrame, id: String,
+                     vec: String, queries: DataFrame, qid: String,
+                     qvec: String, topK: Int): DataFrame = {
     val qv = broadcast(
       queries.select(col(qid).cast("long").as("query_id"), col(qvec).as("__qv")))
-    // sim rounded to 1e-6 BEFORE ranking — cosineTopK's canonical
-    // ranking semantic, so full-shortlist PQ+R reproduces brute force
-    // bit-for-bit (PqSpec machinery proof) instead of diverging on
-    // sub-µ ties
-    val scored = cands
-      .join(encoded.select(col(idC).as("neighbor_id"), col(vecC).as("__nv")),
+    val scored = cands.select(col("query_id"), col("neighbor_id"))
+      .join(corpus.select(col(id).as("neighbor_id"), col(vec).as("__nv")),
         Seq("neighbor_id"))
       .join(qv, Seq("query_id"))
       .withColumn("sim",
@@ -294,5 +293,46 @@ object Pq {
     scored.withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= topK)
       .select(col("query_id"), col("neighbor_id"), col("sim"))
+  }
+
+  def searchReranked(encoded: DataFrame, id: String, vec: String,
+                     cb: Codebooks, queries: DataFrame,
+                     qid: String, qvec: String, shortlist: Int, topK: Int,
+                     dropSelf: Boolean = false): DataFrame =
+    rerank(
+      adcSearch(encoded, id, cb, queries, qid, qvec, shortlist, dropSelf),
+      encoded, id, vec, queries, qid, qvec, topK)
+
+  /** IVF × PQ composition — the billion-scale shape (FAISS IndexIVFPQ's
+    * coarse structure): the coarse quantizer prunes the scan to the
+    * nProbe cells nearest each query, the byte codes make every scanned
+    * row M lookups, and exact cosine re-ranks the shortlist. Cell
+    * restriction is a centroid_id-keyed join (the probe pairs are
+    * |queries|·nProbe rows, broadcast); the corpus is touched only in
+    * probed cells, and only codes are read there. Codes here quantize
+    * the RAW unit vectors, not IVFPQ's per-cell residuals — the exact
+    * re-rank recovers what residual codes would buy in ADC fidelity,
+    * at the price of a slightly larger shortlist.
+    *
+    * `encoded` must be `Pq.encode(index.assigned, index.vecCol, cb)` —
+    * i.e. carry `centroid_id` + `codes`. */
+  def ivfSearchReranked(index: Ivf.Index, cb: Codebooks, encoded: DataFrame,
+                        queries: DataFrame, qid: String, qvec: String,
+                        nProbe: Int, shortlist: Int, topK: Int,
+                        dropSelf: Boolean = false): DataFrame = {
+    NativeVector.register(queries.sparkSession)
+    val q = queries.select(col(qid).cast("long").as("query_id"), col(qvec).as("qv"))
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(desc("csim"), col("centroid_id"))
+    val probes = q.crossJoin(broadcast(index.centroids))
+      .withColumn("csim", NativeVector.dot(col("qv"), col("cvec")))
+      .withColumn("__pr", row_number().over(wProbe))
+      .filter(col("__pr") <= nProbe)
+      .select("query_id", "centroid_id")
+    val tabbed = broadcast(
+      probes.join(qTables(cb, queries, qid, qvec), Seq("query_id")))
+    val cands = encoded.join(tabbed, Seq("centroid_id"))
+    rerank(adcRank(cands, index.idCol, cb, shortlist, dropSelf),
+      encoded, index.idCol, index.vecCol, queries, qid, qvec, topK)
   }
 }

@@ -65,9 +65,11 @@ object EmbeddingQueries {
       val e = Tables.embeddings(s, dir)
       val q = e.filter(col("vec_id") < 20)
       val cb = graft.operators.Pq.train(e, "vec_id", "embedding", m = 8, k = 256)
-      val encoded = graft.operators.Pq.encode(e, "vec_id", "embedding", cb)
-      val approx = graft.operators.Pq.searchReranked(encoded, cb, q,
-        "vec_id", "embedding", shortlist = 50, topK = 5, dropSelf = true)
+      val encoded = graft.operators.Pq.encode(
+        e.select("vec_id", "embedding"), "embedding", cb)
+      val approx = graft.operators.Pq.searchReranked(encoded, "vec_id",
+        "embedding", cb, q, "vec_id", "embedding",
+        shortlist = 50, topK = 5, dropSelf = true)
       val exact = Embeddings.cosineTopK(q, e, "vec_id", "vec_id", "embedding", k = 5)
       exact.join(approx.withColumnRenamed("sim", "asim"),
           Seq("query_id", "neighbor_id"), "left")
@@ -76,6 +78,31 @@ object EmbeddingQueries {
           count(col("asim")).cast("long").as("n_hits"))
         .select(col("n_queries"), col("n_exact"),
           (col("n_hits").cast("double") / col("n_exact") >= 0.5).as("recall_ok"))
+    }),
+
+    // IVF × PQ composition (the billion-scale IndexIVFPQ shape): coarse
+    // cells prune the scan (nProbe=8 of 16), byte codes make scanned
+    // rows M lookups, exact cosine re-ranks the 50-candidate shortlist.
+    // Recall ≈ cell-recall × shortlist-recall; measured 0.85 (sf0.01) /
+    // 0.76 (sf0.1) — the 0.4 floor sits far above the broken-machinery
+    // regime (~0.01) with ~2× margin under it.
+    "q118_ivfpq_knn" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 20)
+      val index = graft.operators.Ivf.build(e, "vec_id", "embedding", nLists = 16)
+      val cb = graft.operators.Pq.train(e, "vec_id", "embedding", m = 8, k = 256)
+      val encoded = graft.operators.Pq.encode(index.assigned, "embedding", cb)
+      val approx = graft.operators.Pq.ivfSearchReranked(index, cb, encoded,
+        q, "vec_id", "embedding", nProbe = 8, shortlist = 50, topK = 5,
+        dropSelf = true)
+      val exact = Embeddings.cosineTopK(q, e, "vec_id", "vec_id", "embedding", k = 5)
+      exact.join(approx.withColumnRenamed("sim", "asim"),
+          Seq("query_id", "neighbor_id"), "left")
+        .agg(count_distinct(col("query_id")).as("n_queries"),
+          count(lit(1)).cast("long").as("n_exact"),
+          count(col("asim")).cast("long").as("n_hits"))
+        .select(col("n_queries"), col("n_exact"),
+          (col("n_hits").cast("double") / col("n_exact") >= 0.4).as("recall_ok"))
     }),
 
     // IVF machinery proof: probing ALL lists must reproduce brute force
@@ -230,6 +257,11 @@ object EmbeddingQueries {
     // q62 pattern: exact side recomputed, the recall floor is a
     // predicted-true emission backed by the measured margin
     "q117_pq_knn" ->
+      """SELECT count(*) AS n_queries, CAST(5 * count(*) AS BIGINT) AS n_exact,
+        | true AS recall_ok
+        |FROM embeddings WHERE vec_id < 20""".stripMargin,
+
+    "q118_ivfpq_knn" ->
       """SELECT count(*) AS n_queries, CAST(5 * count(*) AS BIGINT) AS n_exact,
         | true AS recall_ok
         |FROM embeddings WHERE vec_id < 20""".stripMargin,

@@ -15,13 +15,13 @@ class PqSpec extends SparkSpec {
   test("encode: codes in range, deterministic across relayout") {
     val cb = Pq.train(vecs, "vid", "v", m = 4, k = 16)
     assert(cb.subDim == 8)
-    val enc = Pq.encode(vecs, "vid", "v", cb)
+    val enc = Pq.encode(vecs, "v", cb)
     assert(enc.filter(exists(col("codes"),
       c => c < 0 || c >= 16)).isEmpty)
     assert(enc.filter(size(col("codes")) =!= 4).isEmpty)
     // pure map-side function of the vector: an adversarial repartition
     // must not change a single code
-    val enc2 = Pq.encode(vecs.repartition(13, $"vid" % 3), "vid", "v", cb)
+    val enc2 = Pq.encode(vecs.repartition(13, $"vid" % 3), "v", cb)
       .withColumnRenamed("codes", "codes2").drop("v")
     assert(enc.join(enc2, "vid").filter($"codes" =!= $"codes2").isEmpty)
   }
@@ -33,22 +33,22 @@ class PqSpec extends SparkSpec {
     val planted = (0 until 16).map { j =>
       (1000L + j, (0 until 4).flatMap(m => cb.centers(m)(j)).toArray)
     }.toDF("vid", "v")
-    val enc = Pq.encode(planted, "vid", "v", cb)
+    val enc = Pq.encode(planted, "v", cb)
     // centers are not unit vectors; encode unitizes first, so the
     // argmin can differ from j — instead assert the INVARIANT that the
     // chosen code is the argmin (ADC self-distance <= distance to the
     // planted center's own code), via the search path: the nearest
     // reranked neighbor of any planted vector is itself.
-    val self = Pq.searchReranked(enc, cb, planted, "vid", "v",
+    val self = Pq.searchReranked(enc, "vid", "v", cb, planted, "vid", "v",
       shortlist = 16, topK = 1)
     assert(self.filter($"query_id" =!= $"neighbor_id").isEmpty)
   }
 
   test("full-corpus shortlist + exact rerank reproduces brute force exactly (q63-style machinery proof)") {
     val cb = Pq.train(vecs, "vid", "v", m = 4, k = 16)
-    val enc = Pq.encode(vecs, "vid", "v", cb)
+    val enc = Pq.encode(vecs, "v", cb)
     val q = vecs.filter($"vid" < 10)
-    val got = Pq.searchReranked(enc, cb, q, "vid", "v",
+    val got = Pq.searchReranked(enc, "vid", "v", cb, q, "vid", "v",
         shortlist = 400, topK = 3, dropSelf = true)
       .select($"query_id", $"neighbor_id", round($"sim" * 1e9).as("s"))
     val want = Embeddings.cosineTopK(q, vecs, "vid", "vid", "v", k = 3)
