@@ -41,6 +41,15 @@ object AmountFeatures {
   def zscore(c: Column, mean: Column, std: Column): Column =
     (c - mean) / (std + lit(1e-9))
 
+  /** Winsorization: clip to externally supplied [lo, hi] bounds
+    * (typically exact or sketch percentiles computed ONCE on a 1-row
+    * frame and cross-joined broadcast — never a per-row subquery). The
+    * outlier-capping preprocessor between raw amounts and any scaler:
+    * a fat-finger 1e9 transaction otherwise owns the z-score moments.
+    * NULL input stays NULL; least/greatest propagate nothing else. */
+  def winsorize(c: Column, lo: Column, hi: Column): Column =
+    least(greatest(c, lo), hi)
+
   def all(amount: Column, prefix: String = ""): Seq[(String, Column)] = Seq(
     s"${prefix}log_amt"     -> logAmount(amount),
     s"${prefix}amt_bin"     -> cutRightClosed(amount, Seq(50, 100, 200, 500, 1000, 5000)),

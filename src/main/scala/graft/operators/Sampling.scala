@@ -124,4 +124,26 @@ object Sampling {
     require(k >= 2, s"k-fold needs k >= 2, got $k")
     conv(substring(memberHash(key, salt), 1, 8), 16, 10).cast("long") % k
   }
+
+  /** k deterministic pseudo-uniform draws from a dense id space [0, n)
+    * per anchor — the negative-sampling primitive for contrastive
+    * training pairs (anchor, positive, k random negatives). Draw j for
+    * anchor a is md5-prefix(salt : a : j) mod n: engine/layout/rerun
+    * independent like every hash here, and each (anchor, j) is an
+    * independent draw. Collisions with an anchor's own positives are
+    * the CALLER's contract to reject (a join against ownership — the
+    * standard rejection step; both engines reject identically).
+    * Output: (anchor, sample_idx, cand_id); the caller joins cand_id
+    * back to the corpus (shuffle bounded by anchors×k, never corpus²). */
+  def idDraws(anchors: DataFrame, anchor: Column, k: Int, n: Long,
+              salt: String = "neg"): DataFrame = {
+    require(k >= 1 && n >= 1, s"idDraws needs k >= 1 and n >= 1, got k=$k n=$n")
+    anchors.select(anchor.as("anchor"))
+      .withColumn("sample_idx", explode(sequence(lit(0), lit(k - 1))))
+      .withColumn("cand_id",
+        conv(substring(memberHash(
+          concat(col("anchor").cast("string"), lit(":"),
+            col("sample_idx").cast("string")), salt), 1, 8), 16, 10)
+          .cast("long") % n)
+  }
 }

@@ -424,6 +424,26 @@ object CurationQueries {
         .select(col("lang"), col("fold"), col("n"),
           qz(col("n").cast("double") / col("n_lang"), 6).as("share"))
         .orderBy("lang", "fold")
+    }),
+
+    // contrastive negative sampling: per user (anchor), 5 deterministic
+    // uniform draws from the dense event-id space, REJECTING draws that
+    // hit the anchor's own events (the standard accidental-positive
+    // rejection — both engines reject identically, so the emitted pair
+    // set is exact). The candidate join is keyed on event_id and sized
+    // anchors×k; the corpus is never crossed with itself.
+    "q120_negative_samples" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val n = ev.agg(max(col("event_id"))).head().getLong(0) + 1
+      val anchors = ev.select(col("user_id")).distinct()
+      val draws = graft.operators.Sampling.idDraws(anchors, col("user_id"), k = 5, n = n)
+      draws
+        .join(ev.select(col("event_id"), col("user_id").as("owner"),
+          col("value")), col("cand_id") === col("event_id"))
+        .filter(col("owner") =!= col("anchor"))
+        .select(col("anchor").as("user_id"), col("sample_idx"),
+          col("event_id").as("neg_event_id"), col("owner"), col("value"))
+        .orderBy("user_id", "sample_idx")
     })
   )
 
@@ -758,6 +778,22 @@ object CurationQueries {
         |SELECT c.lang AS lang, c.fold, c.n,
         | round(CAST(c.n AS DOUBLE) / n_lang * 1000000.0) / 1000000.0 + 0.0 AS share
         |FROM c JOIN s ON c.lang = s.lang
-        |ORDER BY c.lang, c.fold""".stripMargin
+        |ORDER BY c.lang, c.fold""".stripMargin,
+
+    // draw hash recomputed from scratch; same rejection join
+    "q120_negative_samples" ->
+      """WITH n AS (SELECT max(event_id) + 1 AS n FROM events),
+        |anchors AS (SELECT DISTINCT user_id FROM events),
+        |draws AS (
+        | SELECT user_id AS anchor, j AS sample_idx,
+        |  CAST(CAST('0x' || substr(md5('neg:' || CAST(user_id AS VARCHAR)
+        |    || ':' || CAST(j AS VARCHAR)), 1, 8) AS UBIGINT)
+        |   % (SELECT n FROM n) AS BIGINT) AS cand_id
+        | FROM anchors CROSS JOIN generate_series(0, 4) AS t(j))
+        |SELECT d.anchor AS user_id, d.sample_idx,
+        | e.event_id AS neg_event_id, e.user_id AS owner, e.value
+        |FROM draws d JOIN events e ON d.cand_id = e.event_id
+        |WHERE e.user_id <> d.anchor
+        |ORDER BY user_id, sample_idx""".stripMargin
   )
 }

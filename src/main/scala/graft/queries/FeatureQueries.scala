@@ -161,6 +161,31 @@ object FeatureQueries {
       rows.toDF("event_id", "risk_level", "is_fraud", "reasons",
           "score_ok", "conf_ok")
         .orderBy("event_id")
+    }),
+
+    // winsorization audit: exact [p01, p99] computed ONCE (1-row frame,
+    // broadcast cross join — never a per-row subquery), values clipped,
+    // and the preprocessing evidence emitted (how many rows each tail
+    // capped, the moment shift). The outlier-capping stage between raw
+    // amounts and any scaler — one fat-finger amount otherwise owns
+    // the z-score moments.
+    "q119_winsorize" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(col("l_extendedprice").as("v"))
+      val bounds = li.agg(
+        expr("percentile(v, 0.01)").as("p01"),
+        expr("percentile(v, 0.99)").as("p99"))
+      val clipped = li.crossJoin(broadcast(bounds))
+        .select(col("v"), col("p01"), col("p99"),
+          graft.functions.AmountFeatures.winsorize(
+            col("v"), col("p01"), col("p99")).as("w"))
+      clipped.agg(
+        count(lit(1)).as("n"),
+        sum((col("v") < col("p01")).cast("long")).as("n_low"),
+        sum((col("v") > col("p99")).cast("long")).as("n_high"),
+        qz(max(col("p01")), 6).as("p01"),
+        qz(max(col("p99")), 6).as("p99"),
+        qz(sum(col("w")), 2).as("sum_w"),
+        qz(avg(col("w")), 6).as("mean_w"))
     })
   )
 
@@ -319,6 +344,26 @@ object FeatureQueries {
         |  CASE WHEN unusual THEN 'unusual_product' END,
         |  CASE WHEN h < 5 OR h > 23 THEN 'unusual_hour' END) AS reasons,
         | CAST(1 AS BIGINT) AS score_ok, CAST(1 AS BIGINT) AS conf_ok
-        |FROM scored ORDER BY event_id""".stripMargin
+        |FROM scored ORDER BY event_id""".stripMargin,
+
+    // quantile_cont is DuckDB's linearly-interpolated exact percentile —
+    // the same formula as Spark's percentile() (q05/q18 precedent)
+    "q119_winsorize" ->
+      """WITH b AS (
+        | SELECT quantile_cont(l_extendedprice, 0.01) AS p01,
+        |  quantile_cont(l_extendedprice, 0.99) AS p99
+        | FROM lineitem),
+        |c AS (
+        | SELECT l_extendedprice AS v, p01, p99,
+        |  least(greatest(l_extendedprice, p01), p99) AS w
+        | FROM lineitem CROSS JOIN b)
+        |SELECT count(*) AS n,
+        | sum(CASE WHEN v < p01 THEN 1 ELSE 0 END) AS n_low,
+        | sum(CASE WHEN v > p99 THEN 1 ELSE 0 END) AS n_high,
+        | round(max(p01) * 1000000.0) / 1000000.0 + 0.0 AS p01,
+        | round(max(p99) * 1000000.0) / 1000000.0 + 0.0 AS p99,
+        | round(sum(w) * 100.0) / 100.0 + 0.0 AS sum_w,
+        | round(avg(w) * 1000000.0) / 1000000.0 + 0.0 AS mean_w
+        |FROM c""".stripMargin
   )
 }

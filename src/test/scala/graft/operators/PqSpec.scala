@@ -56,6 +56,16 @@ class PqSpec extends SparkSpec {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("plan guard: encode is pure map-side (zero exchanges)") {
+    val cb = Pq.train(vecs, "vid", "v", m = 4, k = 16)
+    val enc = Pq.encode(vecs, "v", cb)
+    enc.collect()
+    val exchanges = enc.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty, enc.queryExecution.executedPlan.toString)
+  }
+
   test("localKMeans separates well-separated clusters") {
     val rnd = new scala.util.Random(5)
     val pts = Array.tabulate(300) { i =>

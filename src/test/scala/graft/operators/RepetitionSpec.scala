@@ -56,4 +56,16 @@ class RepetitionSpec extends SparkSpec {
     assert(bad.isEmpty, "repetition-signal invariants violated")
     assert(sig.count() == docs.count())
   }
+
+  test("plan guard: repetitionSignals has ZERO exchanges (the round-9 scale claim)") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val sig = TextOps.repetitionSignals(docs, "doc_id", "text")
+    sig.collect()
+    val exchanges = sig.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty,
+      s"expected a pure map-side plan, found ${exchanges.size} exchange(s):\n" +
+        sig.queryExecution.executedPlan)
+  }
 }

@@ -140,4 +140,22 @@ class SamplingSpec extends SparkSpec {
       .filter($"a" === 0 && $"b" === 0).count()
     assert(math.abs(cross - n / 25.0) < n * 0.2 / 25, cross)
   }
+
+  test("idDraws: k rows per anchor, ids in range, deterministic, ~uniform over the id space") {
+    val anchors = spark.range(500).select($"id".as("a"))
+    val draws = Sampling.idDraws(anchors, $"a", k = 4, n = 100L)
+    assert(draws.count() == 2000)
+    assert(draws.filter($"cand_id" < 0 || $"cand_id" >= 100).isEmpty)
+    assert(draws.groupBy("anchor").count().filter($"count" =!= 4).isEmpty)
+    // repartition changes nothing (pure key function)
+    val again = Sampling.idDraws(anchors.repartition(7), $"a", k = 4, n = 100L)
+      .withColumnRenamed("cand_id", "cand2")
+    assert(draws.join(again, Seq("anchor", "sample_idx"))
+      .filter($"cand_id" =!= $"cand2").isEmpty)
+    // coarse uniformity: each of the 100 ids drawn ~20 times over 2000
+    // draws; chi-square-ish loose bound (no id absent or 3x-hot)
+    val counts = draws.groupBy("cand_id").count().collect().map(_.getLong(1))
+    assert(counts.length == 100, s"only ${counts.length} distinct ids drawn")
+    assert(counts.min >= 5 && counts.max <= 60, s"min ${counts.min} max ${counts.max}")
+  }
 }
