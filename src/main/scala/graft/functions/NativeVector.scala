@@ -416,12 +416,77 @@ object NgramStats {
   }
 }
 
+/** Apply ONE BPE merge to a symbol sequence: every non-overlapping
+  * adjacent (left, right) occurrence, scanned left to right, fuses into
+  * the concatenated symbol — the inner loop of byte-pair-encoding
+  * tokenizer training (Sennrich et al. 2016, public). One merge round
+  * evaluates this once per distinct word; a higher-order-function form
+  * would be an interpreted per-element fold (the HOF-staging trap), so
+  * the walk is a codegen'd helper call like token_class_counts. */
+case class BpeMergePair(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(StringType, _), StringType, StringType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"bpe_merge expects (array<string>, string, string), got " +
+          s"${a.simpleString}, ${b.simpleString}, ${c.simpleString}")
+    }
+  }
+
+  override def nullSafeEval(syms: Any, a: Any, b: Any): Any =
+    BpeMergePair.merge(syms.asInstanceOf[ArrayData],
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, a, b) =>
+      s"${ev.value} = graft.functions.BpeMergePair.merge($s, $a, $b);")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
+object BpeMergePair {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** Left-to-right non-overlapping fuse (shared by interpreted + codegen
+    * eval): "aaa" under merge (a,a) → ["aa","a"], the BPE contract. */
+  def merge(syms: ArrayData, a: UTF8String, b: UTF8String): ArrayData = {
+    val n = syms.numElements()
+    val out = new Array[UTF8String](n)
+    var i = 0
+    var o = 0
+    while (i < n) {
+      val cur = syms.getUTF8String(i)
+      if (i + 1 < n && a.equals(cur) && b.equals(syms.getUTF8String(i + 1))) {
+        out(o) = UTF8String.concat(a, b)
+        i += 2
+      } else {
+        out(o) = cur
+        i += 1
+      }
+      o += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(out.asInstanceOf[Array[AnyRef]], o))
+  }
+}
+
 object NativeVector {
   val FnName = "float_dot"
   val IntersectFnName = "sorted_long_intersect"
   val SimHashFnName = "simhash32"
   val TokenClassFnName = "token_class_counts"
   val NgramStatsFnName = "ngram_stats"
+  val BpeMergeFnName = "bpe_merge"
 
   /** Register once per session; then `dot`/`sortedIntersect` resolve to
     * the native expressions through the function registry. Arity is
@@ -449,6 +514,9 @@ object NativeVector {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       NgramStatsFnName, checked(NgramStatsFnName, 2)(
         e => NgramStats(e(0), e(1))), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      BpeMergeFnName, checked(BpeMergeFnName, 3)(
+        e => BpeMergePair(e(0), e(1), e(2))), "built-in")
   }
 
   def dot(a: Column, b: Column): Column = call_function(FnName, a, b)
@@ -458,6 +526,8 @@ object NativeVector {
   def tokenClassCounts(a: Column): Column = call_function(TokenClassFnName, a)
   def ngramStats(toks: Column, n: Int): Column =
     call_function(NgramStatsFnName, toks, org.apache.spark.sql.functions.lit(n))
+  def bpeMerge(syms: Column, a: Column, b: Column): Column =
+    call_function(BpeMergeFnName, syms, a, b)
 
   /** cos(a,b) from raw float arrays: dot/(‖a‖·‖b‖), every norm evaluated
     * once per row via the native dot. THE single cosine form — Embeddings

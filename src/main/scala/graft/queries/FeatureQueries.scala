@@ -168,7 +168,11 @@ object FeatureQueries {
     // and the preprocessing evidence emitted (how many rows each tail
     // capped, the moment shift). The outlier-capping stage between raw
     // amounts and any scaler — one fat-finger amount otherwise owns
-    // the z-score moments.
+    // the z-score moments. EXACT percentile() buffers all values on one
+    // reducer — right for the cross-engine gate, wrong at 100 TB: at
+    // scale the bounds come from approx_percentile (the mergeable
+    // bounded-memory sketch q18 demonstrates with tolerance flags) and
+    // winsorize() is bounds-agnostic either way.
     "q119_winsorize" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir).select(col("l_extendedprice").as("v"))
       val bounds = li.agg(

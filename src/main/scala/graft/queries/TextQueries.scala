@@ -288,7 +288,23 @@ object TextQueries {
         .select(col("n_vocab"), col("n_tokens"), col("k_fit"),
           qz(col("alpha"), 6).as("alpha"),
           qz(col("intercept"), 6).as("intercept"),
-          qz(col("r2"), 6).as("r2")))
+          qz(col("r2"), 6).as("r2"))),
+
+    // distributed BPE tokenizer training (Sennrich 2016): 15 merges on
+    // the documents word histogram — ONE corpus shuffle, then every
+    // round is vocabulary-bounded (pair count + argmax + codegen'd
+    // map-side merge). Deterministic by total-order tie-break, so the
+    // emitted merge table is stable across layouts/engines. No portable
+    // SQL twin for the iterative merge (rows-only gate); the
+    // correctness evidence is BpeSpec's independent-implementation
+    // parity on this same corpus shape.
+    "q121_bpe_train" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Bpe.train(Tables.documents(s, dir), "text", numMerges = 15)
+        .toDF().select(col("rank").cast("long").as("rank"), col("left"),
+          col("right"), col("freq"))
+        .orderBy("rank")
+    })
   )
 
   /** MinHash-LSH (32 hashes, 16 bands of 2) candidates, exact-verified
