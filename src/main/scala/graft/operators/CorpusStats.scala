@@ -60,6 +60,32 @@ object CorpusStats {
       .withColumn("js_norm", col("js") / ln2)
   }
 
+  /** Concentration/diversity of a categorical mix (sources, languages,
+    * domains): Shannon entropy (nats), normalized entropy (÷ ln k),
+    * Herfindahl–Hirschman index Σp², and the "effective number of
+    * sources" e^H — the four numbers a data-mixing dashboard tracks per
+    * snapshot. One vocabulary-bounded groupBy; output is ONE row. A mix
+    * drifting toward one dominant source shows as HHI → 1 / effective
+    * count → 1 long before any per-source threshold trips. */
+  def mixConcentration(df: DataFrame, cat: String): DataFrame = {
+    // __cnt vs __tot, never __n/__N: Spark resolves case-insensitively
+    // by default, so names differing only in case are AMBIGUOUS
+    val counts = df.groupBy(col(cat)).agg(count(lit(1)).as("__cnt"))
+    val tot = counts.agg(sum("__cnt").as("__tot"), count(lit(1)).as("k"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("k"), col("__tot"),
+        (col("__cnt").cast("double") / col("__tot")).as("__p"))
+      .groupBy(col("k"), col("__tot"))
+      .agg(sum(-col("__p") * log(col("__p"))).as("entropy"),
+        sum(col("__p") * col("__p")).as("hhi"))
+      .select(col("k").as("n_categories"), col("__tot").as("n_rows"),
+        col("entropy"),
+        when(col("k") > 1, col("entropy") / log(col("k").cast("double")))
+          .otherwise(lit(0.0)).as("entropy_norm"),
+        col("hhi"),
+        exp(col("entropy")).as("effective_n"))
+  }
+
   /** Zipf power-law fit of the corpus token-frequency head: rank the
     * top-K tokens by collection frequency (total order: count desc,
     * token asc — engine-independent), then OLS on (ln rank, ln count);

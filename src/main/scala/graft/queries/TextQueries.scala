@@ -304,6 +304,23 @@ object TextQueries {
         .toDF().select(col("rank").cast("long").as("rank"), col("left"),
           col("right"), col("freq"))
         .orderBy("rank")
+    }),
+
+    // mix-concentration monitor over the source dimension: entropy,
+    // normalized entropy, HHI, effective source count — the one-row
+    // dashboard a data-mixing pipeline checks per snapshot (drift
+    // toward a dominant source moves HHI/effective-n long before a
+    // per-source threshold trips). Weighted by TOKEN mass, not doc
+    // count — what actually enters a training mix.
+    "q122_mix_concentration" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("t"))
+      CorpusStats.mixConcentration(toks, "source")
+        .select(col("n_categories"), col("n_rows"),
+          qz(col("entropy"), 6).as("entropy"),
+          qz(col("entropy_norm"), 6).as("entropy_norm"),
+          qz(col("hhi"), 6).as("hhi"),
+          qz(col("effective_n"), 6).as("effective_n"))
     })
   )
 
@@ -630,6 +647,26 @@ object TextQueries {
         | round(alpha * 1000000.0) / 1000000.0 + 0.0 AS alpha,
         | round(intercept * 1000000.0) / 1000000.0 + 0.0 AS intercept,
         | round(r2 * 1000000.0) / 1000000.0 + 0.0 AS r2
-        |FROM fit CROSS JOIN v""".stripMargin
+        |FROM fit CROSS JOIN v""".stripMargin,
+
+    // token-mass-weighted source shares → entropy/HHI re-derived
+    "q122_mix_concentration" ->
+      """WITH toks AS (
+        | SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+        | FROM documents),
+        |c AS (SELECT source, count(*) AS n FROM toks GROUP BY 1),
+        |t AS (SELECT sum(n) AS big_n, count(*) AS k FROM c),
+        |e AS (
+        | SELECT k, big_n,
+        |  sum(-(CAST(n AS DOUBLE)/big_n) * ln(CAST(n AS DOUBLE)/big_n)) AS entropy,
+        |  sum((CAST(n AS DOUBLE)/big_n) * (CAST(n AS DOUBLE)/big_n)) AS hhi
+        | FROM c CROSS JOIN t GROUP BY k, big_n)
+        |SELECT CAST(k AS BIGINT) AS n_categories, CAST(big_n AS BIGINT) AS n_rows,
+        | round(entropy * 1000000.0) / 1000000.0 + 0.0 AS entropy,
+        | round(CASE WHEN k > 1 THEN entropy / ln(CAST(k AS DOUBLE)) ELSE 0.0 END
+        |   * 1000000.0) / 1000000.0 + 0.0 AS entropy_norm,
+        | round(hhi * 1000000.0) / 1000000.0 + 0.0 AS hhi,
+        | round(exp(entropy) * 1000000.0) / 1000000.0 + 0.0 AS effective_n
+        |FROM e""".stripMargin
   )
 }

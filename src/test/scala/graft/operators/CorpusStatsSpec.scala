@@ -47,6 +47,20 @@ class CorpusStatsSpec extends SparkSpec {
     got.values.foreach(v => assert(v >= 0 && v <= math.log(2.0) + 1e-12))
   }
 
+  test("mixConcentration: uniform mix hits the entropy/HHI extremes, single source the other end") {
+    val uniform = (0 until 4).flatMap(s => Seq.fill(25)(s"src$s")).toDF("src")
+    val u = CorpusStats.mixConcentration(uniform, "src").first()
+    assert(u.getAs[Long]("n_categories") == 4)
+    assert(math.abs(u.getAs[Double]("entropy") - math.log(4.0)) < 1e-12)
+    assert(math.abs(u.getAs[Double]("entropy_norm") - 1.0) < 1e-12)
+    assert(math.abs(u.getAs[Double]("hhi") - 0.25) < 1e-12)
+    assert(math.abs(u.getAs[Double]("effective_n") - 4.0) < 1e-9)
+    val single = Seq.fill(50)("only").toDF("src")
+    val s = CorpusStats.mixConcentration(single, "src").first()
+    assert(s.getAs[Double]("entropy") == 0.0 && s.getAs[Double]("hhi") == 1.0)
+    assert(s.getAs[Double]("entropy_norm") == 0.0) // k=1 guard, not 0/0
+  }
+
   test("zipfFit recovers the exponent of a planted power law") {
     // counts c_r = floor(10000 / r^1.2), ranks 1..200 — exact Zipf with
     // alpha 1.2 up to floor noise
