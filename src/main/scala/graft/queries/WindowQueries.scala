@@ -75,6 +75,79 @@ object WindowQueries {
         .orderBy("user_id", "session_id")
     }),
 
+    // ORDERED funnel conversion within sessions — view → signup →
+    // purchase, each stage only counting if it happens AT OR AFTER the
+    // previous stage's first occurrence (a purchase before the signup
+    // does not convert). Three conditional-min windows over the same
+    // (user, session) clustering as the sessionize pass — one hash
+    // exchange end to end; output is ONE summary row.
+    "q123_funnel" -> ((s, dir) => {
+      val sess = BehaviorWindows.withSessionId(
+        Tables.events(s, dir), C, gapSeconds = 1800L)
+      val w = Window.partitionBy("user_id", "session_id")
+      val us = unix_micros(col("ts"))
+      val st = sess
+        .withColumn("t_view",
+          min(when(col("event_type") === "view", us)).over(w))
+        .withColumn("t_signup",
+          min(when(col("event_type") === "signup" && us >= col("t_view"), us)).over(w))
+        .withColumn("t_purchase",
+          min(when(col("event_type") === "purchase" && us >= col("t_signup"), us)).over(w))
+      st.groupBy("user_id", "session_id")
+        .agg(max("t_view").as("tv"), max("t_signup").as("tsu"),
+          max("t_purchase").as("tp"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("tv").isNotNull.cast("long")).as("n_view"),
+          sum(col("tsu").isNotNull.cast("long")).as("n_signup"),
+          sum(col("tp").isNotNull.cast("long")).as("n_purchase"))
+        .select(col("n_sessions"), col("n_view"), col("n_signup"), col("n_purchase"),
+          qz(col("n_signup").cast("double") / col("n_view"), 6).as("view_to_signup"),
+          qz(col("n_purchase").cast("double") / col("n_signup"), 6).as("signup_to_purchase"))
+    }),
+
+    // COHORT RETENTION matrix — users cohorted by first-seen ISO week,
+    // counted as retained in each later week they were active. Two
+    // user-keyed aggregations and one user-keyed join (at scale all
+    // three share the hash(user) clustering); matrix size is bounded by
+    // weeks², never rows. The classic growth-analytics query shape.
+    "q124_cohort_retention" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      val cohorts = ev.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+      val sizes = cohorts.groupBy("cohort_wk")
+        .agg(count(lit(1)).as("cohort_size"))
+      val active = ev.distinct()
+      active.join(cohorts, Seq("user_id"))
+        .groupBy(col("cohort_wk"),
+          ((unix_micros(col("wk")) - unix_micros(col("cohort_wk")))
+            / lit(604800000000L)).cast("long").as("week_offset"))
+        .agg(count(lit(1)).as("n_active"))
+        .join(sizes, Seq("cohort_wk"))   // |weeks| rows — AQE broadcasts
+        .select(col("cohort_wk"), col("week_offset"), col("n_active"),
+          col("cohort_size"),
+          qz(col("n_active").cast("double") / col("cohort_size"), 6).as("retention"))
+        .orderBy("cohort_wk", "week_offset")
+    }),
+
+    // behavioral TRANSITION MATRIX (first-order Markov counts): within
+    // each user's event stream, count (previous type → type) bigrams
+    // and row-normalize to transition probabilities. One lag window on
+    // the user clustering + a |types|²-bounded groupBy — the
+    // sequence-model prior / anomaly baseline over behavior streams.
+    "q125_transitions" -> ((s, dir) => {
+      val w = BehaviorWindows.ordered(C)
+      val paired = Tables.events(s, dir)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+      val counts = paired.groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+      val rowTot = counts.groupBy("prev_type").agg(sum("n").as("row_n"))
+      counts.join(rowTot, Seq("prev_type"))  // |types| rows — AQE broadcasts
+        .select(col("prev_type"), col("next_type"), col("n"),
+          qz(col("n").cast("double") / col("row_n"), 6).as("p"))
+        .orderBy("prev_type", "next_type")
+    }),
+
     // W14 (aggregate view): sliding last-3 frame, full windows only,
     // users with ≥5 events (group-size predicate via window count)
     "q25_sliding_window" -> ((s, dir) => {
@@ -297,6 +370,86 @@ object WindowQueries {
         |SELECT user_id, session_id, count(*) AS n_events,
         | round((sum(value)) * 10000.0) / 10000.0 + 0.0 AS sum_value, min(ts) AS min_ts, max(ts) AS max_ts
         |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+
+    // same sessionization, then the ordered-stage mins re-derived with
+    // FILTERed window aggregates
+    "q123_funnel" ->
+      """WITH flagged AS (
+        | SELECT user_id, ts, event_id, event_type, epoch_us(ts) AS us,
+        |  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |       THEN 1 ELSE 0 END AS is_start
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        | SELECT user_id, us, event_type,
+        |  sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        | FROM flagged),
+        |s1 AS (
+        | SELECT user_id, session_id, us, event_type,
+        |  min(us) FILTER (WHERE event_type = 'view')
+        |    OVER (PARTITION BY user_id, session_id) AS tv
+        | FROM sess),
+        |s2 AS (
+        | SELECT *, min(us) FILTER (WHERE event_type = 'signup' AND us >= tv)
+        |    OVER (PARTITION BY user_id, session_id) AS tsu
+        | FROM s1),
+        |s3 AS (
+        | SELECT *, min(us) FILTER (WHERE event_type = 'purchase' AND us >= tsu)
+        |    OVER (PARTITION BY user_id, session_id) AS tp
+        | FROM s2),
+        |per AS (
+        | SELECT user_id, session_id, max(tv) AS tv, max(tsu) AS tsu, max(tp) AS tp
+        | FROM s3 GROUP BY user_id, session_id),
+        |agg AS (
+        | SELECT count(*) AS n_sessions,
+        |  count(tv) AS n_view, count(tsu) AS n_signup, count(tp) AS n_purchase
+        | FROM per)
+        |SELECT CAST(n_sessions AS BIGINT) AS n_sessions,
+        | CAST(n_view AS BIGINT) AS n_view, CAST(n_signup AS BIGINT) AS n_signup,
+        | CAST(n_purchase AS BIGINT) AS n_purchase,
+        | round(CAST(n_signup AS DOUBLE) / n_view * 1000000.0) / 1000000.0 + 0.0 AS view_to_signup,
+        | round(CAST(n_purchase AS DOUBLE) / n_signup * 1000000.0) / 1000000.0 + 0.0 AS signup_to_purchase
+        |FROM agg""".stripMargin,
+
+    // cohort by first-seen week (date_trunc 'week' is ISO Monday-start
+    // in BOTH engines, UTC session), activity deduped per (user, week)
+    "q124_cohort_retention" ->
+      """WITH ev AS (
+        | SELECT user_id, date_trunc('week', ts) AS wk FROM events),
+        |cohorts AS (
+        | SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY user_id),
+        |sizes AS (
+        | SELECT cohort_wk, count(*) AS cohort_size FROM cohorts GROUP BY 1),
+        |active AS (SELECT DISTINCT user_id, wk FROM ev),
+        |m AS (
+        | SELECT c.cohort_wk,
+        |  (epoch_us(a.wk) - epoch_us(c.cohort_wk)) // 604800000000 AS week_offset,
+        |  count(*) AS n_active
+        | FROM active a JOIN cohorts c ON a.user_id = c.user_id
+        | GROUP BY 1, 2)
+        |SELECT m.cohort_wk, CAST(week_offset AS BIGINT) AS week_offset,
+        | CAST(n_active AS BIGINT) AS n_active,
+        | CAST(cohort_size AS BIGINT) AS cohort_size,
+        | round(CAST(n_active AS DOUBLE) / cohort_size * 1000000.0) / 1000000.0 + 0.0 AS retention
+        |FROM m JOIN sizes ON m.cohort_wk = sizes.cohort_wk
+        |ORDER BY m.cohort_wk, week_offset""".stripMargin,
+
+    // same (ts, event_id) total order per user, bigram counts + row
+    // normalization
+    "q125_transitions" ->
+      """WITH p AS (
+        | SELECT lag(event_type) OVER (PARTITION BY user_id
+        |   ORDER BY ts, event_id) AS prev_type, event_type AS next_type
+        | FROM events),
+        |c AS (
+        | SELECT prev_type, next_type, count(*) AS n FROM p
+        | WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT prev_type, sum(n) AS row_n FROM c GROUP BY 1)
+        |SELECT c.prev_type AS prev_type, next_type, c.n AS n,
+        | round(CAST(c.n AS DOUBLE) / row_n * 1000000.0) / 1000000.0 + 0.0 AS p
+        |FROM c JOIN t ON c.prev_type = t.prev_type
+        |ORDER BY prev_type, next_type""".stripMargin,
 
     "q25_sliding_window" ->
       """WITH f AS (
