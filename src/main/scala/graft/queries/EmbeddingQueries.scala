@@ -105,6 +105,24 @@ object EmbeddingQueries {
           (col("n_hits").cast("double") / col("n_exact") >= 0.4).as("recall_ok"))
     }),
 
+    // per-DIMENSION embedding moments — the whitening/normalization
+    // fit (mean-center + scale per dim) every embedding pipeline runs
+    // before PQ/IVF training. posexplode → groupBy(dim): shuffle rows =
+    // n·dim but keyed on dim (bounded groups, map-side combined);
+    // output is dim rows.
+    "q127_dim_stats" -> ((s, dir) => {
+      Tables.embeddings(s, dir)
+        .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("dim").cast("long").as("dim"), col("x").cast("double").as("x"))
+        .groupBy("dim")
+        .agg(count(lit(1)).as("n"),
+          qz(avg(col("x")), 6).as("mean"),
+          qz(stddev(col("x")), 6).as("std"),
+          qz(min(col("x")), 6).as("min_x"),
+          qz(max(col("x")), 6).as("max_x"))
+        .orderBy("dim")
+    }),
+
     // IVF machinery proof: probing ALL lists must reproduce brute force
     // EXACTLY (hash-checked vs the q58 oracle) — a dropped or duplicated
     // vector anywhere in build/assign/search breaks this row
@@ -265,6 +283,19 @@ object EmbeddingQueries {
       """SELECT count(*) AS n_queries, CAST(5 * count(*) AS BIGINT) AS n_exact,
         | true AS recall_ok
         |FROM embeddings WHERE vec_id < 20""".stripMargin,
+
+    // zipped unnest + generate_subscripts gives (position, value) pairs
+    "q127_dim_stats" ->
+      """WITH u AS (
+        | SELECT CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+        |  CAST(unnest(embedding) AS DOUBLE) AS x
+        | FROM embeddings)
+        |SELECT dim, count(*) AS n,
+        | round(avg(x) * 1000000.0) / 1000000.0 + 0.0 AS mean,
+        | round(stddev(x) * 1000000.0) / 1000000.0 + 0.0 AS std,
+        | round(min(x) * 1000000.0) / 1000000.0 + 0.0 AS min_x,
+        | round(max(x) * 1000000.0) / 1000000.0 + 0.0 AS max_x
+        |FROM u GROUP BY dim ORDER BY dim""".stripMargin,
 
     // full-probe IVF == brute force, same oracle as q58
     "q63_ivf_exact" ->

@@ -190,6 +190,33 @@ object FeatureQueries {
         qz(max(col("p99")), 6).as("p99"),
         qz(sum(col("w")), 2).as("sum_w"),
         qz(avg(col("w")), 6).as("mean_w"))
+    }),
+
+    // robust anomaly flags per event type: median/MAD instead of
+    // mean/std (one fat tail does not drag its own threshold — the
+    // outlier-detection failure mode z-scores have). Two grouped exact
+    // medians (per-group percentile; the q119/q18 sketch note applies
+    // at scale), flag |0.6745·(x−med)/MAD| > 3.5 (the standard
+    // consistency constant + Iglewicz-Hoaglin cutoff). Output is one
+    // bounded row per type.
+    "q126_robust_anomaly" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+      val med = ev.groupBy("event_type")
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val mad = ev.join(med, Seq("event_type"))
+        .groupBy("event_type")
+        .agg(max(col("med")).as("med"),
+          expr("percentile(abs(value - med), 0.5)").as("mad"))
+      ev.join(mad, Seq("event_type"))  // |types| rows — AQE broadcasts
+        .select(col("event_type"), col("med"), col("mad"), col("value"),
+          (abs(lit(0.6745) * (col("value") - col("med")) / col("mad")) > 3.5)
+            .cast("long").as("flagged"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          qz(max(col("med")), 6).as("med"),
+          qz(max(col("mad")), 6).as("mad"),
+          sum(col("flagged")).as("n_anomalous"))
+        .orderBy("event_type")
     })
   )
 
@@ -368,6 +395,27 @@ object FeatureQueries {
         | round(max(p99) * 1000000.0) / 1000000.0 + 0.0 AS p99,
         | round(sum(w) * 100.0) / 100.0 + 0.0 AS sum_w,
         | round(avg(w) * 1000000.0) / 1000000.0 + 0.0 AS mean_w
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+
+    // same two-level median/MAD chain; the flag predicate applies to
+    // UNROUNDED med/mad in both engines (quantize only at emission)
+    "q126_robust_anomaly" ->
+      """WITH med AS (
+        | SELECT event_type, quantile_cont(value, 0.5) AS med
+        | FROM events GROUP BY 1),
+        |mad AS (
+        | SELECT e.event_type, max(med) AS med,
+        |  quantile_cont(abs(value - med), 0.5) AS mad
+        | FROM events e JOIN med ON e.event_type = med.event_type
+        | GROUP BY e.event_type),
+        |f AS (
+        | SELECT e.event_type, med, mad, value,
+        |  CASE WHEN abs(0.6745 * (value - med) / mad) > 3.5 THEN 1 ELSE 0 END AS flagged
+        | FROM events e JOIN mad ON e.event_type = mad.event_type)
+        |SELECT event_type, count(*) AS n,
+        | round(max(med) * 1000000.0) / 1000000.0 + 0.0 AS med,
+        | round(max(mad) * 1000000.0) / 1000000.0 + 0.0 AS mad,
+        | CAST(sum(flagged) AS BIGINT) AS n_anomalous
+        |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }
