@@ -285,9 +285,11 @@ object Metrics {
     * the check a fraud-ops team runs before trusting "risk 0.8" to mean
     * 80%. One scan: binning is a bounded groupBy (shuffle rows ≤ B, map-
     * side combined), Brier folds into the same pass as conditional sums.
-    * Null/NaN scores are EXCLUDED with the explicit guard (least/
-    * greatest ignore nulls — the q111 lesson); scores clamp into
-    * [0,1) bins with greatest(least(floor(s·B), B−1), 0).
+    * Null/NaN scores AND null labels are EXCLUDED with the explicit
+    * guard (least/greatest ignore nulls — the q111 lesson; an unlabeled
+    * row left in would count in every denominator while contributing to
+    * no numerator, silently biasing frac_pos and Brier low); scores
+    * clamp into [0,1) bins with greatest(least(floor(s·B), B−1), 0).
     *
     * Cross-engine parity: mean_score and frac_pos are quantized (qz 6)
     * BEFORE the |diff|, so ECE is a B-term sum of identically-rounded
@@ -299,7 +301,7 @@ object Metrics {
     val y = label.cast("long")
     val rawBin = greatest(least(floor(sc * bins), lit(bins - 1)), lit(0))
     val perBin = df
-      .select(when(sc.isNull || isnan(sc), lit(null)).otherwise(rawBin)
+      .select(when(sc.isNull || isnan(sc) || y.isNull, lit(null)).otherwise(rawBin)
           .cast("long").as("bin"),
         sc.as("__s"), y.as("__y"))
       .filter(col("bin").isNotNull)

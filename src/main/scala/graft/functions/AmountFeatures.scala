@@ -46,9 +46,11 @@ object AmountFeatures {
     * frame and cross-joined broadcast — never a per-row subquery). The
     * outlier-capping preprocessor between raw amounts and any scaler:
     * a fat-finger 1e9 transaction otherwise owns the z-score moments.
-    * NULL input stays NULL; least/greatest propagate nothing else. */
+    * NULL input stays NULL — by EXPLICIT guard, because least/greatest
+    * IGNORE null operands (greatest(null, lo) = lo — the q111 lesson),
+    * which would silently fabricate lo for missing amounts. */
   def winsorize(c: Column, lo: Column, hi: Column): Column =
-    least(greatest(c, lo), hi)
+    when(c.isNull, lit(null)).otherwise(least(greatest(c, lo), hi))
 
   def all(amount: Column, prefix: String = ""): Seq[(String, Column)] = Seq(
     s"${prefix}log_amt"     -> logAmount(amount),

@@ -55,12 +55,7 @@ object Bpe {
             localThreshold: Long = 100000L): Seq[Merge] = {
     val spark = docs.sparkSession
     NativeVector.register(spark)
-    // ONE corpus-sized job: word histogram (map-side combined)
-    val hist = docs
-      .select(explode(TextOps.tokens(col(text))).as("w"))
-      .filter(length(col("w")) > 0)
-      .groupBy("w").agg(count(lit(1)).as("cnt"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val hist = wordHistogram(docs, text).persist(StorageLevel.MEMORY_AND_DISK)
     try {
       if (hist.count() <= localThreshold) {
         val local = hist.collect().map(r => r.getString(0) -> r.getLong(1))
@@ -69,8 +64,38 @@ object Bpe {
     } finally hist.unpersist()
   }
 
+  /** ONE corpus-sized job: word histogram (map-side combined). The
+    * single construction both train() and vocabulary() read — a drift
+    * between their tokenizations would silently decouple the replayed
+    * vocabulary from the trained merge table. */
+  private def wordHistogram(docs: DataFrame, text: String): DataFrame =
+    docs
+      .select(explode(TextOps.tokens(col(text))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+
+  /** Histogram rows → (cnt, syms) with the end marker appended; shared
+    * by the distributed branch and vocabulary(). split("") keeps
+    * multi-byte code points whole. */
+  private def withSyms(hist: DataFrame): DataFrame =
+    hist.select(col("cnt"),
+      concat(split(col("w"), "").cast("array<string>"),
+        array(lit(EndOfWord))).as("syms"))
+
+  /** Spark's string ordering compares UTF-8 BYTES (code-point order);
+    * Java's String '<' compares UTF-16 code units, which DISAGREES for
+    * supplementary-plane symbols (an emoji's lead surrogate sorts below
+    * U+FFFF in UTF-16 but above it in UTF-8). The local branch must
+    * tie-break exactly like the distributed orderBy or the two branches
+    * diverge on such corpora. */
+  private def utf8Less(a: String, b: String): Boolean =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+
   /** Driver-side merge loop over a collected histogram — bit-identical
-    * merges to the distributed branch (same tie-break total order). */
+    * merges to the distributed branch (same tie-break total order,
+    * UTF-8 byte comparison included). */
   private[operators] def localTrain(hist: Array[(String, Long)],
                                     numMerges: Int): Seq[Merge] = {
     var words: Array[(Array[String], Long)] = hist.map { case (w, c) =>
@@ -95,8 +120,8 @@ object Bpe {
         var best: ((String, String), Long) = null
         counts.forEach { (k, v) =>
           if (best == null || v(0) > best._2 ||
-            (v(0) == best._2 && (k._1 < best._1._1 ||
-              (k._1 == best._1._1 && k._2 < best._1._2)))) best = (k, v(0))
+            (v(0) == best._2 && (utf8Less(k._1, best._1._1) ||
+              (k._1 == best._1._1 && utf8Less(k._2, best._1._2))))) best = (k, v(0))
         }
         val ((a, b), f) = best
         out += Merge(r, a, b, f)
@@ -124,11 +149,7 @@ object Bpe {
   }
 
   private def distributedTrain(hist: DataFrame, numMerges: Int): Seq[Merge] = {
-    // chars + end marker; split("") keeps multi-byte code points whole
-    val words = hist.select(col("cnt"),
-      concat(split(col("w"), "").cast("array<string>"),
-        array(lit(EndOfWord))).as("syms"))
-    var cur = words.persist(StorageLevel.MEMORY_AND_DISK)
+    var cur = withSyms(hist).persist(StorageLevel.MEMORY_AND_DISK)
     var prev: Option[DataFrame] = None
     val merges = scala.collection.mutable.ArrayBuffer[Merge]()
     var r = 0
@@ -175,14 +196,8 @@ object Bpe {
   def vocabulary(docs: DataFrame, text: String, merges: Seq[Merge]): DataFrame = {
     val spark = docs.sparkSession
     NativeVector.register(spark)
-    val words = docs
-      .select(explode(TextOps.tokens(col(text))).as("w"))
-      .filter(length(col("w")) > 0)
-      .groupBy("w").agg(count(lit(1)).as("cnt"))
-      .select(col("cnt"),
-        concat(split(col("w"), "").cast("array<string>"),
-          array(lit(EndOfWord))).as("syms"))
-    val merged = merges.foldLeft(words.select(col("cnt"), col("syms"))) {
+    val words = withSyms(wordHistogram(docs, text))
+    val merged = merges.foldLeft(words) {
       case (df, m) =>
         df.withColumn("syms", NativeVector.bpeMerge(col("syms"), lit(m.left), lit(m.right)))
     }

@@ -174,9 +174,18 @@ object Pq {
     * with the native dot on a STAGED unit-normalized subvector slice.
     * Pure map-side; ties break toward the lower code
     * (array_position takes the first maximum). Output: ALL input
-    * columns + `codes` — composes with IVF's `centroid_id`. */
+    * columns + `codes` — composes with IVF's `centroid_id`.
+    *
+    * Non-finite or null vectors get NULL codes (the Ivf centroid_id=-1
+    * convention): unguarded, a NaN component would produce
+    * plausible-looking codes whose rerank cosine is NaN — and NaN
+    * sorts FIRST under desc, so the garbage row would be emitted as
+    * the top neighbor. adcRank drops null-code rows, making parked
+    * rows unsearchable BY CONTRACT, never silently ranked. */
   def encode(df: DataFrame, vec: String, cb: Codebooks): DataFrame = {
     NativeVector.register(df.sparkSession)
+    val finite = !exists(col(vec), x => isnan(x.cast("double")) ||
+      abs(x.cast("double")) === lit(Double.PositiveInfinity))
     val staged = df.withColumn("__unit", unitize(col(vec)))
     val codeCols: Seq[Column] = (0 until cb.m).map { j =>
       val sub = slice(col("__unit"), j * cb.subDim + 1, cb.subDim)
@@ -189,8 +198,16 @@ object Pq {
         s => NativeVector.dot(sub, s.getField("c")) - s.getField("h"))
       (array_position(perCenter, array_max(perCenter)) - 1).cast("int")
     }
-    staged.withColumn("codes", array(codeCols: _*)).drop("__unit")
+    staged.withColumn("codes",
+        when(col(vec).isNotNull && finite, array(codeCols: _*)))
+      .drop("__unit")
   }
+
+  /** Rows `encode` parked with NULL codes (non-finite/null vectors) —
+    * unsearchable by contract; callers that must not lose rows check
+    * this is empty (the Ivf.invalid convention). */
+  def invalid(encoded: DataFrame): DataFrame =
+    encoded.filter(col("codes").isNull)
 
   /** Per-query M×k table of partial squared L2 distances to every
     * codebook center, computed DRIVER-SIDE (queries are few by contract
@@ -242,6 +259,7 @@ object Pq {
         lit(j * cb.k) + element_at(col("codes"), j + 1) + 1))
       .reduce(_ + _)
     val all = cands
+      .filter(col("codes").isNotNull) // parked rows never rank (see encode)
       .select(col("query_id"), col(id).as("neighbor_id"), adc.as("adc_dist"))
       .withColumn("sim_est", lit(1.0) - col("adc_dist") / 2.0)
     // dropSelf: when queries come from the corpus itself, exclude the

@@ -197,8 +197,11 @@ object FeatureQueries {
     // outlier-detection failure mode z-scores have). Two grouped exact
     // medians (per-group percentile; the q119/q18 sketch note applies
     // at scale), flag |0.6745·(x−med)/MAD| > 3.5 (the standard
-    // consistency constant + Iglewicz-Hoaglin cutoff). Output is one
-    // bounded row per type.
+    // consistency constant + Iglewicz-Hoaglin cutoff). MAD = 0 (over
+    // half the group identical) gets an EXPLICIT branch — any deviation
+    // from a zero-spread distribution flags; the unguarded division
+    // would go null and silently report 0 anomalies exactly where a
+    // fat-finger value stands alone. Output is one bounded row per type.
     "q126_robust_anomaly" -> ((s, dir) => {
       val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
       val med = ev.groupBy("event_type")
@@ -209,7 +212,9 @@ object FeatureQueries {
           expr("percentile(abs(value - med), 0.5)").as("mad"))
       ev.join(mad, Seq("event_type"))  // |types| rows — AQE broadcasts
         .select(col("event_type"), col("med"), col("mad"), col("value"),
-          (abs(lit(0.6745) * (col("value") - col("med")) / col("mad")) > 3.5)
+          when(col("mad") > 0,
+            abs(lit(0.6745) * (col("value") - col("med")) / col("mad")) > 3.5)
+            .otherwise(col("value") =!= col("med"))
             .cast("long").as("flagged"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
@@ -410,7 +415,9 @@ object FeatureQueries {
         | GROUP BY e.event_type),
         |f AS (
         | SELECT e.event_type, med, mad, value,
-        |  CASE WHEN abs(0.6745 * (value - med) / mad) > 3.5 THEN 1 ELSE 0 END AS flagged
+        |  CASE WHEN mad > 0
+        |       THEN CASE WHEN abs(0.6745 * (value - med) / mad) > 3.5 THEN 1 ELSE 0 END
+        |       ELSE CASE WHEN value <> med THEN 1 ELSE 0 END END AS flagged
         | FROM events e JOIN mad ON e.event_type = mad.event_type)
         |SELECT event_type, count(*) AS n,
         | round(max(med) * 1000000.0) / 1000000.0 + 0.0 AS med,

@@ -182,8 +182,12 @@ class MetricsSpec extends SparkSpec {
     // empty bins emit n=0 with null means (spine-total), and null/NaN
     // scores are excluded by the explicit guard
     assert(out.count(_.getAs[Long]("n") == 0) == 8)
-    val edge = Seq((Some(0.5), 1), (None: Option[Double], 1),
-      (Some(Double.NaN), 0)).toDF("score", "label")
+    // null/NaN scores AND null labels are all excluded — an unlabeled
+    // row would otherwise inflate every denominator (ECE reads
+    // "calibrated", Brier halves) while feeding no numerator
+    val edge = Seq((Some(0.5), Some(1)), (None: Option[Double], Some(1)),
+      (Some(Double.NaN), Some(0)), (Some(0.5), None: Option[Int]))
+      .toDF("score", "label")
     val oe = Metrics.calibration(edge, $"label", $"score").collect()
     assert(oe.map(_.getAs[Long]("n")).sum == 1)
   }

@@ -9,9 +9,14 @@ class BpeSpec extends SparkSpec {
 
   /** Independent reference BPE trainer (plain Scala, no Spark): the
     * textbook algorithm over a word histogram, with the SAME total-order
-    * tie-break (freq desc, left asc, right asc). Deliberately written
-    * structurally differently (maps + sorted scans) so agreement with
-    * the distributed trainer is evidence, not shared code. */
+    * tie-break (freq desc, then UTF-8-byte-order left/right asc — the
+    * order Spark's orderBy uses; Java's String '<' would diverge on
+    * supplementary-plane symbols). Deliberately written structurally
+    * differently (maps + sorted scans) so agreement with the
+    * distributed trainer is evidence, not shared code. */
+  private def utf8Key(s: String): Seq[Int] =
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8).toSeq.map(_ & 0xff)
+
   private def refTrain(wordCounts: Map[String, Long],
                        numMerges: Int): Seq[(String, String, Long)] = {
     var words: Map[Vector[String], Long] = wordCounts.map { case (w, c) =>
@@ -25,8 +30,9 @@ class BpeSpec extends SparkSpec {
         pairCounts((syms(i), syms(i + 1))) =
           pairCounts.getOrElse((syms(i), syms(i + 1)), 0L) + c
       if (pairCounts.isEmpty) return out.toSeq
+      import scala.math.Ordering.Implicits.seqOrdering
       val ((a, b), f) = pairCounts.toSeq
-        .sortBy { case ((x, y), c) => (-c, x, y) }.head
+        .sortBy { case ((x, y), c) => (-c, utf8Key(x), utf8Key(y)) }.head
       out += ((a, b, f))
       words = words.map { case (syms, c) =>
         val merged = scala.collection.mutable.ArrayBuffer[String]()

@@ -56,6 +56,24 @@ class PqSpec extends SparkSpec {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("non-finite vectors are parked with null codes and never ranked") {
+    val cb = Pq.train(vecs, "vid", "v", m = 4, k = 16)
+    val poisoned = vecs.unionByName(Seq(
+      (9001L, Array.fill(32)(Float.NaN)),
+      (9002L, Array.tabulate(32)(i => if (i == 0) Float.PositiveInfinity else 0.1f)))
+      .toDF("vid", "v"))
+    val enc = Pq.encode(poisoned, "v", cb)
+    assert(Pq.invalid(enc).select("vid").as[Long].collect().sorted
+      .toSeq == Seq(9001L, 9002L))
+    // a NaN row would otherwise rank FIRST (NaN sorts above 1.0 under
+    // desc) — parked rows must appear in NO result
+    val res = Pq.searchReranked(enc, "vid", "v", cb,
+      vecs.filter($"vid" < 5), "vid", "v", shortlist = 500, topK = 3,
+      dropSelf = true)
+    assert(res.filter($"neighbor_id" >= 9000L).isEmpty)
+    assert(res.groupBy("query_id").count().filter($"count" =!= 3).isEmpty)
+  }
+
   test("plan guard: encode is pure map-side (zero exchanges)") {
     val cb = Pq.train(vecs, "vid", "v", m = 4, k = 16)
     val enc = Pq.encode(vecs, "v", cb)
