@@ -161,11 +161,21 @@ object Pq {
   }
 
   /** Unit-normalize staged once (HOF-staging rule: the norm must not
-    * re-evaluate per element). Zero vectors stay zero. */
+    * re-evaluate per element). The norm doubles as the non-finite
+    * detector: a NaN/±Inf component makes it NaN/Inf, and such vectors
+    * PARK (null out — their codes become null and adcRank drops them).
+    * Zero vectors ride along raw (their rerank cosine is null, which
+    * sorts LAST under desc — harmless, unlike NaN which sorts FIRST).
+    * The conditions stay scalar tests on the one staged norm: wrapping
+    * the whole codes array (or this column) in an extra when() was
+    * measured 2×/20× slower — Spark's subexpression elimination skips
+    * conditional branches, so every downstream reference re-evaluated
+    * the argmin transforms. */
   private def unitize(vec: Column): Column = {
     val norm = sqrt(NativeVector.dot(vec, vec))
-    when(norm > 0, transform(vec, x => (x.cast("double") / norm).cast("float")))
-      .otherwise(vec)
+    when(!isnan(norm) && norm =!= lit(Double.PositiveInfinity) && norm > 0,
+      transform(vec, x => (x.cast("double") / norm).cast("float")))
+      .otherwise(when(norm === 0, vec))
   }
 
   /** Encode every vector as M codes (int 0..k−1): per subspace, argmin
@@ -176,16 +186,17 @@ object Pq {
     * (array_position takes the first maximum). Output: ALL input
     * columns + `codes` — composes with IVF's `centroid_id`.
     *
-    * Non-finite or null vectors get NULL codes (the Ivf centroid_id=-1
-    * convention): unguarded, a NaN component would produce
-    * plausible-looking codes whose rerank cosine is NaN — and NaN
-    * sorts FIRST under desc, so the garbage row would be emitted as
-    * the top neighbor. adcRank drops null-code rows, making parked
-    * rows unsearchable BY CONTRACT, never silently ranked. */
+    * Non-finite or null vectors get NULL code ELEMENTS (the Ivf
+    * centroid_id=-1 convention): unguarded, a NaN component would
+    * produce plausible-looking codes whose rerank cosine is NaN — and
+    * NaN sorts FIRST under desc, so the garbage row would be emitted
+    * as the top neighbor. The parking happens INSIDE unitize (the norm
+    * is the detector — see its doc for why no extra when() wrapper may
+    * be added here); null __unit propagates to null code elements, and
+    * adcRank drops parked rows, making them unsearchable BY CONTRACT,
+    * never silently ranked. */
   def encode(df: DataFrame, vec: String, cb: Codebooks): DataFrame = {
     NativeVector.register(df.sparkSession)
-    val finite = !exists(col(vec), x => isnan(x.cast("double")) ||
-      abs(x.cast("double")) === lit(Double.PositiveInfinity))
     val staged = df.withColumn("__unit", unitize(col(vec)))
     val codeCols: Seq[Column] = (0 until cb.m).map { j =>
       val sub = slice(col("__unit"), j * cb.subDim + 1, cb.subDim)
@@ -198,16 +209,17 @@ object Pq {
         s => NativeVector.dot(sub, s.getField("c")) - s.getField("h"))
       (array_position(perCenter, array_max(perCenter)) - 1).cast("int")
     }
-    staged.withColumn("codes",
-        when(col(vec).isNotNull && finite, array(codeCols: _*)))
-      .drop("__unit")
+    staged.withColumn("codes", array(codeCols: _*)).drop("__unit")
   }
 
-  /** Rows `encode` parked with NULL codes (non-finite/null vectors) —
-    * unsearchable by contract; callers that must not lose rows check
-    * this is empty (the Ivf.invalid convention). */
-  def invalid(encoded: DataFrame): DataFrame =
-    encoded.filter(col("codes").isNull)
+  /** True iff the row was parked by `encode` (null input propagated to
+    * the codes — checking ONE element suffices, null-ness is uniform). */
+  private def parked: Column = element_at(col("codes"), 1).isNull
+
+  /** Rows `encode` parked (non-finite/null vectors → null code
+    * elements) — unsearchable by contract; callers that must not lose
+    * rows check this is empty (the Ivf.invalid convention). */
+  def invalid(encoded: DataFrame): DataFrame = encoded.filter(parked)
 
   /** Per-query M×k table of partial squared L2 distances to every
     * codebook center, computed DRIVER-SIDE (queries are few by contract
@@ -259,7 +271,7 @@ object Pq {
         lit(j * cb.k) + element_at(col("codes"), j + 1) + 1))
       .reduce(_ + _)
     val all = cands
-      .filter(col("codes").isNotNull) // parked rows never rank (see encode)
+      .filter(!parked) // parked rows never rank (see encode)
       .select(col("query_id"), col(id).as("neighbor_id"), adc.as("adc_dist"))
       .withColumn("sim_est", lit(1.0) - col("adc_dist") / 2.0)
     // dropSelf: when queries come from the corpus itself, exclude the
@@ -273,12 +285,25 @@ object Pq {
       .drop("__rk")
   }
 
+  /** The codes ARE the index: materialize them once before any query
+    * join. Left lazy, Catalyst inlines the per-subspace argmin encode
+    * expression ABOVE the query cross join and every (row, query) pair
+    * re-runs the 8×256 center scan — measured 76 s vs ~3 s for the
+    * whole sf0.1 corpus encode. Persisting the pruned code columns is
+    * exactly what a real PQ deployment does (FAISS stores codes; search
+    * reads them); the ContextCleaner drops the cache when the frame is
+    * GC'd (contaminationBloom precedent). */
+  private def materializedCodes(encoded: DataFrame, cols: Seq[String]): DataFrame =
+    encoded.select(cols.map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** ADC top-k over the WHOLE encoded corpus (flat IndexPQ): every row
     * costs M lookups against the broadcast query tables. */
   def adcSearch(encoded: DataFrame, id: String, cb: Codebooks,
                 queries: DataFrame, qid: String, qvec: String, topK: Int,
                 dropSelf: Boolean = false): DataFrame =
-    adcRank(encoded.crossJoin(broadcast(qTables(cb, queries, qid, qvec))),
+    adcRank(materializedCodes(encoded, Seq(id, "codes"))
+        .crossJoin(broadcast(qTables(cb, queries, qid, qvec))),
       id, cb, topK, dropSelf)
 
   /** ADC shortlist + EXACT re-rank — the deployment shape PQ is used in
@@ -349,7 +374,8 @@ object Pq {
       .select("query_id", "centroid_id")
     val tabbed = broadcast(
       probes.join(qTables(cb, queries, qid, qvec), Seq("query_id")))
-    val cands = encoded.join(tabbed, Seq("centroid_id"))
+    val cands = materializedCodes(encoded,
+      Seq("centroid_id", index.idCol, "codes")).join(tabbed, Seq("centroid_id"))
     rerank(adcRank(cands, index.idCol, cb, shortlist, dropSelf),
       encoded, index.idCol, index.vecCol, queries, qid, qvec, topK)
   }
