@@ -16,17 +16,27 @@ import Util.{Q, qz}
 object CoreQueries {
 
   def queries: Map[String, Q] = Map(
-    // A1-A4: TPC-H Q1-style grouped multi-aggregate (partial+final hash agg)
+    // A1-A4: TPC-H Q1-style grouped multi-aggregate (partial+final hash
+    // agg). The MONEY sums gate through Util.exactSum (per-row cent
+    // quantization, exact long sum): group sums reach ~5×10⁸ at sf0.01
+    // and ~5×10¹⁰ at sf1, where a double sum's association error rivals
+    // the 2-dp audit step (the q119 lesson — only 4.3× worst-case
+    // headroom here pre-fix). sum_qty stays a plain double sum:
+    // quantities are small integers, so their double sum is EXACT.
+    // avg_price derives from the same exact cent sum; avg_qty/avg_disc
+    // have 10³-10⁵× headroom at 6 dp (integer-exact / tiny magnitude).
     "q01_pricing_summary" -> ((s, dir) => {
+      val disc  = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      val charge = disc * (lit(1.0) + col("l_tax"))
       Tables.lineitem(s, dir)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           qz(sum("l_quantity"), 2).as("sum_qty"),
-          qz(sum("l_extendedprice"), 2).as("sum_base_price"),
-          qz(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
-          qz(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+          Util.exactSum(col("l_extendedprice"), 2).as("sum_base_price"),
+          Util.exactSum(disc, 4).as("sum_disc_price"),
+          Util.exactSum(charge, 4).as("sum_charge"),
           qz(avg("l_quantity"), 6).as("avg_qty"),
-          qz(avg("l_extendedprice"), 6).as("avg_price"),
+          qz(Util.exactSum(col("l_extendedprice"), 2) / count(lit(1)), 6).as("avg_price"),
           qz(avg("l_discount"), 6).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
@@ -51,7 +61,7 @@ object CoreQueries {
       graft.sources.Io.readCsv(s, path, schema)
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"),
-          qz(sum("o_totalprice"), 2).as("sum_price"),
+          Util.exactSum(col("o_totalprice"), 2).as("sum_price"),
           min("o_totalprice").as("min_price"),
           max("o_totalprice").as("max_price"),
           max("o_orderdate").as("max_date"))
@@ -151,7 +161,7 @@ object CoreQueries {
       graft.sources.Io.readJson(s, path, schema)
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"),
-          qz(sum("o_totalprice"), 2).as("sum_price"),
+          Util.exactSum(col("o_totalprice"), 2).as("sum_price"),
           min("o_totalprice").as("min_price"),
           max("o_totalprice").as("max_price"),
           max("o_orderdate").as("max_date"))
@@ -196,7 +206,7 @@ object CoreQueries {
       Tables.orders(s, dir)
         .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"), "left")
         .groupBy(coalesce(col("c_mktsegment"), lit("missing")).as("segment"))
-        .agg(count(lit(1)).as("n_orders"), qz(sum("o_totalprice"), 2).as("total"))
+        .agg(count(lit(1)).as("n_orders"), Util.exactSum(col("o_totalprice"), 2).as("total"))
         .orderBy("segment")
     }),
 
@@ -232,7 +242,7 @@ object CoreQueries {
         .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name", "n_name")
-        .agg(count(lit(1)).as("n_orders"), qz(sum("o_totalprice"), 2).as("revenue"))
+        .agg(count(lit(1)).as("n_orders"), Util.exactSum(col("o_totalprice"), 2).as("revenue"))
         .orderBy("r_name", "n_name")
     }),
 
@@ -350,7 +360,7 @@ object CoreQueries {
     // write/read round trip on the Spark side was lossless
     "q64_csv_roundtrip" ->
       """SELECT o_orderstatus, count(*) AS n,
-        | round((sum(o_totalprice)) * 100.0) / 100.0 + 0.0 AS sum_price,
+        | sum(CAST(round((o_totalprice) * 100.0) AS BIGINT)) / 100.0 + 0.0 AS sum_price,
         | min(o_totalprice) AS min_price,
         | max(o_totalprice) AS max_price,
         | max(o_orderdate) AS max_date
@@ -370,11 +380,11 @@ object CoreQueries {
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round((sum(l_quantity)) * 100.0) / 100.0 + 0.0 AS sum_qty,
-        | round((sum(l_extendedprice)) * 100.0) / 100.0 + 0.0 AS sum_base_price,
-        | round((sum(l_extendedprice*(1-l_discount))) * 100.0) / 100.0 + 0.0 AS sum_disc_price,
-        | round((sum(l_extendedprice*(1-l_discount)*(1+l_tax))) * 100.0) / 100.0 + 0.0 AS sum_charge,
+        | sum(CAST(round((l_extendedprice) * 100.0) AS BIGINT)) / 100.0 + 0.0 AS sum_base_price,
+        | sum(CAST(round((l_extendedprice*(1-l_discount)) * 10000.0) AS BIGINT)) / 10000.0 + 0.0 AS sum_disc_price,
+        | sum(CAST(round((l_extendedprice*(1-l_discount)*(1+l_tax)) * 10000.0) AS BIGINT)) / 10000.0 + 0.0 AS sum_charge,
         | round((avg(l_quantity)) * 1000000.0) / 1000000.0 + 0.0 AS avg_qty,
-        | round((avg(l_extendedprice)) * 1000000.0) / 1000000.0 + 0.0 AS avg_price,
+        | round(((sum(CAST(round((l_extendedprice) * 100.0) AS BIGINT)) / 100.0 + 0.0) / count(*)) * 1000000.0) / 1000000.0 + 0.0 AS avg_price,
         | round((avg(l_discount)) * 1000000.0) / 1000000.0 + 0.0 AS avg_disc,
         | count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
@@ -416,7 +426,7 @@ object CoreQueries {
     // parquet-source oracle: equality proves the JSON round trip lossless
     "q73_json_roundtrip" ->
       """SELECT o_orderstatus, count(*) AS n,
-        | round((sum(o_totalprice)) * 100.0) / 100.0 + 0.0 AS sum_price,
+        | sum(CAST(round((o_totalprice) * 100.0) AS BIGINT)) / 100.0 + 0.0 AS sum_price,
         | min(o_totalprice) AS min_price,
         | max(o_totalprice) AS max_price,
         | max(o_orderdate) AS max_date
@@ -452,7 +462,7 @@ object CoreQueries {
 
     "q08_join_left" ->
       """SELECT coalesce(c_mktsegment,'missing') AS segment, count(*) AS n_orders,
-        | round((sum(o_totalprice)) * 100.0) / 100.0 + 0.0 AS total
+        | sum(CAST(round((o_totalprice) * 100.0) AS BIGINT)) / 100.0 + 0.0 AS total
         |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY segment""".stripMargin,
 
@@ -471,7 +481,7 @@ object CoreQueries {
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q11_join_multiway" ->
-      """SELECT r_name, n_name, count(*) AS n_orders, round((sum(o_totalprice)) * 100.0) / 100.0 + 0.0 AS revenue
+      """SELECT r_name, n_name, count(*) AS n_orders, sum(CAST(round((o_totalprice) * 100.0) AS BIGINT)) / 100.0 + 0.0 AS revenue
         |FROM orders
         | JOIN customer ON o_custkey = c_custkey
         | JOIN nation ON c_nationkey = n_nationkey

@@ -170,9 +170,17 @@ object FeatureQueries {
     // amounts and any scaler — one fat-finger amount otherwise owns
     // the z-score moments. EXACT percentile() buffers all values on one
     // reducer — right for the cross-engine gate, wrong at 100 TB: at
-    // scale the bounds come from approx_percentile (the mergeable
-    // bounded-memory sketch q18 demonstrates with tolerance flags) and
-    // winsorize() is bounds-agnostic either way.
+    // scale the bounds come from approx_percentile, which q128
+    // exercises with tolerance flags (the q17 pattern), and winsorize()
+    // is bounds-agnostic either way.
+    //
+    // The sum gate is INTEGER, not float: round(w·10⁶) per row as
+    // BIGINT, then an exact long sum. A double sum(w) here is ~2×10⁹
+    // built from 60 K terms, so cross-engine association error (~n·ulp
+    // ≈ 0.03) exceeds a 2-dp rounding step and the hash was a coin
+    // flip per corpus (the round-9 red row). Long micros are
+    // association-free and fit to sf5 (3.2e11·1e6 « 2⁶³). mean_w is
+    // derived from the SAME exact integer, so it inherits stability.
     "q119_winsorize" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir).select(col("l_extendedprice").as("v"))
       val bounds = li.agg(
@@ -188,8 +196,9 @@ object FeatureQueries {
         sum((col("v") > col("p99")).cast("long")).as("n_high"),
         qz(max(col("p01")), 6).as("p01"),
         qz(max(col("p99")), 6).as("p99"),
-        qz(sum(col("w")), 2).as("sum_w"),
-        qz(avg(col("w")), 6).as("mean_w"))
+        sum(round(col("w") * 1e6, 0).cast("long")).as("sum_w_micros"),
+        qz(sum(round(col("w") * 1e6, 0).cast("long")) / 1e6 / count(lit(1)), 6)
+          .as("mean_w"))
     }),
 
     // robust anomaly flags per event type: median/MAD instead of
@@ -383,7 +392,8 @@ object FeatureQueries {
         |FROM scored ORDER BY event_id""".stripMargin,
 
     // quantile_cont is DuckDB's linearly-interpolated exact percentile —
-    // the same formula as Spark's percentile() (q05/q18 precedent)
+    // the same formula as Spark's percentile() (q05/q18 precedent).
+    // sum gate in exact long micros (see the Spark-side comment).
     "q119_winsorize" ->
       """WITH b AS (
         | SELECT quantile_cont(l_extendedprice, 0.01) AS p01,
@@ -398,8 +408,8 @@ object FeatureQueries {
         | sum(CASE WHEN v > p99 THEN 1 ELSE 0 END) AS n_high,
         | round(max(p01) * 1000000.0) / 1000000.0 + 0.0 AS p01,
         | round(max(p99) * 1000000.0) / 1000000.0 + 0.0 AS p99,
-        | round(sum(w) * 100.0) / 100.0 + 0.0 AS sum_w,
-        | round(avg(w) * 1000000.0) / 1000000.0 + 0.0 AS mean_w
+        | CAST(sum(CAST(round(w * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_w_micros,
+        | round((sum(CAST(round(w * 1000000.0) AS BIGINT)) / 1000000.0 / count(*)) * 1000000.0) / 1000000.0 + 0.0 AS mean_w
         |FROM c""".stripMargin,
 
     // same two-level median/MAD chain; the flag predicate applies to
