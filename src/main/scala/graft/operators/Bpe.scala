@@ -52,7 +52,7 @@ object Bpe {
     *    codegen'd `bpe_merge`; each round's table is persisted and the
     *    previous one dropped only after its successor materializes. */
   def train(docs: DataFrame, text: String, numMerges: Int,
-            localThreshold: Long = 100000L): Seq[Merge] = {
+            localThreshold: Long = 100000L, batchSize: Int = 16): Seq[Merge] = {
     val spark = docs.sparkSession
     NativeVector.register(spark)
     val hist = wordHistogram(docs, text).persist(StorageLevel.MEMORY_AND_DISK)
@@ -60,7 +60,7 @@ object Bpe {
       if (hist.count() <= localThreshold) {
         val local = hist.collect().map(r => r.getString(0) -> r.getLong(1))
         localTrain(local, numMerges)
-      } else distributedTrain(hist, numMerges)
+      } else distributedTrain(hist, numMerges, batchSize)
     } finally hist.unpersist()
   }
 
@@ -148,46 +148,165 @@ object Bpe {
     java.util.Arrays.copyOf(out, o)
   }
 
-  private def distributedTrain(hist: DataFrame, numMerges: Int): Seq[Merge] = {
+  /** Distributed merge loop, BATCHED: each Spark round counts pairs
+    * once and then applies up to `batchSize` merges whose sequential
+    * equivalence is provable from the pre-round histogram alone — a
+    * 32K-merge vocabulary no longer means 32K job barriers (the
+    * round-9 verdict's #3). BpeSpec proves batched ≡ one-at-a-time ≡
+    * localTrain on real documents and on adversarial corpora (ties,
+    * self-pairs, atom collisions). */
+  private[operators] def distributedTrain(hist: DataFrame, numMerges: Int,
+                                          batchSize: Int = 16): Seq[Merge] = {
+    // AQE OFF for the training loop (restored after): every Spark
+    // action builds an explain string for its SQLExecutionStart event,
+    // and a cached ADAPTIVE plan prints BOTH its initial and final
+    // plans — so a chain of per-round persists nests AQE plans whose
+    // explain doubles per round, 2^rounds. At 32 serial merges this
+    // OOM'd an 8 GB driver before any data moved; with plain plans the
+    // nesting prints linearly. The loop's small fixed-shape shuffles
+    // get nothing from AQE anyway.
+    val spark = hist.sparkSession
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try distributedTrainLoop(hist, numMerges, batchSize)
+    finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+  }
+
+  private def distributedTrainLoop(hist: DataFrame, numMerges: Int,
+                                   batchSize: Int): Seq[Merge] = {
     var cur = withSyms(hist).persist(StorageLevel.MEMORY_AND_DISK)
     var prev: Option[DataFrame] = None
     val merges = scala.collection.mutable.ArrayBuffer[Merge]()
-    var r = 0
+    // Multi-char atoms that may exist in `cur`: initial symbols are
+    // single characters except the end marker, so every other
+    // multi-char atom is some earlier merge's output — all known
+    // driver-side. Needed by the batch validator's collision guard.
+    val knownAtoms = scala.collection.mutable.Set[String](EndOfWord)
     var exhausted = false
-    while (r < numMerges && !exhausted) {
-      bestPair(cur) match {
-        case Some((a, b, f)) =>
-          // bestPair materialized `cur`'s cache — NOW the predecessor
-          // can go (dropping it earlier would recompute full lineage)
-          prev.foreach(_.unpersist())
-          prev = Some(cur)
-          merges += Merge(r, a, b, f)
-          cur = cur
-            .withColumn("syms", NativeVector.bpeMerge(col("syms"), lit(a), lit(b)))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        case None => exhausted = true // every word is one symbol
+    var sinceCheckpoint = 0
+    while (merges.length < numMerges && !exhausted) {
+      val want = math.min(batchSize, numMerges - merges.length)
+      val k = math.max(64, want * 4)
+      val top = topPairs(cur, k)
+      if (top.isEmpty) exhausted = true // every word is one symbol
+      else {
+        // topPairs materialized `cur`'s cache — NOW the predecessor
+        // can go (dropping it earlier would recompute full lineage)
+        prev.foreach(_.unpersist())
+        prev = Some(cur)
+        val batch = selectBatch(top, k, want, knownAtoms)
+        batch.foreach { case (a, b, f) =>
+          merges += Merge(merges.length, a, b, f)
+          knownAtoms += (a + b)
+        }
+        val next = batch.foldLeft(cur) { case (df, (a, b, _)) =>
+          // chained per-row application == applying the merges one
+          // table-pass at a time (function composition is identical);
+          // ONE persist + ONE pair-count job per batch
+          df.withColumn("syms", NativeVector.bpeMerge(col("syms"), lit(a), lit(b)))
+        }
+        // persist stops recomputation but the LOGICAL plan still grows
+        // one projection per merge — a long training run (the 32K-merge
+        // regime this branch exists for) otherwise drags an unbounded
+        // plan through every analyze/optimize pass until the driver
+        // dies (observed at 64 serial merges). localCheckpoint
+        // truncates the plan to a LogicalRDD every ~64 merges; the
+        // superseded checkpoint RDDs are dropped by the ContextCleaner
+        // as their frames fall out of scope.
+        sinceCheckpoint += batch.length
+        cur =
+          if (sinceCheckpoint >= 64) { sinceCheckpoint = 0; next.localCheckpoint(true) }
+          else next.persist(StorageLevel.MEMORY_AND_DISK)
       }
-      r += 1
     }
     prev.foreach(_.unpersist())
     cur.unpersist()
     merges.toSeq
   }
 
-  /** Most frequent adjacent pair, weighted by word count; total-order
-    * tie-break (freq desc, left asc, right asc) makes the argmax — and
-    * therefore the whole training run — deterministic. */
-  private def bestPair(words: DataFrame): Option[(String, String, Long)] = {
-    val row = words
+  /** Top-k adjacent pairs weighted by word count, in the training
+    * total order (freq desc, left asc, right asc — Spark's string sort
+    * is UTF-8 byte order, matching utf8Less). k=1 is the argmax; the
+    * batched loop collects a top-k margin so the batch validator can
+    * see every pair that could tie with a candidate. */
+  private def topPairs(words: DataFrame, k: Int): Array[(String, String, Long)] = {
+    words
       .select(col("cnt"), col("syms"), posexplode(slice(col("syms"), lit(1),
         greatest(size(col("syms")) - 1, lit(0)))).as(Seq("i", "a")))
       // posexplode is 0-indexed, element_at 1-indexed: +2 pairs (i, i+1)
       .withColumn("b", element_at(col("syms"), col("i") + 2))
       .groupBy("a", "b").agg(sum("cnt").as("freq"))
       .orderBy(desc("freq"), col("a").asc, col("b").asc)
-      .limit(1)
+      .limit(k)
       .collect()
-    row.headOption.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+  }
+
+  /** Longest prefix of the total-ordered pair list that provably
+    * replays identically to one-merge-at-a-time. The argument, pick by
+    * pick (each clause is checked in code below):
+    *
+    *  - A merge of (a,b) can only DESTROY occurrences of pairs (x,a)
+    *    (x now precedes the fused atom) and (b,y), plus (a,b) itself;
+    *    no two old symbols ever become newly adjacent. So candidate
+    *    p's count survives earlier picks unchanged iff p.right is no
+    *    pick's left and p.left is no pick's right — sharing a symbol
+    *    in the SAME position (two picks with the same right, like
+    *    (e,◄) and (n,◄)) is harmless, which is what makes batches
+    *    non-trivial on real text where ◄ = end-of-word dominates.
+    *  - Because the batch is a CONTIGUOUS prefix, every unpicked
+    *    pre-existing pair ranks below the candidate, and destruction
+    *    only lowers it further — it cannot overtake.
+    *  - A pick (a,b) CREATES pairs (x,ab) / (ab,y), with counts
+    *    bounded by the pre-round counts of (x,a) / (b,y). Those
+    *    sharers are necessarily unpicked (the position rule above
+    *    rejects any pick pairing with another pick's side), so they
+    *    rank at-or-below the candidate: strictly below → the created
+    *    pair cannot overtake; EQUAL freq → it could win the lexical
+    *    tie-break, so any same-freq sharer of an accepted pick stops
+    *    the batch (the validator sees every such row because it
+    *    requires candidate.freq > the collected tail's freq).
+    *  - A self-pair (c,c) fuses left-to-right ("ccc" → "cc c"), so its
+    *    created pairs (cc,c) are NOT bounded by any unpicked sharer —
+    *    accept it, then close the batch.
+    *  - If a pick's output string collides with an atom that already
+    *    exists (possible: (a,bc) and (ab,c) both make "abc"), created
+    *    pairs conflate with pre-existing ones and counts can RISE —
+    *    accept, then close. knownAtoms (end marker + all prior merge
+    *    outputs) plus the batch's own outputs is exactly the set of
+    *    possible multi-char atoms, so the guard is complete. */
+  private[operators] def selectBatch(top: Array[(String, String, Long)], k: Int,
+                                     maxB: Int, knownAtoms: scala.collection.Set[String])
+      : Seq[(String, String, Long)] = {
+    // all pairs ranking >= any candidate we accept must be visible in
+    // `top`; rows below the collected horizon have freq <= tailFreq
+    val tailFreq = if (top.length < k) 0L else top.last._3
+    val out = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    val lefts = scala.collection.mutable.Set[String]()
+    val rights = scala.collection.mutable.Set[String]()
+    val batchAtoms = scala.collection.mutable.Set[String]()
+    var closed = false
+    var i = 0
+    while (i < top.length && out.length < maxB && !closed) {
+      val (a, b, f) = top(i)
+      val interacts = out.nonEmpty && (
+        f <= tailFreq ||                       // ties may hide below horizon
+        lefts.contains(b) || rights.contains(a) || // count changed by a pick
+        // created-pair tie hazard: an unpicked same-freq sharer of an
+        // accepted pick bounds a created pair that could win tie-break
+        top.iterator.drop(i + 1).takeWhile(_._3 == f)
+          .exists(r => lefts.contains(r._2) || rights.contains(r._1)))
+      if (interacts) closed = true
+      else {
+        out += ((a, b, f))
+        lefts += a; rights += b
+        if (a == b || knownAtoms.contains(a + b) || batchAtoms.contains(a + b)
+          || f <= tailFreq) closed = true
+        batchAtoms += (a + b)
+      }
+      i += 1
+    }
+    out.toSeq
   }
 
   /** Re-derive the final vocabulary (distinct symbols + their weighted

@@ -38,6 +38,47 @@ object Ivf {
   def invalid(index: Index): DataFrame =
     index.assigned.filter(col("centroid_id") === -1)
 
+  /** MULTIPLE ASSIGNMENT (Jégou, Douze, Schmid 2011 §V — the standard
+    * IVF cell-recall lever): each vector is indexed under its top-r
+    * nearest cells instead of only the argmax cell. At a FIXED nProbe
+    * this raises the probability that a probed cell holds the true
+    * neighbor — the PqProbe decomposition showed q118's recall was
+    * ceilinged by cell recall (0.79 at nProbe=8/16 on the uniform
+    * corpus, identical at shortlist 50/200 and m 8/16), so more code
+    * fidelity could not help; wider membership can. Cost: r× code
+    * storage and r× scanned rows per probed cell (codes are bytes —
+    * 2×16 B/vector is still 16× under one float vector), and the
+    * shortlist must dedup (query, neighbor) pairs before re-rank.
+    *
+    * Same map-side shape as build's assignment: per-row dots against
+    * the broadcast centroid literal, sorted by (sim desc, cid asc) via
+    * an array_sort comparator, top-r exploded. Non-finite vectors park
+    * in cell −1 exactly once (never duplicated, never probed). */
+  def assignedTopR(index: Index, r: Int): DataFrame = {
+    val spark = index.assigned.sparkSession
+    NativeVector.register(spark)
+    val cents: Seq[(Int, Seq[Float])] = index.centroids.collect()
+      .map(row => row.getInt(0) -> row.getAs[scala.collection.Seq[Float]](1).toSeq.toSeq)
+      .toSeq.sortBy(_._1)
+    val centLit = typedLit(cents).cast("array<struct<cid:int,v:array<float>>>")
+    val vec = col(index.vecCol)
+    val scored = transform(centLit, c => struct(
+      NativeVector.dot(vec, c.getField("v")).as("s"),
+      c.getField("cid").as("cid")))
+    val sorted = array_sort(scored, (l, rr) =>
+      when(l.getField("s") > rr.getField("s"), -1)
+        .when(l.getField("s") < rr.getField("s"), 1)
+        .otherwise(when(l.getField("cid") < rr.getField("cid"), -1)
+          .when(l.getField("cid") > rr.getField("cid"), 1).otherwise(0)))
+    val base = index.assigned.select(col(index.idCol), vec)
+    base
+      .withColumn("__top", when(allFinite(vec), slice(sorted, 1, r))
+        .otherwise(array(struct(lit(Double.NaN).as("s"), lit(-1).as("cid")))))
+      .select(col(index.idCol), vec, explode(col("__top")).as("__a"))
+      .withColumn("centroid_id", col("__a.cid"))
+      .drop("__a")
+  }
+
   /** True iff every component is finite (no NaN/±Inf). A NaN would make
     * every centroid dot NaN and the argmax undefined — such rows are
     * parked in list −1 and surfaced via `invalid`, never silently lost. */

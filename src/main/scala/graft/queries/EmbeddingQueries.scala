@@ -83,17 +83,28 @@ object EmbeddingQueries {
     // IVF × PQ composition (the billion-scale IndexIVFPQ shape): coarse
     // cells prune the scan (nProbe=8 of 16), byte codes make scanned
     // rows M lookups, exact cosine re-ranks the 50-candidate shortlist.
-    // Recall ≈ cell-recall × shortlist-recall; measured 0.85 (sf0.01) /
-    // 0.76 (sf0.1) — the 0.4 floor sits far above the broken-machinery
-    // regime (~0.01) with ~2× margin under it.
+    // RESIDUAL-coded + MULTIPLE ASSIGNMENT since round 10 (verdict
+    // #7): codes quantize unit(v) − own-cell centroid, and each vector
+    // is indexed under its top-2 cells (Ivf.assignedTopR). The PqProbe
+    // decomposition showed single-assign recall was CEILINGED by cell
+    // recall at 0.79 (nProbe=8/16; identical at shortlist 50/200 and
+    // m 8/16 — finer codes could not help; the uniform corpus gives
+    // residuals no norm advantage either, measured 0.76 → 0.71 alone,
+    // the honest negative result). Wider cell membership at the SAME
+    // nProbe is what moves it: measured recall@5 = 0.88 at sf0.1 /
+    // 0.92 at sf0.01 (r=2, shortlist 100 — scaled ~r× so duplicate
+    // shortlist slots don't crowd out uniques; ma3@150 reaches 0.93).
+    // Cost: 2× byte codes per vector (16 B — still 16× under one raw
+    // vector). The 0.4 floor keeps >2× margin above the
+    // broken-machinery regime (~0.01-0.1).
     "q118_ivfpq_knn" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       val q = e.filter(col("vec_id") < 20)
       val index = graft.operators.Ivf.build(e, "vec_id", "embedding", nLists = 16)
-      val cb = graft.operators.Pq.train(e, "vec_id", "embedding", m = 8, k = 256)
-      val encoded = graft.operators.Pq.encode(index.assigned, "embedding", cb)
-      val approx = graft.operators.Pq.ivfSearchReranked(index, cb, encoded,
-        q, "vec_id", "embedding", nProbe = 8, shortlist = 50, topK = 5,
+      val cb = graft.operators.Pq.trainResidual(index, m = 8, k = 256)
+      val encoded = graft.operators.Pq.encodeResidual(index, cb, rAssign = 2)
+      val approx = graft.operators.Pq.ivfSearchRerankedResidual(index, cb,
+        encoded, q, "vec_id", "embedding", nProbe = 8, shortlist = 100, topK = 5,
         dropSelf = true)
       val exact = Embeddings.cosineTopK(q, e, "vec_id", "vec_id", "embedding", k = 5)
       exact.join(approx.withColumnRenamed("sim", "asim"),

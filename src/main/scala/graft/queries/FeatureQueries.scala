@@ -201,11 +201,72 @@ object FeatureQueries {
           .as("mean_w"))
     }),
 
+    // q119's documented 100 TB path, oracle-EXERCISED (round-9 verdict
+    // #4): winsorization bounds from approx_percentile — the mergeable
+    // bounded-memory sketch — instead of the single-reducer exact
+    // percentile. The sketch values have no cross-engine oracle VALUE,
+    // but their relationship to exact ranks does (q17/q67 pattern):
+    // each sketch bound must land inside an exact containment window
+    // (±0.5% of rank), and because clip counts are MONOTONE in the
+    // bound, the approx-clipped tail counts must land inside the
+    // window's exact count sandwich. DuckDB asserts the flags as
+    // literal TRUE and hash-checks the exact percentiles + counts, so
+    // a broken sketch path (or a clip that stops agreeing with its
+    // bounds) turns the row red. accuracy=10000 → rank error ~0.01%,
+    // 50x inside the window.
+    "q128_winsorize_sketch" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(col("l_extendedprice").as("v"))
+      val bounds = li.agg(
+        expr("percentile(v, array(0.005, 0.01, 0.015, 0.985, 0.99, 0.995))").as("ex"),
+        expr("approx_percentile(v, array(0.01, 0.99), 10000)").as("ap"))
+      val ex = col("ex"); val ap = col("ap")
+      li.crossJoin(broadcast(bounds))
+        .agg(
+          count(lit(1)).as("n"),
+          qz(max(element_at(ex, 2)), 6).as("p01_exact"),
+          qz(max(element_at(ex, 5)), 6).as("p99_exact"),
+          sum((col("v") < element_at(ap, 1)).cast("long")).as("n_low_ap"),
+          sum((col("v") > element_at(ap, 2)).cast("long")).as("n_high_ap"),
+          sum((col("v") < element_at(ex, 1)).cast("long")).as("low_lo"),
+          sum((col("v") < element_at(ex, 3)).cast("long")).as("low_hi"),
+          sum((col("v") > element_at(ex, 6)).cast("long")).as("high_lo"),
+          sum((col("v") > element_at(ex, 4)).cast("long")).as("high_hi"),
+          max(element_at(ap, 1).between(element_at(ex, 1), element_at(ex, 3)))
+            .as("p01_ok"),
+          max(element_at(ap, 2).between(element_at(ex, 4), element_at(ex, 6)))
+            .as("p99_ok"))
+        .select(col("n"), col("p01_exact"), col("p99_exact"),
+          col("p01_ok"), col("p99_ok"),
+          col("n_low_ap").between(col("low_lo"), col("low_hi")).as("n_low_ok"),
+          col("n_high_ap").between(col("high_lo"), col("high_hi")).as("n_high_ok"))
+    }),
+
+    // q126's documented 100 TB path, oracle-exercised: PER-GROUP
+    // medians from approx_percentile. Exact per-group percentile
+    // buffers each group's values on one reducer (fine for the gate,
+    // wrong when one group holds 10^10 rows); the sketch is mergeable
+    // map-side state. Same containment contract as q128, per group:
+    // sketch median inside the exact ±5%-rank window, exact medians
+    // hash-checked, flags literal TRUE in DuckDB.
+    "q129_grouped_median_sketch" -> ((s, dir) => {
+      Tables.events(s, dir).groupBy("event_type")
+        .agg(
+          expr("percentile(value, array(0.45, 0.5, 0.55))").as("ex"),
+          expr("approx_percentile(value, 0.5, 10000)").as("ap"),
+          count(lit(1)).as("n"))
+        .select(col("event_type"), col("n"),
+          qz(element_at(col("ex"), 2), 6).as("med_exact"),
+          col("ap").between(element_at(col("ex"), 1), element_at(col("ex"), 3))
+            .as("med_ok"))
+        .orderBy("event_type")
+    }),
+
     // robust anomaly flags per event type: median/MAD instead of
     // mean/std (one fat tail does not drag its own threshold — the
     // outlier-detection failure mode z-scores have). Two grouped exact
-    // medians (per-group percentile; the q119/q18 sketch note applies
-    // at scale), flag |0.6745·(x−med)/MAD| > 3.5 (the standard
+    // medians (per-group percentile buffers each group on one reducer —
+    // right for the gate; q129 oracle-exercises the per-group
+    // approx_percentile scale path), flag |0.6745·(x−med)/MAD| > 3.5 (the standard
     // consistency constant + Iglewicz-Hoaglin cutoff). MAD = 0 (over
     // half the group identical) gets an EXPLICIT branch — any deviation
     // from a zero-spread distribution flags; the unguarded division
@@ -411,6 +472,30 @@ object FeatureQueries {
         | CAST(sum(CAST(round(w * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_w_micros,
         | round((sum(CAST(round(w * 1000000.0) AS BIGINT)) / 1000000.0 / count(*)) * 1000000.0) / 1000000.0 + 0.0 AS mean_w
         |FROM c""".stripMargin,
+
+    // exact ranks + counts hash-checked; the sketch-relationship flags
+    // are literal TRUE (q17 convention)
+    "q128_winsorize_sketch" ->
+      """WITH b AS (
+        | SELECT quantile_cont(l_extendedprice, 0.005) AS e1,
+        |  quantile_cont(l_extendedprice, 0.01) AS e2,
+        |  quantile_cont(l_extendedprice, 0.015) AS e3,
+        |  quantile_cont(l_extendedprice, 0.985) AS e4,
+        |  quantile_cont(l_extendedprice, 0.99) AS e5,
+        |  quantile_cont(l_extendedprice, 0.995) AS e6
+        | FROM lineitem)
+        |SELECT count(*) AS n,
+        | round(max(e2) * 1000000.0) / 1000000.0 + 0.0 AS p01_exact,
+        | round(max(e5) * 1000000.0) / 1000000.0 + 0.0 AS p99_exact,
+        | TRUE AS p01_ok, TRUE AS p99_ok,
+        | TRUE AS n_low_ok, TRUE AS n_high_ok
+        |FROM lineitem CROSS JOIN b""".stripMargin,
+
+    "q129_grouped_median_sketch" ->
+      """SELECT event_type, count(*) AS n,
+        | round(quantile_cont(value, 0.5) * 1000000.0) / 1000000.0 + 0.0 AS med_exact,
+        | TRUE AS med_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // same two-level median/MAD chain; the flag predicate applies to
     // UNROUNDED med/mad in both engines (quantize only at emission)

@@ -85,6 +85,87 @@ class BpeSpec extends SparkSpec {
     assert(local.map(_.rank) == (0 until 12))
   }
 
+  test("batched merges == one-at-a-time == reference on real documents, any layout") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val oneAtATime = Bpe.train(docs, "text", numMerges = 12,
+      localThreshold = 0L, batchSize = 1)
+    val batched = Bpe.train(docs, "text", numMerges = 12,
+      localThreshold = 0L, batchSize = 8)
+    assert(batched == oneAtATime, s"\nbatched $batched\nserial  $oneAtATime")
+    // partition-layout determinism: the merge table is a pure function
+    // of the histogram, not of how its rows are laid out
+    val relaid = Bpe.train(docs.repartition(7), "text", numMerges = 12,
+      localThreshold = 0L, batchSize = 8)
+    assert(relaid == batched)
+  }
+
+  test("batched merges == reference on adversarial corpora (ties, self-pairs, collisions)") {
+    val corpora = Seq(
+      // tie frenzy: every 'x a b' makes freq(x,a) == freq(a,b); the
+      // created (x,ab) pair ties with other candidates
+      "x a b " * 7 + "c d " * 7,
+      // self-pairs with odd runs: created (aa,a) pairs are unbounded
+      // by any unpicked sharer — the batch must close after (a,a)
+      "aaa aaaa aa b aaab " * 5,
+      // atom collision: merging builds "ab" while "a b"-adjacent and
+      // "ab"-atom contexts coexist across words
+      "ab ab a b a b ab c abc ab c a bc " * 3,
+      // dense tiny alphabet: maximal symbol sharing between top pairs
+      "abc bca cab abcabc ccc bb a " * 4)
+    for ((text, ci) <- corpora.zipWithIndex) {
+      val docs = Seq((ci.toLong, text)).toDF("id", "text")
+      val words = text.trim.split("\\s+").groupBy(identity)
+        .map { case (w, g) => w -> g.length.toLong }
+      val ref = refTrain(words, 20)
+      val batched = Bpe.train(docs, "text", numMerges = 20,
+        localThreshold = 0L, batchSize = 8)
+      assert(batched.map(m => (m.left, m.right, m.freq)) == ref,
+        s"corpus $ci:\nbatched $batched\nref     $ref")
+    }
+  }
+
+  test("batched merges == reference on randomized small-alphabet corpora") {
+    val rng = new scala.util.Random(20260814L)
+    for (seed <- 1 to 4) {
+      val words = Seq.fill(40)(
+        Seq.fill(1 + rng.nextInt(5))("abc" (rng.nextInt(3))).mkString)
+      val text = words.mkString(" ")
+      val docs = Seq((seed.toLong, text)).toDF("id", "text")
+      val hist = words.groupBy(identity).map { case (w, g) => w -> g.length.toLong }
+      val ref = refTrain(hist, 15)
+      val batched = Bpe.train(docs, "text", numMerges = 15,
+        localThreshold = 0L, batchSize = 8)
+      assert(batched.map(m => (m.left, m.right, m.freq)) == ref,
+        s"seed $seed corpus '$text':\nbatched $batched\nref     $ref")
+    }
+  }
+
+  test("selectBatch validator: position-sharing rule, tie hazard, self-pair and collision closes") {
+    def sel(top: Seq[(String, String, Long)], k: Int = 64, maxB: Int = 8,
+            known: Set[String] = Set(Bpe.EndOfWord)) =
+      Bpe.selectBatch(top.toArray, k, maxB, known)
+    // same-side sharing is harmless: (e,r),(e,w),(n,w) all batch
+    assert(sel(Seq(("e", "r", 100L), ("e", "w", 90L), ("n", "w", 85L))).size == 3)
+    // cross-side sharing destroys counts: (b,c).left == (a,b).right
+    assert(sel(Seq(("a", "b", 100L), ("b", "c", 90L))) == Seq(("a", "b", 100L)))
+    //  (x,a).right == (a,b).left
+    assert(sel(Seq(("a", "b", 100L), ("x", "a", 90L))) == Seq(("a", "b", 100L)))
+    // tie hazard: unpicked (x,a) at freq 90 bounds a created (x,ab)
+    // that could beat (c,d) on the lexical tie-break
+    assert(sel(Seq(("a", "b", 100L), ("c", "d", 90L), ("x", "a", 90L)))
+      == Seq(("a", "b", 100L)))
+    // same sharer strictly below the candidate is safe
+    assert(sel(Seq(("a", "b", 100L), ("c", "d", 90L), ("x", "a", 89L))).size == 2)
+    // self-pair accepted but closes the batch
+    assert(sel(Seq(("a", "a", 100L), ("c", "d", 90L))) == Seq(("a", "a", 100L)))
+    // output colliding with a known atom closes the batch
+    assert(sel(Seq(("a", "b", 100L), ("c", "d", 90L)), known = Set("ab"))
+      == Seq(("a", "b", 100L)))
+    // candidates at the collected-tail frequency are not batchable
+    // (ties may hide below the horizon); the argmax itself always is
+    assert(sel(Seq(("a", "b", 5L), ("c", "d", 5L)), k = 2) == Seq(("a", "b", 5L)))
+  }
+
   test("vocabulary replay: symbol frequencies conserve total symbol mass") {
     val docs = Seq((1L, "aa aa ab")).toDF("id", "text")
     val merges = Bpe.train(docs, "text", numMerges = 2)

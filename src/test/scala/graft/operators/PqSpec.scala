@@ -56,6 +56,51 @@ class PqSpec extends SparkSpec {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("residual IVFPQ, full probes + full shortlist == brute force exactly") {
+    val index = Ivf.build(vecs, "vid", "v", nLists = 8)
+    val cb = Pq.trainResidual(index, m = 4, k = 16)
+    val enc = Pq.encodeResidual(index, cb)
+    val q = vecs.filter($"vid" < 10)
+    val got = Pq.ivfSearchRerankedResidual(index, cb, enc, q, "vid", "v",
+        nProbe = 8, shortlist = 400, topK = 3, dropSelf = true)
+      .select($"query_id", $"neighbor_id", round($"sim" * 1e9).as("s"))
+    val want = Embeddings.cosineTopK(q, vecs, "vid", "vid", "v", k = 3)
+      .select($"query_id", $"neighbor_id", round($"sim" * 1e9).as("s"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("multiple assignment: top-r cells per vector, primary matches build, search dedups") {
+    val index = Ivf.build(vecs, "vid", "v", nLists = 8)
+    val ma = Ivf.assignedTopR(index, 2)
+    // two DISTINCT cells per finite vector
+    val perRow = ma.groupBy("vid")
+      .agg(count(lit(1)).as("n"), countDistinct($"centroid_id").as("nd"))
+    assert(perRow.filter($"n" =!= 2 || $"nd" =!= 2).isEmpty)
+    // build's argmax cell must be AMONG each vector's top-2 cells
+    val joined = index.assigned.select($"vid", $"centroid_id".as("built"))
+      .join(ma.select($"vid", $"centroid_id"), "vid")
+      .groupBy("vid", "built")
+      .agg(max(($"centroid_id" === $"built").cast("int")).as("has_built"))
+    assert(joined.filter($"has_built" =!= 1).isEmpty)
+    // multi-assigned residual search emits each (query, neighbor) once
+    val cb = Pq.trainResidual(index, m = 4, k = 16)
+    val enc = Pq.encodeResidual(index, cb, rAssign = 2)
+    val out = Pq.ivfSearchRerankedResidual(index, cb, enc,
+      vecs.filter($"vid" < 10), "vid", "v",
+      nProbe = 4, shortlist = 40, topK = 5, dropSelf = true)
+    assert(out.groupBy("query_id", "neighbor_id")
+      .agg(count(lit(1)).as("n")).filter($"n" > 1).isEmpty)
+    // full probes + multi-assign + full shortlist still == brute force
+    val got = Pq.ivfSearchRerankedResidual(index, cb, enc,
+        vecs.filter($"vid" < 10), "vid", "v",
+        nProbe = 8, shortlist = 800, topK = 3, dropSelf = true)
+      .select($"query_id", $"neighbor_id", round($"sim" * 1e9).as("s"))
+    val want = Embeddings.cosineTopK(vecs.filter($"vid" < 10), vecs,
+        "vid", "vid", "v", k = 3)
+      .select($"query_id", $"neighbor_id", round($"sim" * 1e9).as("s"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("non-finite vectors are parked with null codes and never ranked") {
     val cb = Pq.train(vecs, "vid", "v", m = 4, k = 16)
     val poisoned = vecs.unionByName(Seq(
