@@ -360,7 +360,7 @@ object CoreQueries {
     // write/read round trip on the Spark side was lossless
     "q64_csv_roundtrip" ->
       """SELECT o_orderstatus, count(*) AS n,
-        | sum(CAST(round((o_totalprice) * 100.0) AS BIGINT)) / 100.0 + 0.0 AS sum_price,
+        | sum(CAST(round((o_totalprice) * 100.0) AS BIGINT)) / 100e0 + 0.0 AS sum_price,
         | min(o_totalprice) AS min_price,
         | max(o_totalprice) AS max_price,
         | max(o_orderdate) AS max_date
@@ -380,11 +380,11 @@ object CoreQueries {
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round((sum(l_quantity)) * 100.0) / 100.0 + 0.0 AS sum_qty,
-        | sum(CAST(round((l_extendedprice) * 100.0) AS BIGINT)) / 100.0 + 0.0 AS sum_base_price,
-        | sum(CAST(round((l_extendedprice*(1-l_discount)) * 10000.0) AS BIGINT)) / 10000.0 + 0.0 AS sum_disc_price,
-        | sum(CAST(round((l_extendedprice*(1-l_discount)*(1+l_tax)) * 10000.0) AS BIGINT)) / 10000.0 + 0.0 AS sum_charge,
+        | sum(CAST(round((l_extendedprice) * 100.0) AS BIGINT)) / 100e0 + 0.0 AS sum_base_price,
+        | sum(CAST(round((l_extendedprice*(1-l_discount)) * 10000.0) AS BIGINT)) / 10000e0 + 0.0 AS sum_disc_price,
+        | sum(CAST(round((l_extendedprice*(1-l_discount)*(1+l_tax)) * 10000.0) AS BIGINT)) / 10000e0 + 0.0 AS sum_charge,
         | round((avg(l_quantity)) * 1000000.0) / 1000000.0 + 0.0 AS avg_qty,
-        | round(((sum(CAST(round((l_extendedprice) * 100.0) AS BIGINT)) / 100.0 + 0.0) / count(*)) * 1000000.0) / 1000000.0 + 0.0 AS avg_price,
+        | round(((sum(CAST(round((l_extendedprice) * 100.0) AS BIGINT)) / 100e0 + 0.0) / count(*)) * 1000000.0) / 1000000.0 + 0.0 AS avg_price,
         | round((avg(l_discount)) * 1000000.0) / 1000000.0 + 0.0 AS avg_disc,
         | count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
@@ -426,7 +426,7 @@ object CoreQueries {
     // parquet-source oracle: equality proves the JSON round trip lossless
     "q73_json_roundtrip" ->
       """SELECT o_orderstatus, count(*) AS n,
-        | sum(CAST(round((o_totalprice) * 100.0) AS BIGINT)) / 100.0 + 0.0 AS sum_price,
+        | sum(CAST(round((o_totalprice) * 100.0) AS BIGINT)) / 100e0 + 0.0 AS sum_price,
         | min(o_totalprice) AS min_price,
         | max(o_totalprice) AS max_price,
         | max(o_orderdate) AS max_date
@@ -462,7 +462,7 @@ object CoreQueries {
 
     "q08_join_left" ->
       """SELECT coalesce(c_mktsegment,'missing') AS segment, count(*) AS n_orders,
-        | sum(CAST(round((o_totalprice) * 100.0) AS BIGINT)) / 100.0 + 0.0 AS total
+        | sum(CAST(round((o_totalprice) * 100.0) AS BIGINT)) / 100e0 + 0.0 AS total
         |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY segment""".stripMargin,
 
@@ -481,7 +481,7 @@ object CoreQueries {
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q11_join_multiway" ->
-      """SELECT r_name, n_name, count(*) AS n_orders, sum(CAST(round((o_totalprice) * 100.0) AS BIGINT)) / 100.0 + 0.0 AS revenue
+      """SELECT r_name, n_name, count(*) AS n_orders, sum(CAST(round((o_totalprice) * 100.0) AS BIGINT)) / 100e0 + 0.0 AS revenue
         |FROM orders
         | JOIN customer ON o_custkey = c_custkey
         | JOIN nation ON c_nationkey = n_nationkey

@@ -470,7 +470,7 @@ object FeatureQueries {
         | round(max(p01) * 1000000.0) / 1000000.0 + 0.0 AS p01,
         | round(max(p99) * 1000000.0) / 1000000.0 + 0.0 AS p99,
         | CAST(sum(CAST(round(w * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_w_micros,
-        | round((sum(CAST(round(w * 1000000.0) AS BIGINT)) / 1000000.0 / count(*)) * 1000000.0) / 1000000.0 + 0.0 AS mean_w
+        | round((sum(CAST(round(w * 1000000.0) AS BIGINT)) / 1000000e0 / count(*)) * 1000000.0) / 1000000.0 + 0.0 AS mean_w
         |FROM c""".stripMargin,
 
     // exact ranks + counts hash-checked; the sketch-relationship flags
