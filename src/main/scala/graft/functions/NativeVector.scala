@@ -480,6 +480,122 @@ object BpeMergePair {
   }
 }
 
+/** Apply a WHOLE TRAINED MERGE TABLE to one word's symbol sequence —
+  * the tokenizer-application half of BPE (encode, not train). Per word:
+  * repeatedly find the adjacent pair with the LOWEST merge rank present
+  * and fuse its occurrences left-to-right, until no adjacent pair is in
+  * the table. For a rank-consistent table (every merge using an atom
+  * ranks after the merge that created it — true of any table train()
+  * emits) this is EXACTLY equivalent to replaying the merges in rank
+  * order (BpeApplySpec proves it against the chained bpe_merge fold),
+  * but it is ONE expression evaluation per word instead of K chained
+  * projections — the only shape that survives a 32K-merge vocabulary
+  * (32K nested projections die in analysis long before execution; see
+  * the round-10 AQE-explain note). The merge table rides in as a
+  * FOLDABLE literal; the rank map is built once per executor via the
+  * expression reference object, never per row. */
+case class BpeApply(first: Expression, second: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def left: Expression = first
+  override def right: Expression = second
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    (first.dataType, second.dataType) match {
+      case (ArrayType(StringType, _),
+            ArrayType(StructType(Array(af, bf)), _))
+          if af.dataType == StringType && bf.dataType == StringType =>
+        if (second.foldable) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          "bpe_apply merge table must be a literal (foldable)")
+      case (a, b) => TypeCheckResult.TypeCheckFailure(
+        s"bpe_apply expects (array<string>, array<struct<string,string>>), " +
+          s"got ${a.simpleString}, ${b.simpleString}")
+    }
+  }
+
+  /** rank map, built ONCE from the foldable literal (driver + one lazy
+    * init per deserialized executor copy). Key = left ' ' right — a
+    * space cannot occur inside a whitespace-split token (or any
+    * concatenation of them). */
+  @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    val arr = second.eval(null).asInstanceOf[ArrayData]
+    var i = 0
+    while (i < arr.numElements()) {
+      val s = arr.getStruct(i, 2)
+      val key = s.getUTF8String(0).toString + " " + s.getUTF8String(1).toString
+      if (!m.containsKey(key)) m.put(key, i) // first (lowest) rank wins
+      i += 1
+    }
+    m
+  }
+
+  def run(syms: ArrayData): ArrayData = BpeApply.run(syms, ranks)
+
+  override def nullSafeEval(syms: Any, mergesIgnored: Any): Any =
+    run(syms.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeApplyExpr", this,
+      classOf[BpeApply].getName)
+    nullSafeCodeGen(ctx, ev, (s, _) => s"${ev.value} = $ref.run($s);")
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(first = l, second = r)
+}
+
+object BpeApply {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private def rankOf(ranks: java.util.HashMap[String, Integer],
+                     a: UTF8String, b: UTF8String): Int = {
+    val r = ranks.get(a.toString + " " + b.toString)
+    if (r == null) Int.MaxValue else r.intValue()
+  }
+
+  def run(syms: ArrayData, ranks: java.util.HashMap[String, Integer]): ArrayData = {
+    var arr = new Array[UTF8String](syms.numElements())
+    var i = 0
+    while (i < arr.length) { arr(i) = syms.getUTF8String(i); i += 1 }
+    var done = arr.length < 2
+    while (!done) {
+      // lowest-rank adjacent pair present
+      var best = Int.MaxValue
+      var bi = -1
+      i = 0
+      while (i < arr.length - 1) {
+        val r = rankOf(ranks, arr(i), arr(i + 1))
+        if (r < best) { best = r; bi = i }
+        i += 1
+      }
+      if (bi < 0) done = true
+      else {
+        // fuse ALL left-to-right non-overlapping occurrences of that
+        // pair — identical to one bpe_merge round for this pair
+        val a = arr(bi); val b = arr(bi + 1)
+        val out = new Array[UTF8String](arr.length)
+        var o = 0
+        i = 0
+        while (i < arr.length) {
+          if (i + 1 < arr.length && a.equals(arr(i)) && b.equals(arr(i + 1))) {
+            out(o) = UTF8String.concat(a, b); i += 2
+          } else { out(o) = arr(i); i += 1 }
+          o += 1
+        }
+        arr = java.util.Arrays.copyOf(out, o)
+        done = arr.length < 2
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      arr.asInstanceOf[Array[AnyRef]])
+  }
+}
+
 object NativeVector {
   val FnName = "float_dot"
   val IntersectFnName = "sorted_long_intersect"
@@ -487,6 +603,7 @@ object NativeVector {
   val TokenClassFnName = "token_class_counts"
   val NgramStatsFnName = "ngram_stats"
   val BpeMergeFnName = "bpe_merge"
+  val BpeApplyFnName = "bpe_apply"
 
   /** Register once per session; then `dot`/`sortedIntersect` resolve to
     * the native expressions through the function registry. Arity is
@@ -517,6 +634,9 @@ object NativeVector {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       BpeMergeFnName, checked(BpeMergeFnName, 3)(
         e => BpeMergePair(e(0), e(1), e(2))), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      BpeApplyFnName, checked(BpeApplyFnName, 2)(
+        e => BpeApply(e(0), e(1))), "built-in")
   }
 
   def dot(a: Column, b: Column): Column = call_function(FnName, a, b)
@@ -528,6 +648,8 @@ object NativeVector {
     call_function(NgramStatsFnName, toks, org.apache.spark.sql.functions.lit(n))
   def bpeMerge(syms: Column, a: Column, b: Column): Column =
     call_function(BpeMergeFnName, syms, a, b)
+  def bpeApply(syms: Column, merges: Column): Column =
+    call_function(BpeApplyFnName, syms, merges)
 
   /** cos(a,b) from raw float arrays: dot/(‖a‖·‖b‖), every norm evaluated
     * once per row via the native dot. THE single cosine form — Embeddings

@@ -309,6 +309,48 @@ object Bpe {
     out.toSeq
   }
 
+  /** TOKENIZE a corpus with a trained merge table — the apply half of
+    * the tokenizer (encode, not train). The same histogram insight as
+    * training: a word tokenizes identically wherever it appears, so the
+    * merge replay runs ONCE PER DISTINCT WORD (vocabulary-bounded, via
+    * the codegen'd `bpe_apply` — one expression evaluation per word
+    * regardless of merge count, the only shape that survives a
+    * 32K-merge table) and documents get their token sequences back by
+    * joining their exploded words against that table. Shuffles: one
+    * distinct on words (vocabulary-bounded), the word join (AQE
+    * broadcasts small vocabularies), one doc-keyed reassembly whose
+    * per-group state is bounded by document length.
+    *
+    * Output: (id, tokens array<string>, n_tokens) — one row per input
+    * document, empty tokens for wordless text. */
+  def tokenizeCorpus(docs: DataFrame, id: String, text: String,
+                     merges: Seq[Merge]): DataFrame = {
+    val spark = docs.sparkSession
+    NativeVector.register(spark)
+    val mergesLit = typedLit(merges.sortBy(_.rank).map(m => (m.left, m.right)))
+      .cast("array<struct<a:string,b:string>>")
+    val words = docs
+      .select(col(id), posexplode_outer(TextOps.tokens(col(text))).as(Seq("__pos", "w")))
+      // empty-string words (blank text) become null instead of being
+      // filtered, so every document keeps >= 1 row and surfaces with
+      // empty tokens rather than vanishing from the output
+      .withColumn("w", when(length(col("w")) > 0, col("w")))
+    val vocab = words.filter(col("w").isNotNull).select("w").distinct()
+      .select(col("w"), NativeVector.bpeApply(
+        concat(split(col("w"), "").cast("array<string>"),
+          array(lit(EndOfWord))).as("syms"), mergesLit).as("__toks"))
+    words
+      .join(vocab, Seq("w"), "left") // null word (empty doc) keeps its row
+      .groupBy(col(id))
+      .agg(coalesce(
+        flatten(transform(
+          array_sort(collect_list(when(col("w").isNotNull,
+            struct(col("__pos"), col("__toks"))))),
+          s => s.getField("__toks"))),
+        typedLit(Seq.empty[String])).as("tokens"))
+      .withColumn("n_tokens", size(col("tokens")).cast("long"))
+  }
+
   /** Re-derive the final vocabulary (distinct symbols + their weighted
     * corpus frequency) by replaying the merge table over the word
     * histogram — the artifact a tokenizer ships. */

@@ -308,6 +308,23 @@ object TextQueries {
         .orderBy("rank")
     }),
 
+    // tokenizer APPLICATION at corpus scale (the encode half of q121's
+    // trainer): train 15 merges, then tokenize every document with the
+    // codegen'd bpe_apply — merge replay runs once per DISTINCT word
+    // (vocabulary-bounded), docs join their exploded words against that
+    // map and reassemble in order. Oracle replays the same 15 rounds in
+    // DuckDB and reassembles with an ordered list aggregate; per-doc
+    // token count + an md5 over the space-joined token sequence make
+    // every token of every document hash-checked.
+    "q130_bpe_tokenize" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = graft.operators.Bpe.train(docs, "text", numMerges = 15)
+      graft.operators.Bpe.tokenizeCorpus(docs, "doc_id", "text", merges)
+        .select(col("doc_id"), col("n_tokens"),
+          md5(concat_ws(" ", col("tokens"))).as("toks_md5"))
+        .orderBy("doc_id")
+    }),
+
     // mix-concentration monitor over the source dimension: entropy,
     // normalized entropy, HHI, effective source count — the one-row
     // dashboard a data-mixing pipeline checks per snapshot (drift
@@ -377,7 +394,7 @@ object TextQueries {
     * to w_{k-1} into 3^k scans. Safe because the corpus tokens contain
     * no chr(31)/chr(30) (synthetic text; tokens are whitespace-split so
     * neither control char survives tokenization as a symbol edge). */
-  private def bpeOracleSql(numMerges: Int): String = {
+  private def bpeMergeCtes(numMerges: Int): Seq[(String, String)] = {
     val U = "chr(31)"; val R = "chr(30)"
     def pairs(prev: String): String =
       s"SELECT cnt, unnest(list_transform(generate_series(1, len(syms)-1), i -> syms[i] || $R || syms[i+1])) AS pr " +
@@ -385,23 +402,64 @@ object TextQueries {
     val ctes = scala.collection.mutable.ArrayBuffer[(String, String)](
       "hist" -> ("SELECT w, count(*) AS cnt FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w " +
         "FROM documents) WHERE len(w) > 0 GROUP BY w"),
-      "w0" -> s"SELECT cnt, regexp_replace(w, '(.)', $U||'\\1'||$U, 'g') || $U||'</w>'||$U AS s FROM hist")
+      // w rides through every round so the final table doubles as the
+      // word -> tokenized-form map q130 joins against
+      "w0" -> s"SELECT w, cnt, regexp_replace(w, '(.)', $U||'\\1'||$U, 'g') || $U||'</w>'||$U AS s FROM hist")
     for (k <- 1 to numMerges) {
       val prev = s"w${k - 1}"
       ctes += s"b$k" -> (s"SELECT a, b, freq FROM (SELECT string_split(pr, $R)[1] AS a, string_split(pr, $R)[2] AS b, " +
         s"sum(cnt) AS freq FROM (${pairs(prev)}) GROUP BY 1, 2) ORDER BY freq DESC, a, b LIMIT 1")
-      ctes += s"w$k" -> (s"SELECT cnt, replace(s, (SELECT $U||a||$U||$U||b||$U FROM b$k), " +
+      ctes += s"w$k" -> (s"SELECT w, cnt, replace(s, (SELECT $U||a||$U||$U||b||$U FROM b$k), " +
         s"(SELECT $U||a||b||$U FROM b$k)) AS s FROM $prev")
     }
+    ctes.toSeq
+  }
+
+  private def withCtes(ctes: Seq[(String, String)], tail: String): String =
+    "WITH " + ctes.map { case (n, q) => s"$n AS MATERIALIZED ($q)" }.mkString(",\n") +
+      "\n" + tail
+
+  private def bpeOracleSql(numMerges: Int): String = {
     val union = (1 to numMerges)
       .map(k => s"SELECT ${k - 1} AS rank, a, b, freq FROM b$k").mkString(" UNION ALL ")
+    withCtes(bpeMergeCtes(numMerges),
+      "SELECT CAST(rank AS BIGINT) AS rank, a AS \"left\", b AS \"right\", " +
+        "CAST(freq AS BIGINT) AS freq FROM (" + union + ") ORDER BY rank")
+  }
+
+  /** q130 twin: the same merge replay, then every word's final symbol
+    * string re-splits into its token list, documents' exploded words
+    * join against that map, and per-doc sequences reassemble in word
+    * order (list(... ORDER BY pos) + flatten — DuckDB's ordered list
+    * aggregate). Documents with no words survive via the LEFT JOIN with
+    * empty tokens, mirroring tokenizeCorpus's null-word row. */
+  private def bpeTokenizeOracleSql(numMerges: Int): String = {
+    val U = "chr(31)"
+    val tail =
+      s"""tok AS MATERIALIZED (
+         | SELECT w, string_split(trim(s, $U), $U||$U) AS toks FROM w$numMerges),
+         |dw AS (
+         | SELECT doc_id, unnest(arr) AS w, generate_subscripts(arr, 1) AS pos
+         | FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
+         |       FROM documents)),
+         |joined AS (
+         | SELECT doc_id, pos, toks FROM dw JOIN tok USING (w) WHERE len(w) > 0),
+         |agg AS (
+         | SELECT doc_id, flatten(list(toks ORDER BY pos)) AS tokens
+         | FROM joined GROUP BY doc_id)
+         |SELECT d.doc_id,
+         | CAST(coalesce(len(a.tokens), 0) AS BIGINT) AS n_tokens,
+         | md5(coalesce(array_to_string(a.tokens, ' '), '')) AS toks_md5
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+    val ctes = bpeMergeCtes(numMerges)
     "WITH " + ctes.map { case (n, q) => s"$n AS MATERIALIZED ($q)" }.mkString(",\n") +
-      "\nSELECT CAST(rank AS BIGINT) AS rank, a AS \"left\", b AS \"right\", " +
-      "CAST(freq AS BIGINT) AS freq FROM (" + union + ") ORDER BY rank"
+      ",\n" + tail
   }
 
   def oracle: Map[String, String] = Map(
     "q121_bpe_train" -> bpeOracleSql(15),
+    "q130_bpe_tokenize" -> bpeTokenizeOracleSql(15),
     // exact 3-shingle-set Jaccard >= 0.5 pairs via an inverted-index
     // join (pairs sharing no shingle never materialize — the same
     // principle the Spark side's LSH exploits)

@@ -166,6 +166,44 @@ class BpeSpec extends SparkSpec {
     assert(sel(Seq(("a", "b", 5L), ("c", "d", 5L)), k = 2) == Seq(("a", "b", 5L)))
   }
 
+  test("bpe_apply == replaying the merge table via chained bpe_merge, on real words") {
+    NativeVector.register(spark)
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val merges = Bpe.train(docs, "text", numMerges = 20)
+    val mergesLit = typedLit(merges.map(m => (m.left, m.right)))
+      .cast("array<struct<a:string,b:string>>")
+    val words = docs
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0).distinct()
+      .select(col("w"), concat(split(col("w"), "").cast("array<string>"),
+        array(lit(Bpe.EndOfWord))).as("syms"))
+    // lowest-rank-present application (one native pass)
+    val fast = words.select(col("w"), NativeVector.bpeApply(col("syms"), mergesLit).as("t"))
+    // replay in rank order (20 chained projections) — the trainer's own
+    // definition of applying the table
+    val slow = merges.foldLeft(words) { (df, m) =>
+      df.withColumn("syms", NativeVector.bpeMerge(col("syms"), lit(m.left), lit(m.right)))
+    }.select(col("w"), col("syms").as("t2"))
+    assert(fast.join(slow, "w").filter(col("t") =!= col("t2")).isEmpty)
+    // detokenization property: concatenating a word's tokens (marker
+    // stripped) reconstructs the word exactly, for every word
+    val broken = fast.filter(
+      regexp_replace(concat_ws("", col("t")), "</w>", "") =!= col("w"))
+    assert(broken.isEmpty)
+  }
+
+  test("tokenizeCorpus: empty/blank documents survive with zero tokens") {
+    NativeVector.register(spark)
+    val docs = Seq((1L, "low lower"), (2L, ""), (3L, "   ")).toDF("doc_id", "text")
+    val merges = Bpe.train(docs, "text", numMerges = 3)
+    val out = Bpe.tokenizeCorpus(docs, "doc_id", "text", merges)
+      .orderBy("doc_id").collect()
+    assert(out.length == 3)
+    assert(out.map(_.getLong(2)).forall(_ >= 0))
+    assert(out(1).getLong(2) == 0 && out(2).getLong(2) == 0)
+    assert(out(0).getLong(2) > 0)
+  }
+
   test("vocabulary replay: symbol frequencies conserve total symbol mass") {
     val docs = Seq((1L, "aa aa ab")).toDF("id", "text")
     val merges = Bpe.train(docs, "text", numMerges = 2)
