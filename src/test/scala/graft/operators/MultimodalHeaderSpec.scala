@@ -67,6 +67,40 @@ class MultimodalHeaderSpec extends SparkSpec {
     assert(!parseHeader(bytes(0xFF, 0xD8, 0xFF, 0xE0, 0x7F, 0xFF)).valid)
   }
 
+  test("real PNG decode: encode→decode round trip recovers dims and exact channel means") {
+    val blob = Multimodal.encodePng(10, 4, baseR = 100, baseG = 40, baseB = 200)
+    // the encoder writes a REAL PNG (header parser agrees on dims)
+    val h = parseHeader(blob)
+    assert(h.format == "png" && h.width == 10 && h.height == 4)
+    val f = Multimodal.decodeImage(blob, 8).get
+    assert(f(0) == 10f && f(1) == 4f)
+    assert(f(2) == 100f + 4.5f) // mean of baseR + x over x in 0..9
+    assert(f(3) == 40f && f(4) == 200f)
+  }
+
+  test("real WAV decode: PCM16 round trip recovers n/rate/meanAbs/zero-crossings") {
+    val samples = Array.tabulate(50)(i => (if (i % 2 == 0) 1200 else -1200).toShort)
+    val blob = Multimodal.encodeWavPcm16(samples, 16000f)
+    val h = parseHeader(blob)
+    assert(h.format == "wav" && h.channels == 1 && h.sampleRate == 16000)
+    val f = Multimodal.decodeWav(blob, 8).get
+    assert(f(0) == 50f && f(1) == 16000f && f(2) == 1200f && f(3) == 49f)
+  }
+
+  test("decodeFeatures dispatch: media decodes for real, garbage falls back to byte stats") {
+    val png = Multimodal.encodePng(3, 3, 10, 20, 30)
+    val real = Multimodal.decodeFeatures(png, 8)
+    assert(real(0) == 3f && real(1) == 3f && real(2) == 11f)
+    // garbage blob: byte-stat fallback, never a throw
+    val junk = Array[Byte](1, 2, 3, 4)
+    assert(Multimodal.decodeFeatures(junk, 8).toSeq ==
+      Multimodal.decodeStub(junk, 8).toSeq)
+    // text that merely STARTS like a BMP: corrupt dims guard + fallback
+    val fakeBmp = ("BM" + "x" * 60).getBytes("UTF-8")
+    assert(Multimodal.decodeFeatures(fakeBmp, 8).toSeq ==
+      Multimodal.decodeStub(fakeBmp, 8).toSeq)
+  }
+
   test("describeHeaders runs the parser distributed with the declared schema") {
     import spark.implicits._
     val rows = Seq(
