@@ -91,9 +91,9 @@ object MlQueries {
       s.createDataFrame(java.util.Arrays.asList(rows: _*), metrics.schema)
     }),
 
-    // M10 stand-in: per-card sliding amount sequences -> flattened
-    // tensor -> MLP -> held-out AUC (sequence-model scoring path on the
-    // same W14/W15 tensors a BiLSTM hook would consume). Same
+    // M10, MLlib variant: per-card sliding amount sequences ->
+    // flattened tensor -> MLP -> held-out AUC (the TRUE BiLSTM over
+    // the same W14/W15 tensors is q132 / ml/BiLstm). Same
     // tolerance-flag surface as q70: sequence/split/class counts are
     // exact constants of the seeded generator, auc_ok floors the
     // measured 0.8956 AUC at 0.75.
@@ -131,6 +131,69 @@ object MlQueries {
           (col("tp") + col("fn")).cast("long").as("n_pos_test"),
           (col("roc_auc") >= 0.75).as("auc_ok"))
       // eager one-row materialization + release — same no-pin rule as q70
+      val rows = metrics.collect()
+      scored.unpersist()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), metrics.schema)
+    }),
+
+    // M10 FOR REAL (round 10): the TRUE BiLSTM + additive attention
+    // over the same W14 tensors q71's MLP stand-in consumes — closing
+    // the last "What's missing" item. Training is driver-side
+    // full-batch Adam over hand-derived BPTT gradients (the bounded-
+    // sample doctrine; gradient PROVEN vs numeric differentiation in
+    // BiLstmSpec), scoring is distributed map-side with the weights in
+    // the task closure. Inputs standardize on TRAIN-only stats (M9),
+    // positives re-weighted by the train neg/pos ratio. Same
+    // tolerance-flag surface as q70/q71: counts are exact constants of
+    // the seeded generator + split rule; auc_ok floors the measured
+    // held-out AUC (0.956 — above the MLP stand-in's 0.896; training
+    // is seed- AND order-deterministic, see the orderBy below) at 0.75.
+    "q132_bilstm" -> ((s, _) => {
+      val c = BehaviorWindows.Cols("card1", "ts", "transaction_amt", "transaction_id")
+      val data = SyntheticData.transactions(s, 8000L)
+        .withColumn("ts", timestamp_seconds(col("transaction_dt")))
+      val seqs = Sequences.sliding(data, c, Seq("transaction_amt"),
+        len = 5, minEvents = 5, labelCol = Some("is_fraud")).cache()
+      val split = TimeSplit.assign(seqs, col("ts"), col("transaction_id")).cache()
+      val train = split.filter(col("split") === "train")
+      // train-only standardization stats over every sequence element
+      val st = train.select(explode(flatten(col("seq"))).as("v"))
+        .agg(avg(col("v")).as("mu"), stddev_samp(col("v")).as("sd")).head()
+      val mu = st.getDouble(0); val sd = math.max(st.getDouble(1), 1e-9)
+      // bounded driver-side training set (~1.6K sequences by contract)
+      // deterministic training order regardless of partitioning: Adam
+      // sees the rows in transaction order on every run and core count
+      val trainRows = train.select(col("seq"), col("label").cast("double"))
+        .orderBy(col("transaction_id")).collect()
+      val nPos = trainRows.count(_.getDouble(1) == 1.0).toDouble
+      val posW = if (nPos > 0) (trainRows.length - nPos) / nPos else 1.0
+      val trainData = trainRows.toIndexedSeq.map { r =>
+        val seq = r.getAs[scala.collection.Seq[scala.collection.Seq[Double]]](0)
+          .map(row => row.map(x => (x - mu) / sd).toArray).toArray
+        val y = r.getDouble(1)
+        (seq, y, if (y == 1.0) posW else 1.0)
+      }
+      val model = graft.ml.BiLstm.train(trainData, dim = 1, hidden = 8,
+        attDim = 4, epochs = 60, lr = 0.05, seed = 42L)
+      // DISTRIBUTED scoring of the held-out split (map-side forward)
+      val testScaled = split.filter(col("split") === "test")
+        .withColumn("seq", transform(col("seq"),
+          r => transform(r, x => (x - lit(mu)) / lit(sd))))
+      val scored = graft.ml.BiLstm.scoreSequences(testScaled, "seq", model).cache()
+      scored.count()
+      val nSequences = seqs.count()
+      val splitCounts = split.groupBy(col("split")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      seqs.unpersist(); split.unpersist()
+      val metrics = Metrics.confusionAt(scored, col("label"), col("p_fraud"), 0.5)
+        .crossJoin(Metrics.rocAuc(scored, col("label"), col("p_fraud")))
+        .select(
+          lit(nSequences).as("n_sequences"),
+          lit(splitCounts.getOrElse("train", 0L)).as("n_train"),
+          lit(splitCounts.getOrElse("val", 0L)).as("n_val"),
+          lit(splitCounts.getOrElse("test", 0L)).as("n_test"),
+          (col("tp") + col("fn")).cast("long").as("n_pos_test"),
+          (col("roc_auc") >= 0.75).as("auc_ok"))
       val rows = metrics.collect()
       scored.unpersist()
       s.createDataFrame(java.util.Arrays.asList(rows: _*), metrics.schema)
@@ -272,6 +335,13 @@ object MlQueries {
     // 1626/349/349; 12 positive-labeled test sequences; auc_ok floors
     // the measured deterministic MLP AUC (0.8956) at 0.75.
     "q71_sequence_model" ->
+      """SELECT CAST(2324 AS BIGINT) AS n_sequences, CAST(1626 AS BIGINT) AS n_train,
+        | CAST(349 AS BIGINT) AS n_val, CAST(349 AS BIGINT) AS n_test,
+        | CAST(12 AS BIGINT) AS n_pos_test, TRUE AS auc_ok""".stripMargin,
+
+    // same generator, sequences and split rule as q71 ⇒ same pinned
+    // counts; the AUC flag floors the true BiLSTM's held-out metric
+    "q132_bilstm" ->
       """SELECT CAST(2324 AS BIGINT) AS n_sequences, CAST(1626 AS BIGINT) AS n_train,
         | CAST(349 AS BIGINT) AS n_val, CAST(349 AS BIGINT) AS n_test,
         | CAST(12 AS BIGINT) AS n_pos_test, TRUE AS auc_ok""".stripMargin,
