@@ -257,6 +257,26 @@ object CoreQueries {
       both.unionByName(diff).select("op", "user_id").orderBy("op", "user_id")
     }),
 
+    // ORDERED target statistics (CatBoost's ordered-categorical
+    // encoding, Prokhorenkova 2018 — the round-9 "no MLlib equivalent"
+    // gap): each row's per-category fraud-rate encoding uses ONLY rows
+    // preceding it in a fixed permutation (event_id), so no row sees
+    // its own label. One key-partitioned window with an
+    // unbounded-preceding..1-preceding frame — exact, one shuffle,
+    // layout-independent. Integer 0/1 target keeps window sums exact,
+    // so the smoothed quotient is cross-engine deterministic.
+    "q133_ordered_target_enc" -> ((s, dir) => {
+      val enc = graft.operators.TargetEncoding.orderedEncode(
+        Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"),
+            (col("value") > 100).cast("int").as("y")),
+        key = "event_type", target = col("y"), orderBy = col("event_id"),
+        smoothing = 1.0)
+      enc.select(col("event_id"), col("event_type"),
+          qz(col("ordered_ts"), 6).as("ordered_ts"))
+        .orderBy("event_id")
+    }),
+
     // A1+J2: target encoding fit on the chronological "train" slice only,
     // broadcast-joined back with a default for unseen keys
     "q13_target_encoding" -> ((s, dir) => {
@@ -487,6 +507,22 @@ object CoreQueries {
         | JOIN nation ON c_nationkey = n_nationkey
         | JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    // identical window semantics in DuckDB (empty preceding frame →
+    // NULL → coalesce); the global prior is an exact-int-sum average on
+    // both engines, so the smoothed quotient matches bit-for-bit
+    "q133_ordered_target_enc" ->
+      """WITH t AS (
+        | SELECT event_id, event_type,
+        |  CASE WHEN value > 100 THEN 1 ELSE 0 END AS y
+        | FROM events)
+        |SELECT event_id, event_type,
+        | round(((coalesce(sum(y) OVER w, 0) + 1.0 * (SELECT avg(y) FROM t)) /
+        |        (coalesce(count(y) OVER w, 0) + 1.0)) * 1000000.0) / 1000000.0 + 0.0 AS ordered_ts
+        |FROM t
+        |WINDOW w AS (PARTITION BY event_type ORDER BY event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |ORDER BY event_id""".stripMargin,
 
     "q12_set_ops" ->
       """SELECT 'click_and_purchase' AS op, user_id FROM

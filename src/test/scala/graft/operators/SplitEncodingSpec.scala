@@ -113,4 +113,29 @@ class SplitEncodingSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(out("a") == 0.5 && out("b") == 1.0 && out("c") == 0.25)
   }
+
+  test("ordered TS: exact prefix means + prior, and a row NEVER sees its own label") {
+    // key a: labels 1, 0, 1 at order 1, 2, 3 — global mean P = 3/4
+    val df = Seq(("a", 1, 1), ("a", 0, 2), ("a", 1, 3), ("b", 1, 4))
+      .toDF("k", "y", "ord")
+    val out = TargetEncoding.orderedEncode(df, "k", $"y", $"ord", smoothing = 1.0)
+      .orderBy("ord").collect().map(_.getAs[Double]("ordered_ts"))
+    val p = 0.75
+    assert(out(0) == (0 + p) / 1.0)       // no history: pure prior
+    assert(out(1) == (1 + p) / 2.0)       // saw only y=1
+    assert(out(2) == (1 + 0 + p) / 3.0)   // saw 1, 0 — NOT its own 1
+    assert(out(3) == (0 + p) / 1.0)       // key b: fresh history
+    // leakage probe: flipping a LATER row's label must not change any
+    // earlier row's encoding (only the global prior is held fixed, as
+    // CatBoost does per permutation)
+    val flipped = Seq(("a", 1, 1), ("a", 0, 2), ("a", 0, 3), ("b", 1, 4))
+      .toDF("k", "y", "ord")
+    val out2 = TargetEncoding.orderedEncode(flipped, "k", $"y", $"ord",
+        smoothing = 1.0)
+      .orderBy("ord").collect().map(_.getAs[Double]("ordered_ts"))
+    // recompute with flipped prior P2 = 2/4: rows 1-2 change ONLY via
+    // the global prior term, never via their history
+    val p2 = 0.5
+    assert(out2(0) == (0 + p2) / 1.0 && out2(1) == (1 + p2) / 2.0)
+  }
 }
