@@ -484,11 +484,16 @@ object BpeMergePair {
   * the tokenizer-application half of BPE (encode, not train). Per word:
   * repeatedly find the adjacent pair with the LOWEST merge rank present
   * and fuse its occurrences left-to-right, until no adjacent pair is in
-  * the table. For a rank-consistent table (every merge using an atom
-  * ranks after the merge that created it — true of any table train()
-  * emits) this is EXACTLY equivalent to replaying the merges in rank
-  * order (BpeApplySpec proves it against the chained bpe_merge fold),
-  * but it is ONE expression evaluation per word instead of K chained
+  * the table. The pick is the lowest-ranked pair STRICTLY ABOVE the
+  * last processed rank, which makes the walk EXACTLY the rank-order
+  * replay of the table (one bpe_merge pass per rank — BpeSpec proves
+  * parity against the chained fold, including on tables whose merge
+  * OUTPUTS collide, where an unconstrained greedy lowest-rank-present
+  * walk diverges: fusing a higher-ranked collision route can re-enable
+  * an already-passed lower rank that replay, by definition, never
+  * revisits). Skipped ranks whose pair is absent cost nothing, so the
+  * walk is O(len²) per word independent of table size —
+  * ONE expression evaluation per word instead of K chained
   * projections — the only shape that survives a 32K-merge vocabulary
   * (32K nested projections die in analysis long before execution; see
   * the round-10 AQE-explain note). The merge table rides in as a
@@ -518,16 +523,15 @@ case class BpeApply(first: Expression, second: Expression)
   }
 
   /** rank map, built ONCE from the foldable literal (driver + one lazy
-    * init per deserialized executor copy). Key = left ' ' right — a
-    * space cannot occur inside a whitespace-split token (or any
-    * concatenation of them). */
+    * init per deserialized executor copy). Key = left NUL right —
+    * written as an escape, and impossible inside any token symbol. */
   @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer]()
     val arr = second.eval(null).asInstanceOf[ArrayData]
     var i = 0
     while (i < arr.numElements()) {
       val s = arr.getStruct(i, 2)
-      val key = s.getUTF8String(0).toString + " " + s.getUTF8String(1).toString
+      val key = s.getUTF8String(0).toString + "\u0000" + s.getUTF8String(1).toString
       if (!m.containsKey(key)) m.put(key, i) // first (lowest) rank wins
       i += 1
     }
@@ -554,23 +558,30 @@ object BpeApply {
 
   private def rankOf(ranks: java.util.HashMap[String, Integer],
                      a: UTF8String, b: UTF8String): Int = {
-    val r = ranks.get(a.toString + " " + b.toString)
+    val r = ranks.get(a.toString + "\u0000" + b.toString)
     if (r == null) Int.MaxValue else r.intValue()
   }
 
   def run(syms: ArrayData, ranks: java.util.HashMap[String, Integer]): ArrayData = {
     var arr = new Array[UTF8String](syms.numElements())
     var i = 0
-    while (i < arr.length) { arr(i) = syms.getUTF8String(i); i += 1 }
+    while (i < arr.length) {
+      val e = syms.getUTF8String(i)
+      if (e == null) throw new IllegalArgumentException(
+        "bpe_apply: null symbol element (symbol arrays must be non-null)")
+      arr(i) = e
+      i += 1
+    }
     var done = arr.length < 2
+    var rPrev = -1 // replay position: ranks are processed ascending, once
     while (!done) {
-      // lowest-rank adjacent pair present
+      // lowest-ranked adjacent pair NOT yet passed by the replay
       var best = Int.MaxValue
       var bi = -1
       i = 0
       while (i < arr.length - 1) {
         val r = rankOf(ranks, arr(i), arr(i + 1))
-        if (r < best) { best = r; bi = i }
+        if (r > rPrev && r < best) { best = r; bi = i }
         i += 1
       }
       if (bi < 0) done = true
@@ -588,6 +599,7 @@ object BpeApply {
           o += 1
         }
         arr = java.util.Arrays.copyOf(out, o)
+        rPrev = best
         done = arr.length < 2
       }
     }

@@ -318,7 +318,13 @@ object Pq {
   private def materializedCodes(encoded: DataFrame, cols: Seq[String]): DataFrame =
     codeCache.synchronized {
       val pruned = encoded.select(cols.map(col): _*)
-      val key = pruned.queryExecution.analyzed.canonicalized
+      // key includes the OWNING SESSION: a canonically-equal plan from a
+      // new session must not resolve to a frame bound to a stopped
+      // SparkContext. Within a session the cache carries Spark's own
+      // df.cache staleness contract — sources are assumed immutable
+      // while cached (an overwrite between searches serves the cached
+      // codes, exactly as a user-managed persist would).
+      val key = (encoded.sparkSession, pruned.queryExecution.analyzed.canonicalized)
       var cached = codeCache.get(key)
       if (cached == null) {
         cached = pruned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -73,7 +73,10 @@ object TargetEncoding {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(key)).orderBy(orderBy)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val global = df.agg(avg(target)).first().getDouble(0)
+    val priorRow = df.agg(avg(target)).first()
+    require(!priorRow.isNullAt(0),
+      "orderedEncode: empty input or all-null target — no prior to shrink toward")
+    val global = priorRow.getDouble(0)
     df.withColumn(out,
       (coalesce(sum(target).over(w), lit(0.0)) + lit(smoothing * global)) /
         (coalesce(count(target).over(w), lit(0L)) + lit(smoothing)))

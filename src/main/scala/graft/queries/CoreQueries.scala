@@ -269,7 +269,10 @@ object CoreQueries {
       val enc = graft.operators.TargetEncoding.orderedEncode(
         Tables.events(s, dir)
           .select(col("event_id"), col("event_type"),
-            (col("value") > 100).cast("int").as("y")),
+            // when/otherwise (not a bare cast): a NULL value must map
+            // to 0 exactly like the oracle's CASE WHEN, or the two
+            // engines' histories diverge on the first null row
+            when(col("value") > 100, lit(1)).otherwise(lit(0)).as("y")),
         key = "event_type", target = col("y"), orderBy = col("event_id"),
         smoothing = 1.0)
       enc.select(col("event_id"), col("event_type"),

@@ -190,15 +190,17 @@ object FeatureQueries {
         .select(col("v"), col("p01"), col("p99"),
           graft.functions.AmountFeatures.winsorize(
             col("v"), col("p01"), col("p99")).as("w"))
+      // ONE definition of the exact integer sum (the Util.exactSum
+      // rule), reused by both emitted columns
+      val microsSum = sum(round(col("w") * 1e6, 0).cast("long"))
       clipped.agg(
         count(lit(1)).as("n"),
         sum((col("v") < col("p01")).cast("long")).as("n_low"),
         sum((col("v") > col("p99")).cast("long")).as("n_high"),
         qz(max(col("p01")), 6).as("p01"),
         qz(max(col("p99")), 6).as("p99"),
-        sum(round(col("w") * 1e6, 0).cast("long")).as("sum_w_micros"),
-        qz(sum(round(col("w") * 1e6, 0).cast("long")) / 1e6 / count(lit(1)), 6)
-          .as("mean_w"))
+        microsSum.as("sum_w_micros"),
+        qz(microsSum / 1e6 / count(lit(1)), 6).as("mean_w"))
     }),
 
     // q119's documented 100 TB path, oracle-EXERCISED (round-9 verdict

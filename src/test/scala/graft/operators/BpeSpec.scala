@@ -192,6 +192,26 @@ class BpeSpec extends SparkSpec {
     assert(broken.isEmpty)
   }
 
+  test("bpe_apply == rank-order replay on a COLLIDING merge table (review finding)") {
+    // Table whose outputs collide: rank 2 builds "xyz" via (x, yz) while
+    // rank 4 builds the same string via (xy, z). On the word "wxyz" an
+    // unconstrained greedy lowest-rank-present walk fuses rank 0, then
+    // rank 4 (-> w, xyz), then REVISITS rank 3 (w, xyz) which replay
+    // already passed — emitting [wxyz] where replay emits [w, xyz].
+    // The monotone-rank constraint must reproduce replay exactly.
+    NativeVector.register(spark)
+    val merges = Seq(("x", "y"), ("y", "z"), ("x", "yz"), ("w", "xyz"), ("xy", "z"))
+    val mergesLit = typedLit(merges).cast("array<struct<a:string,b:string>>")
+    val word = Seq(Tuple1(Seq("w", "x", "y", "z"))).toDF("syms")
+    val fast = word.select(NativeVector.bpeApply(col("syms"), mergesLit).as("t"))
+      .head().getAs[scala.collection.Seq[String]](0)
+    val slow = merges.foldLeft(word) { case (df, (a, b)) =>
+      df.withColumn("syms", NativeVector.bpeMerge(col("syms"), lit(a), lit(b)))
+    }.head().getAs[scala.collection.Seq[String]](0)
+    assert(slow == Seq("w", "xyz")) // replay's answer, by construction
+    assert(fast == slow, s"apply $fast vs replay $slow")
+  }
+
   test("tokenizeCorpus: empty/blank documents survive with zero tokens") {
     NativeVector.register(spark)
     val docs = Seq((1L, "low lower"), (2L, ""), (3L, "   ")).toDF("doc_id", "text")
