@@ -106,16 +106,25 @@ object CoreQueries {
         .orderBy("event_type")
     }),
 
-    // A3: grouped describe incl. exact interpolated median
+    // A3: grouped describe incl. exact interpolated median. The hashed
+    // median comes from Util.interpPercentiles (explicit lo+(hi−lo)·frac
+    // — same value as percentile(0.5)/pandas .median(), bit-identical
+    // across engines; round-10 verdict-#2 sweep).
     "q05_describe_by_type" -> ((s, dir) => {
-      Tables.events(s, dir).groupBy("event_type")
+      val ev = Tables.events(s, dir)
+      val medx = Util.interpPercentiles(ev.select(col("event_type"), col("value")),
+        Seq("event_type"), "value", Seq(("medx", 1, 2)))
+      ev.groupBy("event_type")
         .agg(
           count(lit(1)).as("cnt"),
           qz(avg("value"), 6).as("mean_value"),
           qz(stddev_samp(col("value")), 6).as("std_value"),
           min("value").as("min_value"),
-          max("value").as("max_value"),
-          qz(expr("percentile(value, 0.5)"), 6).as("median_value"))
+          max("value").as("max_value"))
+        .join(medx, Seq("event_type"))
+        .select(col("event_type"), col("cnt"), col("mean_value"),
+          col("std_value"), col("min_value"), col("max_value"),
+          qz(col("medx"), 6).as("median_value"))
         .orderBy("event_type")
     }),
 
@@ -126,22 +135,31 @@ object CoreQueries {
     // ±5% of rank for p50/p90, [p98, max] for p99 (1% below, open
     // above). A broken sketch falls outside; the exact values
     // themselves are hash-checked
+    // hashed exact quantiles via Util.interpPercentiles (explicit
+    // interpolation, bit-identical cross-engine — round-10 verdict-#2
+    // sweep); the builtin percentile array survives only as the unhashed
+    // ±5%-rank containment windows
     "q67_quantile_sketch" -> ((s, dir) => {
       val ex = col("ex"); val ap = col("ap")
+      val exact = Util.interpPercentiles(
+        Tables.events(s, dir).select(col("event_type"), col("value")),
+        Seq("event_type"), "value",
+        Seq(("p50x", 1, 2), ("p90x", 9, 10), ("p99x", 99, 100)))
       Tables.events(s, dir).groupBy("event_type")
         .agg(
-          expr("percentile(value, array(0.45, 0.5, 0.55, 0.85, 0.9, 0.95, 0.98, 0.99))").as("ex"),
+          expr("percentile(value, array(0.45, 0.55, 0.85, 0.95, 0.98))").as("ex"),
           expr("approx_percentile(value, array(0.5, 0.9, 0.99), 1000)").as("ap"),
           count(lit(1)).as("n"),
           max("value").as("mx"))
+        .join(exact, Seq("event_type"))
         .select(col("event_type"),
-          qz(element_at(ex, 2), 6).as("p50_exact"),
-          qz(element_at(ex, 5), 6).as("p90_exact"),
-          qz(element_at(ex, 8), 6).as("p99_exact"),
+          qz(col("p50x"), 6).as("p50_exact"),
+          qz(col("p90x"), 6).as("p90_exact"),
+          qz(col("p99x"), 6).as("p99_exact"),
           col("n"),
-          element_at(ap, 1).between(element_at(ex, 1), element_at(ex, 3)).as("p50_ok"),
-          element_at(ap, 2).between(element_at(ex, 4), element_at(ex, 6)).as("p90_ok"),
-          element_at(ap, 3).between(element_at(ex, 7), col("mx")).as("p99_ok"))
+          element_at(ap, 1).between(element_at(ex, 1), element_at(ex, 2)).as("p50_ok"),
+          element_at(ap, 2).between(element_at(ex, 3), element_at(ex, 4)).as("p90_ok"),
+          element_at(ap, 3).between(element_at(ex, 5), col("mx")).as("p99_ok"))
         .orderBy("event_type")
     }),
 
@@ -428,23 +446,48 @@ object CoreQueries {
     "q04_event_histogram" ->
       "SELECT event_type, count(*) AS n FROM events GROUP BY event_type ORDER BY event_type",
 
+    // median via the explicit-interpolation twin (Util.interpSql) —
+    // same value as median(), bit-identical to the Spark side
     "q05_describe_by_type" ->
-      """SELECT event_type, count(*) AS cnt,
+      s"""WITH r AS (
+        | SELECT event_type, value,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        |  count(*) OVER (PARTITION BY event_type) AS n
+        | FROM events WHERE value IS NOT NULL),
+        |m AS (
+        | SELECT event_type, ${Util.interpSql("value", 1, 2)} AS medx
+        | FROM r GROUP BY event_type)
+        |SELECT event_type, count(*) AS cnt,
         | round((avg(value)) * 1000000.0) / 1000000.0 + 0.0 AS mean_value,
         | round((stddev_samp(value)) * 1000000.0) / 1000000.0 + 0.0 AS std_value,
         | min(value) AS min_value, max(value) AS max_value,
-        | round((median(value)) * 1000000.0) / 1000000.0 + 0.0 AS median_value
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+        | round(max(medx) * 1000000.0) / 1000000.0 + 0.0 AS median_value
+        |FROM events JOIN m USING (event_type)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
-    // exact quantiles hash-checked; sketch containment flags must be true
+    // exact quantiles hash-checked (explicit-interpolation twin —
+    // Util.interpSql); sketch containment flags must be true
     "q67_quantile_sketch" ->
-      """SELECT event_type,
-        | round((quantile_cont(value, 0.5)) * 1000000.0) / 1000000.0 + 0.0 AS p50_exact,
-        | round((quantile_cont(value, 0.9)) * 1000000.0) / 1000000.0 + 0.0 AS p90_exact,
-        | round((quantile_cont(value, 0.99)) * 1000000.0) / 1000000.0 + 0.0 AS p99_exact,
-        | count(*) AS n,
+      s"""WITH r AS (
+        | SELECT event_type, value,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        |  count(*) OVER (PARTITION BY event_type) AS n
+        | FROM events WHERE value IS NOT NULL),
+        |m AS (
+        | SELECT event_type,
+        |  ${Util.interpSql("value", 1, 2)} AS p50x,
+        |  ${Util.interpSql("value", 9, 10)} AS p90x,
+        |  ${Util.interpSql("value", 99, 100)} AS p99x
+        | FROM r GROUP BY event_type)
+        |SELECT event_type,
+        | round(p50x * 1000000.0) / 1000000.0 + 0.0 AS p50_exact,
+        | round(p90x * 1000000.0) / 1000000.0 + 0.0 AS p90_exact,
+        | round(p99x * 1000000.0) / 1000000.0 + 0.0 AS p99_exact,
+        | c.n AS n,
         | true AS p50_ok, true AS p90_ok, true AS p99_ok
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+        |FROM m JOIN (SELECT event_type, count(*) AS n FROM events GROUP BY 1) c
+        | USING (event_type)
+        |ORDER BY event_type""".stripMargin,
 
     // parquet-source oracle: equality proves the JSON round trip lossless
     "q73_json_roundtrip" ->

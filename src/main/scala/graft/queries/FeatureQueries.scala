@@ -181,11 +181,19 @@ object FeatureQueries {
     // flip per corpus (the round-9 red row). Long micros are
     // association-free and fit to sf5 (3.2e11·1e6 « 2⁶³). mean_w is
     // derived from the SAME exact integer, so it inherits stability.
+    // Bounds are DISCRETE (Util.discPercentiles — actual data values at
+    // ceil-rank, integer rank arithmetic): round-10 verdict #1. The old
+    // interpolated percentile() bound was a `lo + frac·(hi−lo)` double;
+    // hashing qz(bound) AND round(w·10⁶) for every clipped row (w equals
+    // the bound there) made the gate flip on a 1-ulp Spark-vs-DuckDB
+    // interpolation difference — red in three rounds. A discrete bound
+    // is an element of the column: bit-identical in both engines by
+    // construction, so every downstream product (clip, micros, qz) is
+    // too, at any scale and any DuckDB version.
     "q119_winsorize" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir).select(col("l_extendedprice").as("v"))
-      val bounds = li.agg(
-        expr("percentile(v, 0.01)").as("p01"),
-        expr("percentile(v, 0.99)").as("p99"))
+      val bounds = Util.discPercentiles(li, Seq.empty, "v",
+        Seq(("p01", 1, 100), ("p99", 99, 100)))
       val clipped = li.crossJoin(broadcast(bounds))
         .select(col("v"), col("p01"), col("p99"),
           graft.functions.AmountFeatures.winsorize(
@@ -216,17 +224,25 @@ object FeatureQueries {
     // a broken sketch path (or a clip that stops agreeing with its
     // bounds) turns the row red. accuracy=10000 → rank error ~0.01%,
     // 50x inside the window.
+    // Hashed emissions (p01_exact/p99_exact) are DISCRETE ceil-rank
+    // values — same round-10 verdict-#2 sweep as q119, and they now
+    // equal q119's bounds by definition. The interpolated percentile
+    // array survives ONLY as the unhashed ±0.5%-rank containment
+    // windows (booleans with 50× margin — a 1-ulp interpolation
+    // difference cannot flip them).
     "q128_winsorize_sketch" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir).select(col("l_extendedprice").as("v"))
+      val disc = Util.discPercentiles(li, Seq.empty, "v",
+        Seq(("p01d", 1, 100), ("p99d", 99, 100)))
       val bounds = li.agg(
         expr("percentile(v, array(0.005, 0.01, 0.015, 0.985, 0.99, 0.995))").as("ex"),
         expr("approx_percentile(v, array(0.01, 0.99), 10000)").as("ap"))
       val ex = col("ex"); val ap = col("ap")
-      li.crossJoin(broadcast(bounds))
+      li.crossJoin(broadcast(bounds)).crossJoin(broadcast(disc))
         .agg(
           count(lit(1)).as("n"),
-          qz(max(element_at(ex, 2)), 6).as("p01_exact"),
-          qz(max(element_at(ex, 5)), 6).as("p99_exact"),
+          qz(max(col("p01d")), 6).as("p01_exact"),
+          qz(max(col("p99d")), 6).as("p99_exact"),
           sum((col("v") < element_at(ap, 1)).cast("long")).as("n_low_ap"),
           sum((col("v") > element_at(ap, 2)).cast("long")).as("n_high_ap"),
           sum((col("v") < element_at(ex, 1)).cast("long")).as("low_lo"),
@@ -250,15 +266,24 @@ object FeatureQueries {
     // map-side state. Same containment contract as q128, per group:
     // sketch median inside the exact ±5%-rank window, exact medians
     // hash-checked, flags literal TRUE in DuckDB.
+    // med_exact is hashed → computed via Util.interpPercentiles
+    // (explicit lo+(hi−lo)·frac on discrete neighbors — same VALUE as
+    // percentile(0.5), bit-identical across engines; verdict #2 sweep).
+    // The ±5%-rank containment window keeps the builtin percentile —
+    // unhashed booleans with huge margin.
     "q129_grouped_median_sketch" -> ((s, dir) => {
-      Tables.events(s, dir).groupBy("event_type")
+      val ev = Tables.events(s, dir)
+      val medx = Util.interpPercentiles(ev.select(col("event_type"), col("value")),
+        Seq("event_type"), "value", Seq(("medx", 1, 2)))
+      ev.groupBy("event_type")
         .agg(
-          expr("percentile(value, array(0.45, 0.5, 0.55))").as("ex"),
+          expr("percentile(value, array(0.45, 0.55))").as("ex"),
           expr("approx_percentile(value, 0.5, 10000)").as("ap"),
           count(lit(1)).as("n"))
+        .join(medx, Seq("event_type"))
         .select(col("event_type"), col("n"),
-          qz(element_at(col("ex"), 2), 6).as("med_exact"),
-          col("ap").between(element_at(col("ex"), 1), element_at(col("ex"), 3))
+          qz(col("medx"), 6).as("med_exact"),
+          col("ap").between(element_at(col("ex"), 1), element_at(col("ex"), 2))
             .as("med_ok"))
         .orderBy("event_type")
     }),
@@ -274,14 +299,19 @@ object FeatureQueries {
     // from a zero-spread distribution flags; the unguarded division
     // would go null and silently report 0 anomalies exactly where a
     // fat-finger value stands alone. Output is one bounded row per type.
+    // med/mad via Util.interpPercentiles (verdict-#2 sweep): they are
+    // hashed at 6 dp AND feed the hashed flag counts — the explicit
+    // interpolation makes med, mad, every |0.6745·(x−med)/mad| and
+    // therefore every flag bit-identical across engines.
     "q126_robust_anomaly" -> ((s, dir) => {
       val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
-      val med = ev.groupBy("event_type")
-        .agg(expr("percentile(value, 0.5)").as("med"))
-      val mad = ev.join(med, Seq("event_type"))
-        .groupBy("event_type")
-        .agg(max(col("med")).as("med"),
-          expr("percentile(abs(value - med), 0.5)").as("mad"))
+      val med = Util.interpPercentiles(ev, Seq("event_type"), "value",
+        Seq(("med", 1, 2)))
+      val madIn = ev.join(med, Seq("event_type"))
+        .select(col("event_type"), col("med"), abs(col("value") - col("med")).as("adev"))
+      val mad = Util.interpPercentiles(madIn, Seq("event_type"), "adev",
+        Seq(("mad", 1, 2)))
+        .join(med, Seq("event_type"))
       ev.join(mad, Seq("event_type"))  // |types| rows — AQE broadcasts
         .select(col("event_type"), col("med"), col("mad"), col("value"),
           when(col("mad") > 0,
@@ -454,14 +484,20 @@ object FeatureQueries {
         | CAST(1 AS BIGINT) AS score_ok, CAST(1 AS BIGINT) AS conf_ok
         |FROM scored ORDER BY event_id""".stripMargin,
 
-    // quantile_cont is DuckDB's linearly-interpolated exact percentile —
-    // the same formula as Spark's percentile() (q05/q18 precedent).
-    // sum gate in exact long micros (see the Spark-side comment).
+    // Discrete ceil-rank bounds, integer rank arithmetic — the exact
+    // twin of Util.discPercentiles (NO engine percentile function on
+    // either side; see the helper's scaladoc for why interpolated
+    // bounds were a per-ulp coin flip). sum gate in exact long micros.
     "q119_winsorize" ->
-      """WITH b AS (
-        | SELECT quantile_cont(l_extendedprice, 0.01) AS p01,
-        |  quantile_cont(l_extendedprice, 0.99) AS p99
-        | FROM lineitem),
+      s"""WITH r AS (
+        | SELECT l_extendedprice AS v,
+        |  row_number() OVER (ORDER BY l_extendedprice) AS rn,
+        |  count(*) OVER () AS n
+        | FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |b AS (
+        | SELECT ${Util.discSql("v", 1, 100)} AS p01,
+        |  ${Util.discSql("v", 99, 100)} AS p99
+        | FROM r),
         |c AS (
         | SELECT l_extendedprice AS v, p01, p99,
         |  least(greatest(l_extendedprice, p01), p99) AS w
@@ -478,38 +514,63 @@ object FeatureQueries {
     // exact ranks + counts hash-checked; the sketch-relationship flags
     // are literal TRUE (q17 convention)
     "q128_winsorize_sketch" ->
-      """WITH b AS (
-        | SELECT quantile_cont(l_extendedprice, 0.005) AS e1,
-        |  quantile_cont(l_extendedprice, 0.01) AS e2,
-        |  quantile_cont(l_extendedprice, 0.015) AS e3,
-        |  quantile_cont(l_extendedprice, 0.985) AS e4,
-        |  quantile_cont(l_extendedprice, 0.99) AS e5,
-        |  quantile_cont(l_extendedprice, 0.995) AS e6
-        | FROM lineitem)
+      s"""WITH r AS (
+        | SELECT l_extendedprice AS v,
+        |  row_number() OVER (ORDER BY l_extendedprice) AS rn,
+        |  count(*) OVER () AS n
+        | FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |b AS (
+        | SELECT ${Util.discSql("v", 1, 100)} AS p01d,
+        |  ${Util.discSql("v", 99, 100)} AS p99d
+        | FROM r)
         |SELECT count(*) AS n,
-        | round(max(e2) * 1000000.0) / 1000000.0 + 0.0 AS p01_exact,
-        | round(max(e5) * 1000000.0) / 1000000.0 + 0.0 AS p99_exact,
+        | round(max(p01d) * 1000000.0) / 1000000.0 + 0.0 AS p01_exact,
+        | round(max(p99d) * 1000000.0) / 1000000.0 + 0.0 AS p99_exact,
         | TRUE AS p01_ok, TRUE AS p99_ok,
         | TRUE AS n_low_ok, TRUE AS n_high_ok
         |FROM lineitem CROSS JOIN b""".stripMargin,
 
+    // med_exact via the explicit interpolation twin of
+    // Util.interpPercentiles (lo/hi at integer ranks, frac = rem/den)
     "q129_grouped_median_sketch" ->
-      """SELECT event_type, count(*) AS n,
-        | round(quantile_cont(value, 0.5) * 1000000.0) / 1000000.0 + 0.0 AS med_exact,
+      s"""WITH r AS (
+        | SELECT event_type, value,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        |  count(*) OVER (PARTITION BY event_type) AS n
+        | FROM events WHERE value IS NOT NULL),
+        |m AS (
+        | SELECT event_type, ${Util.interpSql("value", 1, 2)} AS medx
+        | FROM r GROUP BY event_type)
+        |SELECT event_type, count(*) AS n,
+        | round(max(medx) * 1000000.0) / 1000000.0 + 0.0 AS med_exact,
         | TRUE AS med_ok
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+        |FROM events JOIN m USING (event_type)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // same two-level median/MAD chain; the flag predicate applies to
-    // UNROUNDED med/mad in both engines (quantize only at emission)
+    // UNROUNDED med/mad in both engines (quantize only at emission).
+    // Medians via the explicit interpolation twin of
+    // Util.interpPercentiles — see q129's oracle for the pattern.
     "q126_robust_anomaly" ->
-      """WITH med AS (
-        | SELECT event_type, quantile_cont(value, 0.5) AS med
-        | FROM events GROUP BY 1),
-        |mad AS (
-        | SELECT e.event_type, max(med) AS med,
-        |  quantile_cont(abs(value - med), 0.5) AS mad
+      s"""WITH r1 AS (
+        | SELECT event_type, value,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        |  count(*) OVER (PARTITION BY event_type) AS n
+        | FROM events WHERE value IS NOT NULL),
+        |med AS (
+        | SELECT event_type, ${Util.interpSql("value", 1, 2)} AS med
+        | FROM r1 GROUP BY event_type),
+        |r2 AS (
+        | SELECT e.event_type, abs(value - med) AS adev,
+        |  row_number() OVER (PARTITION BY e.event_type ORDER BY abs(value - med)) AS rn,
+        |  count(*) OVER (PARTITION BY e.event_type) AS n
         | FROM events e JOIN med ON e.event_type = med.event_type
-        | GROUP BY e.event_type),
+        | WHERE value IS NOT NULL),
+        |mad AS (
+        | SELECT r2.event_type, max(med.med) AS med,
+        |  ${Util.interpSql("adev", 1, 2)} AS mad
+        | FROM r2 JOIN med ON r2.event_type = med.event_type
+        | GROUP BY r2.event_type),
         |f AS (
         | SELECT e.event_type, med, mad, value,
         |  CASE WHEN mad > 0

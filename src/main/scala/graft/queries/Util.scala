@@ -43,6 +43,129 @@ object Util {
     sum(round(c * f, 0).cast("long")) / f + lit(0.0)
   }
 
+  /** Discrete-percentile gate values (round-10 verdict #1/#2): the
+    * k-th smallest ACTUAL DATA VALUE at k = ceil(n·num/den), computed
+    * with pure integer arithmetic `(n·num + den − 1) div den` — the
+    * SQL-standard percentile_disc selection (smallest v with
+    * cume_dist ≥ num/den; the ceil-rank element equals it even under
+    * ties), but with the rank arithmetic written out EXPLICITLY so
+    * neither engine's percentile implementation is in the loop.
+    *
+    * Why: an interpolated percentile (Spark `percentile`, DuckDB
+    * `quantile_cont`) emits `lo + frac·(hi−lo)` — a double whose last
+    * ulp depends on each engine's interpolation arithmetic and version.
+    * Hash a qz() of that, or multiply it into a clip, and the gate is
+    * one ulp away from a coin flip whenever `x·10⁶` sits near a `.5`
+    * boundary (the three-round q119 red row). A discrete bound is an
+    * element of the input — bit-identical in both engines by
+    * construction, at any scale and any DuckDB version. Rule: any
+    * percentile value that is HASHED (or feeds a hashed comparison)
+    * must be discrete or pre-quantized; interpolated percentiles are
+    * only for unhashed containment windows with ≥0.5%-rank margins.
+    *
+    * Cost: one rank shuffle per group (unpartitioned window when
+    * `groupCols` is empty) — the same single-reducer class as the exact
+    * percentile it replaces; gate-only code by the q119/q128 contract,
+    * never the 100 TB path (that is approx_percentile).
+    *
+    * Nulls are filtered BEFORE ranking (Spark sorts nulls first,
+    * DuckDB last — identical only on null-free input; percentile
+    * semantics ignore nulls anyway).
+    *
+    * DuckDB twin (grouped; drop PARTITION BY for global):
+    *   WITH r AS (SELECT g, v,
+    *     row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+    *     count(*)    OVER (PARTITION BY g)              AS n
+    *    FROM t WHERE v IS NOT NULL)
+    *   SELECT g, max(CASE WHEN rn = (n*num + den-1) // den THEN v END) AS p
+    *   FROM r GROUP BY g
+    */
+  def discPercentiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      ps: Seq[(String, Int, Int)]): DataFrame =
+    rankGate(df, groupCols, valueCol) { (rn, n, v) =>
+      import org.apache.spark.sql.functions.{expr, max, when}
+      ps.map { case (nm, num, den) =>
+        max(when(rn === expr(s"(__n * $num + ${den - 1}) div $den"), v)).as(nm)
+      }
+    }
+
+  /** Linearly-INTERPOLATED percentile with the interpolation arithmetic
+    * written out explicitly — same VALUE (to 1 ulp) as Spark
+    * `percentile` / DuckDB `quantile_cont` / pandas `.median()`, but
+    * because BOTH engines evaluate the identical explicit expression
+    * `lo + (hi − lo)·(rem/den)` on identical discrete neighbors
+    * (lo = v at rank (n−1)·num div den + 1; hi = next rank iff
+    * rem = (n−1)·num mod den > 0), the result is bit-identical across
+    * engines and versions — hashable. Use this (not the builtins) for
+    * every hashed percentile where interpolated semantics matter
+    * (medians / describe parity); use [[discPercentiles]] where a
+    * data-value bound is wanted (winsorize clips). Same nulls/cost
+    * contract as discPercentiles.
+    *
+    * DuckDB twin (rem/den is DuckDB float division):
+    *   max(CASE WHEN rn = lo_rank THEN v END)
+    *    + (max(CASE WHEN rn = hi_rank THEN v END)
+    *       - max(CASE WHEN rn = lo_rank THEN v END))
+    *      * (((n-1)*num % den) / den)
+    */
+  def interpPercentiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      ps: Seq[(String, Int, Int)]): DataFrame =
+    rankGate(df, groupCols, valueCol) { (rn, n, v) =>
+      import org.apache.spark.sql.functions.{expr, lit, max, when}
+      ps.map { case (nm, num, den) =>
+        val loRank = expr(s"((__n - 1) * $num) div $den + 1")
+        val rem = expr(s"((__n - 1) * $num) % $den")
+        val hiRank = loRank + when(rem > 0, lit(1)).otherwise(lit(0))
+        val lo = max(when(rn === loRank, v))
+        val hi = max(when(rn === hiRank, v))
+        (lo + (hi - lo) * (max(rem).cast("double") / lit(den.toDouble))).as(nm)
+      }
+    }
+
+  /** Dual-dialect integer floor-division on a nonneg integer expr:
+    * `/` is float division in BOTH Spark SQL and DuckDB (so this parses
+    * in both — SqlSurfaceSpec runs every oracle through spark.sql), and
+    * floor(x/d) is exact for x < 2⁵³ (correctly-rounded division can't
+    * cross an integer boundary: error ≤ ulp(x) « distance 1/d). */
+  private def fdiv(x: String, den: Int): String =
+    s"CAST(floor(($x) / $den) AS BIGINT)"
+
+  /** DuckDB/Spark twin snippet for one [[discPercentiles]] aggregate —
+    * ceil-rank selection, integer arithmetic only. */
+  def discSql(v: String, num: Int, den: Int): String =
+    s"max(CASE WHEN rn = ${fdiv(s"n * $num + ${den - 1}", den)} THEN $v END)"
+
+  /** DuckDB/Spark twin snippet for one [[interpPercentiles]] aggregate —
+    * to be placed in a GROUP BY over a CTE exposing (rn, n, value) from
+    * row_number()/count() windows (see q129's oracle). Generated, not
+    * hand-copied, so the two engines' arithmetic cannot drift. */
+  def interpSql(v: String, num: Int, den: Int): String = {
+    val lo = s"${fdiv(s"((n-1) * $num)", den)} + 1"
+    val hi = s"$lo + (CASE WHEN ((n-1) * $num) % $den > 0 THEN 1 ELSE 0 END)"
+    s"max(CASE WHEN rn = $lo THEN $v END)" +
+      s" + (max(CASE WHEN rn = $hi THEN $v END)" +
+      s" - max(CASE WHEN rn = $lo THEN $v END))" +
+      s" * (CAST(max(((n-1) * $num) % $den) AS DOUBLE) / $den.0)"
+  }
+
+  private def rankGate(df: DataFrame, groupCols: Seq[String], valueCol: String)(
+      build: (Column, Column, Column) => Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, count, lit, row_number}
+    val gc = groupCols.map(col)
+    val (wRank, wAll) =
+      if (groupCols.isEmpty)
+        (Window.orderBy(valueCol), Window.partitionBy())
+      else
+        (Window.partitionBy(gc: _*).orderBy(valueCol), Window.partitionBy(gc: _*))
+    val ranked = df.filter(col(valueCol).isNotNull)
+      .select(gc :+ col(valueCol) :+ row_number().over(wRank).as("__rn") :+
+        count(lit(1)).over(wAll).as("__n"): _*)
+    val aggs = build(col("__rn"), col("__n"), col(valueCol))
+    if (groupCols.isEmpty) ranked.agg(aggs.head, aggs.tail: _*)
+    else ranked.groupBy(gc: _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Append derived (name, expr) pairs in ONE select — avoids the
     * chained-withColumn analysis blowup on wide schemas (SURVEY.md §4.1). */
   def addCols(df: DataFrame, feats: Seq[(String, Column)]): DataFrame = {

@@ -71,4 +71,36 @@ class BiLstmSpec extends AnyFunSuite {
     val b = BiLstm.train(data, 1, 4, 3, epochs = 10, seed = 1L)
     assert(a.params.sameElements(b.params))
   }
+
+  test("trainBatched at batchSize >= n is bit-identical to full-batch train") {
+    val rnd = new scala.util.Random(13)
+    val data = IndexedSeq.tabulate(24) { i =>
+      (Array.fill(4, 1)(rnd.nextGaussian()), (i % 2).toDouble, 1.0 + 0.1 * (i % 3))
+    }
+    val full = BiLstm.train(data, 1, 4, 3, epochs = 12, seed = 2L)
+    val streamed = BiLstm.trainBatched(() => data.iterator, 1, 4, 3,
+      epochs = 12, lr = 0.05, seed = 2L, batchSize = data.length + 7)
+    assert(full.params.sameElements(streamed.params),
+      "one-batch-per-epoch streaming must reproduce the full-batch loop exactly")
+  }
+
+  test("trainBatched is deterministic per batch size and still learns at batch 16") {
+    val rnd = new scala.util.Random(21)
+    val T = 6
+    def mk(label: Int): (Array[Array[Double]], Double, Double) = {
+      val s = Array.fill(T, 1)(rnd.nextGaussian() * 0.3)
+      if (label == 1) s(rnd.nextInt(T))(0) = 3.0 + rnd.nextDouble()
+      (s, label.toDouble, 1.0)
+    }
+    val train = IndexedSeq.tabulate(120)(i => mk(i % 2))
+    val test = IndexedSeq.tabulate(40)(i => mk(i % 2))
+    def run() = BiLstm.trainBatched(() => train.iterator, 1, 6, 4,
+      epochs = 40, lr = 0.05, seed = 5L, batchSize = 16)
+    val (m1, m2) = (run(), run())
+    assert(m1.params.sameElements(m2.params), "same batch size twice must agree")
+    val acc = test.count { case (s, y, _) =>
+      (BiLstm.forwardProb(m1, s) >= 0.5) == (y >= 0.5)
+    }.toDouble / test.size
+    assert(acc >= 0.9, s"minibatch accuracy $acc")
+  }
 }
