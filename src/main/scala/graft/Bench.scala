@@ -72,6 +72,18 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }.sorted
+      // per-query session hygiene (round-10 verdict #8): a query that
+      // leaks cached frames would shade every later query's timing with
+      // its storage + GC pressure — unpersist anything left behind and
+      // NAME the offender so the leak is a visible bug, not a silent
+      // battery artifact. (Queries are expected to release their own
+      // caches; this is the backstop that keeps timings independent.)
+      val leaked = spark.sparkContext.getPersistentRDDs
+      if (leaked.nonEmpty) {
+        System.err.println(s"[bench] $name leaked ${leaked.size} cached RDD(s) — unpersisting")
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      }
       (name, times(times.size / 2), times.head) // (query, median, min)
     }
     // The driver captures only the LAST ~2000 bytes of output, and sbt

@@ -96,11 +96,9 @@ object Ivf {
             maxTrainRows: Int = 16384): Index = {
     val spark = df.sparkSession
     NativeVector.register(spark)
-    val sample: Array[Array[Float]] = df
-      .select(col(vec))
-      .filter(allFinite(col(vec))) // a NaN point would poison k-means
-      .orderBy(xxhash64(col(id)))
-      .limit(maxTrainRows)
+    val sample: Array[Array[Float]] = Samples.hashTopN(
+        df.filter(allFinite(col(vec))), // a NaN point would poison k-means
+        id, Seq(col(vec)), maxTrainRows)
       .collect()
       .map { r =>
         val v = r.getAs[scala.collection.Seq[Float]](0).toArray

@@ -239,8 +239,14 @@ object Multimodal {
       MediaHeader("gif", le16(6), le16(8), 0L, 0L, valid = true)
     else if (ascii(0, "RIFF") && ascii(8, "WAVE") && ascii(12, "fmt ") && n >= 28)
       MediaHeader("wav", 0L, 0L, le16(22), le32(24), valid = true)
-    else if (ascii(0, "BM") && n >= 26)
-      MediaHeader("bmp", le32(18), le32(22), 0L, 0L, valid = true)
+    else if (ascii(0, "BM") && n >= 26) {
+      // BMP height is a SIGNED i32: negative means top-down row order —
+      // still a decodable image, so report |height| (reading it as
+      // unsigned made every legitimate top-down BMP look corrupt and
+      // fall back to byte stats; round-10 advice)
+      MediaHeader("bmp", le32(18), math.abs(le32(22).toInt.toLong), 0L, 0L,
+        valid = true)
+    }
     else if (n >= 4 && u8(0) == 0xFF && u8(1) == 0xD8 && u8(2) == 0xFF) {
       // JPEG: walk segments to the first frame header (SOF0/1/2)
       var i = 2
@@ -294,8 +300,12 @@ object Multimodal {
     parseHeader(blob) match {
       // pixel-count guard: a corrupt header claiming absurd dimensions
       // (e.g. text that merely starts with "BM") must not reach a codec
-      // that would allocate width×height before failing
+      // that would allocate width×height before failing. Each dimension
+      // is bounded FIRST (≤2¹⁶) so the product (≤2³²) cannot overflow
+      // Long — a product-only check passes crafted ~2³² dims whose
+      // product wraps negative (round-10 advice)
       case h if h.valid && h.format != "wav" && h.width > 0 && h.height > 0 &&
+          h.width <= (1L << 16) && h.height <= (1L << 16) &&
           h.width * h.height <= (1L << 26) =>
         decodeImage(blob, dim).getOrElse(decodeStub(blob, dim))
       case h if h.valid && h.format == "wav" =>

@@ -48,12 +48,10 @@ object Pq {
   def train(df: DataFrame, id: String, vec: String, m: Int, k: Int,
             seed: Long = 42L, maxIter: Int = 12,
             maxTrainRows: Int = 16384): Codebooks = {
-    val sample: Array[Array[Float]] = df
-      .select(col(vec))
-      .filter(!exists(col(vec), x => isnan(x.cast("double")) ||
-        abs(x.cast("double")) === lit(Double.PositiveInfinity)))
-      .orderBy(xxhash64(col(id)))
-      .limit(maxTrainRows)
+    val sample: Array[Array[Float]] = Samples.hashTopN(
+        df.filter(!exists(col(vec), x => isnan(x.cast("double")) ||
+          abs(x.cast("double")) === lit(Double.PositiveInfinity))),
+        id, Seq(col(vec)), maxTrainRows)
       .collect()
       .map { r =>
         val v = r.getAs[scala.collection.Seq[Float]](0).toArray
@@ -307,28 +305,53 @@ object Pq {
     * which in a long-lived session accumulated cached blocks until the
     * ContextCleaner happened to GC the frames (round-9 advice). */
   private val codeCache =
-    new java.util.LinkedHashMap[Any, DataFrame](8, 0.75f, true) {
-      override def removeEldestEntry(e: java.util.Map.Entry[Any, DataFrame]): Boolean = {
+    new java.util.LinkedHashMap[(org.apache.spark.sql.SparkSession, Any), DataFrame](8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(org.apache.spark.sql.SparkSession, Any), DataFrame]): Boolean = {
         val evict = size() > 4
         if (evict) e.getValue.unpersist()
         evict
       }
     }
 
+  /** Explicit invalidation hook for the code cache (round-10 advice):
+    * the cache assumes sources are immutable while cached — a caller
+    * that rewrites the files under an encoded corpus's path between
+    * searches MUST call this (or pass a fresh session) or later
+    * searches serve stale codes. Unpersists and drops every entry;
+    * cheap, so "when in doubt, invalidate" is the right habit. */
+  def invalidateCodeCache(): Unit = codeCache.synchronized {
+    val it = codeCache.entrySet().iterator()
+    while (it.hasNext) { it.next().getValue.unpersist(); it.remove() }
+  }
+
   private def materializedCodes(encoded: DataFrame, cols: Seq[String]): DataFrame =
     codeCache.synchronized {
+      // entries owned by a STOPPED session are dead weight (their cached
+      // blocks died with the context) — drop them so the map never pins
+      // a stopped SparkSession reference (round-10 advice)
+      val dead = codeCache.entrySet().iterator()
+      while (dead.hasNext) {
+        if (dead.next().getKey._1.sparkContext.isStopped) dead.remove()
+      }
       val pruned = encoded.select(cols.map(col): _*)
       // key includes the OWNING SESSION: a canonically-equal plan from a
       // new session must not resolve to a frame bound to a stopped
       // SparkContext. Within a session the cache carries Spark's own
       // df.cache staleness contract — sources are assumed immutable
-      // while cached (an overwrite between searches serves the cached
-      // codes, exactly as a user-managed persist would).
+      // while cached; invalidateCodeCache() is the escape hatch when a
+      // caller rewrites files under a cached path.
       val key = (encoded.sparkSession, pruned.queryExecution.analyzed.canonicalized)
       var cached = codeCache.get(key)
       if (cached == null) {
         cached = pruned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         codeCache.put(key, cached)
+      } else if (cached.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+        // self-heal: an external unpersist (session hygiene sweeps,
+        // spark.catalog.clearCache) stripped the storage level while the
+        // memo still held the frame — re-persist or every later search
+        // silently re-runs the full encode it exists to avoid
+        cached.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       }
       cached
     }
@@ -460,11 +483,9 @@ object Pq {
   def trainResidual(index: Ivf.Index, m: Int, k: Int, seed: Long = 42L,
                     maxIter: Int = 12, maxTrainRows: Int = 16384): Codebooks = {
     val cents = centroidMap(index)
-    val sample: Array[Array[Float]] = index.assigned
-      .filter(col("centroid_id") >= 0) // parked rows never train
-      .select(col(index.vecCol), col("centroid_id"))
-      .orderBy(xxhash64(col(index.idCol)))
-      .limit(maxTrainRows)
+    val sample: Array[Array[Float]] = Samples.hashTopN(
+        index.assigned.filter(col("centroid_id") >= 0), // parked rows never train
+        index.idCol, Seq(col(index.vecCol), col("centroid_id")), maxTrainRows)
       .collect()
       .map { r =>
         val v = unitLocal(r.getAs[scala.collection.Seq[Float]](0).toArray)

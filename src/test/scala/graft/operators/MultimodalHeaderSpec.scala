@@ -101,6 +101,24 @@ class MultimodalHeaderSpec extends SparkSpec {
       Multimodal.decodeStub(fakeBmp, 8).toSeq)
   }
 
+  test("top-down BMP (negative i32 height) parses as |height|") {
+    val h = parseHeader(bmp(800, -600))
+    assert(h == MediaHeader("bmp", 800, 600, 0, 0, true),
+      "negative BMP height means top-down rows, not corruption")
+  }
+
+  test("dims guard is overflow-safe: crafted ~2^32 dims fall back, never reach a codec") {
+    // width = height = 0xFFFFFFFF: the product wraps negative in a Long,
+    // so a product-only `<= 2^26` check would PASS it (round-10 advice);
+    // the per-dimension bound must reject it before any codec allocation
+    val crafted = png(-1, -1) // bytes 0xFFFFFFFF in both dim fields
+    val ph = parseHeader(crafted)
+    assert(ph.width == 0xFFFFFFFFL && ph.height == 0xFFFFFFFFL)
+    assert(ph.width * ph.height < 0, "test premise: product wraps negative")
+    assert(Multimodal.decodeFeatures(crafted, 8).toSeq ==
+      Multimodal.decodeStub(crafted, 8).toSeq)
+  }
+
   test("describeHeaders runs the parser distributed with the declared schema") {
     import spark.implicits._
     val rows = Seq(

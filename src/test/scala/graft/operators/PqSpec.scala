@@ -129,6 +129,36 @@ class PqSpec extends SparkSpec {
     assert(exchanges.isEmpty, enc.queryExecution.executedPlan.toString)
   }
 
+  test("plan guard: trainer sampling is TakeOrderedAndProject (top-K heap), not a global sort") {
+    val s = Samples.hashTopN(vecs, "vid", Seq(col("v")), 64)
+    s.collect()
+    val plan = s.queryExecution.executedPlan
+    val topK = plan.collect {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }
+    val sorts = plan.collect {
+      case so: org.apache.spark.sql.execution.SortExec => so
+    }
+    assert(topK.nonEmpty && sorts.isEmpty,
+      s"expected TakeOrderedAndProject with no SortExec:\n$plan")
+  }
+
+  test("invalidateCodeCache unpersists cached code frames; next search rebuilds") {
+    val cb = Pq.train(vecs, "vid", "v", m = 4, k = 16)
+    val enc = Pq.encode(vecs, "v", cb)
+    val q = vecs.limit(2).toDF("qid", "qv")
+    val r1 = Pq.adcSearch(enc, "vid", cb, q, "qid", "qv", topK = 3).collect()
+    val before = spark.sparkContext.getPersistentRDDs.size
+    assert(before > 0, "adcSearch should have persisted the code frame")
+    Pq.invalidateCodeCache()
+    assert(spark.sparkContext.getPersistentRDDs.size < before,
+      "invalidate must unpersist the cached code frame")
+    val r2 = Pq.adcSearch(enc, "vid", cb, q, "qid", "qv", topK = 3).collect()
+    assert(r1.map(_.toString).sorted.sameElements(r2.map(_.toString).sorted),
+      "rebuild after invalidation must reproduce the same results")
+    Pq.invalidateCodeCache()
+  }
+
   test("localKMeans separates well-separated clusters") {
     val rnd = new scala.util.Random(5)
     val pts = Array.tabulate(300) { i =>
