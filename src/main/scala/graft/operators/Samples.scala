@@ -17,7 +17,7 @@ object Samples {
     * top-K heap merged on the driver, O(n·log maxN) scan with NO
     * corpus-wide shuffle or sort (plan-guarded in PqSpec). Callers read
     * their `keep` columns by position; `__h` rides last. */
-  private[operators] def hashTopN(df: DataFrame, id: String,
+  private[graft] def hashTopN(df: DataFrame, id: String,
                                   keep: Seq[Column], maxN: Int): DataFrame =
     df.select(keep :+ xxhash64(col(id)).as("__h"): _*)
       .orderBy(col("__h"))

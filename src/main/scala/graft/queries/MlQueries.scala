@@ -217,6 +217,60 @@ object MlQueries {
       s.createDataFrame(java.util.Arrays.asList(rows: _*), metrics.schema)
     }),
 
+    // M1-M3, LightGBM-distinct semantics (round-10 "What's missing" #1):
+    // leaf-wise histogram GBDT with ROUND-EXACT early stopping
+    // (ml/LeafBoost — best-first growth, integer-histogram training,
+    // bit-deterministic at any partition layout). Same tolerance-flag
+    // surface as q70, PLUS structural constants q70 cannot pin: the
+    // early-stop round and total leaf count are emitted as exact
+    // values BECAUSE training is layout-independent by construction —
+    // a partitioning-dependent trainer would make these columns flip
+    // across CPUS and the row red.
+    "q134_leafboost" -> ((s, _) => {
+      val featureCols = Seq("transaction_amt", "v1", "v2", "v3")
+      val data = SyntheticData.transactions(s, 8000L)
+        .withColumn("ts", timestamp_seconds(col("transaction_dt")))
+        // >1 partition on purpose: the layout-independence claim should
+        // hold in the oracle row, not only in the spec
+        .repartition(8).cache()
+      val split = TimeSplit.assign(data, col("ts"), col("transaction_id")).cache()
+      val train = split.filter(col("split") === "train")
+      val posW = {
+        val r = train.agg(
+          sum((col("is_fraud") === 1).cast("long")).as("p"),
+          sum((col("is_fraud") =!= 1).cast("long")).as("n")).head()
+        r.getLong(1).toDouble / math.max(r.getLong(0), 1L)
+      }
+      def prep(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("label", col("is_fraud").cast("double"))
+        .withColumn("weight", when(col("is_fraud") === 1, posW).otherwise(1.0))
+      val model = graft.ml.LeafBoost.train(
+        prep(train), Some(prep(split.filter(col("split") === "val"))),
+        "transaction_id", featureCols, "label", "weight",
+        graft.ml.LeafBoost.Params(numTrees = 30, numLeaves = 15,
+          learningRate = 0.1, earlyStoppingRounds = 5))
+      val test = prep(split.filter(col("split") === "test"))
+      val scored = graft.ml.LeafBoost.score(test, featureCols, model).cache()
+      scored.count()
+      val splitCounts = split.groupBy(col("split")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      split.unpersist(); data.unpersist()
+      val metrics = Metrics.confusionAt(scored, col("label"), col("p_fraud"), 0.5)
+        .crossJoin(Metrics.rocAuc(scored, col("label"), col("p_fraud")))
+        .select(
+          lit(splitCounts.getOrElse("train", 0L)).as("n_train"),
+          lit(splitCounts.getOrElse("val", 0L)).as("n_val"),
+          lit(splitCounts.getOrElse("test", 0L)).as("n_test"),
+          (col("tp") + col("fn")).cast("long").as("n_pos_test"),
+          (col("roc_auc") >= 0.90).as("auc_ok"),
+          lit(model.trees.length.toLong).as("n_rounds"),
+          lit(model.trees.map(_.numLeaves).sum.toLong).as("total_leaves"),
+          lit(model.featureImportance.head._1).as("top_feature"))
+      val rows = metrics.collect()
+      scored.unpersist()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), metrics.schema)
+    }),
+
     // §7 multimodal: opaque binary blobs + batched stub feature
     // extraction. The payload is sanitized to printable ASCII on BOTH
     // engines (q72's rule) so DuckDB code points == utf-8 bytes, and the
@@ -346,6 +400,20 @@ object MlQueries {
       """SELECT CAST(5600 AS BIGINT) AS n_train, CAST(1200 AS BIGINT) AS n_val,
         | CAST(1200 AS BIGINT) AS n_test, CAST(39 AS BIGINT) AS n_pos_test,
         | TRUE AS auc_ok, CAST(8 AS BIGINT) AS n_trees,
+        | 'transaction_amt' AS top_feature""".stripMargin,
+
+    // q70's oracle pattern, with MORE pinned structure: because
+    // LeafBoost training is bit-deterministic at any partition layout
+    // (integer histograms), the kept round count and total leaf count
+    // are exact constants of the seeded generator — 30 rounds at the
+    // full budget (validation keeps improving; early stop never fires
+    // at numTrees=30), every tree reaching its 15-leaf cap. A
+    // layout-dependent trainer would flip these across CPUS.
+    "q134_leafboost" ->
+      """SELECT CAST(5600 AS BIGINT) AS n_train, CAST(1200 AS BIGINT) AS n_val,
+        | CAST(1200 AS BIGINT) AS n_test, CAST(39 AS BIGINT) AS n_pos_test,
+        | TRUE AS auc_ok, CAST(30 AS BIGINT) AS n_rounds,
+        | CAST(450 AS BIGINT) AS total_leaves,
         | 'transaction_amt' AS top_feature""".stripMargin,
 
     // same pattern: 2324 full 5-row card sequences exist in the seeded

@@ -1,0 +1,149 @@
+package graft.ml
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** LightGBM-distinct semantics, verified: leaf-wise (best-first) growth
+  * produces the unbalanced trees depth-wise growth cannot; training is
+  * bit-deterministic across partition layouts (integer-histogram
+  * doctrine); early stopping is round-exact and truncates to the best
+  * round; scoring is distributed and matches the driver-side forward. */
+class LeafBoostSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkDf(rows: Seq[(Long, Double, Double, Double)]) =
+    rows.toDF("id", "x1", "x2", "label").withColumn("weight", lit(1.0))
+
+  private def depthOf(t: LeafBoost.Tree): Int = {
+    def go(i: Int): Int =
+      if (t.nodes(i).isLeaf) 1
+      else 1 + math.max(go(t.nodes(i).left), go(t.nodes(i).right))
+    go(0)
+  }
+
+  test("binOf: count of edges <= v; non-finite parks in bin 0") {
+    val edges = Array(1.0, 2.0, 5.0)
+    assert(LeafBoost.binOf(0.5, edges) == 0)
+    assert(LeafBoost.binOf(1.0, edges) == 1)
+    assert(LeafBoost.binOf(4.9, edges) == 2)
+    assert(LeafBoost.binOf(99.0, edges) == 3)
+    assert(LeafBoost.binOf(Double.NaN, edges) == 0)
+    assert(LeafBoost.binOf(Double.PositiveInfinity, edges) == 0)
+  }
+
+  test("learns a separable signal and leaf-wise growth goes DEEP where the loss is") {
+    // label = 1 only in a narrow x1 slice — after the first split, all
+    // remaining gain is inside ONE branch, so best-first growth chains
+    // down that branch (depth > log2(leaves)); a depth-wise grower at 4
+    // leaves would stop at depth 2
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 2000).map { i =>
+      val x1 = rnd.nextDouble() * 100
+      val x2 = rnd.nextDouble()
+      val y = if (x1 > 90 && x1 <= 95) 1.0 else 0.0
+      (i.toLong, x1, x2, y)
+    }
+    val df = mkDf(rows)
+    val m = LeafBoost.train(df, None, "id", Seq("x1", "x2"), "label", "weight",
+      LeafBoost.Params(numTrees = 5, numLeaves = 4, learningRate = 0.3))
+    assert(m.trees.nonEmpty)
+    val t0 = m.trees.head
+    assert(t0.numLeaves <= 4)
+    assert(depthOf(t0) >= 4, s"expected an unbalanced chain, depth=${depthOf(t0)}")
+    // held-out separation: pairwise ranking AUC (bin-edge quantization
+    // blurs the slice boundary, so a min/max rank assert is too strict)
+    val scored = LeafBoost.score(df, Seq("x1", "x2"), m).collect()
+    val pos = scored.filter(_.getDouble(3) == 1.0).map(_.getDouble(5))
+    val neg = scored.filter(_.getDouble(3) == 0.0).map(_.getDouble(5))
+    val auc = pos.map(p => neg.count(n => n < p) + 0.5 * neg.count(n => n == p)).sum /
+      (pos.length.toDouble * neg.length)
+    assert(auc >= 0.95, s"ranking AUC $auc")
+    // importance: x1 carries the signal
+    assert(m.featureImportance.head._1 == "x1")
+  }
+
+  test("training is bit-identical across partition layouts AND local vs distributed") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 1200).map { i =>
+      val x1 = rnd.nextGaussian(); val x2 = rnd.nextGaussian()
+      val y = if (x1 + 0.5 * x2 + 0.3 * rnd.nextGaussian() > 0) 1.0 else 0.0
+      (i.toLong, x1, x2, y)
+    }
+    // localThreshold = 0 forces the DISTRIBUTED branch (map-side partial
+    // histograms); the default routes this driver-sized frame LOCAL.
+    // Long sums are associative, so all four runs must agree bit-for-bit
+    // — with early stopping on, so the stop round is covered too.
+    val valRows = rows.take(300)
+    val dist = LeafBoost.Params(numTrees = 6, numLeaves = 8,
+      earlyStoppingRounds = 3, localThreshold = 0)
+    val local = dist.copy(localThreshold = 100000)
+    val a = LeafBoost.train(mkDf(rows).repartition(1), Some(mkDf(valRows)), "id",
+      Seq("x1", "x2"), "label", "weight", dist)
+    val b = LeafBoost.train(mkDf(rows).repartition(7, col("x2")), Some(mkDf(valRows)), "id",
+      Seq("x1", "x2"), "label", "weight", dist)
+    val c = LeafBoost.train(mkDf(rows), Some(mkDf(valRows)), "id",
+      Seq("x1", "x2"), "label", "weight", local)
+    assert(a.trees == b.trees,
+      "histograms are long sums — the trained structure must not depend on partitioning")
+    assert(a.trees == c.trees && a.bestRound == c.bestRound && a.valLoss == c.valLoss,
+      "driver-local and distributed branches must produce the identical model")
+  }
+
+  test("early stopping is round-exact: stops after K non-improving rounds, truncates to best") {
+    val rnd = new scala.util.Random(3)
+    val train = (0 until 800).map { i =>
+      val x1 = rnd.nextGaussian(); val x2 = rnd.nextGaussian()
+      (i.toLong, x1, x2, if (x1 > 0) 1.0 else 0.0)
+    }
+    // validation labels INVERTED: every round of fitting train makes val
+    // loss strictly worse, so best is round 1 and stopping must fire at
+    // exactly 1 + earlyStoppingRounds rounds
+    val valRows = train.take(200).map { case (i, x1, x2, y) => (i, x1, x2, 1.0 - y) }
+    val p = LeafBoost.Params(numTrees = 30, numLeaves = 8,
+      earlyStoppingRounds = 3)
+    val m = LeafBoost.train(mkDf(train), Some(mkDf(valRows)), "id",
+      Seq("x1", "x2"), "label", "weight", p)
+    assert(m.valLoss.length == 1 + 3,
+      s"expected exactly bestRound+K rounds trained, got ${m.valLoss.length}")
+    assert(m.bestRound == 1 && m.trees.length == 1,
+      s"model must truncate to the best round (got bestRound=${m.bestRound}, trees=${m.trees.length})")
+    assert(m.valLoss.head == m.valLoss.min)
+  }
+
+  test("depthwise growth (XGBoost hist) respects maxDepth and stays level-balanced") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 2000).map { i =>
+      val x1 = rnd.nextDouble() * 100
+      val x2 = rnd.nextDouble()
+      (i.toLong, x1, x2, if (x1 > 90 && x1 <= 95) 1.0 else 0.0)
+    }
+    val df = mkDf(rows)
+    val m = LeafBoost.train(df, None, "id", Seq("x1", "x2"), "label", "weight",
+      LeafBoost.Params(numTrees = 3, numLeaves = 64, learningRate = 0.3,
+        growth = "depthwise", maxDepth = 3))
+    m.trees.foreach { t =>
+      assert(depthOf(t) <= 4, s"maxDepth=3 must cap the tree at 4 levels, got ${depthOf(t)}")
+      assert(t.numLeaves <= 8)
+    }
+    // same data, same budget by leaves: leafwise digs deeper than the
+    // depthwise cap allows — the growth ORDER is the observable semantic
+    val lw = LeafBoost.train(df, None, "id", Seq("x1", "x2"), "label", "weight",
+      LeafBoost.Params(numTrees = 1, numLeaves = 8, learningRate = 0.3))
+    assert(depthOf(lw.trees.head) > 4,
+      s"leafwise at 8 leaves should chain past depth 4 on slice data, got ${depthOf(lw.trees.head)}")
+  }
+
+  test("no-early-stop run keeps all trees; valLoss improves on aligned validation") {
+    val rnd = new scala.util.Random(5)
+    val rows = (0 until 600).map { i =>
+      val x1 = rnd.nextGaussian(); val x2 = rnd.nextGaussian()
+      (i.toLong, x1, x2, if (x1 - x2 > 0) 1.0 else 0.0)
+    }
+    val p = LeafBoost.Params(numTrees = 10, numLeaves = 8, earlyStoppingRounds = 5)
+    val m = LeafBoost.train(mkDf(rows), Some(mkDf(rows.take(150))), "id",
+      Seq("x1", "x2"), "label", "weight", p)
+    assert(m.trees.length == m.bestRound)
+    assert(m.valLoss.last <= m.valLoss.head,
+      "aligned validation loss must not degrade from round 1 to the kept round")
+  }
+}
