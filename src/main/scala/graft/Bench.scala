@@ -72,15 +72,17 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      // per-query session hygiene (round-10 verdict #8): a query that
-      // leaks cached frames would shade every later query's timing with
-      // its storage + GC pressure — unpersist anything left behind and
-      // NAME the offender so the leak is a visible bug, not a silent
-      // battery artifact. (Queries are expected to release their own
-      // caches; this is the backstop that keeps timings independent.)
+      // per-query session hygiene (round-10 verdict #8): cached frames
+      // left behind would shade every later query's timing with storage
+      // + GC pressure — sweep them and NAME the query so residue is
+      // visible, not a silent battery artifact. Some residue is
+      // intentional (Pq's LRU code cache self-heals on next use; CC's
+      // checkpoint blocks back their result until read) — the sweep
+      // neutralizes those too, by design: between queries NOTHING
+      // carries over.
       val leaked = spark.sparkContext.getPersistentRDDs
       if (leaked.nonEmpty) {
-        System.err.println(s"[bench] $name leaked ${leaked.size} cached RDD(s) — unpersisting")
+        System.err.println(s"[bench] $name left ${leaked.size} cached RDD(s) — sweeping")
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       }

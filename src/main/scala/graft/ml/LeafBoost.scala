@@ -55,17 +55,25 @@ import org.apache.spark.sql.types._
   */
 object LeafBoost {
 
-  /** Flat tree node. Internal: rows with bin(feature) <= thresholdBin
-    * go left. Leaves: `value` is the additive margin contribution. */
+  /** Flat tree node. Internal NUMERIC split: rows with
+    * bin(feature) <= thresholdBin go left. Internal CATEGORICAL split
+    * (isCat — LightGBM's subset semantics): rows whose category bin is
+    * in the `cats` bitmask go left; there is no order relation among
+    * categories, so a threshold split would be meaningless. Leaves:
+    * `value` is the additive margin contribution. */
   final case class Node(feature: Int, thresholdBin: Int, left: Int,
-                        right: Int, value: Double, isLeaf: Boolean)
+                        right: Int, value: Double, isLeaf: Boolean,
+                        isCat: Boolean = false, cats: Long = 0L)
 
   final case class Tree(nodes: IndexedSeq[Node]) {
     def leafOf(bins: Array[Int]): Int = {
       var i = 0
       while (!nodes(i).isLeaf) {
         val n = nodes(i)
-        i = if (bins(n.feature) <= n.thresholdBin) n.left else n.right
+        val goLeft =
+          if (n.isCat) ((n.cats >>> bins(n.feature)) & 1L) == 1L
+          else bins(n.feature) <= n.thresholdBin
+        i = if (goLeft) n.left else n.right
       }
       i
     }
@@ -80,7 +88,8 @@ object LeafBoost {
 
   final case class Model(trees: IndexedSeq[Tree], edges: Array[Array[Double]],
                          features: Seq[String], bestRound: Int,
-                         valLoss: IndexedSeq[Double]) {
+                         valLoss: IndexedSeq[Double],
+                         catDicts: Map[Int, Map[String, Int]] = Map.empty) {
     def margin(bins: Array[Int]): Double = {
       var s = 0.0; var t = 0
       while (t < trees.length) { s += trees(t).predict(bins); t += 1 }
@@ -151,9 +160,13 @@ object LeafBoost {
     lo
   }
 
-  /** Append a binned Array[Int] column from raw feature columns. */
+  /** Append a binned Array[Int] column from raw feature columns.
+    * Features present in `catDicts` are STRING categorical columns:
+    * bin = dictionary code; unseen/null categories get the reserved
+    * `dict.size` bin (their own bucket, never silently merged). */
   def binFrame(df: DataFrame, featureCols: Seq[String],
-               edges: Array[Array[Double]], out: String = "bins"): DataFrame = {
+               edges: Array[Array[Double]], out: String = "bins",
+               catDicts: Map[Int, Map[String, Int]] = Map.empty): DataFrame = {
     val schema = StructType(df.schema.fields :+
       StructField(out, ArrayType(IntegerType, false), nullable = false))
     val enc = org.apache.spark.sql.Encoders.row(schema)
@@ -163,13 +176,36 @@ object LeafBoost {
         val bins = new Array[Int](idx.length)
         var j = 0
         while (j < idx.length) {
-          val v = if (r.isNullAt(idx(j))) Double.NaN else r.getDouble(idx(j))
-          bins(j) = binOf(v, edges(j)); j += 1
+          catDicts.get(j) match {
+            case Some(dict) =>
+              val v = if (r.isNullAt(idx(j))) null else r.getString(idx(j))
+              bins(j) = if (v == null) dict.size else dict.getOrElse(v, dict.size)
+            case None =>
+              val v = if (r.isNullAt(idx(j))) Double.NaN else r.getDouble(idx(j))
+              bins(j) = binOf(v, edges(j))
+          }
+          j += 1
         }
         Row.fromSeq(r.toSeq :+ bins.toSeq)
       }
     }(enc)
   }
+
+  /** Deterministic category dictionaries: sorted distinct values of
+    * each categorical column, coded 0..k-1 (code k reserved for
+    * unseen/null). Distinct is a full-column shuffle of a BOUNDED
+    * domain (cardinality must stay under min(bins, 64) — the subset
+    * bitmask and the histogram width both cap it). Keys in the result
+    * are COMBINED feature indices (numeric features first). */
+  def computeCatDicts(df: DataFrame, numericCount: Int,
+                      catCols: Seq[String], p: Params): Map[Int, Map[String, Int]] =
+    catCols.zipWithIndex.map { case (c, i) =>
+      val values = df.select(col(c)).filter(col(c).isNotNull)
+        .distinct().collect().map(_.getString(0)).sorted
+      require(values.length < math.min(p.bins, 64),
+        s"categorical '$c' has ${values.length} levels — cap is min(bins, 64) - 1")
+      (numericCount + i) -> values.zipWithIndex.toMap
+    }.toMap
 
   // ---- training ----
 
@@ -243,11 +279,22 @@ object LeafBoost {
 
   private final case class BestSplit(feature: Int, bin: Int, gain: Double,
                                      gl: Long, hl: Long, cl: Long,
-                                     gr: Long, hr: Long, cr: Long)
+                                     gr: Long, hr: Long, cr: Long,
+                                     isCat: Boolean = false, cats: Long = 0L)
 
   /** Best split of a leaf from its histogram — driver-side scan over
-    * D×B cells; ties break (feature asc, bin asc), deterministic. */
-  private def bestSplit(hist: Hist, d: Int, b: Int, p: Params): Option[BestSplit] = {
+    * D×B cells; ties break (feature asc, bin asc), deterministic.
+    *
+    * Numeric features scan threshold prefixes in bin order. Features in
+    * `catSet` use LightGBM's many-vs-many categorical semantics: sort
+    * the present categories by their gradient/hessian ratio — the
+    * 1-D projection along which the optimal subset must be a prefix
+    * (Fisher 1958, the grouping theorem LightGBM cites) — and scan
+    * THOSE prefixes, emitting the chosen subset as a bitmask. The
+    * ratio is computed from the integer sums, so the sort order (ties
+    * broken by bin id) is bit-deterministic like everything else. */
+  private def bestSplit(hist: Hist, d: Int, b: Int, p: Params,
+                        catSet: Set[Int] = Set.empty): Option[BestSplit] = {
     val q = p.quantum
     val (gT, hT, _) = hist.totals(b)
     def score(g: Long, h: Long): Double = {
@@ -258,22 +305,43 @@ object LeafBoost {
     var best: BestSplit = null
     var j = 0
     while (j < d) {
-      var gl = 0L; var hl = 0L; var cl = 0L
       var (gAll, hAll, cAll) = (0L, 0L, 0L)
       var k = 0
       while (k < b) { gAll += hist.g(j * b + k); hAll += hist.h(j * b + k); cAll += hist.c(j * b + k); k += 1 }
-      k = 0
-      while (k < b - 1) {
-        gl += hist.g(j * b + k); hl += hist.h(j * b + k); cl += hist.c(j * b + k)
+      def consider(gl: Long, hl: Long, cl: Long, bin: Int,
+                   isCat: Boolean, cats: Long): Unit = {
         val gr = gAll - gl; val hr = hAll - hl; val cr = cAll - cl
         if (cl > 0 && cr > 0 && hl * q >= p.minChildHessian && hr * q >= p.minChildHessian) {
           val gain = 0.5 * (score(gl, hl) + score(gr, hr) - parent)
-          if (gain > p.minSplitGain &&
-              (best == null || gain > best.gain)) {
-            best = BestSplit(j, k, gain, gl, hl, cl, gr, hr, cr)
+          if (gain > p.minSplitGain && (best == null || gain > best.gain)) {
+            best = BestSplit(j, bin, gain, gl, hl, cl, gr, hr, cr, isCat, cats)
           }
         }
-        k += 1
+      }
+      if (catSet.contains(j)) {
+        // categories present in this leaf, in G/H-ratio order
+        val present = (0 until b).filter(k0 => hist.c(j * b + k0) > 0)
+        val ordered = present.sortBy { k0 =>
+          val g = hist.g(j * b + k0); val h = hist.h(j * b + k0)
+          (g.toDouble / math.max(h, 1L), k0)
+        }(Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int))
+        var gl = 0L; var hl = 0L; var cl = 0L; var mask = 0L
+        var i = 0
+        while (i < ordered.length - 1) {
+          val k0 = ordered(i)
+          gl += hist.g(j * b + k0); hl += hist.h(j * b + k0); cl += hist.c(j * b + k0)
+          mask |= 1L << k0
+          consider(gl, hl, cl, -1, isCat = true, cats = mask)
+          i += 1
+        }
+      } else {
+        var gl = 0L; var hl = 0L; var cl = 0L
+        k = 0
+        while (k < b - 1) {
+          gl += hist.g(j * b + k); hl += hist.h(j * b + k); cl += hist.c(j * b + k)
+          consider(gl, hl, cl, k, isCat = false, cats = 0L)
+          k += 1
+        }
       }
       j += 1
     }
@@ -285,7 +353,9 @@ object LeafBoost {
     * early stopping when nonEmpty and earlyStoppingRounds > 0. */
   def trainBinned(binned: DataFrame, valBinned: Option[DataFrame],
                   d: Int, p: Params,
-                  edges: Array[Array[Double]], features: Seq[String]): Model = {
+                  edges: Array[Array[Double]], features: Seq[String],
+                  catSet: Set[Int] = Set.empty,
+                  catDicts: Map[Int, Map[String, Int]] = Map.empty): Model = {
     val b = p.bins // bin indices span 0..edges.length <= p.bins-1
     val binsIdx = binned.schema.fieldIndex("bins")
     val labelIdx = binned.schema.fieldIndex("label")
@@ -297,7 +367,7 @@ object LeafBoost {
         Hist(g, h, c)
       },
       lossFn = trees => valBinned.map(vb => valLoss(vb, trees, p.quantum)),
-      d, b, p, edges, features)
+      d, b, p, edges, features, catSet, catDicts)
   }
 
   /** Driver-local twin of trainBinned over pre-collected rows — the
@@ -311,7 +381,9 @@ object LeafBoost {
   private def trainLocal(rows: Array[(Array[Int], Double, Double)],
                          valRows: Option[Array[(Array[Int], Double, Double)]],
                          d: Int, p: Params,
-                         edges: Array[Array[Double]], features: Seq[String]): Model = {
+                         edges: Array[Array[Double]], features: Seq[String],
+                         catSet: Set[Int] = Set.empty,
+                         catDicts: Map[Int, Map[String, Int]] = Map.empty): Model = {
     val b = p.bins
     val q = p.quantum
     def localHist(trees: IndexedSeq[Tree], partial: IndexedSeq[Node],
@@ -351,7 +423,7 @@ object LeafBoost {
       }
       acc * q
     }
-    growTrees(localHist, localLoss, d, b, p, edges, features)
+    growTrees(localHist, localLoss, d, b, p, edges, features, catSet, catDicts)
   }
 
   /** The growth loop, generic over where histograms come from (one
@@ -360,7 +432,9 @@ object LeafBoost {
   private def growTrees(histFn: (IndexedSeq[Tree], IndexedSeq[Node], Int) => Hist,
                         lossFn: IndexedSeq[Tree] => Option[Double],
                         d: Int, b: Int, p: Params,
-                        edges: Array[Array[Double]], features: Seq[String]): Model = {
+                        edges: Array[Array[Double]], features: Seq[String],
+                        catSet: Set[Int] = Set.empty,
+                        catDicts: Map[Int, Map[String, Int]] = Map.empty): Model = {
     var trees = IndexedSeq.empty[Tree]
     val losses = scala.collection.mutable.ArrayBuffer[Double]()
     var bestRound = -1; var bestLoss = Double.MaxValue; var sinceBest = 0
@@ -378,7 +452,7 @@ object LeafBoost {
       // a leaf may split only below the depth cap (depthwise; -1 = none)
       def depthOk(id: Int): Boolean =
         p.maxDepth <= 0 || depthOf(id) < p.maxDepth
-      bestSplit(rootHist, d, b, p).filter(_ => depthOk(0))
+      bestSplit(rootHist, d, b, p, catSet).filter(_ => depthOk(0))
         .foreach(s => candidates += 0 -> s)
       var leaves = 1
       while (leaves < p.numLeaves && candidates.nonEmpty) {
@@ -394,7 +468,8 @@ object LeafBoost {
         nodes += Node(-1, -1, -1, -1, 0.0, isLeaf = true) // left
         nodes += Node(-1, -1, -1, -1, 0.0, isLeaf = true) // right
         // parent becomes internal; reuse value slot to store gain for importance
-        nodes(leafId) = Node(s.feature, s.bin, li, ri, s.gain, isLeaf = false)
+        nodes(leafId) = Node(s.feature, s.bin, li, ri, s.gain, isLeaf = false,
+          isCat = s.isCat, cats = s.cats)
         leaves += 1
         // histogram subtraction: scan only the SMALLER child
         val parentHist = hists(leafId); hists -= leafId
@@ -405,8 +480,8 @@ object LeafBoost {
         val (lh, rh) = if (leftSmaller) (scanned, other) else (other, scanned)
         hists += li -> lh; hists += ri -> rh
         depthOf(li) = depthOf(leafId) + 1; depthOf(ri) = depthOf(leafId) + 1
-        if (depthOk(li)) bestSplit(lh, d, b, p).foreach(sp => candidates += li -> sp)
-        if (depthOk(ri)) bestSplit(rh, d, b, p).foreach(sp => candidates += ri -> sp)
+        if (depthOk(li)) bestSplit(lh, d, b, p, catSet).foreach(sp => candidates += li -> sp)
+        if (depthOk(ri)) bestSplit(rh, d, b, p, catSet).foreach(sp => candidates += ri -> sp)
       }
       // leaf values from the integer sums: −lr·G/(H+λ)
       val withValues = nodes.toIndexedSeq.zipWithIndex.map { case (n, id) =>
@@ -434,7 +509,7 @@ object LeafBoost {
     }
     val keep = if (bestRound > 0) bestRound else trees.length
     Model(trees.take(keep), edges, features,
-      bestRound = keep, valLoss = losses.toIndexedSeq)
+      bestRound = keep, valLoss = losses.toIndexedSeq, catDicts = catDicts)
   }
 
   /** Weighted logloss over a binned frame, summed as longs in quantum
@@ -466,12 +541,17 @@ object LeafBoost {
     * columns + label + weight. */
   def train(df: DataFrame, valDf: Option[DataFrame], idCol: String,
             featureCols: Seq[String], labelCol: String, weightCol: String,
-            p: Params = Params()): Model = {
-    val edges = computeEdges(df, idCol, featureCols, p)
+            p: Params = Params(), catCols: Seq[String] = Seq.empty): Model = {
+    // combined feature order: numeric first, then categorical (string)
+    val allFeatures = featureCols ++ catCols
+    val catDicts = computeCatDicts(df, featureCols.length, catCols, p)
+    val catSet = catDicts.keySet
+    val edges = computeEdges(df, idCol, featureCols, p) ++
+      Array.fill(catCols.length)(Array.empty[Double])
     def prep(x: DataFrame): DataFrame = binFrame(
       x.withColumn("label", col(labelCol).cast("double"))
         .withColumn("weight", col(weightCol).cast("double")),
-      featureCols, edges)
+      allFeatures, edges, catDicts = catDicts)
     def toTriples(rows: Array[Row], schema: StructType): Array[(Array[Int], Double, Double)] = {
       val bi = schema.fieldIndex("bins")
       val li = schema.fieldIndex("label"); val wi = schema.fieldIndex("weight")
@@ -493,14 +573,15 @@ object LeafBoost {
         valProbe.forall(_.length <= p.localThreshold)) {
       trainLocal(toTriples(trainProbe, trainB.schema),
         valProbe.map(toTriples(_, trainB.schema)),
-        featureCols.length, p, edges, featureCols)
+        allFeatures.length, p, edges, allFeatures, catSet, catDicts)
     } else {
       val binned = trainB.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       binned.count() // materialize once; every histogram pass re-reads this cache
       val valBinned = valB.map(_.persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       valBinned.foreach(_.count())
-      try trainBinned(binned, valBinned, featureCols.length, p, edges, featureCols)
+      try trainBinned(binned, valBinned, allFeatures.length, p, edges,
+        allFeatures, catSet, catDicts)
       finally { binned.unpersist(); valBinned.foreach(_.unpersist()) }
     }
   }
@@ -518,8 +599,15 @@ object LeafBoost {
         val bins = new Array[Int](idx.length)
         var j = 0
         while (j < idx.length) {
-          val v = if (r.isNullAt(idx(j))) Double.NaN else r.getDouble(idx(j))
-          bins(j) = binOf(v, m.edges(j)); j += 1
+          m.catDicts.get(j) match {
+            case Some(dict) =>
+              val v = if (r.isNullAt(idx(j))) null else r.getString(idx(j))
+              bins(j) = if (v == null) dict.size else dict.getOrElse(v, dict.size)
+            case None =>
+              val v = if (r.isNullAt(idx(j))) Double.NaN else r.getDouble(idx(j))
+              bins(j) = binOf(v, m.edges(j))
+          }
+          j += 1
         }
         Row.fromSeq(r.toSeq :+ m.probability(bins))
       }

@@ -232,13 +232,20 @@ object TextQueries {
       val n = n0 + 10 * m
       val bound = n.toDouble / (k + 1)
       val sumDf = summary.toSeq.toDF("token", "est")
-      exact.filter(col("cnt") > bound)
+      val out = exact.filter(col("cnt") > bound)
         .join(broadcast(sumDf), Seq("token"), "left")
         .select(col("token"), col("cnt"),
           col("est").isNotNull.cast("long").as("in_sketch"),
           (col("est").isNotNull && col("est") <= col("cnt") &&
             col("est") >= col("cnt") - bound).cast("long").as("est_ok"))
         .orderBy("token")
+      // bounded output (> n/(k+1) ⇒ at most k+10 heavy rows): materialize
+      // NOW so the tokenized cache can be released instead of waiting on
+      // the ContextCleaner (the q70 no-pin rule; bench leak sweep flagged
+      // this one)
+      val rows = out.collect()
+      natural.unpersist()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     }),
 
     // Gopher-style intra-doc repetition signals (dup/top n-gram

@@ -133,6 +133,42 @@ class LeafBoostSpec extends SparkSpec {
       s"leafwise at 8 leaves should chain past depth 4 on slice data, got ${depthOf(lw.trees.head)}")
   }
 
+  test("categorical subset split isolates NON-CONTIGUOUS hot categories in one node") {
+    // positives iff cat ∈ {b, g} — under the sorted dictionary codes
+    // (a=0..h=7) that subset is not an interval, so an ordered
+    // threshold split cannot isolate it; LightGBM's G/H-sorted subset
+    // scan must pick exactly {b, g} at the root
+    val rnd = new scala.util.Random(17)
+    val cats = "abcdefgh".map(_.toString)
+    val rows = (0 until 1600).map { i =>
+      val c = cats(rnd.nextInt(cats.length))
+      val y = if (c == "b" || c == "g") 1.0 else 0.0
+      (i.toLong, rnd.nextGaussian(), c, y)
+    }
+    val df = rows.toDF("id", "x1", "cat", "label").withColumn("weight", lit(1.0))
+    val m = LeafBoost.train(df, None, "id", Seq("x1"), "label", "weight",
+      LeafBoost.Params(numTrees = 3, numLeaves = 4, learningRate = 0.5),
+      catCols = Seq("cat"))
+    val root = m.trees.head.nodes(0)
+    assert(!root.isLeaf && root.isCat && root.feature == 1,
+      s"root must split the categorical feature: $root")
+    val dict = m.catDicts(1)
+    val leftSet = (0 until 64).filter(k => ((root.cats >>> k) & 1L) == 1L).toSet
+    val hot = Set(dict("b"), dict("g"))
+    assert(leftSet == hot || leftSet == dict.values.toSet.diff(hot) + dict.size ||
+        leftSet == dict.values.toSet.diff(hot),
+      s"subset must be exactly the hot categories or their complement: $leftSet vs $hot")
+    // perfect separation on scored rows
+    val scored = LeafBoost.score(df, Seq("x1", "cat"), m).collect()
+    val pIdx = scored.head.length - 1 // appended p_fraud column
+    assert(scored.forall { r =>
+      (r.getDouble(pIdx) >= 0.5) == (r.getDouble(3) >= 0.5)
+    }, "categorical model must classify the pure-categorical signal perfectly")
+    // unseen category at scoring time parks in the reserved bin, no throw
+    val unseen = Seq((9999L, 0.0, "zzz", 0.0)).toDF("id", "x1", "cat", "label")
+    assert(LeafBoost.score(unseen, Seq("x1", "cat"), m).collect().length == 1)
+  }
+
   test("no-early-stop run keeps all trees; valLoss improves on aligned validation") {
     val rnd = new scala.util.Random(5)
     val rows = (0 until 600).map { i =>
