@@ -232,12 +232,18 @@ object FeatureQueries {
     // difference cannot flip them).
     "q128_winsorize_sketch" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir).select(col("l_extendedprice").as("v"))
+      // ONE rank pass supplies the hashed bounds AND the ±0.5%-rank
+      // containment windows as discrete values (ceil-rank data
+      // elements) — the builtin percentile aggregate this used to pay
+      // for the windows buffered the whole column on one reducer a
+      // second time (q128 was the slowest gate in the battery for it);
+      // discrete window edges keep the same rank margins
       val disc = Util.discPercentiles(li, Seq.empty, "v",
-        Seq(("p01d", 1, 100), ("p99d", 99, 100)))
+        Seq(("e1", 1, 200), ("p01d", 1, 100), ("e3", 3, 200),
+          ("e4", 197, 200), ("p99d", 99, 100), ("e6", 199, 200)))
       val bounds = li.agg(
-        expr("percentile(v, array(0.005, 0.01, 0.015, 0.985, 0.99, 0.995))").as("ex"),
         expr("approx_percentile(v, array(0.01, 0.99), 10000)").as("ap"))
-      val ex = col("ex"); val ap = col("ap")
+      val ap = col("ap")
       li.crossJoin(broadcast(bounds)).crossJoin(broadcast(disc))
         .agg(
           count(lit(1)).as("n"),
@@ -245,14 +251,12 @@ object FeatureQueries {
           qz(max(col("p99d")), 6).as("p99_exact"),
           sum((col("v") < element_at(ap, 1)).cast("long")).as("n_low_ap"),
           sum((col("v") > element_at(ap, 2)).cast("long")).as("n_high_ap"),
-          sum((col("v") < element_at(ex, 1)).cast("long")).as("low_lo"),
-          sum((col("v") < element_at(ex, 3)).cast("long")).as("low_hi"),
-          sum((col("v") > element_at(ex, 6)).cast("long")).as("high_lo"),
-          sum((col("v") > element_at(ex, 4)).cast("long")).as("high_hi"),
-          max(element_at(ap, 1).between(element_at(ex, 1), element_at(ex, 3)))
-            .as("p01_ok"),
-          max(element_at(ap, 2).between(element_at(ex, 4), element_at(ex, 6)))
-            .as("p99_ok"))
+          sum((col("v") < col("e1")).cast("long")).as("low_lo"),
+          sum((col("v") < col("e3")).cast("long")).as("low_hi"),
+          sum((col("v") > col("e6")).cast("long")).as("high_lo"),
+          sum((col("v") > col("e4")).cast("long")).as("high_hi"),
+          max(element_at(ap, 1).between(col("e1"), col("e3"))).as("p01_ok"),
+          max(element_at(ap, 2).between(col("e4"), col("e6"))).as("p99_ok"))
         .select(col("n"), col("p01_exact"), col("p99_exact"),
           col("p01_ok"), col("p99_ok"),
           col("n_low_ap").between(col("low_lo"), col("low_hi")).as("n_low_ok"),
