@@ -169,6 +169,21 @@ class LeafBoostSpec extends SparkSpec {
     assert(LeafBoost.score(unseen, Seq("x1", "cat"), m).collect().length == 1)
   }
 
+  test("integer-typed feature columns train and score without casts") {
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 400).map { i =>
+      val x = rnd.nextInt(100)
+      (i.toLong, x, if (x > 60) 1.0 else 0.0)
+    }
+    val df = rows.toDF("id", "xi", "label").withColumn("weight", lit(1.0))
+    val m = LeafBoost.train(df, None, "id", Seq("xi"), "label", "weight",
+      LeafBoost.Params(numTrees = 3, numLeaves = 4))
+    val scored = LeafBoost.score(df, Seq("xi"), m).collect()
+    val pIdx = scored.head.length - 1
+    val acc = scored.count(r => (r.getDouble(pIdx) >= 0.5) == (r.getDouble(2) >= 0.5))
+    assert(acc >= 380, s"int-feature accuracy $acc/400")
+  }
+
   test("no-early-stop run keeps all trees; valLoss improves on aligned validation") {
     val rnd = new scala.util.Random(5)
     val rows = (0 until 600).map { i =>
