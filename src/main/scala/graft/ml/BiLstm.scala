@@ -491,15 +491,19 @@ object BiLstm {
     df.mapPartitions { rows =>
       rows.map { r =>
         // park, don't throw (repo convention — Pq/Ivf/Multimodal): a
-        // null/empty sequence cell or a null inner row emits a null
-        // score instead of NPE-ing the executor; one bad row in a
-        // 100 TB scoring pass must not kill the job
+        // null/empty sequence cell, a null inner row, or a null SCALAR
+        // inside a step emits a null score. The scalar case matters:
+        // read through Seq[Double] and Scala's unboxing turns a null
+        // element into 0.0 SILENTLY (BoxesRunTime.unboxToDouble(null))
+        // — corrupted input would score as if the value were zero; so
+        // elements are read as Seq[Any], null-checked, THEN unboxed
         val raw =
           if (r.isNullAt(seqIdx)) null
-          else r.getAs[scala.collection.Seq[scala.collection.Seq[Double]]](seqIdx)
+          else r.getAs[scala.collection.Seq[scala.collection.Seq[Any]]](seqIdx)
         val p: Any =
-          if (raw == null || raw.isEmpty || raw.exists(_ == null)) null
-          else m.predict(raw.map(_.toArray).toArray)
+          if (raw == null || raw.isEmpty || raw.exists(inner =>
+            inner == null || inner.exists(_ == null))) null
+          else m.predict(raw.map(_.map(_.asInstanceOf[Double]).toArray).toArray)
         Row.fromSeq(r.toSeq :+ p)
       }
     }(enc)

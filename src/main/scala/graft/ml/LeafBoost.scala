@@ -146,17 +146,27 @@ object LeafBoost {
       .collect()
     require(sample.nonEmpty, "empty binning sample")
     featureCols.indices.map { j =>
-      val vals = sample.map(r => r.getDouble(j)).filter(v => !v.isNaN && !v.isInfinite)
+      // nulls park like binFrame/score do (review round 11): getDouble
+      // NPEs on a null cell, and a feature whose sample is ALL
+      // null/non-finite must yield the documented zero-edges result
+      // (never splits), not an index crash
+      val vals = sample
+        .filter(r => !r.isNullAt(j))
+        .map(_.getDouble(j))
+        .filter(v => !v.isNaN && !v.isInfinite)
       java.util.Arrays.sort(vals)
       val n = vals.length
-      // B-1 interior cut points at ceil-rank positions (discrete values
-      // from the data — the percentile-gate doctrine: no interpolation)
-      val cuts = (1 until p.bins).map { b =>
-        vals(math.min(n - 1, ((n.toLong * b + p.bins - 1) / p.bins).toInt - 1).max(0))
+      if (n == 0) Array.empty[Double]
+      else {
+        // B-1 interior cut points at ceil-rank positions (discrete values
+        // from the data — the percentile-gate doctrine: no interpolation)
+        val cuts = (1 until p.bins).map { b =>
+          vals(math.min(n - 1, ((n.toLong * b + p.bins - 1) / p.bins).toInt - 1).max(0))
+        }
+        val arr = cuts.distinct.toArray
+        java.util.Arrays.sort(arr)
+        arr
       }
-      val arr = cuts.distinct.toArray
-      java.util.Arrays.sort(arr)
-      arr
     }.toArray
   }
 
@@ -582,13 +592,22 @@ object LeafBoost {
     // (numLeaves−1)·numTrees histogram passes dominates a driver-sized
     // frame's training otherwise (measured ~30 s for q134's budget).
     val trainB = prep(df)
-    val trainProbe = trainB.limit(p.localThreshold + 1).collect()
+    // probe ONLY the three columns training needs (review round 11: a
+    // full-width probe collected up to threshold+1 rows of EVERY source
+    // column — a driver OOM hazard on wide/text frames that go
+    // distributed anyway), and skip the val probe entirely once the
+    // train side has already forced the distributed branch
+    val slim = trainB.select(col("bins"), col("label"), col("weight"))
+    val trainProbe = slim.limit(p.localThreshold + 1).collect()
     val valB = valDf.map(prep)
-    val valProbe = valB.map(_.limit(p.localThreshold + 1).collect())
+    val valProbe =
+      if (trainProbe.length > p.localThreshold) None
+      else valB.map(_.select(col("bins"), col("label"), col("weight"))
+        .limit(p.localThreshold + 1).collect())
     if (trainProbe.length <= p.localThreshold &&
         valProbe.forall(_.length <= p.localThreshold)) {
-      trainLocal(toTriples(trainProbe, trainB.schema),
-        valProbe.map(toTriples(_, trainB.schema)),
+      trainLocal(toTriples(trainProbe, slim.schema),
+        valProbe.map(toTriples(_, slim.schema)),
         allFeatures.length, p, edges, allFeatures, catSet, catDicts)
     } else {
       val binned = trainB.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -322,7 +322,15 @@ object Pq {
     * cheap, so "when in doubt, invalidate" is the right habit. */
   def invalidateCodeCache(): Unit = codeCache.synchronized {
     val it = codeCache.entrySet().iterator()
-    while (it.hasNext) { it.next().getValue.unpersist(); it.remove() }
+    while (it.hasNext) {
+      val e = it.next()
+      // entries of a STOPPED session just drop — their blocks died with
+      // the context, and unpersist against a stopped RpcEnv throws,
+      // which would abort this loop and leave LIVE entries stale
+      // (review round 11)
+      if (!e.getKey._1.sparkContext.isStopped) e.getValue.unpersist()
+      it.remove()
+    }
   }
 
   private def materializedCodes(encoded: DataFrame, cols: Seq[String]): DataFrame =

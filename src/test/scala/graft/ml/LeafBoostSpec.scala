@@ -184,6 +184,22 @@ class LeafBoostSpec extends SparkSpec {
     assert(acc >= 380, s"int-feature accuracy $acc/400")
   }
 
+  test("null and all-NaN feature columns park instead of crashing the trainer (review round 11)") {
+    val rnd = new scala.util.Random(31)
+    val rows = (0 until 300).map { i =>
+      val x = rnd.nextGaussian()
+      // x2: null on a third of rows; x3: NaN everywhere (degenerate 0/0-style column)
+      (i.toLong, x, if (i % 3 == 0) None else Some(x * 2), Double.NaN,
+        if (x > 0) 1.0 else 0.0)
+    }
+    val df = rows.toDF("id", "x1", "x2", "x3", "label").withColumn("weight", lit(1.0))
+    val m = LeafBoost.train(df, None, "id", Seq("x1", "x2", "x3"), "label", "weight",
+      LeafBoost.Params(numTrees = 3, numLeaves = 4))
+    assert(m.edges(2).isEmpty, "an all-NaN feature must yield zero edges (never splits)")
+    assert(m.trees.nonEmpty && m.featureImportance.head._1 != "x3")
+    assert(LeafBoost.score(df, Seq("x1", "x2", "x3"), m).collect().length == 300)
+  }
+
   test("no-early-stop run keeps all trees; valLoss improves on aligned validation") {
     val rnd = new scala.util.Random(5)
     val rows = (0 until 600).map { i =>

@@ -29,4 +29,18 @@ class ScoreSequencesSpec extends SparkSpec {
     assert(out(0).getDouble(2) == expected)
     assert(out(1).isNullAt(2) && out(2).isNullAt(2) && out(3).isNullAt(2))
   }
+
+  test("a null ELEMENT inside an inner step row also parks (review round 11)") {
+    val m = BiLstm.init(dim = 1, hidden = 3, attDim = 2, seed = 4L)
+    val seqType = ArrayType(ArrayType(DoubleType, true), true) // innermost nullable
+    val schema = StructType(Seq(
+      StructField("id", LongType, false), StructField("seq", seqType, true)))
+    val rows = java.util.Arrays.asList(
+      Row(1L, Seq(Seq[Any](1.0), Seq[Any](null))), // null scalar inside a step
+      Row(2L, Seq(Seq[Any](1.0), Seq[Any](2.0))))
+    val df = spark.createDataFrame(rows, schema)
+    val out = BiLstm.scoreSequences(df, "seq", m).orderBy("id").collect()
+    assert(out(0).isNullAt(2), "null inner element must park, not NPE the executor")
+    assert(!out(1).isNullAt(2))
+  }
 }
