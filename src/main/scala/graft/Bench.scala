@@ -95,12 +95,14 @@ object Bench {
     // ("q72" for "q72_normalize" — unique by construction) and 2-decimal
     // times; the full-name map goes on a separate human line above it.
     def shortKey(name: String): String = name.takeWhile(_ != '_')
-    // "queries" holds the per-query MEDIANS; "qmin" the per-query MINS as a
-    // bare array in the SAME (name-sorted) order — an array because a second
-    // 74-key map would push the record past the driver's tail window
+    // "queries" holds the per-query MEDIANS. The per-query MINS moved to
+    // the human bench-names line ABOVE the record (round 11): at 133
+    // queries the medians map alone is ~1.5 KB, and the driver keeps only
+    // the LAST ~2000 bytes of output — with qmin inline the r10 record's
+    // head truncated and silently dropped keys q01-q116 from the stored
+    // "queries" map. The parsed line must stay under the tail window.
     val qs = results.map { case (n, med, _) => "\"" + shortKey(n) + f"""\":$med%.2f""" }
       .mkString("{", ",", "}")
-    val qmin = results.map { case (_, _, mn) => f"$mn%.2f" }.mkString("[", ",", "]")
     val total = results.map(_._2).sum
     // failed queries stay in `queries` (their elapsed time is real) but
     // are ALSO named explicitly — a fast-failing query must not read as
@@ -115,7 +117,7 @@ object Bench {
     }
     val names = results.map { case (n, med, mn) => f"$n=$med%.3f/$mn%.3f" }.mkString(" ")
     println(s"[bench-names med/min k=$k] $names")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"qmin":$qmin,"failed":$failedJson,"env":$env,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"env":$env,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
