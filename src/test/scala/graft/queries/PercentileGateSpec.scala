@@ -61,6 +61,36 @@ class PercentileGateSpec extends SparkSpec {
     assert(r(0).getDouble(0) == 30.0)
   }
 
+  test("randomized property: interp matches builtin, disc is a member, at every group size 1..40") {
+    // group g_k has exactly k rows — exercises every tiny-group edge
+    // (single element, even/odd counts, rank clamping) in one frame
+    val rnd = new scala.util.Random(41)
+    val rows = for (k <- 1 to 40; i <- 1 to k) yield (f"g$k%02d", rnd.nextGaussian() * 100)
+    val df = rows.toDF("g", "v")
+    val byGroup = rows.groupBy(_._1).map { case (g, rs) => g -> rs.map(_._2).toSet }
+    val mine = Util.interpPercentiles(df, Seq("g"), "v",
+        Seq(("p25", 1, 4), ("p50", 1, 2), ("p95", 19, 20)))
+      .join(Util.discPercentiles(df, Seq("g"), "v",
+        Seq(("d25", 1, 4), ("d50", 1, 2), ("d95", 19, 20))), Seq("g"))
+    val ref = df.groupBy("g")
+      .agg(expr("percentile(v, array(0.25, 0.5, 0.95))").as("ex"))
+    val joined = mine.join(ref, Seq("g")).collect()
+    assert(joined.length == 40)
+    joined.foreach { r =>
+      val g = r.getString(0)
+      val ex = r.getAs[scala.collection.Seq[Double]]("ex")
+      Seq(("p25", 0), ("p50", 1), ("p95", 2)).foreach { case (c, i) =>
+        val m = r.getAs[Double](c)
+        assert(math.abs(m - ex(i)) <= 1e-12 * math.max(1.0, math.abs(ex(i))),
+          s"$g $c: $m vs builtin ${ex(i)}")
+      }
+      Seq("d25", "d50", "d95").foreach { c =>
+        assert(byGroup(g).contains(r.getAs[Double](c)),
+          s"$g $c returned a non-member value")
+      }
+    }
+  }
+
   test("interpSql/discSql twins: DuckDB-shaped SQL runs in Spark and matches the helpers") {
     // SqlSurfaceSpec proves the oracle corpus parses; this pins the
     // generated snippets' VALUES to the DataFrame helpers on a shared corpus
