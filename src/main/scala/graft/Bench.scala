@@ -84,7 +84,11 @@ object Bench {
       if (leaked.nonEmpty) {
         System.err.println(s"[bench] $name left ${leaked.size} cached RDD(s) — sweeping")
         spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        // blocking=true: the sweep runs outside the timed region, and a
+        // non-blocking unpersist could leave block removal in flight
+        // during the next query's first timed rep — the exact residue
+        // the sweep exists to eliminate
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       }
       (name, times(times.size / 2), times.head) // (query, median, min)
     }

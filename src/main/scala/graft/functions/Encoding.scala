@@ -1,25 +1,36 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Categorical encodings (SURVEY.md §2.8 F11-F12, §2.2 P5 + F8).
   *
   * Label encoding keeps pandas `.cat.codes` parity: codes are the
   * 0-based rank of the sorted distinct values, null → −1
-  * (`src/data/preprocessor.py:124-127`). The dictionary is built with a
-  * window over the DISTINCT values only — dictionary-sized, so the
-  * single-partition sort is over |categories| rows, never |data| — and
-  * broadcast-joined back.
+  * (`src/data/preprocessor.py:124-127`). The dictionary ranks with a
+  * PARALLEL range sort + zipWithIndex (round-12: the previous
+  * unpartitioned row_number window was the plan shape Spark warns
+  * about, even though it only ever saw |categories| rows): with
+  * repartitionByRange, partition order IS value order, so zipWithIndex
+  * indices are exactly the global sorted ranks — no single-partition
+  * stage at any cardinality. Broadcast-joined back as before.
   */
 object Encoding {
 
   /** Dictionary (value, code) for a column's distinct non-null values. */
-  def labelDictionary(df: DataFrame, colName: String): DataFrame =
-    df.select(col(colName)).filter(col(colName).isNotNull).distinct()
-      .withColumn("code",
-        (row_number().over(Window.orderBy(col(colName))) - 1).cast("long"))
+  def labelDictionary(df: DataFrame, colName: String): DataFrame = {
+    val distinct = df.select(col(colName)).filter(col(colName).isNotNull)
+      .distinct()
+    val schema = org.apache.spark.sql.types.StructType(distinct.schema.fields :+
+      org.apache.spark.sql.types.StructField("code",
+        org.apache.spark.sql.types.LongType, nullable = false))
+    val indexed = distinct
+      .repartitionByRange(col(colName)).sortWithinPartitions(col(colName))
+      .rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+      }
+    df.sparkSession.createDataFrame(indexed, schema)
+  }
 
   /** F11: attach pandas-parity codes; null → −1. */
   def labelEncode(df: DataFrame, colName: String,

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-level distribution statistics for training-data curation:
@@ -94,19 +93,27 @@ object CorpusStats {
     * template corpus shows up as a broken head).
     *
     * Scale: token counting is the vocabulary-bounded census shuffle;
-    * the rank window runs over the TOP-K ONLY (K rows live on one
-    * partition AFTER a TakeOrderedAndProject — bounded by the constant
-    * K, never by vocabulary), and the regression is one aggregate over
-    * K rows. */
+    * ranking runs over the TOP-K ONLY (≤ K rows after a
+    * TakeOrderedAndProject — bounded by the constant K, never by
+    * vocabulary): an explicit 1-partition in-order zipWithIndex, not an
+    * unpartitioned window (round-12 — same plan-hygiene sweep as the
+    * percentile gates), and the regression is one aggregate over K
+    * rows. */
   def zipfFit(docs: DataFrame, text: String, topK: Int = 1000): DataFrame = {
     val counts = docs
       .select(explode(TextOps.tokens(col(text))).as("__t"))
       .groupBy("__t").agg(count(lit(1)).as("__c"))
     val nVocab = counts.agg(count(lit(1)).as("n_vocab"),
       sum("__c").as("n_tokens"))
-    val top = counts.orderBy(col("__c").desc, col("__t").asc).limit(topK)
-      .withColumn("__rank",
-        row_number().over(Window.orderBy(col("__c").desc, col("__t").asc)))
+    val limited = counts.orderBy(col("__c").desc, col("__t").asc).limit(topK)
+      .coalesce(1).sortWithinPartitions(col("__c").desc, col("__t").asc)
+    val topSchema = org.apache.spark.sql.types.StructType(
+      limited.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "__rank", org.apache.spark.sql.types.IntegerType, nullable = false))
+    val top = docs.sparkSession.createDataFrame(
+      limited.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1).toInt)
+      }, topSchema)
     top
       .select(log(col("__rank").cast("double")).as("__x"),
         log(col("__c").cast("double")).as("__y"))

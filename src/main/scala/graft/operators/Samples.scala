@@ -16,10 +16,22 @@ object Samples {
     * orderBy+limit plans as TakeOrderedAndProject — a per-partition
     * top-K heap merged on the driver, O(n·log maxN) scan with NO
     * corpus-wide shuffle or sort (plan-guarded in PqSpec). Callers read
-    * their `keep` columns by position; `__h` rides last. */
+    * their `keep` columns by position; `__h` rides last.
+    *
+    * Ties on `__h` (duplicate ids — LeafBoostProbe samples lineitem by
+    * l_orderkey, which repeats per line — or a genuine xxhash64
+    * collision) break on the kept columns themselves, so the kept SET
+    * is a pure function of the data: without the secondary key, rows at
+    * the limit boundary sharing a hash would be chosen by partition
+    * arrival order, contradicting the bit-reproducibility contract.
+    * Rows identical in hash AND every kept column are interchangeable,
+    * so full determinism of the returned multiset holds. */
   private[graft] def hashTopN(df: DataFrame, id: String,
-                                  keep: Seq[Column], maxN: Int): DataFrame =
-    df.select(keep :+ xxhash64(col(id)).as("__h"): _*)
-      .orderBy(col("__h"))
+                                  keep: Seq[Column], maxN: Int): DataFrame = {
+    val staged = df.select(keep :+ xxhash64(col(id)).as("__h"): _*)
+    val keepNames = staged.columns.dropRight(1)
+    staged
+      .orderBy(col("__h") +: keepNames.map(col).toSeq: _*)
       .limit(maxN)
+  }
 }

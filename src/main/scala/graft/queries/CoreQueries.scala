@@ -110,6 +110,14 @@ object CoreQueries {
     // median comes from Util.interpPercentiles (explicit lo+(hi−lo)·frac
     // — same value as percentile(0.5)/pandas .median(), bit-identical
     // across engines; round-10 verdict-#2 sweep).
+    //
+    // CONTRACT (round-11 advice): the inner join with the percentile
+    // frame drops any group whose value column is ENTIRELY null (the
+    // rank gate filters nulls, so such a group has no percentile row).
+    // Pandas describe would keep the group with a NaN median; both
+    // engines here drop it consistently (the oracle's rank CTE filters
+    // nulls the same way), and no test corpus has an all-null group.
+    // Use a left join if all-null groups must survive with NULL medians.
     "q05_describe_by_type" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val medx = Util.interpPercentiles(ev.select(col("event_type"), col("value")),

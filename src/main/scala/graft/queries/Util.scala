@@ -148,20 +148,89 @@ object Util {
       s" * (CAST(max(((n-1) * $num) % $den) AS DOUBLE) / $den.0)"
   }
 
+  /** Bucketed rank-k selection (round-11 verdict #4 — the
+    * `Metrics.rocAuc` bucketed-prefix-sum shape applied to the
+    * percentile gates): the old implementation ranked with ONE
+    * unpartitioned `row_number` window — the single-reducer sort Spark
+    * itself warns about, and the battery's only single-reducer stage at
+    * sf5. Now ranks come from three parallel steps:
+    *
+    *  1. per-group [min, max] (tiny frame, broadcast back);
+    *  2. each row buckets by `floor((v−mn)/(mx−mn)·B)` — every FP op is
+    *     monotone nondecreasing and equal values share a bucket, so
+    *     bucket order IS value order; per-(group, bucket) counts
+    *     prefix-sum into bucket offsets along the BOUNDED bucket axis
+    *     (≤ B rows per group: a window PARTITIONED by group, or for the
+    *     global case a ≤B-row driver fold — the bounded-aggregate class,
+    *     like the ANN codebooks);
+    *  3. `row_number` PARTITIONED by (group, bucket) + the bucket's
+    *     offset reconstructs the exact global rank.
+    *
+    * The value at every rank is identical to the sorted-rank value
+    * (ties share a bucket and are interchangeable at equal value), so
+    * the six gate queries' hashes are unchanged by construction — only
+    * the plan shape moved from one reducer to ~B-way parallel.
+    * Floating NaN sorts last (both engines' convention): NaN parks in
+    * the top bucket and min/max ignore it. */
   private def rankGate(df: DataFrame, groupCols: Seq[String], valueCol: String)(
       build: (Column, Column, Column) => Seq[Column]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions.{col, count, lit, row_number}
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, floor, isnan, least, lit, max, min, not, row_number, sum, when}
+    val B = 1024
+    val v = col(valueCol)
     val gc = groupCols.map(col)
-    val (wRank, wAll) =
-      if (groupCols.isEmpty)
-        (Window.orderBy(valueCol), Window.partitionBy())
-      else
-        (Window.partitionBy(gc: _*).orderBy(valueCol), Window.partitionBy(gc: _*))
-    val ranked = df.filter(col(valueCol).isNotNull)
-      .select(gc :+ col(valueCol) :+ row_number().over(wRank).as("__rn") :+
-        count(lit(1)).over(wAll).as("__n"): _*)
-    val aggs = build(col("__rn"), col("__n"), col(valueCol))
+    val nn = df.filter(v.isNotNull)
+    val floating = df.schema(valueCol).dataType match {
+      case org.apache.spark.sql.types.DoubleType |
+           org.apache.spark.sql.types.FloatType => true
+      case _ => false
+    }
+    val finite = if (floating) when(not(isnan(v)), v) else v
+    val rangeAggs = Seq(min(finite).as("__mn"), max(finite).as("__mx"))
+    val range =
+      if (groupCols.isEmpty) nn.agg(rangeAggs.head, rangeAggs.tail: _*)
+      else nn.groupBy(gc: _*).agg(rangeAggs.head, rangeAggs.tail: _*)
+    val withRange =
+      if (groupCols.isEmpty) nn.crossJoin(broadcast(range))
+      else nn.join(broadcast(range), groupCols)
+    val span = col("__mx") - col("__mn")
+    val base = when(span <= 0 || col("__mn").isNull, lit(0))
+      .otherwise(least(floor((v - col("__mn")) / span * B), lit(B - 1)))
+      .cast("int")
+    val bExpr = if (floating) when(isnan(v), lit(B - 1)).otherwise(base) else base
+    val bucketed = withRange.select(gc :+ v :+ bExpr.as("__b"): _*)
+    val counts = bucketed.groupBy((gc :+ col("__b")): _*).agg(count(lit(1)).as("__c"))
+    val ranked =
+      if (groupCols.isEmpty) {
+        // global case: the counts frame is ≤ B rows by construction —
+        // fold offsets on the driver (bounded aggregate) instead of an
+        // unpartitioned window over it
+        val rows = counts.orderBy("__b").collect()
+        var acc = 0L
+        val offs = rows.map { r =>
+          val o = (r.getInt(0), acc); acc += r.getLong(1); o
+        }.toSeq
+        val n = acc
+        import df.sparkSession.implicits._
+        val offsets = offs.toDF("__b", "__off")
+        bucketed.join(broadcast(offsets), Seq("__b"))
+          .select(v,
+            (col("__off") + row_number().over(
+              Window.partitionBy(col("__b")).orderBy(valueCol))).as("__rn"),
+            lit(n).as("__n"))
+      } else {
+        val wOff = Window.partitionBy(gc: _*).orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wTot = Window.partitionBy(gc: _*)
+        val offsets = counts.select(gc :+ col("__b") :+
+          coalesce(sum(col("__c")).over(wOff), lit(0L)).as("__off") :+
+          sum(col("__c")).over(wTot).as("__n"): _*)
+        val wLocal = Window.partitionBy((gc :+ col("__b")): _*).orderBy(valueCol)
+        bucketed.join(broadcast(offsets), groupCols :+ "__b")
+          .select(gc :+ v :+
+            (col("__off") + row_number().over(wLocal)).as("__rn") :+ col("__n"): _*)
+      }
+    val aggs = build(col("__rn"), col("__n"), v)
     if (groupCols.isEmpty) ranked.agg(aggs.head, aggs.tail: _*)
     else ranked.groupBy(gc: _*).agg(aggs.head, aggs.tail: _*)
   }

@@ -62,7 +62,8 @@ object HttpApi {
 
   final class Server private[HttpApi] (srv: HttpServer,
                                        pool: java.util.concurrent.ExecutorService,
-                                       val inventory: () => Seq[ModelInfo]) {
+                                       val inventory: () => Seq[ModelInfo],
+                                       val model: Option[(String, Transaction => Double)]) {
     private[HttpApi] val predictionCount = new LongAdder
     private[HttpApi] val totalLatencyMs = new DoubleAdder
     def port: Int = srv.getAddress.getPort
@@ -73,14 +74,23 @@ object HttpApi {
   }
 
   /** Start the API on `port` (0 = ephemeral). Caller owns the returned
-    * server's lifecycle (`stop()`). */
+    * server's lifecycle (`stop()`).
+    *
+    * `model`: optional (name, scorer) loaded at startup — e.g.
+    * `("LEAFBOOST", LocalScorer.leafBoostHook(ModelRegistry
+    * .loadLeafBoost(...)))`, mirroring how the reference loads its
+    * booster artifact at import time and serves the 0.4/0.6 blend
+    * (`api/main.py:40-94, 269-285`). With a model present, `/score`
+    * returns the blended score and names the model in `model_used`;
+    * without one it serves heuristic-only, as before. */
   def start(port: Int = 0,
             inventory: () => Seq[ModelInfo] = () => Seq.empty,
-            nThreads: Int = 8): Server = {
+            nThreads: Int = 8,
+            model: Option[(String, Transaction => Double)] = None): Server = {
     val srv = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     val pool = Executors.newFixedThreadPool(nThreads)
     srv.setExecutor(pool)
-    val server = new Server(srv, pool, inventory)
+    val server = new Server(srv, pool, inventory, model)
     srv.createContext("/", (ex: HttpExchange) => route(server, ex))
     srv.start()
     server
@@ -90,8 +100,9 @@ object HttpApi {
     * start an ephemeral server, serialize the transactions to JSON,
     * POST /score/batch over real HTTP, parse the response rows. The
     * caller gets exactly what a reference-API client would see. */
-  def scoreBatchOverHttp(txns: Seq[Transaction]): Seq[JsonNode] = {
-    val server = start()
+  def scoreBatchOverHttp(txns: Seq[Transaction],
+                         model: Option[(String, Transaction => Double)] = None): Seq[JsonNode] = {
+    val server = start(model = model)
     try {
       val req = mapper.createObjectNode()
       val arr = req.putArray("transactions")
@@ -229,7 +240,7 @@ object HttpApi {
 
   private def scoreNode(s: Server, t: Transaction): ObjectNode = {
     val t0 = System.nanoTime()
-    val r = LocalScorer.score(t)
+    val r = LocalScorer.score(t, s.model.map(_._2))
     val ms = (System.nanoTime() - t0) / 1e6
     s.predictionCount.increment()
     s.totalLatencyMs.add(ms)
@@ -238,7 +249,7 @@ object HttpApi {
     o.put("fraud_score", round4(r.riskScore))
     o.put("is_fraud", r.isFraud)
     o.put("risk_level", r.riskLevel)
-    o.put("model_used", "Heuristic")
+    o.put("model_used", s.model.map(_._1).getOrElse("Heuristic"))
     o.put("processing_time_ms", round2(ms))
     o.put("confidence", round4(r.confidence))
     if (r.reasons.nonEmpty) {

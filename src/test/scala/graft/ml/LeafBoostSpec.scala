@@ -89,6 +89,53 @@ class LeafBoostSpec extends SparkSpec {
       "driver-local and distributed branches must produce the identical model")
   }
 
+  test("row/feature subsampling is deterministic across layouts, changes the model, and stays seed-stable") {
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 1500).map { i =>
+      val x1 = rnd.nextGaussian(); val x2 = rnd.nextGaussian()
+      val y = if (x1 + 0.5 * x2 + 0.3 * rnd.nextGaussian() > 0) 1.0 else 0.0
+      (i.toLong, x1, x2, y)
+    }
+    val sub = LeafBoost.Params(numTrees = 6, numLeaves = 8,
+      baggingFraction = 0.7, baggingFreq = 1, featureFraction = 0.5,
+      localThreshold = 0)
+    val a = LeafBoost.train(mkDf(rows).repartition(1), None, "id",
+      Seq("x1", "x2"), "label", "weight", sub)
+    val b = LeafBoost.train(mkDf(rows).repartition(7, col("x2")), None, "id",
+      Seq("x1", "x2"), "label", "weight", sub)
+    val c = LeafBoost.train(mkDf(rows), None, "id",
+      Seq("x1", "x2"), "label", "weight", sub.copy(localThreshold = 100000))
+    // the bag is a pure function of (id hash, round, seed) — identical
+    // model at any layout AND local vs distributed
+    assert(a.trees == b.trees, "subsampled training must be layout-independent")
+    assert(a.trees == c.trees, "subsampled local ≡ distributed")
+    // subsampling must actually subsample: structure differs from full
+    val full = LeafBoost.train(mkDf(rows), None, "id",
+      Seq("x1", "x2"), "label", "weight",
+      sub.copy(baggingFraction = 1.0, baggingFreq = 0, featureFraction = 1.0))
+    assert(a.trees != full.trees, "bagged model should differ from full-data model")
+    // a different seed draws a different bag
+    val otherSeed = LeafBoost.train(mkDf(rows), None, "id",
+      Seq("x1", "x2"), "label", "weight", sub.copy(seed = 99L))
+    assert(a.trees != otherSeed.trees, "seed must select the bag")
+    // feature_fraction = tiny forces single-feature trees
+    val oneFeat = LeafBoost.train(mkDf(rows), None, "id",
+      Seq("x1", "x2"), "label", "weight",
+      sub.copy(featureFraction = 1e-9, baggingFraction = 1.0, baggingFreq = 0))
+    val usedPerTree = oneFeat.trees.map(_.nodes.filter(!_.isLeaf).map(_.feature).toSet)
+    assert(usedPerTree.forall(_.size <= 1),
+      s"featureFraction→0 must leave exactly one allowed feature per tree, got $usedPerTree")
+  }
+
+  test("bag membership draw is uniform-ish and respects the fraction") {
+    val n = 20000
+    val hits = (0 until n).count(i => LeafBoost.inBag(
+      graft.ml.LeafBoost.hashDraw(i.toLong, 0L, 1L).hashCode.toLong, 0,
+      LeafBoost.Params(baggingFraction = 0.3, baggingFreq = 1)))
+    // crude but sufficient: binomial(20000, 0.3) is within ±4σ ≈ ±260
+    assert(math.abs(hits - 6000) < 500, s"bag hit rate off: $hits/20000 at p=0.3")
+  }
+
   test("early stopping is round-exact: stops after K non-improving rounds, truncates to best") {
     val rnd = new scala.util.Random(3)
     val train = (0 until 800).map { i =>

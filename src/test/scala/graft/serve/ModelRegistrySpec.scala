@@ -50,4 +50,52 @@ class ModelRegistrySpec extends SparkSpec {
       ModelRegistry.load(spark, root, "missing")
     }
   }
+
+  test("all three model families register, report their kind, and reload bit-equal") {
+    val root = Files.createTempDirectory("graft_registry_k").toString
+    // LeafBoost: tiny deterministic trainer over the synthetic frame
+    val lb = graft.ml.LeafBoost.train(
+      data.withColumn("label", col("is_fraud").cast("double"))
+        .withColumn("weight", lit(1.0)),
+      None, "transaction_id", cols, "label", "weight",
+      graft.ml.LeafBoost.Params(numTrees = 4, numLeaves = 6))
+    assert(ModelRegistry.registerLeafBoost(spark, root, "lb", lb,
+      Map("auc" -> 0.9)) == 1L)
+    assert(ModelRegistry.kindOf(spark, root, "lb") == "leafboost")
+    val lb2 = ModelRegistry.loadLeafBoost(spark, root, "lb")
+    // structural equality + bit-equal scores on every row
+    assert(lb2.trees == lb.trees && lb2.features == lb.features &&
+      lb2.bestRound == lb.bestRound && lb2.valLoss == lb.valLoss &&
+      lb2.catDicts == lb.catDicts)
+    assert(lb2.edges.length == lb.edges.length &&
+      lb2.edges.zip(lb.edges).forall { case (a, b) => a.sameElements(b) })
+    val before = graft.ml.LeafBoost.score(data, cols, lb)
+      .select("transaction_id", "p_fraud").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val after = graft.ml.LeafBoost.score(data, cols, lb2)
+      .select("transaction_id", "p_fraud").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(before == after) // exact double equality, keyed by id
+    // BiLstm: tiny trained net, reload must forward bit-equal
+    val seqs = (0 until 40).map { i =>
+      val v = if (i % 2 == 0) 1.0 else -1.0
+      (Array.tabulate(5)(t => Array(v * t, 1.0 - v)), (i % 2).toDouble, 1.0)
+    }.toIndexedSeq
+    val net = graft.ml.BiLstm.train(seqs, dim = 2, hidden = 3, attDim = 2,
+      epochs = 5)
+    assert(ModelRegistry.registerBiLstm(spark, root, "net", net) == 1L)
+    assert(ModelRegistry.kindOf(spark, root, "net") == "bilstm")
+    val net2 = ModelRegistry.loadBiLstm(spark, root, "net")
+    assert(net2.dim == net.dim && net2.hidden == net.hidden &&
+      net2.attDim == net.attDim && net2.params.sameElements(net.params))
+    seqs.foreach { case (s, _, _) =>
+      assert(net2.predict(s) == net.predict(s)) // exact
+    }
+    // PipelineModel keeps its kind
+    val pm = FraudModel.gbtPipeline(cols, "is_fraud", maxIter = 3).fit(data)
+    ModelRegistry.register(spark, root, "gbt", pm)
+    assert(ModelRegistry.kindOf(spark, root, "gbt") == "pipeline")
+    // one metadata table lists all three families
+    assert(ModelRegistry.list(spark, root).select("name").distinct().count() == 3)
+  }
 }
