@@ -486,9 +486,6 @@ object BiLstm {
   // Doubles round-trip bit-exactly in parquet, so reload scores are
   // bit-identical (BiLstmSpec round-trip case).
 
-  private final case class WeightsRow(dim: Int, hidden: Int, attDim: Int,
-                                      params: Seq[Double])
-
   /** Persist `m` under `path` (overwrites). */
   def save(spark: org.apache.spark.sql.SparkSession, m: BiLstmModel,
            path: String): Unit = {
@@ -535,3 +532,8 @@ object BiLstm {
     }(enc)
   }
 }
+
+// Top-level persistence row (a case class nested in an object breaks
+// Spark encoder codegen — see the LeafBoost NodeRow note).
+private[ml] final case class WeightsRow(dim: Int, hidden: Int, attDim: Int,
+                                        params: Seq[Double])
