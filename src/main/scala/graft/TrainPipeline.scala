@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.ml.PipelineModel
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.eval.Comparison
@@ -13,10 +12,13 @@ import graft.sources.{Io, Profiler, SyntheticData}
 /** End-to-end training orchestration (SURVEY.md §2.9 M11) — the engine's
   * equivalent of the reference's `train_pipeline.py` 10-step script:
   * load → profile → features (temporal, amount, behavior windows, target
-  * encoding fit on train only) → chronological split → class-weighted GBT
-  * ×3 variants (the reference's three engines) → stacking LR meta-model
-  * fit on val predictions → leaderboard → persist models + importance +
-  * stacked weights.
+  * encoding fit on train only) → chronological split → THREE true
+  * engines (round 12: MLlib GBT + LeafBoost leaf-wise/LightGBM +
+  * LeafBoost depth-wise/XGBoost-hist — the reference's distinct
+  * boosters, not hyperparameter variants) → stacking LR meta-model
+  * fit on val predictions → leaderboard → persist ALL engines through
+  * the model registry (each in its family's artifact format) +
+  * importance + stacked weights.
   *
   * One lazy plan from scan to features; actions happen only at fit/write.
   * Usage: runMain graft.TrainPipeline [outDir] [nRows]
@@ -95,26 +97,42 @@ object TrainPipeline {
     val va = featured.filter(col("split") === "val" && !isEsHalf)
     val test = featured.filter(col("split") === "test")
 
-    // 5. three GBT variants — the reference trains three engines
-    // (lightgbm / xgboost / catboost, `src/models/ensemble.py:39-133`);
-    // on Spark they are hyperparameter variants of one GBT capability,
-    // each early-stopped on the val split
-    def variant(maxDepth: Int) = FraudModel.gbtPipeline(featureCols, "is_fraud",
-      maxIter = 15, maxDepth = maxDepth,
+    // 5. three TRUE engines (round 12 — the reference trains three
+    // distinct boosters, `src/models/ensemble.py:39-133`; until the
+    // engine-distinct trainers existed these were GBT hyperparameter
+    // variants): MLlib GBT, LeafBoost leaf-wise (LightGBM semantics),
+    // LeafBoost depth-wise with a depth cap (XGBoost-hist semantics).
+    // Each early-stops on the es-half of val; each scores test
+    // distributed.
+    val gbtModel = FraudModel.gbtPipeline(featureCols, "is_fraud",
+      maxIter = 15, maxDepth = 5,
       validationIndicatorCol = Some("is_val")).fit(train)
-    val variants = Seq(
-      "gbt_shallow" -> variant(4),
-      "gbt_mid" -> variant(5),
-      "gbt_deep" -> variant(6))
+    val lbTrain = train.filter(!col("is_val"))
+    val lbVal = Some(train.filter(col("is_val")))
+    def lbParams(growth: String, maxDepth: Int) = graft.ml.LeafBoost.Params(
+      numTrees = 15, numLeaves = 16, learningRate = 0.2,
+      earlyStoppingRounds = 5, growth = growth, maxDepth = maxDepth)
+    val lgbModel = graft.ml.LeafBoost.train(lbTrain, lbVal, "transaction_id",
+      featureCols, "is_fraud", "class_weight", lbParams("leafwise", -1))
+    val xgbModel = graft.ml.LeafBoost.train(lbTrain, lbVal, "transaction_id",
+      featureCols, "is_fraud", "class_weight", lbParams("depthwise", 5))
 
-    def preds(m: PipelineModel, name: String, df: DataFrame): DataFrame =
-      FraudModel.withProbability(m.transform(df), s"p_$name")
+    // uniform engine surface: name -> (frame => (transaction_id, p_<name>))
+    def gbtPreds(name: String)(df: DataFrame): DataFrame =
+      FraudModel.withProbability(gbtModel.transform(df), s"p_$name")
         .select(col("transaction_id"), col(s"p_$name"))
+    def lbPreds(m: graft.ml.LeafBoost.Model, name: String)(df: DataFrame): DataFrame =
+      graft.ml.LeafBoost.score(df, featureCols, m, s"p_$name")
+        .select(col("transaction_id"), col(s"p_$name"))
+    val engines: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "gbt_mllib" -> gbtPreds("gbt_mllib") _,
+      "leafboost_lgb" -> lbPreds(lgbModel, "leafboost_lgb") _,
+      "leafboost_xgb" -> lbPreds(xgbModel, "leafboost_xgb") _)
     def predMatrix(df: DataFrame): DataFrame =
-      variants.foldLeft(df.select("transaction_id", "is_fraud")) {
-        case (acc, (name, m)) => acc.join(preds(m, name, df), "transaction_id")
+      engines.foldLeft(df.select("transaction_id", "is_fraud")) {
+        case (acc, (_, score)) => acc.join(score(df), "transaction_id")
       }
-    val predCols = variants.map { case (name, _) => s"p_$name" }
+    val predCols = engines.map { case (name, _) => s"p_$name" }
 
     // 6. stacking meta-model (M7) fit on the VAL split's base predictions
     // — out-of-training-fold, the reference's stacking discipline
@@ -123,41 +141,46 @@ object TrainPipeline {
       predCols, "is_fraud")
 
     // 7. leaderboard over the TEST split: three base engines + the stack
-    def score(m: PipelineModel) = FraudModel.withProbability(m.transform(test))
     val stackScored = FraudModel.withProbability(
       stackModel.transform(predMatrix(test)))
     // materialize the (4-row) leaderboard ONCE — it re-runs every model
     // transform + metric suite per action otherwise
     val board = Comparison.leaderboard(
-      variants.map { case (name, m) => name -> score(m) } :+
-        ("stacked" -> stackScored),
+      engines.map { case (name, score) =>
+        name -> score(test).withColumnRenamed(s"p_$name", "p_fraud")
+          .join(test.select("transaction_id", "is_fraud"), "transaction_id")
+      } :+ ("stacked" -> stackScored),
       col("is_fraud"), col("p_fraud")).cache()
     board.show(truncate = false)
     val aucs = board.select("model", "roc_auc").collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
 
-    // 8. persist models + importance + leaderboard + stacked weights
-    // (S5 artifact sink); "best" = the top-AUC BASE engine per the
-    // leaderboard (the stack is persisted separately)
-    // (auc, name) max: AUC ties (identical test rankings) break on the
-    // name, so the choice is deterministic and spec-reproducible
-    val bestName = variants.map(_._1).maxBy(n => (aucs(n), n))
-    val bestModel = variants.toMap.apply(bestName)
-    bestModel.write.overwrite().save(s"$outDir/model_$bestName")
-    stackModel.write.overwrite().save(s"$outDir/model_stacked")
+    // 8-9. persist EVERY engine through the registry (S5 — the
+    // reference persists all three boosters, `lightgbm_model.py:166`,
+    // `xgboost_model.py:131`) + the stack, each in its family's
+    // artifact format; importance comes from the top-AUC BASE engine
+    // ((auc, name) max: AUC ties break on name — deterministic).
+    val reg = s"$outDir/registry"
+    graft.serve.ModelRegistry.register(spark, reg, "gbt_mllib",
+      gbtModel, Map("roc_auc" -> aucs("gbt_mllib")))
+    graft.serve.ModelRegistry.registerLeafBoost(spark, reg, "leafboost_lgb",
+      lgbModel, Map("roc_auc" -> aucs("leafboost_lgb")))
+    graft.serve.ModelRegistry.registerLeafBoost(spark, reg, "leafboost_xgb",
+      xgbModel, Map("roc_auc" -> aucs("leafboost_xgb")))
+    graft.serve.ModelRegistry.register(spark, reg, "stacked",
+      stackModel, Map("roc_auc" -> aucs("stacked")))
+    graft.serve.ModelRegistry.health(spark, reg).show()
+    val bestName = engines.map(_._1).maxBy(n => (aucs(n), n))
     import spark.implicits._
-    Io.writeParquet(
-      FraudModel.featureImportance(bestModel, featureCols).toDF("feature", "importance"),
+    val importance: Seq[(String, Double)] = bestName match {
+      case "gbt_mllib" => FraudModel.featureImportance(gbtModel, featureCols)
+      case "leafboost_lgb" => lgbModel.featureImportance
+      case _ => xgbModel.featureImportance
+    }
+    Io.writeParquet(importance.toDF("feature", "importance"),
       s"$outDir/feature_importance")
     Io.writeParquet(board, s"$outDir/leaderboard")
     Io.writeParquet(stackWeights.toDF("model", "weight"), s"$outDir/stacked_weights")
-
-    // 9. registry (H7): versioned artifacts + health probe
-    graft.serve.ModelRegistry.register(spark, s"$outDir/registry", bestName,
-      bestModel, Map("roc_auc" -> aucs(bestName)))
-    graft.serve.ModelRegistry.register(spark, s"$outDir/registry", "stacked",
-      stackModel, Map("roc_auc" -> aucs("stacked")))
-    graft.serve.ModelRegistry.health(spark, s"$outDir/registry").show()
     board.unpersist(blocking = false)
     println(s"[train] artifacts written to $outDir")
   }

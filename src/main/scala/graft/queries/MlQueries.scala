@@ -297,11 +297,23 @@ object MlQueries {
       // training result is a deterministic function of these inputs, so
       // bench reps 2..k measure the distributed scoring pass
       val memoKey = s"q135:mu=$mu,sd=$sd,posW=$posW,p=4,r=12,le=10,bs=64,seed=42"
-      val model = biLstmMemo.computeIfAbsent(memoKey, _ =>
+      val trainedModel = biLstmMemo.computeIfAbsent(memoKey, _ =>
         graft.ml.BiLstm.trainDistributed(scale(train),
           "seq", "label", "w", "transaction_id", dim = 1, hidden = 8, attDim = 4,
           parts = 4, rounds = 12, localEpochs = 10, lr = 0.05, batchSize = 64,
           seed = 42L))
+      // registry round trip (round 12, S5): the distributed-trained
+      // weights persist through ModelRegistry and the TEST SPLIT IS
+      // SCORED WITH THE RELOADED MODEL — parquet doubles round-trip
+      // bit-exactly, so every downstream hashed value is unchanged and
+      // reload_bitexact pins the claim in the oracle row
+      val reg = java.nio.file.Files.createTempDirectory("graft_q135_reg").toString
+      graft.serve.ModelRegistry.registerBiLstm(s, reg, "bilstm", trainedModel)
+      val model = graft.serve.ModelRegistry.loadBiLstm(s, reg, "bilstm")
+      val reloadOk = model.dim == trainedModel.dim &&
+        model.hidden == trainedModel.hidden &&
+        model.attDim == trainedModel.attDim &&
+        model.params.sameElements(trainedModel.params)
       val scored = graft.ml.BiLstm.scoreSequences(
         scale(split.filter(col("split") === "test")), "seq", model).cache()
       scored.count()
@@ -317,7 +329,8 @@ object MlQueries {
           lit(splitCounts.getOrElse("val", 0L)).as("n_val"),
           lit(splitCounts.getOrElse("test", 0L)).as("n_test"),
           (col("tp") + col("fn")).cast("long").as("n_pos_test"),
-          (col("roc_auc") >= 0.75).as("auc_ok"))
+          (col("roc_auc") >= 0.75).as("auc_ok"),
+          lit(reloadOk).as("reload_bitexact"))
       val rows = metrics.collect()
       scored.unpersist()
       s.createDataFrame(java.util.Arrays.asList(rows: _*), metrics.schema)
@@ -590,7 +603,7 @@ object MlQueries {
       """SELECT CAST(2324 AS BIGINT) AS n_sequences,
         | CAST(1626 AS BIGINT) AS n_train, CAST(349 AS BIGINT) AS n_val,
         | CAST(349 AS BIGINT) AS n_test, CAST(12 AS BIGINT) AS n_pos_test,
-        | TRUE AS auc_ok""".stripMargin,
+        | TRUE AS auc_ok, TRUE AS reload_bitexact""".stripMargin,
 
     // q70's oracle pattern, with MORE pinned structure: because
     // LeafBoost training is bit-deterministic at any partition layout

@@ -171,7 +171,16 @@ object Util {
     * the six gate queries' hashes are unchanged by construction — only
     * the plan shape moved from one reducer to ~B-way parallel.
     * Floating NaN sorts last (both engines' convention): NaN parks in
-    * the top bucket and min/max ignore it. */
+    * the top bucket and min/max ignore it.
+    *
+    * EAGER by design: the rank passes need the input THREE times
+    * (range, bucket counts, in-bucket ranks) — left lazy, each pass
+    * re-scanned the base relation and re-ran any upstream joins
+    * (measured 3× at sf5, and q126 stacks two gates on a joined
+    * input). The slim (group, value) projection is persisted once,
+    * the bounded per-group aggregate executes against the cache, the
+    * cache is dropped, and the caller receives the result as a LOCAL
+    * frame — every downstream join against it broadcasts trivially. */
   private def rankGate(df: DataFrame, groupCols: Seq[String], valueCol: String)(
       build: (Column, Column, Column) => Seq[Column]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -179,60 +188,67 @@ object Util {
     val B = 1024
     val v = col(valueCol)
     val gc = groupCols.map(col)
-    val nn = df.filter(v.isNotNull)
-    val floating = df.schema(valueCol).dataType match {
-      case org.apache.spark.sql.types.DoubleType |
-           org.apache.spark.sql.types.FloatType => true
-      case _ => false
-    }
-    val finite = if (floating) when(not(isnan(v)), v) else v
-    val rangeAggs = Seq(min(finite).as("__mn"), max(finite).as("__mx"))
-    val range =
-      if (groupCols.isEmpty) nn.agg(rangeAggs.head, rangeAggs.tail: _*)
-      else nn.groupBy(gc: _*).agg(rangeAggs.head, rangeAggs.tail: _*)
-    val withRange =
-      if (groupCols.isEmpty) nn.crossJoin(broadcast(range))
-      else nn.join(broadcast(range), groupCols)
-    val span = col("__mx") - col("__mn")
-    val base = when(span <= 0 || col("__mn").isNull, lit(0))
-      .otherwise(least(floor((v - col("__mn")) / span * B), lit(B - 1)))
-      .cast("int")
-    val bExpr = if (floating) when(isnan(v), lit(B - 1)).otherwise(base) else base
-    val bucketed = withRange.select(gc :+ v :+ bExpr.as("__b"): _*)
-    val counts = bucketed.groupBy((gc :+ col("__b")): _*).agg(count(lit(1)).as("__c"))
-    val ranked =
-      if (groupCols.isEmpty) {
-        // global case: the counts frame is ≤ B rows by construction —
-        // fold offsets on the driver (bounded aggregate) instead of an
-        // unpartitioned window over it
-        val rows = counts.orderBy("__b").collect()
-        var acc = 0L
-        val offs = rows.map { r =>
-          val o = (r.getInt(0), acc); acc += r.getLong(1); o
-        }.toSeq
-        val n = acc
-        import df.sparkSession.implicits._
-        val offsets = offs.toDF("__b", "__off")
-        bucketed.join(broadcast(offsets), Seq("__b"))
-          .select(v,
-            (col("__off") + row_number().over(
-              Window.partitionBy(col("__b")).orderBy(valueCol))).as("__rn"),
-            lit(n).as("__n"))
-      } else {
-        val wOff = Window.partitionBy(gc: _*).orderBy(col("__b"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val wTot = Window.partitionBy(gc: _*)
-        val offsets = counts.select(gc :+ col("__b") :+
-          coalesce(sum(col("__c")).over(wOff), lit(0L)).as("__off") :+
-          sum(col("__c")).over(wTot).as("__n"): _*)
-        val wLocal = Window.partitionBy((gc :+ col("__b")): _*).orderBy(valueCol)
-        bucketed.join(broadcast(offsets), groupCols :+ "__b")
-          .select(gc :+ v :+
-            (col("__off") + row_number().over(wLocal)).as("__rn") :+ col("__n"): _*)
+    val spark = df.sparkSession
+    val nn: DataFrame = df.filter(v.isNotNull).select(gc :+ v: _*)
+    locally {
+      val floating = df.schema(valueCol).dataType match {
+        case org.apache.spark.sql.types.DoubleType |
+             org.apache.spark.sql.types.FloatType => true
+        case _ => false
       }
-    val aggs = build(col("__rn"), col("__n"), v)
-    if (groupCols.isEmpty) ranked.agg(aggs.head, aggs.tail: _*)
-    else ranked.groupBy(gc: _*).agg(aggs.head, aggs.tail: _*)
+      val finite = if (floating) when(not(isnan(v)), v) else v
+      val rangeAggs = Seq(min(finite).as("__mn"), max(finite).as("__mx"))
+      val range =
+        if (groupCols.isEmpty) nn.agg(rangeAggs.head, rangeAggs.tail: _*)
+        else nn.groupBy(gc: _*).agg(rangeAggs.head, rangeAggs.tail: _*)
+      val withRange =
+        if (groupCols.isEmpty) nn.crossJoin(broadcast(range))
+        else nn.join(broadcast(range), groupCols)
+      val span = col("__mx") - col("__mn")
+      val base = when(span <= 0 || col("__mn").isNull, lit(0))
+        .otherwise(least(floor((v - col("__mn")) / span * B), lit(B - 1)))
+        .cast("int")
+      val bExpr = if (floating) when(isnan(v), lit(B - 1)).otherwise(base) else base
+      val bucketed = withRange.select(gc :+ v :+ bExpr.as("__b"): _*)
+      val counts = bucketed.groupBy((gc :+ col("__b")): _*).agg(count(lit(1)).as("__c"))
+      val ranked =
+        if (groupCols.isEmpty) {
+          // global case: the counts frame is ≤ B rows by construction —
+          // fold offsets on the driver (bounded aggregate) instead of an
+          // unpartitioned window over it
+          val rows = counts.orderBy("__b").collect()
+          var acc = 0L
+          val offs = rows.map { r =>
+            val o = (r.getInt(0), acc); acc += r.getLong(1); o
+          }.toSeq
+          val n = acc
+          import spark.implicits._
+          val offsets = offs.toDF("__b", "__off")
+          bucketed.join(broadcast(offsets), Seq("__b"))
+            .select(v,
+              (col("__off") + row_number().over(
+                Window.partitionBy(col("__b")).orderBy(valueCol))).as("__rn"),
+              lit(n).as("__n"))
+        } else {
+          val wOff = Window.partitionBy(gc: _*).orderBy(col("__b"))
+            .rowsBetween(Window.unboundedPreceding, -1)
+          val wTot = Window.partitionBy(gc: _*)
+          val offsets = counts.select(gc :+ col("__b") :+
+            coalesce(sum(col("__c")).over(wOff), lit(0L)).as("__off") :+
+            sum(col("__c")).over(wTot).as("__n"): _*)
+          val wLocal = Window.partitionBy((gc :+ col("__b")): _*).orderBy(valueCol)
+          bucketed.join(broadcast(offsets), groupCols :+ "__b")
+            .select(gc :+ v :+
+              (col("__off") + row_number().over(wLocal)).as("__rn") :+ col("__n"): _*)
+        }
+      val aggs = build(col("__rn"), col("__n"), v)
+      val result =
+        if (groupCols.isEmpty) ranked.agg(aggs.head, aggs.tail: _*)
+        else ranked.groupBy(gc: _*).agg(aggs.head, aggs.tail: _*)
+      // one row per group — bounded by the gate contract
+      val out = result.collect()
+      spark.createDataFrame(java.util.Arrays.asList(out: _*), result.schema)
+    }
   }
 
   /** Append derived (name, expr) pairs in ONE select — avoids the

@@ -35,26 +35,39 @@ class ComparisonPipelineSpec extends SparkSpec {
     assert(a == b)
   }
 
-  test("TrainPipeline end-to-end: 3-engine leaderboard + stack, artifacts (M11)") {
+  test("TrainPipeline end-to-end: 3 TRUE engines + stack, family-aware registry (M11)") {
     val dir = Files.createTempDirectory("graft_train").toString
     TrainPipeline.run(spark, dir, 4000L)
     val board = spark.read.parquet(s"$dir/leaderboard")
-    assert(board.count() == 4) // gbt_shallow, gbt_mid, gbt_deep, stacked
-    assert(board.filter($"model".startsWith("gbt_")).count() == 3)
+    assert(board.count() == 4) // gbt_mllib, leafboost_lgb, leafboost_xgb, stacked
+    assert(board.filter($"model".isin("gbt_mllib", "leafboost_lgb",
+      "leafboost_xgb")).count() == 3)
     assert(board.filter($"model" === "stacked").count() == 1)
     assert(board.agg(max($"roc_auc")).first().getDouble(0) > 0.8)
+    // every engine must actually learn, not just the best one
+    assert(board.agg(min($"roc_auc")).first().getDouble(0) > 0.7)
     val imp = spark.read.parquet(s"$dir/feature_importance")
     assert(imp.count() > 5)
     val w = spark.read.parquet(s"$dir/stacked_weights")
     assert(w.count() == 3) // one learned weight per base engine
-    // the persisted base model is the leaderboard's top BASE engine
-    // ((auc, name) max — same tie-break as TrainPipeline)
-    val bestBase = board.filter($"model".startsWith("gbt_"))
-      .orderBy(desc("roc_auc"), desc("model")).first().getString(0)
-    assert(PipelineModel.load(s"$dir/model_$bestBase").stages.length == 2)
-    assert(PipelineModel.load(s"$dir/model_stacked").stages.length == 2)
-    // H7: pipeline registered best + stacked into the registry
-    val h = graft.serve.ModelRegistry.health(spark, s"$dir/registry").collect()(0)
-    assert(h.getString(0) == "healthy" && h.getLong(1) == 2L)
+    // H7/S5: all four models registered, each under its family's format
+    val reg = s"$dir/registry"
+    val h = graft.serve.ModelRegistry.health(spark, reg).collect()(0)
+    assert(h.getString(0) == "healthy" && h.getLong(1) == 4L)
+    assert(graft.serve.ModelRegistry.kindOf(spark, reg, "gbt_mllib") == "pipeline")
+    assert(graft.serve.ModelRegistry.kindOf(spark, reg, "stacked") == "pipeline")
+    assert(graft.serve.ModelRegistry.kindOf(spark, reg, "leafboost_lgb") == "leafboost")
+    assert(graft.serve.ModelRegistry.kindOf(spark, reg, "leafboost_xgb") == "leafboost")
+    assert(graft.serve.ModelRegistry.load(spark, reg, "stacked").stages.length == 2)
+    // the XGBoost-semantics engine respected its depth cap; the
+    // LightGBM-semantics engine is free to grow unbalanced
+    val xgb = graft.serve.ModelRegistry.loadLeafBoost(spark, reg, "leafboost_xgb")
+    def depthOf(t: graft.ml.LeafBoost.Tree): Int = {
+      def go(i: Int): Int =
+        if (t.nodes(i).isLeaf) 1
+        else 1 + math.max(go(t.nodes(i).left), go(t.nodes(i).right))
+      go(0)
+    }
+    assert(xgb.trees.forall(t => depthOf(t) <= 6)) // maxDepth 5 ⇒ ≤ 6 levels of nodes
   }
 }
