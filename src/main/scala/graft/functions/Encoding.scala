@@ -7,30 +7,18 @@ import org.apache.spark.sql.functions._
   *
   * Label encoding keeps pandas `.cat.codes` parity: codes are the
   * 0-based rank of the sorted distinct values, null → −1
-  * (`src/data/preprocessor.py:124-127`). The dictionary ranks with a
-  * PARALLEL range sort + zipWithIndex (round-12: the previous
-  * unpartitioned row_number window was the plan shape Spark warns
-  * about, even though it only ever saw |categories| rows): with
-  * repartitionByRange, partition order IS value order, so zipWithIndex
-  * indices are exactly the global sorted ranks — no single-partition
-  * stage at any cardinality. Broadcast-joined back as before.
+  * (`src/data/preprocessor.py:124-127`). The dictionary ranks via
+  * `GlobalRank.zipIndexed` (round-12: no unpartitioned window; the
+  * dictionary is |categories| rows by contract — it broadcast-joins
+  * back).
   */
 object Encoding {
 
   /** Dictionary (value, code) for a column's distinct non-null values. */
-  def labelDictionary(df: DataFrame, colName: String): DataFrame = {
-    val distinct = df.select(col(colName)).filter(col(colName).isNotNull)
-      .distinct()
-    val schema = org.apache.spark.sql.types.StructType(distinct.schema.fields :+
-      org.apache.spark.sql.types.StructField("code",
-        org.apache.spark.sql.types.LongType, nullable = false))
-    val indexed = distinct
-      .repartitionByRange(col(colName)).sortWithinPartitions(col(colName))
-      .rdd.zipWithIndex.map { case (r, i) =>
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
-      }
-    df.sparkSession.createDataFrame(indexed, schema)
-  }
+  def labelDictionary(df: DataFrame, colName: String): DataFrame =
+    graft.operators.GlobalRank.zipIndexed(
+      df.select(col(colName)).filter(col(colName).isNotNull).distinct(),
+      Seq(col(colName)), "code")
 
   /** F11: attach pandas-parity codes; null → −1. */
   def labelEncode(df: DataFrame, colName: String,

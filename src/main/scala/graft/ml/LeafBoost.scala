@@ -523,8 +523,17 @@ object LeafBoost {
           else next.persist(MEMORY_AND_DISK)
         if (useVal) {
           prevVal.foreach(_.unpersist()); prevVal = curVal
-          // materialized immediately by the round's lossFn call
-          curVal = curVal.map(addTreeMargin(_, t).persist(MEMORY_AND_DISK))
+          // materialized immediately by the round's lossFn call; lineage
+          // truncates on the SAME cadence as the train side (review
+          // round 12: without it the val plan nested one mapPartitions
+          // per boosting round without bound — O(T²) cumulative analysis
+          // and an eventual deep-TreeNode overflow at LightGBM's
+          // 500-round regime)
+          curVal = curVal.map { vb =>
+            val next = addTreeMargin(vb, t)
+            if (sinceCk == 0) next.localCheckpoint(true)
+            else next.persist(MEMORY_AND_DISK)
+          }
         }
       },
       d, b, p, edges, features, catSet, catDicts)

@@ -105,15 +105,9 @@ object CorpusStats {
       .groupBy("__t").agg(count(lit(1)).as("__c"))
     val nVocab = counts.agg(count(lit(1)).as("n_vocab"),
       sum("__c").as("n_tokens"))
-    val limited = counts.orderBy(col("__c").desc, col("__t").asc).limit(topK)
-      .coalesce(1).sortWithinPartitions(col("__c").desc, col("__t").asc)
-    val topSchema = org.apache.spark.sql.types.StructType(
-      limited.schema.fields :+ org.apache.spark.sql.types.StructField(
-        "__rank", org.apache.spark.sql.types.IntegerType, nullable = false))
-    val top = docs.sparkSession.createDataFrame(
-      limited.rdd.zipWithIndex.map { case (r, i) =>
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1).toInt)
-      }, topSchema)
+    val top = GlobalRank.zipIndexed(
+      counts.orderBy(col("__c").desc, col("__t").asc).limit(topK),
+      Seq(col("__c").desc, col("__t").asc), "__rank", startAt = 1L)
     top
       .select(log(col("__rank").cast("double")).as("__x"),
         log(col("__c").cast("double")).as("__y"))

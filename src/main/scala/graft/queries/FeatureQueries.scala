@@ -11,6 +11,15 @@ import Util.{Q, qz}
   */
 object FeatureQueries {
 
+  /** q137's trained-and-registry-reloaded serving model, memoized per
+    * process (review round 12 — the q134/q135 convention): training,
+    * parquet register, and reload are train-time work; bench reps
+    * measure the SERVING path (HTTP server + batch round trip +
+    * distributed Spark twin). One temp registry per process instead of
+    * one leaked dir per invocation. */
+  private val servingModelMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.ml.LeafBoost.Model]()
+
   def queries: Map[String, Q] = Map(
     // F1-F4: date parts (pandas dow parity), cyclical encodings, flags
     "q30_time_features" -> ((s, dir) => {
@@ -190,13 +199,15 @@ object FeatureQueries {
       val trainDf = ev.limit(500).select(asFeatures :+
         ((col("value") * 20.0) > 1000.0).cast("double").as("label") :+
         lit(1.0).as("weight"): _*)
-      val fcols = Seq("amount", "hour_of_day", "device_missing", "unusual_product")
-      val trained = graft.ml.LeafBoost.train(trainDf, None, "event_id",
-        fcols, "label", "weight",
-        graft.ml.LeafBoost.Params(numTrees = 8, numLeaves = 8, learningRate = 0.2))
-      val root = java.nio.file.Files.createTempDirectory("graft_q137_reg").toString
-      graft.serve.ModelRegistry.registerLeafBoost(s, root, "leafboost", trained)
-      val model = graft.serve.ModelRegistry.loadLeafBoost(s, root, "leafboost")
+      val fcols = graft.serve.LocalScorer.servingFeatureNames
+      val model = servingModelMemo.computeIfAbsent(s"q137:$dir", _ => {
+        val trained = graft.ml.LeafBoost.train(trainDf, None, "event_id",
+          fcols, "label", "weight",
+          graft.ml.LeafBoost.Params(numTrees = 8, numLeaves = 8, learningRate = 0.2))
+        val root = java.nio.file.Files.createTempDirectory("graft_q137_reg").toString
+        graft.serve.ModelRegistry.registerLeafBoost(s, root, "leafboost", trained)
+        graft.serve.ModelRegistry.loadLeafBoost(s, root, "leafboost")
+      })
       val sel = ev.limit(200).collect()
       val txns = sel.toSeq.map { r =>
         val etype = r.getString(3)

@@ -35,6 +35,14 @@ object MlQueries {
   private val leafBoostMemo =
     new java.util.concurrent.ConcurrentHashMap[String, graft.ml.LeafBoost.Model]()
 
+  /** q135's registry round trip, memoized with the training (review
+    * round 12): the register→reload is train-time work — one temp
+    * registry per process instead of one leaked dir per invocation —
+    * and reps measure the distributed scoring pass, as with q132/q134.
+    * The value is the RELOADED model + the bit-equality verdict. */
+  private val biLstmReloadMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (graft.ml.BiLstmModel, java.lang.Boolean)]()
+
   def queries: Map[String, Q] = Map(
     // W14/W15: sliding sequences over events. The array CONTENTS are
     // spec-checked (SequenceMultimodalSpec); the emitted scalars — which
@@ -297,23 +305,26 @@ object MlQueries {
       // training result is a deterministic function of these inputs, so
       // bench reps 2..k measure the distributed scoring pass
       val memoKey = s"q135:mu=$mu,sd=$sd,posW=$posW,p=4,r=12,le=10,bs=64,seed=42"
-      val trainedModel = biLstmMemo.computeIfAbsent(memoKey, _ =>
-        graft.ml.BiLstm.trainDistributed(scale(train),
-          "seq", "label", "w", "transaction_id", dim = 1, hidden = 8, attDim = 4,
-          parts = 4, rounds = 12, localEpochs = 10, lr = 0.05, batchSize = 64,
-          seed = 42L))
       // registry round trip (round 12, S5): the distributed-trained
       // weights persist through ModelRegistry and the TEST SPLIT IS
       // SCORED WITH THE RELOADED MODEL — parquet doubles round-trip
       // bit-exactly, so every downstream hashed value is unchanged and
-      // reload_bitexact pins the claim in the oracle row
-      val reg = java.nio.file.Files.createTempDirectory("graft_q135_reg").toString
-      graft.serve.ModelRegistry.registerBiLstm(s, reg, "bilstm", trainedModel)
-      val model = graft.serve.ModelRegistry.loadBiLstm(s, reg, "bilstm")
-      val reloadOk = model.dim == trainedModel.dim &&
-        model.hidden == trainedModel.hidden &&
-        model.attDim == trainedModel.attDim &&
-        model.params.sameElements(trainedModel.params)
+      // reload_bitexact pins the claim in the oracle row. Train +
+      // round trip memoized together (one registry per process).
+      val (model, reloadFlag) = biLstmReloadMemo.computeIfAbsent(memoKey, _ => {
+        val trained = graft.ml.BiLstm.trainDistributed(scale(train),
+          "seq", "label", "w", "transaction_id", dim = 1, hidden = 8, attDim = 4,
+          parts = 4, rounds = 12, localEpochs = 10, lr = 0.05, batchSize = 64,
+          seed = 42L)
+        val reg = java.nio.file.Files.createTempDirectory("graft_q135_reg").toString
+        graft.serve.ModelRegistry.registerBiLstm(s, reg, "bilstm", trained)
+        val loaded = graft.serve.ModelRegistry.loadBiLstm(s, reg, "bilstm")
+        val ok = loaded.dim == trained.dim && loaded.hidden == trained.hidden &&
+          loaded.attDim == trained.attDim &&
+          loaded.params.sameElements(trained.params)
+        (loaded, java.lang.Boolean.valueOf(ok))
+      })
+      val reloadOk = reloadFlag.booleanValue()
       val scored = graft.ml.BiLstm.scoreSequences(
         scale(split.filter(col("split") === "test")), "seq", model).cache()
       scored.count()

@@ -173,14 +173,19 @@ object Util {
     * Floating NaN sorts last (both engines' convention): NaN parks in
     * the top bucket and min/max ignore it.
     *
-    * EAGER by design: the rank passes need the input THREE times
-    * (range, bucket counts, in-bucket ranks) — left lazy, each pass
-    * re-scanned the base relation and re-ran any upstream joins
-    * (measured 3× at sf5, and q126 stacks two gates on a joined
-    * input). The slim (group, value) projection is persisted once,
-    * the bounded per-group aggregate executes against the cache, the
-    * cache is dropped, and the caller receives the result as a LOCAL
-    * frame — every downstream join against it broadcasts trivially. */
+    * EAGER by design: the bounded per-group aggregate executes here
+    * and the caller receives the result as a LOCAL frame. That kills
+    * the dominant cost of the lazy form — a STACKED gate (q126: MAD
+    * over deviations from a gate-computed median) re-ran the entire
+    * first gate inside each of the second gate's passes (19.2 s →
+    * 7.7 s at sf5) — and every downstream join against a gate result
+    * now broadcasts trivially. The 3-4 passes within ONE gate still
+    * re-read the slim input (range, counts, ranks — the range subtree
+    * rides each executed plan as a broadcast build); persisting the
+    * projection instead measured neutral-to-slightly-worse at sf5
+    * (cache materialization ≈ the saved columnar re-scans), so the
+    * simpler uncached form stands — revisit only if a gate input ever
+    * becomes expensive to recompute upstream of the projection. */
   private def rankGate(df: DataFrame, groupCols: Seq[String], valueCol: String)(
       build: (Column, Column, Column) => Seq[Column]): DataFrame = {
     import org.apache.spark.sql.expressions.Window

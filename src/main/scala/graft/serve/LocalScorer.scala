@@ -62,6 +62,13 @@ object LocalScorer {
     Scored(s, level, s >= 0.6, math.abs(s - 0.5) * 2, reasons)
   }
 
+  /** THE serving feature schema, in order — the model hook refuses a
+    * model trained on anything else (positional features: a reordered
+    * training column list would silently swap amount into the hour
+    * bins; review round 12). */
+  val servingFeatureNames: Seq[String] =
+    Seq("amount", "hour_of_day", "device_missing", "unusual_product")
+
   /** Transaction → the numeric serving feature vector (amount, UTC
     * hour, device-missing, unusual-product) — ONE definition shared by
     * the model hook and the Spark scoring twin so the two paths cannot
@@ -79,8 +86,9 @@ object LocalScorer {
     * four columns: both paths are binOf → probability. */
   def leafBoostHook(m: graft.ml.LeafBoost.Model): Transaction => Double = {
     require(m.catDicts.isEmpty, "serving hook is numeric-feature-only")
-    require(m.features.length == 4,
-      s"serving model must train on the 4 servingFeatures, got ${m.features}")
+    require(m.features == servingFeatureNames,
+      s"serving model must train on exactly $servingFeatureNames " +
+        s"(in order — features are positional), got ${m.features}")
     t => m.probabilityRaw(servingFeatures(t))
   }
 }

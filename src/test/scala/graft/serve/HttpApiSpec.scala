@@ -133,4 +133,40 @@ class HttpApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(get("/score")._1 == 405)
     assert(post("/health", "{}")._1 == 405)
   }
+
+  test("POST /score with a model hook serves the 0.4/0.6 blend and names the model") {
+    // deterministic stand-in model (the hook contract is any
+    // Transaction => Double; the registry-loaded LeafBoost path is
+    // oracle-gated end to end by q137)
+    val hook: Transaction => Double = t => math.min(1.0, t.transaction_amount / 20000.0)
+    val blendServer = HttpApi.start(model = Some(("LEAFBOOST", hook)))
+    try {
+      val r = client.send(
+        HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${blendServer.port}/score"))
+          .header("Content-Type", "application/json")
+          .POST(HttpRequest.BodyPublishers.ofString(highRisk)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 200)
+      val j = mapper.readTree(r.body())
+      val t = Transaction(
+        transaction_id = "TXN1", user_id = "U1", transaction_amount = 15000,
+        merchant_id = "M1", product_code = "Z",
+        transaction_timestamp = Timestamp.valueOf("2026-02-12 03:00:00"))
+      val expected = LocalScorer.score(t, Some(hook))
+      val heuristicOnly = LocalScorer.score(t)
+      // blend arithmetic: m·0.4 + h·0.6 clipped — op-for-op RiskScore.blend
+      val blend = math.min(1.0, math.max(0.0,
+        hook(t) * 0.4 + heuristicOnly.riskScore * 0.6))
+      assert(expected.riskScore == blend)
+      assert(j.get("fraud_score").asDouble == math.rint(blend * 1e4) / 1e4)
+      assert(j.get("risk_level").asText == expected.riskLevel)
+      assert(j.get("is_fraud").asBoolean == expected.isFraud)
+      assert(j.get("confidence").asDouble == math.rint(expected.confidence * 1e4) / 1e4)
+      assert(j.get("model_used").asText == "LEAFBOOST")
+      // reasons stay rule-based (heuristic rules), regardless of model
+      val reasons = (0 until j.get("reasons").size()).map(j.get("reasons").get(_).asText)
+      assert(reasons == heuristicOnly.reasons)
+    } finally blendServer.stop()
+  }
 }
