@@ -20,6 +20,37 @@ object FeatureQueries {
   private val servingModelMemo =
     new java.util.concurrent.ConcurrentHashMap[String, graft.ml.LeafBoost.Model]()
 
+  /** The serving feature projection from events — ONE definition for
+    * the q137 trainer/twin and the q139 streaming scorer (the
+    * EventScore doctrine: batch ≡ stream ≡ serving by construction). */
+  private[queries] def servingFeatureCols: Seq[org.apache.spark.sql.Column] = Seq(
+    col("event_id"),
+    (col("value") * 20.0).as("amount"),
+    hour(col("ts")).cast("double").as("hour_of_day"),
+    (col("event_type") === "error").cast("double").as("device_missing"),
+    (col("event_type") === "signup").cast("double").as("unusual_product"))
+
+  /** Train-once-per-process serving LeafBoost: deterministic training
+    * frame (first 500 positive-value events), registered into a temp
+    * ModelRegistry and RELOADED — callers always serve from the
+    * persisted artifact, like the reference's startup path. */
+  private[queries] def servingModel(s: org.apache.spark.sql.SparkSession,
+                                    dir: String): graft.ml.LeafBoost.Model =
+    servingModelMemo.computeIfAbsent(s"serving:$dir", _ => {
+      val trainDf = Tables.events(s, dir)
+        .filter(col("value") > 0)
+        .orderBy("event_id").limit(500)
+        .select(servingFeatureCols :+
+          ((col("value") * 20.0) > 1000.0).cast("double").as("label") :+
+          lit(1.0).as("weight"): _*)
+      val trained = graft.ml.LeafBoost.train(trainDf, None, "event_id",
+        graft.serve.LocalScorer.servingFeatureNames, "label", "weight",
+        graft.ml.LeafBoost.Params(numTrees = 8, numLeaves = 8, learningRate = 0.2))
+      val root = java.nio.file.Files.createTempDirectory("graft_serving_reg").toString
+      graft.serve.ModelRegistry.registerLeafBoost(s, root, "leafboost", trained)
+      graft.serve.ModelRegistry.loadLeafBoost(s, root, "leafboost")
+    })
+
   def queries: Map[String, Q] = Map(
     // F1-F4: date parts (pandas dow parity), cyclical encodings, flags
     "q30_time_features" -> ((s, dir) => {
@@ -190,24 +221,8 @@ object FeatureQueries {
         .filter(col("value") > 0)
         .select(col("event_id"), col("value"), col("ts"), col("event_type"))
         .orderBy("event_id")
-      val asFeatures = Seq(
-        col("event_id"),
-        (col("value") * 20.0).as("amount"),
-        hour(col("ts")).cast("double").as("hour_of_day"),
-        (col("event_type") === "error").cast("double").as("device_missing"),
-        (col("event_type") === "signup").cast("double").as("unusual_product"))
-      val trainDf = ev.limit(500).select(asFeatures :+
-        ((col("value") * 20.0) > 1000.0).cast("double").as("label") :+
-        lit(1.0).as("weight"): _*)
       val fcols = graft.serve.LocalScorer.servingFeatureNames
-      val model = servingModelMemo.computeIfAbsent(s"q137:$dir", _ => {
-        val trained = graft.ml.LeafBoost.train(trainDf, None, "event_id",
-          fcols, "label", "weight",
-          graft.ml.LeafBoost.Params(numTrees = 8, numLeaves = 8, learningRate = 0.2))
-        val root = java.nio.file.Files.createTempDirectory("graft_q137_reg").toString
-        graft.serve.ModelRegistry.registerLeafBoost(s, root, "leafboost", trained)
-        graft.serve.ModelRegistry.loadLeafBoost(s, root, "leafboost")
-      })
+      val model = servingModel(s, dir)
       val sel = ev.limit(200).collect()
       val txns = sel.toSeq.map { r =>
         val etype = r.getString(3)
@@ -223,7 +238,7 @@ object FeatureQueries {
       val api = graft.serve.HttpApi.scoreBatchOverHttp(txns,
         Some(("LEAFBOOST", graft.serve.LocalScorer.leafBoostHook(model))))
       // the Spark Column twin over the SAME 200 rows
-      val twinIn = ev.limit(200).select(asFeatures: _*)
+      val twinIn = ev.limit(200).select(servingFeatureCols: _*)
       val scoredTwin = graft.ml.LeafBoost.score(twinIn, fcols, model, out = "p_model")
       val heuristic = RiskScore.heuristicScore(col("amount"), col("hour_of_day"),
         col("device_missing") === 1.0, col("unusual_product") === 1.0)

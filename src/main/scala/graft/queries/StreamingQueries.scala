@@ -493,10 +493,56 @@ object StreamingQueries {
       runToSink(s, kept, "update", _.groupBy("content_hash")
         .agg(min(col("doc_id")).as("doc_id"), max(col("quality")).as("quality"))
         .orderBy("content_hash"))
+    }),
+
+    // MODEL INFERENCE IN A STREAM (round 12): the registry-loaded
+    // LeafBoost that serves /score (q137) scores a file-source stream —
+    // the reference's real-time scoring loop at firehose scale: trees
+    // broadcast in the task closure, map-side binOf→probability per
+    // arriving row, blended with the heuristic, append sink, zero
+    // state, no shuffle. The model probability has no SQL twin, so the
+    // gate is the q102/q137 convention: the stream's scores are
+    // EXACT-compared driver-side against the batch LeafBoost.score +
+    // blend over the IDENTICAL staged files (stream ≡ batch through
+    // the same mapPartitions, per arriving micro-batch — the ≥3-batch
+    // floor applies), and DuckDB pins row coverage + the TRUE flags.
+    "q139_stream_model_score" -> ((s, dir) => {
+      val model = FeatureQueries.servingModel(s, dir)
+      val fcols = graft.serve.LocalScorer.servingFeatureNames
+      def scoreFrame(df: DataFrame): DataFrame = {
+        val in = df.select(FeatureQueries.servingFeatureCols: _*)
+        val scored = graft.ml.LeafBoost.score(in, fcols, model, "p_model")
+        val heuristic = graft.serve.RiskScore.heuristicScore(col("amount"),
+          col("hour_of_day"), col("device_missing") === 1.0,
+          col("unusual_product") === 1.0)
+        val b = graft.serve.RiskScore.blend(col("p_model"), heuristic)
+        scored.select(col("event_id"), b.as("blended"),
+          graft.serve.RiskScore.riskLevel(b).as("risk_level"))
+      }
+      val stage = stageMultiFile(s, dir, "events")
+      val streamed = runToSink(s, scoreFrame(streamStaged(s, stage)),
+        "append", _.orderBy("event_id"))
+      val batch = scoreFrame(s.read.parquet(stage)).collect()
+        .map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2))).toMap
+      import s.implicits._
+      streamed.collect().toSeq.map { r =>
+        val (bb, lvl) = batch(r.getLong(0))
+        (r.getLong(0),
+          if (r.getDouble(1) == bb) 1L else 0L, // exact double equality
+          if (r.getString(2) == lvl) 1L else 0L)
+      }.toDF("event_id", "score_ok", "level_ok").orderBy("event_id")
     })
   )
 
   def oracle: Map[String, String] = Map(
+    // model probability has no SQL twin — DuckDB pins row coverage
+    // (every event exactly once) and the driver-side exact-equality
+    // flags are literal TRUE (q102/q137 convention)
+    "q139_stream_model_score" ->
+      """SELECT event_id, CAST(1 AS BIGINT) AS score_ok,
+        | CAST(1 AS BIGINT) AS level_ok
+        |FROM events ORDER BY event_id""".stripMargin,
+
     // the batch twin: tumbling 1-hour event-time windows are exactly
     // date_trunc('hour') buckets (Spark's window() is epoch-aligned)
     "q78_stream_agg" ->
