@@ -39,11 +39,16 @@ object HttpApi {
 
   private val mapper = new ObjectMapper()
 
-  /** One registered model's display row for `/models`. */
-  final case class ModelInfo(name: String, version: Long, metrics: Map[String, Double])
+  /** One registered model's display row for `/models`. `kind` names the
+    * artifact family ("pipeline" | "leafboost" | "bilstm" — the
+    * reference's model dict shows each engine's type, `api/main.py:40-94`). */
+  final case class ModelInfo(name: String, version: Long,
+                             metrics: Map[String, Double],
+                             kind: String = "pipeline")
 
   /** Inventory hook backed by ModelRegistry metadata (bounded small
-    * frame — one row per (model, version, metric)). */
+    * frame — one row per (model, version, metric)); the family comes
+    * from the artifact layout (`ModelRegistry.kindOf`). */
   def registryInventory(spark: SparkSession, root: String): () => Seq[ModelInfo] =
     () => {
       val rows = ModelRegistry.list(spark, root)
@@ -54,7 +59,7 @@ object HttpApi {
             case r if r.getString(2).nonEmpty && !r.getDouble(3).isNaN =>
               r.getString(2) -> r.getDouble(3)
           }.toMap
-          ModelInfo(n, v, ms)
+          ModelInfo(n, v, ms, ModelRegistry.kindOf(spark, root, n, v))
         }
         .groupBy(_.name).map { case (_, vs) => vs.maxBy(_.version) } // latest per name
         .toSeq.sortBy(_.name)
@@ -203,6 +208,7 @@ object HttpApi {
       val e = m.putObject(mi.name)
       e.put("loaded", true)
       e.put("version", mi.version)
+      e.put("kind", mi.kind)
       val met = e.putObject("metrics")
       mi.metrics.toSeq.sortBy(_._1).foreach { case (k, v) => met.put(k, v) }
     }
