@@ -116,6 +116,41 @@ object Curation {
         (col("n_hits") > 0).as("contaminated"))
   }
 
+  /** Fuzzy (overlap-RATIO) decontamination — the published
+    * partial-overlap criterion (GPT-3 appendix C / PaLM-style N-gram
+    * overlap): a document is contaminated when the FRACTION of its
+    * distinct shingles found in the eval inventory reaches
+    * `thresholdNum/thresholdDen`, not when any single shingle hits
+    * ([[contamination]]'s membership form — right for exact benchmark
+    * strings, blind to lightly edited ones and trigger-happy on
+    * incidental collisions). The flag compares INTEGERS
+    * (den·hits ≥ num·grams) so no float threshold can sit on a ulp;
+    * `overlap` is emitted for reporting as an exact-quotient double
+    * (identical longs divide identically in any engine).
+    *
+    * Same scale shape as [[contamination]]: broadcast eval grams, one
+    * corpus-side explode, groupBy(id) bounded by doc count. At an eval
+    * inventory too large to broadcast, the [[contaminationBloom]]
+    * prefilter composes: n_grams comes from the SAME ungated aggregate
+    * (no join needed), and only the hit count rides the sketch-gated
+    * verify join. */
+  def fuzzyContamination(docs: DataFrame, id: String, text: String,
+                         evalGrams: DataFrame, shingleLen: Int,
+                         thresholdNum: Int, thresholdDen: Int): DataFrame = {
+    require(thresholdDen > 0 && thresholdNum >= 0, "threshold must be a nonneg rational")
+    val ev = broadcast(evalGrams.select(col("g").as("__eg")).distinct())
+    docs
+      .select(col(id), TextOps.tokens(col(text)).as("__toks"))
+      .select(col(id), explode(shingleMd5s(col("__toks"), shingleLen)).as("__g"))
+      .join(ev, col("__g") === col("__eg"), "left")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_grams"), count(col("__eg")).as("n_hits"))
+      .select(col(id), col("n_grams"), col("n_hits"),
+        (col("n_hits").cast("double") / col("n_grams")).as("overlap"),
+        (col("n_hits") * thresholdDen >= col("n_grams") * thresholdNum)
+          .as("contaminated"))
+  }
+
   /** Decontamination, sketch-prefiltered: the exact same answer as
     * [[contamination]], computed with the 100 TB-shaped plan. The exact
     * form broadcasts the distinct eval-gram STRINGS — ~40 bytes/gram,

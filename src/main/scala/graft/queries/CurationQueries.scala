@@ -47,6 +47,26 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // FUZZY decontamination (round 12): overlap-RATIO criterion — eval
+    // set = every 10th doc, inventory = ALL its distinct 8-gram
+    // shingles, so eval docs score ratio 1.0, their near-duplicates
+    // score high, and incidental single-shingle collisions stay under
+    // the 50% bar that q82's membership form would have flagged. The
+    // flag is an integer comparison (2·hits ≥ grams); overlap is the
+    // exact quotient of two identical longs — hash-safe in any engine.
+    "q140_fuzzy_decontam" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      // tokens STAGED before the shingle transform (HOF-staging rule)
+      val evalGrams = docs.filter(col("doc_id") % 10 === 0)
+        .select(TextOps.tokens(col("text")).as("__toks"))
+        .select(explode(Curation.shingleMd5s(col("__toks"), 8)).as("g"))
+      Curation.fuzzyContamination(docs, "doc_id", "text", evalGrams,
+          shingleLen = 8, thresholdNum = 1, thresholdDen = 2)
+        .select(col("doc_id"), col("n_grams"), col("n_hits"),
+          qz(col("overlap"), 6).as("overlap"), col("contaminated"))
+        .orderBy("doc_id")
+    }),
+
     // PII redaction: plant one of each PII class per doc (address, URL,
     // IP, account number — all deterministic functions of doc_id), then
     // redact and prove byte parity via md5 + the removed-char count.
@@ -653,6 +673,32 @@ object CurationQueries {
         |SELECT sh.doc_id, count(ev.g) AS n_hits, count(ev.g) > 0 AS contaminated
         |FROM sh LEFT JOIN ev ON sh.g = ev.g
         |GROUP BY sh.doc_id ORDER BY doc_id""".stripMargin,
+
+    // ratio twin: ev = ALL distinct shingles of the eval docs; flag is
+    // the integer comparison 2*hits >= grams (no float threshold)
+    "q140_fuzzy_decontam" ->
+      """WITH t AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        | FROM documents),
+        |ev AS (
+        | SELECT DISTINCT unnest(list_distinct(list_transform(
+        |   generate_series(0, greatest(len(toks) - 8, 0)),
+        |   i -> md5(array_to_string(toks[i+1:i+8], ' '))))) AS g
+        | FROM t WHERE doc_id % 10 = 0),
+        |sh AS (
+        | SELECT doc_id, unnest(list_distinct(list_transform(
+        |   generate_series(0, greatest(len(toks) - 8, 0)),
+        |   i -> md5(array_to_string(toks[i+1:i+8], ' '))))) AS g
+        | FROM t),
+        |agg AS (
+        | SELECT sh.doc_id, count(*) AS n_grams, count(ev.g) AS n_hits
+        | FROM sh LEFT JOIN ev ON sh.g = ev.g
+        | GROUP BY sh.doc_id)
+        |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+        | CAST(n_hits AS BIGINT) AS n_hits,
+        | round((CAST(n_hits AS DOUBLE) / n_grams) * 1000000.0) / 1000000.0 + 0.0 AS overlap,
+        | n_hits * 2 >= n_grams AS contaminated
+        |FROM agg ORDER BY doc_id""".stripMargin,
 
     "q83_pii_redact" ->
       """WITH m AS (
