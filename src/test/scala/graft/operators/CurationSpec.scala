@@ -82,6 +82,44 @@ class CurationSpec extends SparkSpec {
       !r.getAs[Boolean]("contaminated")))
   }
 
+  test("fuzzyContamination: ratio threshold, boundary inclusive, integer comparison") {
+    // doc 1: 4 distinct trigram shingles, 2 in eval → ratio 0.5 (AT the
+    // 1/2 threshold — must flag, the comparison is ≥); doc 2: 1 of 4 →
+    // 0.25, below; doc 3: whole-doc shingle in eval → 1.0
+    val d = docs(
+      1L -> "a b c d e f",        // shingles: abc bcd cde def
+      2L -> "a b c x y z",        // shingles: abc bcx cxy xyz
+      3L -> "q r")                // short doc: one whole-doc shingle
+    val ev = Seq("a b c", "b c d", "q r")
+      .toDF("s").select(md5($"s").as("g"))
+    val out = Curation.fuzzyContamination(d, "doc_id", "text", ev,
+        shingleLen = 3, thresholdNum = 1, thresholdDen = 2)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getAs[Long]("n_grams"),
+      r.getAs[Long]("n_hits"))).toSeq ==
+      Seq((1L, 4L, 2L), (2L, 4L, 1L), (3L, 1L, 1L)))
+    assert(out.map(_.getAs[Boolean]("contaminated")).toSeq ==
+      Seq(true, false, true))
+    assert(out.map(_.getAs[Double]("overlap")).toSeq == Seq(0.5, 0.25, 1.0))
+    // a stricter threshold (3/4) drops the boundary doc
+    val strict = Curation.fuzzyContamination(d, "doc_id", "text", ev,
+        shingleLen = 3, thresholdNum = 3, thresholdDen = 4)
+      .orderBy("doc_id").collect()
+    assert(strict.map(_.getAs[Boolean]("contaminated")).toSeq ==
+      Seq(false, false, true))
+  }
+
+  test("fuzzyContamination: empty eval inventory flags nothing, rows kept") {
+    val d = docs(1L -> "a b c d", 2L -> "e f g h")
+    val ev = Seq.empty[String].toDF("s").select(md5($"s").as("g"))
+    val out = Curation.fuzzyContamination(d, "doc_id", "text", ev,
+        shingleLen = 3, thresholdNum = 1, thresholdDen = 2)
+      .orderBy("doc_id").collect()
+    assert(out.length == 2)
+    assert(out.forall(r => r.getAs[Long]("n_hits") == 0L &&
+      !r.getAs[Boolean]("contaminated")))
+  }
+
   test("redactPii is idempotent: redacting redacted text changes nothing") {
     val messy = "a bob@x.io b https://y.z/1234567890 c 8.8.8.8 d 123456789012 e"
     val once = Seq(messy).toDF("t")
