@@ -316,6 +316,7 @@ object LeafBoost {
 
   private def histogramPass(binned: DataFrame, binsIdx: Int, labelIdx: Int,
                             weightIdx: Int, bagIdx: Int, marginIdx: Int,
+                            pending: IndexedSeq[Tree],
                             partial: IndexedSeq[Node], targetLeaf: Int, round: Int,
                             d: Int, b: Int, p: Params): (Array[Long], Array[Long], Array[Long]) = {
     val q = p.quantum
@@ -326,12 +327,17 @@ object LeafBoost {
       val partialTree = Tree(partial)
       it.foreach { r =>
         val bins = r.getAs[scala.collection.Seq[Int]](binsIdx).toArray
-        val use = inBag(r.getLong(bagIdx), round, p) &&
+        val use = (bagIdx < 0 || inBag(r.getLong(bagIdx), round, p)) &&
           (targetLeaf < 0 || partialTree.leafOf(bins) == targetLeaf)
         if (use) {
           val y = r.getDouble(labelIdx)
           val w = r.getDouble(weightIdx)
-          val pr = sigmoid(r.getDouble(marginIdx))
+          // margin = folded column + the ≤FoldEvery pending trees, added
+          // in completion order (same association as the local branch)
+          var margin = r.getDouble(marginIdx)
+          var t = 0
+          while (t < pending.length) { margin += pending(t).predict(bins); t += 1 }
+          val pr = sigmoid(margin)
           val grad = math.rint(w * (pr - y) / q).toLong
           val hess = math.rint(math.max(w * pr * (1 - pr), 1e-16) / q).toLong
           var j = 0
@@ -454,16 +460,20 @@ object LeafBoost {
     * drives round-exact early stopping when nonEmpty and
     * earlyStoppingRounds > 0.
     *
-    * Margin management (round-11 verdict #3): a `margin` column is
-    * appended once (0.0), read by every histogram pass, and updated by
-    * ONE map pass per completed tree — O(T·n) total instead of the old
-    * O(T²·n) recompute-from-trees. Persistence is the Bpe loop
-    * pattern: AQE off for the loop (cached adaptive plans print 2^N
-    * explains), ping-pong persist with the predecessor unpersisted
-    * only after the successor materializes, localCheckpoint every 16
-    * trees to truncate lineage. The incremental margin adds tree
-    * predictions in the SAME left-to-right order as the old per-pass
-    * loop, so training is bit-identical to the previous implementation
+    * Margin management (round-11 verdict #3, hybrid form): per-row
+    * margins split into a FOLDED `margin` column plus a PENDING list
+    * of the ≤FoldEvery most recent trees walked inside each pass.
+    * Every FoldEvery completed trees the pending list folds into the
+    * column with one map pass + localCheckpoint (Bpe pattern; AQE off
+    * for the loop — cached adaptive plans print 2^N explains). This
+    * keeps the total O(T·n) — per-pass tree walks are bounded by
+    * FoldEvery instead of growing with the round index — while paying
+    * the full-cache rewrite only T/FoldEvery times, not T times (an
+    * every-tree rewrite measured SLOWER than the old recompute at
+    * small T: 8.7 vs 5.6 s/tree on the 30M-row probe, because eight
+    * 30M-row cache rewrites dwarf eight shallow tree walks). Margins
+    * accumulate in completion order in both the fold and the in-pass
+    * walk, so training is bit-identical to the naive incremental form
     * and to the driver-local branch. */
   def trainBinned(binned: DataFrame, valBinned: Option[DataFrame],
                   d: Int, p: Params,
@@ -475,9 +485,16 @@ object LeafBoost {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    def withMargin(df: DataFrame) =
-      df.select(col("bins"), col("label"), col("weight"), col("bagkey"),
-        lit(0.0).as("margin"))
+    // bagkey rides the cache ONLY when bagging can read it — at 30M+
+    // rows the cached frame sits near the executor-memory cliff and
+    // every spare column is spill pressure
+    def withMargin(df: DataFrame) = {
+      val keep =
+        if (p.baggingActive)
+          Seq(col("bins"), col("label"), col("weight"), col("bagkey"))
+        else Seq(col("bins"), col("label"), col("weight"))
+      df.select(keep :+ lit(0.0).as("margin"): _*)
+    }
     var cur = withMargin(binned).persist(MEMORY_AND_DISK)
     cur.count()
     var prev: Option[DataFrame] = None
@@ -491,49 +508,48 @@ object LeafBoost {
     val binsIdx = schema.fieldIndex("bins")
     val labelIdx = schema.fieldIndex("label")
     val weightIdx = schema.fieldIndex("weight")
-    val bagIdx = schema.fieldIndex("bagkey")
+    val bagIdx = if (p.baggingActive) schema.fieldIndex("bagkey") else -1
     val marginIdx = schema.fieldIndex("margin")
     val enc = org.apache.spark.sql.Encoders.row(schema)
-    def addTreeMargin(df: DataFrame, t: Tree): DataFrame =
+    // fold `trees` into the margin column, adding in completion order
+    def foldMargins(df: DataFrame, trees: IndexedSeq[Tree]): DataFrame =
       df.mapPartitions { it =>
         it.map { r =>
           val bins = r.getAs[scala.collection.Seq[Int]](binsIdx).toArray
+          var m = r.getDouble(marginIdx)
+          var t = 0
+          while (t < trees.length) { m += trees(t).predict(bins); t += 1 }
           val s = r.toSeq.toArray
-          s(marginIdx) = r.getDouble(marginIdx) + t.predict(bins)
+          s(marginIdx) = m
           Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(s))
         }
       }(enc)
-    var sinceCk = 0
+    var pending = IndexedSeq.empty[Tree]
+    val FoldEvery = 16
     try growTrees(
       histFn = (partial, targetLeaf, round) => {
         val (g, h, c) = histogramPass(cur, binsIdx, labelIdx, weightIdx,
-          bagIdx, marginIdx, partial, targetLeaf, round, d, b, p)
+          bagIdx, marginIdx, pending, partial, targetLeaf, round, d, b, p)
         Hist(g, h, c)
       },
-      lossFn = () => curVal.map(vb => valLossFromMargin(vb, labelIdx,
-        weightIdx, marginIdx, p.quantum)),
+      lossFn = () => curVal.map(vb => valLossFromMargin(vb, binsIdx, labelIdx,
+        weightIdx, marginIdx, pending, p.quantum)),
       onTreeDone = t => {
-        // cur was materialized by this tree's histogram passes — its
-        // predecessor can go now (Bpe ordering)
-        prev.foreach(_.unpersist()); prev = Some(cur)
-        val next = addTreeMargin(cur, t)
-        sinceCk += 1
-        cur =
-          if (sinceCk >= 16) { sinceCk = 0; next.localCheckpoint(true) }
-          else next.persist(MEMORY_AND_DISK)
-        if (useVal) {
-          prevVal.foreach(_.unpersist()); prevVal = curVal
-          // materialized immediately by the round's lossFn call; lineage
-          // truncates on the SAME cadence as the train side (review
-          // round 12: without it the val plan nested one mapPartitions
-          // per boosting round without bound — O(T²) cumulative analysis
-          // and an eventual deep-TreeNode overflow at LightGBM's
-          // 500-round regime)
-          curVal = curVal.map { vb =>
-            val next = addTreeMargin(vb, t)
-            if (sinceCk == 0) next.localCheckpoint(true)
-            else next.persist(MEMORY_AND_DISK)
+        pending = pending :+ t
+        if (pending.length >= FoldEvery) {
+          // cur was materialized by this round's histogram passes — its
+          // predecessor can go now (Bpe ordering); localCheckpoint both
+          // truncates lineage AND materializes the fold eagerly
+          prev.foreach(_.unpersist()); prev = Some(cur)
+          cur = foldMargins(cur, pending).localCheckpoint(true)
+          if (useVal) {
+            // same cadence for the val chain (review round 12: an
+            // unbounded val plan nested one mapPartitions per round —
+            // O(T²) cumulative analysis, eventual deep-TreeNode overflow)
+            prevVal.foreach(_.unpersist()); prevVal = curVal
+            curVal = curVal.map(vb => foldMargins(vb, pending).localCheckpoint(true))
           }
+          pending = IndexedSeq.empty
         }
       },
       d, b, p, edges, features, catSet, catDicts)
@@ -706,11 +722,12 @@ object LeafBoost {
       bestRound = keep, valLoss = losses.toIndexedSeq, catDicts = catDicts)
   }
 
-  /** Weighted logloss from the maintained margin column, summed as
-    * longs in quantum units (order-independent — the early-stop
-    * comparison must not depend on partition layout). */
-  private def valLossFromMargin(binned: DataFrame, labelIdx: Int,
+  /** Weighted logloss from the folded margin column + the pending
+    * trees, summed as longs in quantum units (order-independent — the
+    * early-stop comparison must not depend on partition layout). */
+  private def valLossFromMargin(binned: DataFrame, binsIdx: Int, labelIdx: Int,
                                 weightIdx: Int, marginIdx: Int,
+                                pending: IndexedSeq[Tree],
                                 quantum: Double): Double = {
     import binned.sparkSession.implicits._
     val q = quantum
@@ -718,7 +735,13 @@ object LeafBoost {
       var acc = 0L
       it.foreach { r =>
         val y = r.getDouble(labelIdx); val w = r.getDouble(weightIdx)
-        val pr = math.min(1 - 1e-12, math.max(1e-12, sigmoid(r.getDouble(marginIdx))))
+        var margin = r.getDouble(marginIdx)
+        if (pending.nonEmpty) {
+          val bins = r.getAs[scala.collection.Seq[Int]](binsIdx).toArray
+          var t = 0
+          while (t < pending.length) { margin += pending(t).predict(bins); t += 1 }
+        }
+        val pr = math.min(1 - 1e-12, math.max(1e-12, sigmoid(margin)))
         val l = -w * (y * math.log(pr) + (1 - y) * math.log(1 - pr))
         acc += math.rint(l / q).toLong
       }
