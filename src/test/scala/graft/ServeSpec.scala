@@ -1,0 +1,108 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import org.apache.spark.sql.functions._
+
+import graft.serve.{LocalScorer, ModelRegistry, Transaction}
+
+/** The serving entry point end to end: registry → Serve.build → real
+  * HTTP. With a registered `serving` LeafBoost the API blends; with a
+  * mismatched-schema model it falls back to heuristic-only (stderr
+  * note, no crash). */
+class ServeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val mapper = new ObjectMapper()
+  private lazy val client = HttpClient.newHttpClient()
+
+  private def post(port: Int, path: String, body: String) = {
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), mapper.readTree(r.body()))
+  }
+  private def get(port: Int, path: String) = {
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), mapper.readTree(r.body()))
+  }
+
+  private val txn =
+    """{"transaction_id":"T1","user_id":"U","transaction_amount":1500,
+       |"merchant_id":"M","product_code":"Z",
+       |"transaction_timestamp":"2026-02-12T03:00:00"}""".stripMargin
+
+  private def trainServing(n: Int): graft.ml.LeafBoost.Model = {
+    val df = spark.range(n).select(
+      col("id"),
+      (col("id") % 997 * 7.0 + 10.0).as("amount"),
+      (col("id") % 24).cast("double").as("hour_of_day"),
+      (col("id") % 3 === 0).cast("double").as("device_missing"),
+      (col("id") % 5 === 0).cast("double").as("unusual_product"),
+      ((col("id") % 997 * 7.0 + 10.0) > 3000.0).cast("double").as("label"),
+      lit(1.0).as("weight"))
+    graft.ml.LeafBoost.train(df, None, "id",
+      LocalScorer.servingFeatureNames, "label", "weight",
+      graft.ml.LeafBoost.Params(numTrees = 4, numLeaves = 6))
+  }
+
+  test("Serve.build with a registered serving model blends; health lists models") {
+    val root = Files.createTempDirectory("graft_serve_reg").toString
+    val m = trainServing(2000)
+    ModelRegistry.registerLeafBoost(spark, root, "serving", m, Map("auc" -> 0.9))
+    val server = Serve.build(spark, root, port = 0)
+    try {
+      val (hc, hj) = get(server.port, "/health")
+      assert(hc == 200 && hj.get("status").asText == "healthy")
+      assert((0 until hj.get("models_loaded").size())
+        .map(hj.get("models_loaded").get(_).asText).contains("serving"))
+      val (sc, sj) = post(server.port, "/score", txn)
+      assert(sc == 200)
+      assert(sj.get("model_used").asText == "LEAFBOOST")
+      // exact blend: LocalScorer with the same hook
+      val t = Transaction(transaction_id = "T1", user_id = "U",
+        transaction_amount = 1500, merchant_id = "M", product_code = "Z",
+        transaction_timestamp = java.sql.Timestamp.valueOf("2026-02-12 03:00:00"))
+      val expected = LocalScorer.score(t, Some(LocalScorer.leafBoostHook(m)))
+      assert(sj.get("fraud_score").asDouble ==
+        math.rint(expected.riskScore * 1e4) / 1e4)
+      assert(sj.get("risk_level").asText == expected.riskLevel)
+      // /models reports the artifact family
+      val (_, mj) = get(server.port, "/models")
+      assert(mj.get("models").get("serving").get("kind").asText == "leafboost")
+    } finally server.stop()
+  }
+
+  test("Serve.build without a serving model (or mismatched schema) is heuristic-only") {
+    val root = Files.createTempDirectory("graft_serve_reg2").toString
+    // empty registry → heuristic
+    val bare = Serve.build(spark, root, port = 0)
+    try {
+      val (_, j) = post(bare.port, "/score", txn)
+      assert(j.get("model_used").asText == "Heuristic")
+    } finally bare.stop()
+    // model registered under the serving name but trained on the WRONG
+    // feature schema → refused (fallback), never silently mis-scored
+    val wrong = graft.ml.LeafBoost.train(
+      spark.range(500).select(col("id"),
+        (col("id") % 7).cast("double").as("x1"),
+        (col("id") % 3).cast("double").as("x2"),
+        (col("id") % 2).cast("double").as("label"), lit(1.0).as("weight")),
+      None, "id", Seq("x1", "x2"), "label", "weight",
+      graft.ml.LeafBoost.Params(numTrees = 2, numLeaves = 4))
+    ModelRegistry.registerLeafBoost(spark, root, "serving", wrong)
+    val fallback = Serve.build(spark, root, port = 0)
+    try {
+      val (_, j2) = post(fallback.port, "/score", txn)
+      assert(j2.get("model_used").asText == "Heuristic")
+    } finally fallback.stop()
+  }
+}
