@@ -34,9 +34,12 @@ object Serve {
         if (m.features == LocalScorer.servingFeatureNames && m.catDicts.isEmpty)
           Some(("LEAFBOOST", LocalScorer.leafBoostHook(m)))
         else {
+          val reason =
+            if (m.features != LocalScorer.servingFeatureNames)
+              s"features ${m.features} do not match ${LocalScorer.servingFeatureNames}"
+            else "model has categorical features; the serving hook is numeric-only"
           System.err.println(
-            s"[serve] registered 'serving' model features ${m.features} do not " +
-              s"match ${LocalScorer.servingFeatureNames} — serving heuristic-only")
+            s"[serve] registered 'serving' model rejected ($reason) — serving heuristic-only")
           None
         }
       } else None

@@ -112,10 +112,11 @@ object TrainPipeline {
     def lbParams(growth: String, maxDepth: Int) = graft.ml.LeafBoost.Params(
       numTrees = 15, numLeaves = 16, learningRate = 0.2,
       earlyStoppingRounds = 5, growth = growth, maxDepth = maxDepth)
-    val lgbModel = graft.ml.LeafBoost.train(lbTrain, lbVal, "transaction_id",
-      featureCols, "is_fraud", "class_weight", lbParams("leafwise", -1))
-    val xgbModel = graft.ml.LeafBoost.train(lbTrain, lbVal, "transaction_id",
-      featureCols, "is_fraud", "class_weight", lbParams("depthwise", 5))
+    // ONE shared prep (edges/binning/probe) for both LeafBoost engines —
+    // they differ only in growth policy (trainMany, review round 12)
+    val Seq(lgbModel, xgbModel) = graft.ml.LeafBoost.trainMany(
+      lbTrain, lbVal, "transaction_id", featureCols, "is_fraud", "class_weight",
+      Seq(lbParams("leafwise", -1), lbParams("depthwise", 5)))
 
     // uniform engine surface: name -> (frame => (transaction_id, p_<name>))
     def gbtPreds(name: String)(df: DataFrame): DataFrame =

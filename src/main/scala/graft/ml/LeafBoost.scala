@@ -497,13 +497,11 @@ object LeafBoost {
     }
     var cur = withMargin(binned).persist(MEMORY_AND_DISK)
     cur.count()
-    var prev: Option[DataFrame] = None
     // val margins only exist when early stopping will read them
     val useVal = valBinned.isDefined && p.earlyStoppingRounds > 0
     var curVal = if (useVal) valBinned.map(withMargin(_).persist(MEMORY_AND_DISK))
                  else None
     curVal.foreach(_.count())
-    var prevVal: Option[DataFrame] = None
     val schema = cur.schema
     val binsIdx = schema.fieldIndex("bins")
     val labelIdx = schema.fieldIndex("label")
@@ -537,25 +535,28 @@ object LeafBoost {
       onTreeDone = t => {
         pending = pending :+ t
         if (pending.length >= FoldEvery) {
-          // cur was materialized by this round's histogram passes — its
-          // predecessor can go now (Bpe ordering); localCheckpoint both
-          // truncates lineage AND materializes the fold eagerly
-          prev.foreach(_.unpersist()); prev = Some(cur)
+          // localCheckpoint(true) is EAGER — the fold is fully
+          // materialized when it returns, so the predecessor cache dies
+          // immediately (review round 12: keeping it alive to the next
+          // fold held TWO full copies of the frame for 16 rounds)
+          val old = cur
           cur = foldMargins(cur, pending).localCheckpoint(true)
+          old.unpersist()
           if (useVal) {
             // same cadence for the val chain (review round 12: an
             // unbounded val plan nested one mapPartitions per round —
             // O(T²) cumulative analysis, eventual deep-TreeNode overflow)
-            prevVal.foreach(_.unpersist()); prevVal = curVal
+            val oldVal = curVal
             curVal = curVal.map(vb => foldMargins(vb, pending).localCheckpoint(true))
+            oldVal.foreach(_.unpersist())
           }
           pending = IndexedSeq.empty
         }
       },
       d, b, p, edges, features, catSet, catDicts)
     finally {
-      prev.foreach(_.unpersist()); cur.unpersist()
-      prevVal.foreach(_.unpersist()); curVal.foreach(_.unpersist())
+      cur.unpersist()
+      curVal.foreach(_.unpersist())
       spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
     }
   }
@@ -753,12 +754,31 @@ object LeafBoost {
     * columns + label + weight. */
   def train(df: DataFrame, valDf: Option[DataFrame], idCol: String,
             featureCols: Seq[String], labelCol: String, weightCol: String,
-            p: Params = Params(), catCols: Seq[String] = Seq.empty): Model = {
+            p: Params = Params(), catCols: Seq[String] = Seq.empty): Model =
+    trainMany(df, valDf, idCol, featureCols, labelCol, weightCol,
+      Seq(p), catCols).head
+
+  /** Train SEVERAL hyperparameter variants over ONE shared prep
+    * (round-12 review: TrainPipeline's engine ensemble re-ran the
+    * quantile-edge pass, binning, and the localThreshold probe collect
+    * once per engine on identical frames). Edges, dictionaries, the
+    * binned frame, and the routing probe are computed once; each
+    * Params then grows its own trees. All variants must agree on
+    * `bins`/`maxSampleRows`/`localThreshold` — the prep-shape knobs. */
+  def trainMany(df: DataFrame, valDf: Option[DataFrame], idCol: String,
+                featureCols: Seq[String], labelCol: String, weightCol: String,
+                ps: Seq[Params], catCols: Seq[String] = Seq.empty): Seq[Model] = {
+    require(ps.nonEmpty, "at least one Params")
+    val p0 = ps.head
+    require(ps.forall(q => q.bins == p0.bins &&
+        q.maxSampleRows == p0.maxSampleRows &&
+        q.localThreshold == p0.localThreshold),
+      "shared prep requires identical bins/maxSampleRows/localThreshold across variants")
     // combined feature order: numeric first, then categorical (string)
     val allFeatures = featureCols ++ catCols
-    val catDicts = computeCatDicts(df, featureCols.length, catCols, p)
+    val catDicts = computeCatDicts(df, featureCols.length, catCols, p0)
     val catSet = catDicts.keySet
-    val edges = computeEdges(df, idCol, featureCols, p) ++
+    val edges = computeEdges(df, idCol, featureCols, p0) ++
       Array.fill(catCols.length)(Array.empty[Double])
     // bagkey: deterministic per-row key for layout-independent bagging
     // (xxhash64 of the id column — the Samples/Sampling hash family)
@@ -790,22 +810,23 @@ object LeafBoost {
     def slimOf(x: DataFrame) =
       x.select(col("bins"), col("label"), col("weight"), col("bagkey"))
     val slim = slimOf(trainB)
-    val trainProbe = slim.limit(p.localThreshold + 1).collect()
+    val trainProbe = slim.limit(p0.localThreshold + 1).collect()
     val valB = valDf.map(prep)
     val valProbe =
-      if (trainProbe.length > p.localThreshold) None
-      else valB.map(slimOf(_).limit(p.localThreshold + 1).collect())
-    if (trainProbe.length <= p.localThreshold &&
-        valProbe.forall(_.length <= p.localThreshold)) {
-      trainLocal(toTuples(trainProbe, slim.schema),
-        valProbe.map(toTuples(_, slim.schema)),
-        allFeatures.length, p, edges, allFeatures, catSet, catDicts)
+      if (trainProbe.length > p0.localThreshold) None
+      else valB.map(slimOf(_).limit(p0.localThreshold + 1).collect())
+    if (trainProbe.length <= p0.localThreshold &&
+        valProbe.forall(_.length <= p0.localThreshold)) {
+      val tuples = toTuples(trainProbe, slim.schema)
+      val valTuples = valProbe.map(toTuples(_, slim.schema))
+      ps.map(p => trainLocal(tuples, valTuples,
+        allFeatures.length, p, edges, allFeatures, catSet, catDicts))
     } else {
       // trainBinned persists/manages its own margin frames — built
       // from the SLIM projection only (round-11 advice: the full-width
       // frame stays out of executor storage)
-      trainBinned(slim, valB.map(slimOf), allFeatures.length, p, edges,
-        allFeatures, catSet, catDicts)
+      ps.map(p => trainBinned(slim, valB.map(slimOf), allFeatures.length,
+        p, edges, allFeatures, catSet, catDicts))
     }
   }
 

@@ -522,15 +522,18 @@ object StreamingQueries {
       val stage = stageMultiFile(s, dir, "events")
       val streamed = runToSink(s, scoreFrame(streamStaged(s, stage)),
         "append", _.orderBy("event_id"))
-      val batch = scoreFrame(s.read.parquet(stage)).collect()
-        .map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2))).toMap
-      import s.implicits._
-      streamed.collect().toSeq.map { r =>
-        val (bb, lvl) = batch(r.getLong(0))
-        (r.getLong(0),
-          if (r.getDouble(1) == bb) 1L else 0L, // exact double equality
-          if (r.getString(2) == lvl) 1L else 0L)
-      }.toDF("event_id", "score_ok", "level_ok").orderBy("event_id")
+      // flags via a DISTRIBUTED join against the batch twin (review
+      // round 12: a collect-to-Map batch side doubled driver residency
+      // next to the sink's own local frame — the sink is the only
+      // driver copy now; exact double equality through ===)
+      val batch = scoreFrame(s.read.parquet(stage))
+        .select(col("event_id"), col("blended").as("b_batch"),
+          col("risk_level").as("lvl_batch"))
+      streamed.join(batch, "event_id")
+        .select(col("event_id"),
+          (col("blended") === col("b_batch")).cast("long").as("score_ok"),
+          (col("risk_level") === col("lvl_batch")).cast("long").as("level_ok"))
+        .orderBy("event_id")
     })
   )
 

@@ -59,9 +59,14 @@ object HttpApi {
             case r if r.getString(2).nonEmpty && !r.getDouble(3).isNaN =>
               r.getString(2) -> r.getDouble(3)
           }.toMap
-          ModelInfo(n, v, ms, ModelRegistry.kindOf(spark, root, n, v))
+          ModelInfo(n, v, ms)
         }
         .groupBy(_.name).map { case (_, vs) => vs.maxBy(_.version) } // latest per name
+        // kindOf is a filesystem probe — resolve it only for the
+        // versions actually displayed, never per stale version (review
+        // round 12: on an object store each probe is a metadata RTT and
+        // inventory() runs per /health //models //stats request)
+        .map(mi => mi.copy(kind = ModelRegistry.kindOf(spark, root, mi.name, mi.version)))
         .toSeq.sortBy(_.name)
     }
 
