@@ -127,6 +127,27 @@ class LeafBoostSpec extends SparkSpec {
       s"featureFraction→0 must leave exactly one allowed feature per tree, got $usedPerTree")
   }
 
+  test("trainMany over one shared prep == separate train calls, bit-for-bit") {
+    val rnd = new scala.util.Random(29)
+    val rows = (0 until 900).map { i =>
+      val x1 = rnd.nextGaussian(); val x2 = rnd.nextGaussian()
+      ((i.toLong, x1, x2, if (x1 - 0.3 * x2 > 0) 1.0 else 0.0))
+    }
+    val df = mkDf(rows)
+    val p1 = LeafBoost.Params(numTrees = 4, numLeaves = 6)
+    val p2 = p1.copy(growth = "depthwise", maxDepth = 3)
+    val sep1 = LeafBoost.train(df, None, "id", Seq("x1", "x2"), "label", "weight", p1)
+    val sep2 = LeafBoost.train(df, None, "id", Seq("x1", "x2"), "label", "weight", p2)
+    val Seq(m1, m2) = LeafBoost.trainMany(df, None, "id", Seq("x1", "x2"),
+      "label", "weight", Seq(p1, p2))
+    assert(m1.trees == sep1.trees && m2.trees == sep2.trees)
+    // prep-shape knobs must agree across variants
+    intercept[IllegalArgumentException] {
+      LeafBoost.trainMany(df, None, "id", Seq("x1", "x2"), "label", "weight",
+        Seq(p1, p1.copy(bins = 16)))
+    }
+  }
+
   test("bag membership draw is uniform-ish and respects the fraction") {
     val n = 20000
     val hits = (0 until n).count(i => LeafBoost.inBag(
