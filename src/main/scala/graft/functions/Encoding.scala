@@ -8,9 +8,9 @@ import org.apache.spark.sql.functions._
   * Label encoding keeps pandas `.cat.codes` parity: codes are the
   * 0-based rank of the sorted distinct values, null → −1
   * (`src/data/preprocessor.py:124-127`). The dictionary ranks via
-  * `GlobalRank.zipIndexed` (round-12: no unpartitioned window; the
-  * dictionary is |categories| rows by contract — it broadcast-joins
-  * back).
+  * `GlobalRank.zipIndexed` (no unpartitioned window, no RDD hop; the
+  * dictionary is |categories| rows by contract — it becomes a local
+  * relation that broadcast-joins back).
   */
 object Encoding {
 

@@ -524,6 +524,20 @@ object LeafBoost {
       }(enc)
     var pending = IndexedSeq.empty[Tree]
     val FoldEvery = 16
+    // Dataset.unpersist only frees CacheManager entries; from the
+    // second fold on the predecessor is a localCheckpoint result whose
+    // blocks live on a persisted RDD the CacheManager never saw
+    // (round-12 advice: each fold's full-frame blocks lingered until
+    // ContextCleaner GC — several frame copies at the 30M-row regime).
+    // Track the checkpoint RDD ids by diffing getPersistentRDDs around
+    // the eager checkpoint (single-threaded driver loop, so the diff
+    // is exactly the one new RDD) and free them explicitly.
+    val sc = spark.sparkContext
+    def persistedIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    def dropRdds(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    var curCkptIds = Set.empty[Int]
+    var valCkptIds = Set.empty[Int]
     try growTrees(
       histFn = (partial, targetLeaf, round) => {
         val (g, h, c) = histogramPass(cur, binsIdx, labelIdx, weightIdx,
@@ -536,19 +550,29 @@ object LeafBoost {
         pending = pending :+ t
         if (pending.length >= FoldEvery) {
           // localCheckpoint(true) is EAGER — the fold is fully
-          // materialized when it returns, so the predecessor cache dies
+          // materialized when it returns, so the predecessor is freed
           // immediately (review round 12: keeping it alive to the next
-          // fold held TWO full copies of the frame for 16 rounds)
+          // fold held TWO full copies of the frame for 16 rounds):
+          // Dataset.unpersist for the first (CacheManager) frame, the
+          // tracked RDD ids for every checkpointed successor
+          val before = persistedIds
           val old = cur
           cur = foldMargins(cur, pending).localCheckpoint(true)
+          val newIds = persistedIds -- before
           old.unpersist()
+          dropRdds(curCkptIds)
+          curCkptIds = newIds
           if (useVal) {
             // same cadence for the val chain (review round 12: an
             // unbounded val plan nested one mapPartitions per round —
             // O(T²) cumulative analysis, eventual deep-TreeNode overflow)
+            val beforeV = persistedIds
             val oldVal = curVal
             curVal = curVal.map(vb => foldMargins(vb, pending).localCheckpoint(true))
+            val newIdsV = persistedIds -- beforeV
             oldVal.foreach(_.unpersist())
+            dropRdds(valCkptIds)
+            valCkptIds = newIdsV
           }
           pending = IndexedSeq.empty
         }
@@ -557,6 +581,7 @@ object LeafBoost {
     finally {
       cur.unpersist()
       curVal.foreach(_.unpersist())
+      dropRdds(curCkptIds ++ valCkptIds)
       spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
     }
   }
@@ -824,9 +849,20 @@ object LeafBoost {
     } else {
       // trainBinned persists/manages its own margin frames — built
       // from the SLIM projection only (round-11 advice: the full-width
-      // frame stays out of executor storage)
-      ps.map(p => trainBinned(slim, valB.map(slimOf), allFeatures.length,
+      // frame stays out of executor storage). Persist the slim binned
+      // scans ONCE across variants (round-12 advice: edges/dicts/probe
+      // were shared but each Params re-executed the cast + bagkey +
+      // binFrame mapPartitions when materializing its margin frame —
+      // the per-engine re-binning this API exists to eliminate).
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val sharedTrain = slim.persist(MEMORY_AND_DISK)
+      val sharedVal = valB.map(v => slimOf(v).persist(MEMORY_AND_DISK))
+      try ps.map(p => trainBinned(sharedTrain, sharedVal, allFeatures.length,
         p, edges, allFeatures, catSet, catDicts))
+      finally {
+        sharedTrain.unpersist()
+        sharedVal.foreach(_.unpersist())
+      }
     }
   }
 

@@ -95,10 +95,10 @@ object CorpusStats {
     * Scale: token counting is the vocabulary-bounded census shuffle;
     * ranking runs over the TOP-K ONLY (≤ K rows after a
     * TakeOrderedAndProject — bounded by the constant K, never by
-    * vocabulary): an explicit 1-partition in-order zipWithIndex, not an
-    * unpartitioned window (round-12 — same plan-hygiene sweep as the
-    * percentile gates), and the regression is one aggregate over K
-    * rows. */
+    * vocabulary): a driver-fold local-relation rank
+    * (`GlobalRank.zipIndexed`), not an unpartitioned window (same
+    * plan-hygiene family as the percentile gates), and the regression
+    * is one aggregate over K rows. */
   def zipfFit(docs: DataFrame, text: String, topK: Int = 1000): DataFrame = {
     val counts = docs
       .select(explode(TextOps.tokens(col(text))).as("__t"))

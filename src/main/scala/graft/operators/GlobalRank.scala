@@ -4,28 +4,36 @@ import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Global 0-based rank for a BOUNDED frame without an unpartitioned
-  * window (round-12 plan-hygiene sweep: `Window.orderBy` with no
-  * partition is the single-reducer shape Spark warns about, and three
-  * call sites had hand-rolled the same replacement). The frame is
-  * coalesced to ONE partition and sorted within it, then zipWithIndex
-  * assigns ranks in order — explicit about the boundedness contract
-  * (label dictionaries are |categories| rows, Zipf heads are top-K;
-  * both broadcast downstream), and with a single partition zipWithIndex
-  * needs no extra count job. For UNBOUNDED inputs use the bucketed
-  * rank construction (`queries/Util.rankGate`) instead.
+  * window (the `Window.orderBy` with no partition is the
+  * single-reducer shape Spark warns about). Round 13: the rank is a
+  * driver-side fold over a sorted `collect()` — the input is ≤K rows
+  * by contract (label dictionaries are |categories| rows, Zipf heads
+  * are top-K; both broadcast downstream), so collecting is the same
+  * boundedness bet the percentile gates make (`Util.rankGate`'s ≤B-row
+  * driver fold). The previous shape (coalesce(1) + rdd.zipWithIndex)
+  * gave identical values but severed the Catalyst plan at the RDD
+  * boundary: no whole-stage codegen across the rank, an extra
+  * scheduled job, and no exchange reuse with upstream aggregates. The
+  * local relation this produces folds/broadcasts for free. For
+  * UNBOUNDED inputs use the bucketed rank construction
+  * (`queries/Util.rankGate`) instead.
   */
 object GlobalRank {
 
   /** Append `out` (LongType, starting at `startAt`) holding each row's
-    * rank under `sortCols`. */
+    * rank under `sortCols`. Sort happens in Spark (so arbitrary Column
+    * orderings — desc, multi-key — keep exact engine semantics);
+    * `collect()` on a sorted frame preserves the order, and ranks are
+    * assigned in that order on the driver. */
   def zipIndexed(df: DataFrame, sortCols: Seq[Column], out: String,
                  startAt: Long = 0L): DataFrame = {
-    val sorted = df.coalesce(1).sortWithinPartitions(sortCols: _*)
-    val schema = StructType(sorted.schema.fields :+
+    val rows = df.sort(sortCols: _*).collect() // ≤K rows by contract
+    val schema = StructType(df.schema.fields :+
       StructField(out, LongType, nullable = false))
+    val ranked = rows.iterator.zipWithIndex.map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ (startAt + i))
+    }.toArray
     df.sparkSession.createDataFrame(
-      sorted.rdd.zipWithIndex.map { case (r, i) =>
-        Row.fromSeq(r.toSeq :+ (startAt + i))
-      }, schema)
+      java.util.Arrays.asList(ranked: _*), schema)
   }
 }
