@@ -13,8 +13,10 @@ import graft.serve.{HttpApi, LocalScorer, ModelRegistry, Transaction}
   * Startup mirrors the reference's import-time model loading
   * (`api/main.py:40-94`): the registry inventory backs
   * /models //health //stats, and if a model named `serving` of kind
-  * `leafboost` is registered AND was trained on the exact
-  * `LocalScorer.servingFeatureNames` schema, /score serves the
+  * `leafboost` is registered AND was trained on either serving schema
+  * (`LocalScorer.servingFeatureNames` numeric, or
+  * `servingFeatureNamesCat` with categorical product_code — the
+  * CatBoost-semantics family), /score serves the
   * 0.4·model + 0.6·heuristic blend through it; otherwise the API
   * serves heuristic-only (the reference's fallback when no booster
   * artifact is present). Spark is touched only at startup (artifact
@@ -31,15 +33,20 @@ object Serve {
       if (ModelRegistry.latestVersion(spark, registryRoot, "serving") > 0 &&
           ModelRegistry.kindOf(spark, registryRoot, "serving") == "leafboost") {
         val m = ModelRegistry.loadLeafBoost(spark, registryRoot, "serving")
-        if (m.features == LocalScorer.servingFeatureNames && m.catDicts.isEmpty)
+        // either serving schema loads — numeric (servingFeatureNames)
+        // or categorical (servingFeatureNamesCat, the CatBoost-semantics
+        // family); the reference serves whichever booster is present
+        // (api/main.py:227-231)
+        if (LocalScorer.servable(m))
           Some(("LEAFBOOST", LocalScorer.leafBoostHook(m)))
         else {
-          val reason =
-            if (m.features != LocalScorer.servingFeatureNames)
-              s"features ${m.features} do not match ${LocalScorer.servingFeatureNames}"
-            else "model has categorical features; the serving hook is numeric-only"
           System.err.println(
-            s"[serve] registered 'serving' model rejected ($reason) — serving heuristic-only")
+            s"[serve] registered 'serving' model rejected (features " +
+              s"${m.features} with categorical indices " +
+              s"${m.catDicts.keySet.toSeq.sorted} match neither " +
+              s"${LocalScorer.servingFeatureNames} (numeric) nor " +
+              s"${LocalScorer.servingFeatureNamesCat} (product_code " +
+              "categorical)) — serving heuristic-only")
           None
         }
       } else None

@@ -118,6 +118,28 @@ object LeafBoost {
       while (j < vals.length) { bins(j) = binOf(vals(j), edges(j)); j += 1 }
       probability(bins)
     }
+    /** Probability from MIXED raw feature values — `vals(j)` must be a
+      * String (null ok) for features in `catDicts` and a boxed Double
+      * otherwise. Binning is op-for-op [[binFrame]]'s row loop
+      * (dict lookup with the reserved unseen/null bin; binOf for
+      * numerics), so driver-local categorical serving is bit-equal to
+      * the DataFrame scoring path — the reference serves its
+      * categorical-native CatBoost booster through the same `/score`
+      * blend as the numeric engines (`api/main.py:227-231`). */
+    def probabilityMixed(vals: Array[Any]): Double = {
+      val bins = new Array[Int](vals.length)
+      var j = 0
+      while (j < vals.length) {
+        bins(j) = catDicts.get(j) match {
+          case Some(dict) =>
+            val v = vals(j).asInstanceOf[String]
+            if (v == null) dict.size else dict.getOrElse(v, dict.size)
+          case None => binOf(vals(j).asInstanceOf[Double], edges(j))
+        }
+        j += 1
+      }
+      probability(bins)
+    }
     def featureImportance: Seq[(String, Double)] = {
       val acc = new Array[Double](features.length)
       trees.foreach(_.gainByFeature(acc))

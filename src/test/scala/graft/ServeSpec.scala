@@ -81,6 +81,63 @@ class ServeSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("Serve.build serves a CATEGORICAL (product_code) model; unseen code parks; bit-equal to the Spark path") {
+    val root = Files.createTempDirectory("graft_serve_regcat").toString
+    // categorical serving schema: product_code is a raw string feature
+    // (dict {A,B,W}); "Z"/"Q" are unseen at train time
+    val df = spark.range(2000).select(
+      col("id"),
+      (col("id") % 997 * 7.0 + 10.0).as("amount"),
+      (col("id") % 24).cast("double").as("hour_of_day"),
+      (col("id") % 3 === 0).cast("double").as("device_missing"),
+      when(col("id") % 5 === 0, "A").when(col("id") % 5 === 1, "B")
+        .otherwise("W").as("product_code"),
+      ((col("id") % 997 * 7.0 + 10.0) > 3000.0).cast("double").as("label"),
+      lit(1.0).as("weight"))
+    val m = graft.ml.LeafBoost.train(df, None, "id",
+      Seq("amount", "hour_of_day", "device_missing"), "label", "weight",
+      graft.ml.LeafBoost.Params(numTrees = 4, numLeaves = 6),
+      catCols = Seq("product_code"))
+    assert(m.catDicts.keySet == Set(3))
+    ModelRegistry.registerLeafBoost(spark, root, "serving", m, Map("auc" -> 0.9))
+    val server = Serve.build(spark, root, port = 0)
+    try {
+      // seen ("B") and unseen ("Z") product codes both serve the blend
+      for (code <- Seq("B", "Z")) {
+        val body = txn.replace("\"product_code\":\"Z\"", s""""product_code":"$code"""")
+        val (sc, sj) = post(server.port, "/score", body)
+        assert(sc == 200)
+        assert(sj.get("model_used").asText == "LEAFBOOST")
+        val t = Transaction(transaction_id = "T1", user_id = "U",
+          transaction_amount = 1500, merchant_id = "M", product_code = code,
+          transaction_timestamp = java.sql.Timestamp.valueOf("2026-02-12 03:00:00"))
+        val expected = LocalScorer.score(t, Some(LocalScorer.leafBoostHook(m)))
+        assert(sj.get("fraud_score").asDouble ==
+          math.rint(expected.riskScore * 1e4) / 1e4, s"code=$code")
+        assert(sj.get("risk_level").asText == expected.riskLevel)
+      }
+      // the hook's model term is bit-equal to LeafBoost.score on the
+      // same mixed frame (string column scored map-side via the dict)
+      val probeCodes = Seq("A", "B", "W", "Z", "Q")
+      val probe = probeCodes.toDF("product_code").select(
+        lit(1500.0).as("amount"), lit(3.0).as("hour_of_day"),
+        lit(0.0).as("device_missing"), col("product_code"))
+      val sparkP = graft.ml.LeafBoost.score(probe,
+          LocalScorer.servingFeatureNamesCat, m, out = "p")
+        .select("product_code", "p").collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      probeCodes.foreach { code =>
+        val t = Transaction(transaction_id = "T", user_id = "U",
+          transaction_amount = 1500, merchant_id = "M", product_code = code,
+          transaction_timestamp = java.sql.Timestamp.valueOf("2026-02-12 03:00:00"))
+        assert(m.probabilityMixed(LocalScorer.servingFeaturesMixed(t)) ==
+          sparkP(code), s"code=$code")
+      }
+      // unseen codes Z and Q share the reserved bin → identical model term
+      assert(sparkP("Z") == sparkP("Q"))
+    } finally server.stop()
+  }
+
   test("Serve.build without a serving model (or mismatched schema) is heuristic-only") {
     val root = Files.createTempDirectory("graft_serve_reg2").toString
     // empty registry → heuristic
