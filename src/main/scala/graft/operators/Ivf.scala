@@ -93,9 +93,36 @@ object Ivf {
     * partitioning, core count, and reruns. */
   def build(df: DataFrame, id: String, vec: String, nLists: Int,
             seed: Long = 42L, maxIter: Int = 8,
-            maxTrainRows: Int = 16384): Index = {
-    val spark = df.sparkSession
-    NativeVector.register(spark)
+            maxTrainRows: Int = 16384): Index =
+    assemble(df, id, vec, trainCentroids(df, id, vec, nLists, seed, maxIter, maxTrainRows))
+
+  /** The DISTRIBUTED training branch (round-12 verdict #5: the
+    * dual-branch discipline, extended to the coarse quantizer): seed
+    * exactly like [[build]] (bounded-sample local spherical k-means),
+    * then refine with `refineIters` Lloyd rounds over the FULL corpus
+    * via [[Kmeans.refine]] — exact fixed-point reductions, so the
+    * refined centroids are bit-identical at any partitioning or core
+    * count. Use when the bounded sample under-represents the corpus
+    * (heavy cluster imbalance, > ~10⁸ rows per cell); the default
+    * bounded-sample build stays the right call for most corpora (a few
+    * hundred points per cell converge the seeds). Cost: refineIters
+    * full scans of the (persisted) vector column. */
+  def buildDistributed(df: DataFrame, id: String, vec: String, nLists: Int,
+                       seed: Long = 42L, maxIter: Int = 8,
+                       maxTrainRows: Int = 16384,
+                       refineIters: Int = 4): Index = {
+    val seeds = trainCentroids(df, id, vec, nLists, seed, maxIter, maxTrainRows)
+    val refined = Kmeans.refine(df, vec, Array(seeds), refineIters,
+      spherical = true).head
+    assemble(df, id, vec, refined)
+  }
+
+  /** Shared seed training: bounded deterministic sample → local
+    * spherical k-means (one definition for both branches). */
+  private def trainCentroids(df: DataFrame, id: String, vec: String,
+                             nLists: Int, seed: Long, maxIter: Int,
+                             maxTrainRows: Int): Array[Array[Float]] = {
+    NativeVector.register(df.sparkSession)
     val sample: Array[Array[Float]] = Samples.hashTopN(
         df.filter(allFinite(col(vec))), // a NaN point would poison k-means
         id, Seq(col(vec)), maxTrainRows)
@@ -108,8 +135,16 @@ object Ivf {
         if (n > 0) { i = 0; while (i < v.length) { v(i) = (v(i) / n).toFloat; i += 1 } }
         v
       }
-    val centers = localSphericalKMeans(sample, nLists, maxIter, seed)
+    localSphericalKMeans(sample, nLists, maxIter, seed)
+  }
 
+  /** Shared index assembly from trained centroids (one definition for
+    * both branches — the assignment expression is the operator's
+    * contract, training only decides the centers). */
+  private def assemble(df: DataFrame, id: String, vec: String,
+                       centers: Array[Array[Float]]): Index = {
+    val spark = df.sparkSession
+    NativeVector.register(spark)
     // map-side assignment on RAW vectors: centroids are unit, ‖v‖ is a
     // positive per-row constant, so argmax dot == argmax cosine.
     // array_position takes the first maximum — ties break

@@ -49,6 +49,41 @@ class IvfSpec extends SparkSpec {
     assert(res.groupBy("query_id").count().collect().forall(_.getLong(1) == 5))
   }
 
+  test("buildDistributed: refined centroids bit-identical across layouts; recall parity with the local branch") {
+    // layout independence is the whole point of the fixed-point
+    // reduction: two adversarial repartitions must produce the SAME
+    // bits, not just close centroids
+    val d1 = Ivf.buildDistributed(clustered.repartition(3),
+      "vec_id", "embedding", nLists = 4)
+    val d2 = Ivf.buildDistributed(clustered.repartition(7, $"vec_id" % 5),
+      "vec_id", "embedding", nLists = 4)
+    def cents(i: Ivf.Index): Map[Int, List[Float]] = i.centroids.collect()
+      .map(r => r.getInt(0) -> r.getAs[scala.collection.Seq[Float]](1).toList)
+      .toMap
+    assert(cents(d1) == cents(d2))
+    // centroids stay unit (the assignment expression's geometry contract)
+    cents(d1).values.foreach { c =>
+      val n = math.sqrt(c.map(x => x.toDouble * x).sum)
+      assert(math.abs(n - 1.0) < 1e-3, s"non-unit refined centroid, norm $n")
+    }
+    // recall parity at the boundary: the sample covers this whole
+    // corpus, so refinement must not cost recall vs the local branch
+    val local = Ivf.build(clustered, "vec_id", "embedding", nLists = 4)
+    val queries = clustered.filter($"vec_id" < 10)
+    val brute = Embeddings.cosineTopK(queries, clustered,
+        "vec_id", "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(index: Ivf.Index): Double = {
+      val got = Ivf.search(index, queries, "vec_id", "embedding",
+          nProbe = 1, topK = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got & brute).size.toDouble / brute.size
+    }
+    val (rd, rl) = (recall(d1), recall(local))
+    assert(rd >= rl - 1e-9, s"distributed recall $rd < local $rl")
+    assert(rd >= 0.9, s"distributed recall $rd")
+  }
+
   test("index assignment is total and deterministic") {
     val i1 = Ivf.build(clustered, "vec_id", "embedding", nLists = 4)
     val i2 = Ivf.build(clustered, "vec_id", "embedding", nLists = 4)

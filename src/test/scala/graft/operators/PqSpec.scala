@@ -44,6 +44,31 @@ class PqSpec extends SparkSpec {
     assert(self.filter($"query_id" =!= $"neighbor_id").isEmpty)
   }
 
+  test("trainDistributed: refined codebooks bit-identical across layouts; recall parity with the local branch") {
+    val cbA = Pq.trainDistributed(vecs.repartition(3), "vid", "v", m = 4, k = 16)
+    val cbB = Pq.trainDistributed(vecs.repartition(13, $"vid" % 3),
+      "vid", "v", m = 4, k = 16)
+    // fixed-point reductions: two adversarial layouts, same bits
+    assert(cbA.centers.map(_.map(_.toList).toList).toList ==
+      cbB.centers.map(_.map(_.toList).toList).toList)
+    assert(cbA.m == 4 && cbA.k == 16 && cbA.dim == 32)
+    // recall parity at the boundary (sample == corpus here): the ADC
+    // shortlist from refined codebooks keeps the true neighbors at
+    // least as well as the sample-trained ones
+    val cbLocal = Pq.train(vecs, "vid", "v", m = 4, k = 16)
+    val q = vecs.filter($"vid" < 10)
+    val brute = Embeddings.cosineTopK(q, vecs, "vid", "vid", "v", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(cb: Pq.Codebooks): Double = {
+      val got = Pq.searchReranked(Pq.encode(vecs, "v", cb), "vid", "v", cb,
+          q, "vid", "v", shortlist = 40, topK = 3, dropSelf = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got & brute).size.toDouble / brute.size
+    }
+    val (rd, rl) = (recall(cbA), recall(cbLocal))
+    assert(rd >= rl - 0.05, s"distributed recall $rd < local $rl - 0.05")
+  }
+
   test("full-corpus shortlist + exact rerank reproduces brute force exactly (q63-style machinery proof)") {
     val cb = Pq.train(vecs, "vid", "v", m = 4, k = 16)
     val enc = Pq.encode(vecs, "v", cb)
