@@ -54,24 +54,31 @@ object Bench {
       toy.unpersist
     }
 
-    // k back-to-back runs per query; the MEDIAN is the number of record and
-    // the MIN rides along. Rationale (VERDICT r5): with a single run,
-    // JIT/host contention swung identical binaries 2-6x between rounds
+    // k runs per query; the MEDIAN is the number of record and the MIN
+    // rides along. Rationale (VERDICT r5): with a single run, JIT/host
+    // contention swung identical binaries 2-6x between rounds
     // (q70 15.1->4.8 s, q72 3.9->9.3 s r4 vs r5) — larger than any real
-    // effect being measured. k=3 consecutive runs share cache/JIT state,
-    // so the median isolates the steady-state cost of the plan.
+    // effect being measured. Reps are INTERLEAVED round-robin across the
+    // battery (q01..qN, q01..qN, ... — round-12 verdict #6): with
+    // back-to-back reps a transient host spike owned all k reps of one
+    // query and its median (four driver queries read 2-13× while
+    // byte-identical code measured flat locally); round-robin puts the
+    // same spike on at most ONE rep of any query, and the median shrugs
+    // it off. JIT/codegen warmth still carries: each query's compiled
+    // plan and memoized internals persist across sweeps.
     val k = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_K", "3").toInt)
     val failed = scala.collection.mutable.ArrayBuffer[String]()
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to k).map { _ =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          if (!failed.contains(name)) failed += name
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
+    val ordered = selected.toSeq.sortBy(_._1)
+    val reps = scala.collection.mutable.Map[String, Vector[Double]]()
+      .withDefaultValue(Vector.empty)
+    for (_ <- 1 to k) ordered.foreach { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        if (!failed.contains(name)) failed += name
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
+      reps(name) = reps(name) :+ (System.nanoTime() - t0) / 1e9
       // per-query session hygiene (round-10 verdict #8): cached frames
       // left behind would shade every later query's timing with storage
       // + GC pressure — sweep them and NAME the query so residue is
@@ -90,6 +97,9 @@ object Bench {
         // the sweep exists to eliminate
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       }
+    }
+    val results = ordered.map { case (name, _) =>
+      val times = reps(name).sorted
       (name, times(times.size / 2), times.head) // (query, median, min)
     }
     // The driver captures only the LAST ~2000 bytes of output, and sbt

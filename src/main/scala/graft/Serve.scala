@@ -50,7 +50,23 @@ object Serve {
           None
         }
       } else None
-    HttpApi.start(port = port, inventory = inventory, model = model)
+    // sequence tier (beyond-reference): a registered `serving_seq`
+    // BiLstm with the serving feature dim wires /score/sequence
+    val seqModel: Option[(String, Seq[Transaction] => Double)] =
+      if (ModelRegistry.latestVersion(spark, registryRoot, "serving_seq") > 0 &&
+          ModelRegistry.kindOf(spark, registryRoot, "serving_seq") == "bilstm") {
+        val m = ModelRegistry.loadBiLstm(spark, registryRoot, "serving_seq")
+        if (m.dim == LocalScorer.servingFeatureNames.length)
+          Some(("BILSTM", LocalScorer.biLstmHook(m)))
+        else {
+          System.err.println(s"[serve] registered 'serving_seq' model " +
+            s"rejected (dim ${m.dim} != ${LocalScorer.servingFeatureNames.length}) " +
+            "— /score/sequence disabled")
+          None
+        }
+      } else None
+    HttpApi.start(port = port, inventory = inventory, model = model,
+      seqModel = seqModel)
   }
 
   def main(args: Array[String]): Unit = {

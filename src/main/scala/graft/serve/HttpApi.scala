@@ -73,7 +73,8 @@ object HttpApi {
   final class Server private[HttpApi] (srv: HttpServer,
                                        pool: java.util.concurrent.ExecutorService,
                                        val inventory: () => Seq[ModelInfo],
-                                       val model: Option[(String, Transaction => Double)]) {
+                                       val model: Option[(String, Transaction => Double)],
+                                       val seqModel: Option[(String, Seq[Transaction] => Double)]) {
     private[HttpApi] val predictionCount = new LongAdder
     private[HttpApi] val totalLatencyMs = new DoubleAdder
     def port: Int = srv.getAddress.getPort
@@ -96,11 +97,12 @@ object HttpApi {
   def start(port: Int = 0,
             inventory: () => Seq[ModelInfo] = () => Seq.empty,
             nThreads: Int = 8,
-            model: Option[(String, Transaction => Double)] = None): Server = {
+            model: Option[(String, Transaction => Double)] = None,
+            seqModel: Option[(String, Seq[Transaction] => Double)] = None): Server = {
     val srv = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     val pool = Executors.newFixedThreadPool(nThreads)
     srv.setExecutor(pool)
-    val server = new Server(srv, pool, inventory, model)
+    val server = new Server(srv, pool, inventory, model, seqModel)
     srv.createContext("/", (ex: HttpExchange) => route(server, ex))
     srv.start()
     server
@@ -157,8 +159,9 @@ object HttpApi {
         case ("/models", true, _)      => respond(ex, 200, models(s))
         case ("/score", _, true)       => scoreOne(s, ex)
         case ("/score/batch", _, true) => scoreBatch(s, ex)
+        case ("/score/sequence", _, true) => scoreSequence(s, ex)
         case (p, _, _) if Set("/health", "/api-info", "/stats", "/models",
-                              "/score", "/score/batch")(p) =>
+                              "/score", "/score/batch", "/score/sequence")(p) =>
           respond(ex, 405, err("method not allowed"))
         case _ => respond(ex, 404, err("not found"))
       }
@@ -246,6 +249,44 @@ object HttpApi {
         respond(ex, 200, o)
     }
   }
+
+  /** Sequence scoring (beyond-reference — the BiLstm tier's serving
+    * surface): POST {user_id, transactions: [...]} with the
+    * transactions in chronological order; each becomes one step of the
+    * serving feature vector and the loaded sequence model's forward
+    * pass emits the fraud probability. 503 when no sequence model is
+    * registered (the endpoint exists iff the model family loaded, like
+    * the reference's booster-dependent blend). */
+  private def scoreSequence(s: Server, ex: HttpExchange): Unit =
+    s.seqModel match {
+      case None => respond(ex, 503, err("no sequence model loaded"))
+      case Some((name, hook)) =>
+        val body = mapper.readTree(ex.getRequestBody)
+        val txns = body.path("transactions")
+        if (!txns.isArray || txns.size() == 0) {
+          respond(ex, 422, err("transactions must be a non-empty array")); return
+        }
+        val parsed = (0 until txns.size()).map(i => parseTransaction(txns.get(i)))
+        parsed.collectFirst { case Left(m) => m } match {
+          case Some(msg) => respond(ex, 422, err(msg))
+          case None =>
+            val seq = parsed.collect { case Right(t) => t }
+            val t0 = System.nanoTime()
+            val p = hook(seq)
+            val ms = (System.nanoTime() - t0) / 1e6
+            s.predictionCount.increment()
+            s.totalLatencyMs.add(ms)
+            val o = mapper.createObjectNode()
+            val uid = body.path("user_id")
+            o.put("user_id", if (uid.isTextual) uid.asText else seq.head.user_id)
+            o.put("sequence_length", seq.size)
+            o.put("fraud_probability", round4(p))
+            o.put("is_fraud", p >= 0.5)
+            o.put("model_used", name)
+            o.put("processing_time_ms", round2(ms))
+            respond(ex, 200, o)
+        }
+    }
 
   // ---- scoring ------------------------------------------------------
 

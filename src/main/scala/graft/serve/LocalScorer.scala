@@ -133,4 +133,21 @@ object LocalScorer {
   def servable(m: graft.ml.LeafBoost.Model): Boolean =
     (m.catDicts.isEmpty && m.features == servingFeatureNames) ||
       (m.catDicts.keySet == Set(3) && m.features == servingFeatureNamesCat)
+
+  /** A SEQUENCE model hook from a trained BiLstm (round-12 verdict #8 —
+    * the last serving asymmetry with the batch tier): a user's recent
+    * transactions, in caller-supplied chronological order, each mapped
+    * through [[servingFeatures]] (so the sequence schema IS the batch
+    * serving schema, per step), scored by the driver-local forward
+    * pass. Bit-equal to `BiLstm.scoreSequences` on a DataFrame of the
+    * same sequences — both paths are `BiLstmModel.predict`. */
+  def biLstmHook(m: graft.ml.BiLstmModel): Seq[Transaction] => Double = {
+    require(m.dim == servingFeatureNames.length,
+      s"sequence serving model must have dim ${servingFeatureNames.length} " +
+        s"(one step per transaction over $servingFeatureNames), got ${m.dim}")
+    txns => {
+      require(txns.nonEmpty, "empty transaction sequence")
+      m.predict(txns.map(servingFeatures).toArray)
+    }
+  }
 }
