@@ -811,7 +811,17 @@ object LeafBoost {
     * once per engine on identical frames). Edges, dictionaries, the
     * binned frame, and the routing probe are computed once; each
     * Params then grows its own trees. All variants must agree on
-    * `bins`/`maxSampleRows`/`localThreshold` — the prep-shape knobs. */
+    * `bins`/`maxSampleRows`/`localThreshold` — the prep-shape knobs.
+    *
+    * CONCURRENCY CONTRACT (round-13 advice): the distributed branch
+    * tracks its localCheckpoint RDDs by diffing
+    * `sc.getPersistentRDDs` around each eager fold, which assumes NO
+    * OTHER DRIVER THREAD persists an RDD on this SparkContext during
+    * training — a concurrent persist landing inside the diff window
+    * would be unpersisted by the trainer's cleanup (freeing cache it
+    * doesn't own). One training pipeline per context at a time; this
+    * matches the single-writer registry contract and every entry
+    * point in this repo. */
   def trainMany(df: DataFrame, valDf: Option[DataFrame], idCol: String,
                 featureCols: Seq[String], labelCol: String, weightCol: String,
                 ps: Seq[Params], catCols: Seq[String] = Seq.empty): Seq[Model] = {

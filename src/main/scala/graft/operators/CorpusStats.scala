@@ -107,7 +107,8 @@ object CorpusStats {
       sum("__c").as("n_tokens"))
     val top = GlobalRank.zipIndexed(
       counts.orderBy(col("__c").desc, col("__t").asc).limit(topK),
-      Seq(col("__c").desc, col("__t").asc), "__rank", startAt = 1L)
+      Seq(col("__c").desc, col("__t").asc), "__rank", startAt = 1L,
+      maxRows = topK)
     top
       .select(log(col("__rank").cast("double")).as("__x"),
         log(col("__c").cast("double")).as("__y"))

@@ -24,10 +24,18 @@ object GlobalRank {
     * rank under `sortCols`. Sort happens in Spark (so arbitrary Column
     * orderings — desc, multi-key — keep exact engine semantics);
     * `collect()` on a sorted frame preserves the order, and ranks are
-    * assigned in that order on the driver. */
+    * assigned in that order on the driver.
+    *
+    * `maxRows` guards the boundedness contract (round-13 advice): the
+    * collect is a TakeOrdered of maxRows+1, so a caller that violates
+    * the ≤K bet fails FAST with a named error instead of a driver OOM.
+    * Callers that know a tighter bound (Zipf's topK) pass it. */
   def zipIndexed(df: DataFrame, sortCols: Seq[Column], out: String,
-                 startAt: Long = 0L): DataFrame = {
-    val rows = df.sort(sortCols: _*).collect() // ≤K rows by contract
+                 startAt: Long = 0L, maxRows: Int = 1 << 20): DataFrame = {
+    val rows = df.sort(sortCols: _*).limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"GlobalRank.zipIndexed input exceeds its bounded-frame contract " +
+        s"(> $maxRows rows) - use queries/Util.rankGate for unbounded inputs")
     val schema = StructType(df.schema.fields :+
       StructField(out, LongType, nullable = false))
     val ranked = rows.iterator.zipWithIndex.map { case (r, i) =>

@@ -70,11 +70,14 @@ object Kmeans {
       var converged = false
       while (it < iters && !converged) {
         val cur = centers // stable reference for the closure
-        val partials: Array[(Array[Long], Array[Long])] = slim.mapPartitions { rows =>
+        val partials: Array[(Array[Long], Array[Long], Long, Long)] = slim.mapPartitions { rows =>
           val sums = new Array[Long](groups * kk * subDim)
           val cnts = new Array[Long](groups * kk)
+          var seen = 0L
+          var used = 0L
           val v = new Array[Double](dim)
           rows.foreach { r =>
+            seen += 1L
             val a = r.getAs[scala.collection.Seq[Float]](0)
             if (a != null && a.length == dim) {
               var finite = true
@@ -86,6 +89,7 @@ object Kmeans {
                 v(i) = x; norm2 += x * x; i += 1
               }
               if (finite) {
+                used += 1L
                 val n = math.sqrt(norm2)
                 if (n > 0) { i = 0; while (i < dim) { v(i) /= n; i += 1 } }
                 var g = 0
@@ -114,17 +118,32 @@ object Kmeans {
               }
             }
           }
-          Iterator.single((sums, cnts))
+          Iterator.single((sums, cnts, seen, used))
         }.collect()
         // exact long reduce — any combine order yields the same bits
         val sums = new Array[Long](groups * kk * subDim)
         val cnts = new Array[Long](groups * kk)
-        partials.foreach { case (s, c) =>
+        var seen = 0L
+        var used = 0L
+        partials.foreach { case (s, c, sn, us) =>
           var i = 0
           while (i < sums.length) { sums(i) += s(i); i += 1 }
           i = 0
           while (i < cnts.length) { cnts(i) += c(i); i += 1 }
+          seen += sn; used += us
         }
+        // skipped rows must be VISIBLE (round-13 advice): a corpus with
+        // a systematically wrong-width or non-finite vector column
+        // would otherwise "refine" on zero rows and hand the seeds back
+        // with no signal — the silent failure the parking contract
+        // exists to prevent
+        require(seen == 0 || used > 0,
+          s"Kmeans.refine: all $seen rows skipped (wrong vector width " +
+            s"- expected $dim - or non-finite components); refusing to " +
+            "return unrefined seeds silently")
+        if (used < seen && it == 0)
+          System.err.println(s"[kmeans] refine skipped ${seen - used} of " +
+            s"$seen rows (wrong width or non-finite) - refining on $used")
         val next = Array.tabulate(groups, kk) { (g, c) =>
           val n = cnts(g * kk + c)
           if (n == 0) centers(g)(c).clone() // empty cell keeps its seed

@@ -310,6 +310,55 @@ object Pq {
       .drop("__rk")
   }
 
+  // ---- persistence (round-13 verdict #5, the Ivf.save twin) ----
+  //   $path/pq_codebooks : one row per (subspace, center_id) with the
+  //                        subDim-float center
+  //   $path/pq_meta      : one row (m, k, dim)
+  // Codes are a DataFrame (the index itself): saveCodes/loadCodes give
+  // them the same path discipline — written at input parallelism,
+  // corpus-sized by design (FAISS stores codes; search reads them).
+  // Reload bit-equality is asserted by PqSpec.
+
+  /** Persist codebooks under `path` (overwrites). */
+  def save(spark: org.apache.spark.sql.SparkSession, cb: Codebooks,
+           path: String): Unit = {
+    import spark.implicits._
+    val rows = for {
+      j <- 0 until cb.m
+      c <- cb.centers(j).indices
+    } yield (j, c, cb.centers(j)(c).toSeq)
+    rows.toDF("subspace", "center_id", "center")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/pq_codebooks")
+    Seq((cb.m, cb.k, cb.dim)).toDF("m", "k", "dim")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/pq_meta")
+  }
+
+  /** Load codebooks previously written by [[save]]; bit-identical
+    * encode/ADC/search behavior. */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Codebooks = {
+    val meta = spark.read.parquet(s"$path/pq_meta").select("m", "k", "dim").head()
+    val (m, k, dim) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    val rows = spark.read.parquet(s"$path/pq_codebooks")
+      .select("subspace", "center_id", "center").collect()
+    val bySub = rows.groupBy(_.getInt(0))
+    val centers = Array.tabulate(m) { j =>
+      bySub(j).sortBy(_.getInt(1))
+        .map(_.getAs[scala.collection.Seq[Float]](2).toArray)
+    }
+    Codebooks(centers, m, k, dim)
+  }
+
+  /** Persist an encoded corpus (the codes ARE the index — this is the
+    * artifact a production deployment keeps hot while raw vectors go
+    * cold). Written at input parallelism; the whole frame is kept so
+    * IVF composition columns (centroid_id) ride along. */
+  def saveCodes(encoded: DataFrame, path: String): Unit =
+    encoded.write.mode("overwrite").parquet(s"$path/pq_codes")
+
+  /** Load codes previously written by [[saveCodes]]. */
+  def loadCodes(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/pq_codes")
+
   /** The codes ARE the index: materialize them once before any query
     * join. Left lazy, Catalyst inlines the per-subspace argmin encode
     * expression ABOVE the query cross join and every (row, query) pair

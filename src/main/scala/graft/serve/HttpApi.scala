@@ -118,18 +118,7 @@ object HttpApi {
     try {
       val req = mapper.createObjectNode()
       val arr = req.putArray("transactions")
-      txns.foreach { t =>
-        val o = arr.addObject()
-        o.put("transaction_id", t.transaction_id)
-        o.put("user_id", t.user_id)
-        o.put("transaction_amount", t.transaction_amount)
-        o.put("merchant_id", t.merchant_id)
-        o.put("product_code", t.product_code)
-        o.put("card_type", t.card_type)
-        t.device_info.foreach(o.put("device_info", _))
-        t.email_domain.foreach(o.put("email_domain", _))
-        o.put("transaction_timestamp", t.transaction_timestamp.toInstant.toString)
-      }
+      txns.foreach(t => fillTxn(arr.addObject(), t))
       val client = java.net.http.HttpClient.newHttpClient()
       val resp = client.send(
         java.net.http.HttpRequest
@@ -143,6 +132,51 @@ object HttpApi {
       val results = mapper.readTree(resp.body()).path("results")
       (0 until results.size()).map(results.get)
     } finally server.stop()
+  }
+
+  /** SEQUENCE-tier client round trip (the q142 gate's transport — the
+    * q102/q137 convention, extended to `/score/sequence`): start an
+    * ephemeral server with the sequence model, POST one
+    * {user_id, transactions:[...]} request per sequence over real HTTP,
+    * return the parsed response per sequence in input order. */
+  def scoreSequencesOverHttp(seqs: Seq[(String, Seq[Transaction])],
+                             seqModel: (String, Seq[Transaction] => Double)): Seq[JsonNode] = {
+    val server = start(seqModel = Some(seqModel))
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      seqs.map { case (userId, txns) =>
+        val req = mapper.createObjectNode()
+        req.put("user_id", userId)
+        val arr = req.putArray("transactions")
+        txns.foreach(t => fillTxn(arr.addObject(), t))
+        val resp = client.send(
+          java.net.http.HttpRequest
+            .newBuilder(URI.create(s"http://127.0.0.1:${server.port}/score/sequence"))
+            .header("Content-Type", "application/json")
+            .POST(java.net.http.HttpRequest.BodyPublishers
+              .ofByteArray(mapper.writeValueAsBytes(req)))
+            .build(),
+          java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+        require(resp.statusCode == 200,
+          s"sequence scoring failed: HTTP ${resp.statusCode}")
+        mapper.readTree(resp.body())
+      }
+    } finally server.stop()
+  }
+
+  /** One Transaction → its request-JSON fields (shared by the batch and
+    * sequence client helpers so the wire encoding cannot drift). */
+  private def fillTxn(o: ObjectNode, t: Transaction): Unit = {
+    o.put("transaction_id", t.transaction_id)
+    o.put("user_id", t.user_id)
+    o.put("transaction_amount", t.transaction_amount)
+    o.put("merchant_id", t.merchant_id)
+    o.put("product_code", t.product_code)
+    o.put("card_type", t.card_type)
+    t.device_info.foreach(o.put("device_info", _))
+    t.email_domain.foreach(o.put("email_domain", _))
+    o.put("transaction_timestamp", t.transaction_timestamp.toInstant.toString)
+    ()
   }
 
   // ---- routing ------------------------------------------------------

@@ -91,6 +91,27 @@ object ModelRegistry {
     registerArtifact(spark, root, name, metrics)(p =>
       graft.ml.BiLstm.save(spark, model, p))
 
+  /** Register an IVF index (round-13 verdict #5 — the ANN artifacts
+    * get the same registry discipline as the model families; the
+    * assigned corpus rides the artifact, so a reloaded index searches
+    * without re-running the assignment scan). */
+  def registerIvf(spark: SparkSession, root: String, name: String,
+                  index: graft.operators.Ivf.Index,
+                  metrics: Map[String, Double] = Map.empty): Long =
+    registerArtifact(spark, root, name, metrics)(p =>
+      graft.operators.Ivf.save(index, p))
+
+  /** Register PQ codebooks, optionally with the encoded corpus codes
+    * (the searchable artifact — FAISS stores codes, search reads them). */
+  def registerPq(spark: SparkSession, root: String, name: String,
+                 cb: graft.operators.Pq.Codebooks,
+                 codes: Option[DataFrame] = None,
+                 metrics: Map[String, Double] = Map.empty): Long =
+    registerArtifact(spark, root, name, metrics) { p =>
+      graft.operators.Pq.save(spark, cb, p)
+      codes.foreach(graft.operators.Pq.saveCodes(_, p))
+    }
+
   private def artifactPath(spark: SparkSession, root: String, name: String,
                            version: Long): String = {
     val v = if (version > 0) version else latestVersion(spark, root, name)
@@ -100,15 +121,19 @@ object ModelRegistry {
 
   /** Which family a registered artifact belongs to, from its on-disk
     * layout: "leafboost" ($path/leafboost_nodes), "bilstm"
-    * ($path/bilstm_weights), else "pipeline" (MLlib's metadata dir). */
+    * ($path/bilstm_weights), "ivf" ($path/ivf_centroids), "pq"
+    * ($path/pq_codebooks), else "pipeline" (MLlib's metadata dir). */
   def kindOf(spark: SparkSession, root: String, name: String,
              version: Long = -1L): String = {
     val path = artifactPath(spark, root, name, version)
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/leafboost_nodes"))) "leafboost"
-    else if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/bilstm_weights"))) "bilstm"
+    def has(sub: String) = fs.exists(new org.apache.hadoop.fs.Path(s"$path/$sub"))
+    if (has("leafboost_nodes")) "leafboost"
+    else if (has("bilstm_weights")) "bilstm"
+    else if (has("ivf_centroids")) "ivf"
+    else if (has("pq_codebooks")) "pq"
     else "pipeline"
   }
 
@@ -126,6 +151,22 @@ object ModelRegistry {
   def loadBiLstm(spark: SparkSession, root: String, name: String,
                  version: Long = -1L): graft.ml.BiLstmModel =
     graft.ml.BiLstm.loadModel(spark, artifactPath(spark, root, name, version))
+
+  /** Load a registered IVF index; latest version when `version` ≤ 0. */
+  def loadIvf(spark: SparkSession, root: String, name: String,
+              version: Long = -1L): graft.operators.Ivf.Index =
+    graft.operators.Ivf.load(spark, artifactPath(spark, root, name, version))
+
+  /** Load registered PQ codebooks; latest version when `version` ≤ 0. */
+  def loadPq(spark: SparkSession, root: String, name: String,
+             version: Long = -1L): graft.operators.Pq.Codebooks =
+    graft.operators.Pq.load(spark, artifactPath(spark, root, name, version))
+
+  /** Load the codes saved with a registered PQ artifact (present iff
+    * `registerPq` was called with `codes`). */
+  def loadPqCodes(spark: SparkSession, root: String, name: String,
+                  version: Long = -1L): DataFrame =
+    graft.operators.Pq.loadCodes(spark, artifactPath(spark, root, name, version))
 
   /** Health row (the reference's /health payload, engine-side):
     * (status, models_loaded, versions_total). Per-model detail comes

@@ -80,8 +80,43 @@ class IvfSpec extends SparkSpec {
       (got & brute).size.toDouble / brute.size
     }
     val (rd, rl) = (recall(d1), recall(local))
-    assert(rd >= rl - 1e-9, s"distributed recall $rd < local $rl")
+    // small absolute tolerance (round-13 advice, the PqSpec twin's
+    // convention): refinement can legally shift nProbe=1 cell
+    // boundaries and drop a true neighbor even when the sample covers
+    // the corpus — exact dominance is not a property Lloyd guarantees
+    assert(rd >= rl - 0.05, s"distributed recall $rd < local $rl - 0.05")
     assert(rd >= 0.9, s"distributed recall $rd")
+  }
+
+  test("save/load round trip: bit-exact centroids and assignments; reloaded search == fresh search") {
+    val index = Ivf.build(clustered, "vec_id", "embedding", nLists = 4)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_save").toString
+    Ivf.save(index, path)
+    val back = Ivf.load(spark, path)
+    assert(back.idCol == "vec_id" && back.vecCol == "embedding")
+    // centroids bit-exact (floats round-trip bit-exactly in parquet)
+    def cents(i: Ivf.Index): Map[Int, List[Float]] = i.centroids.collect()
+      .map(r => r.getInt(0) -> r.getAs[scala.collection.Seq[Float]](1).toList)
+      .toMap
+    assert(cents(back) == cents(index))
+    // assignments bit-exact, including the vectors themselves
+    def assigns(i: Ivf.Index): Map[Long, (Int, List[Float])] =
+      i.assigned.select("vec_id", "centroid_id", "embedding").collect()
+        .map(r => r.getLong(0) ->
+          (r.getInt(1), r.getAs[scala.collection.Seq[Float]](2).toList)).toMap
+    assert(assigns(back) == assigns(index))
+    // searching the RELOADED index is bit-identical to the fresh one
+    val queries = clustered.filter($"vec_id" < 10)
+    def res(i: Ivf.Index) = Ivf.search(i, queries, "vec_id", "embedding",
+        nProbe = 2, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(res(back) == res(index))
+    // registry integration: the artifact family is recoverable
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf_reg").toString
+    graft.serve.ModelRegistry.registerIvf(spark, root, "ann", index)
+    assert(graft.serve.ModelRegistry.kindOf(spark, root, "ann") == "ivf")
+    val fromReg = graft.serve.ModelRegistry.loadIvf(spark, root, "ann")
+    assert(cents(fromReg) == cents(index))
   }
 
   test("index assignment is total and deterministic") {

@@ -44,6 +44,40 @@ class PqSpec extends SparkSpec {
     assert(self.filter($"query_id" =!= $"neighbor_id").isEmpty)
   }
 
+  test("save/load round trip: bit-exact codebooks and codes; reloaded search == fresh search") {
+    val cb = Pq.train(vecs, "vid", "v", m = 4, k = 16)
+    val path = java.nio.file.Files.createTempDirectory("graft_pq_save").toString
+    Pq.save(spark, cb, path)
+    val back = Pq.load(spark, path)
+    assert(back.m == cb.m && back.k == cb.k && back.dim == cb.dim &&
+      back.subDim == cb.subDim)
+    // every center bit-exact
+    assert(back.centers.map(_.map(_.toList).toList).toList ==
+      cb.centers.map(_.map(_.toList).toList).toList)
+    // codes round trip and the RELOADED (codes, codebooks) pair
+    // searches bit-identically to the fresh pair
+    val enc = Pq.encode(vecs, "v", cb)
+    Pq.saveCodes(enc, path)
+    val encBack = Pq.loadCodes(spark, path)
+    assert(enc.select("vid", "codes").collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Int]](1).toList).toMap ==
+      encBack.select("vid", "codes").collect()
+        .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Int]](1).toList).toMap)
+    val q = vecs.filter($"vid" < 10)
+    def res(e: org.apache.spark.sql.DataFrame, c: Pq.Codebooks) =
+      Pq.searchReranked(e, "vid", "v", c, q, "vid", "v",
+          shortlist = 16, topK = 3, dropSelf = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(res(encBack, back) == res(enc, cb))
+    // registry integration: family recoverable, codes ride the artifact
+    val root = java.nio.file.Files.createTempDirectory("graft_pq_reg").toString
+    graft.serve.ModelRegistry.registerPq(spark, root, "codes", cb, Some(enc))
+    assert(graft.serve.ModelRegistry.kindOf(spark, root, "codes") == "pq")
+    val cbReg = graft.serve.ModelRegistry.loadPq(spark, root, "codes")
+    val codesReg = graft.serve.ModelRegistry.loadPqCodes(spark, root, "codes")
+    assert(res(codesReg, cbReg) == res(enc, cb))
+  }
+
   test("trainDistributed: refined codebooks bit-identical across layouts; recall parity with the local branch") {
     val cbA = Pq.trainDistributed(vecs.repartition(3), "vid", "v", m = 4, k = 16)
     val cbB = Pq.trainDistributed(vecs.repartition(13, $"vid" % 3),

@@ -43,26 +43,25 @@ class PlanGuardsSpec extends SparkSpec {
     p +: (p.children ++ expanded ++ p.subqueries).flatMap(walk)
   }
 
-  test("every registered query plans with zero unpartitioned windows and zero cartesian products") {
-    val dir = "/root/testdata/sf0.01"
-    val violations = scala.collection.mutable.ArrayBuffer[String]()
-    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val plan =
-        try fn(spark, dir).queryExecution.executedPlan
-        catch { case e: Throwable =>
-          fail(s"$name failed to plan: ${e.getMessage}")
-        }
-      walk(plan).foreach {
+  // shared sf0.001 fixture (round-13 advice: the other specs' scale —
+  // plan SHAPES are scale-independent, and the builder-side eager work
+  // some queries do at construction is ~10× cheaper here), one test
+  // PER QUERY so a single builder failure names its query instead of
+  // masking the rest of the battery
+  private val dir = "/root/testdata/sf0.001"
+
+  graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"$name: zero unpartitioned windows, zero cartesian products") {
+      val plan = fn(spark, dir).queryExecution.executedPlan
+      val violations = walk(plan).collect {
         case w: WindowExec if w.partitionSpec.isEmpty =>
-          violations += s"$name: unpartitioned WindowExec (${w.windowExpression.mkString(", ")})"
+          s"unpartitioned WindowExec (${w.windowExpression.mkString(", ")})"
         case w: WindowGroupLimitExec if w.partitionSpec.isEmpty =>
-          violations += s"$name: unpartitioned WindowGroupLimitExec"
-        case _: CartesianProductExec =>
-          violations += s"$name: CartesianProductExec"
-        case _ => ()
+          "unpartitioned WindowGroupLimitExec"
+        case _: CartesianProductExec => "CartesianProductExec"
       }
+      assert(violations.isEmpty,
+        s"single-reducer / cartesian shapes in $name:\n${violations.mkString("\n")}")
     }
-    assert(violations.isEmpty,
-      s"single-reducer / cartesian shapes in the battery:\n${violations.mkString("\n")}")
   }
 }

@@ -134,6 +134,68 @@ class HttpApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(post("/health", "{}")._1 == 405)
   }
 
+  test("POST /score/sequence: 503 without a sequence model; batch /score unaffected") {
+    // the default server (beforeAll) has no seqModel
+    val (code, j) = post("/score/sequence",
+      """{"user_id":"U1","transactions":[]}""")
+    assert(code == 503)
+    assert(j.get("detail").asText.contains("no sequence model"))
+  }
+
+  test("POST /score/sequence: parity with the hook, response shape, 422 paths") {
+    // deterministic stand-in sequence model (the hook contract is any
+    // Seq[Transaction] => Double; the registry-loaded BiLstm path is
+    // spec'd in ServeSpec and oracle-gated end to end by q142)
+    val hook: Seq[Transaction] => Double =
+      ts => math.min(1.0, ts.map(_.transaction_amount).sum / 50000.0)
+    val seqServer = HttpApi.start(seqModel = Some(("BILSTM", hook)))
+    def postSeq(body: String) = {
+      val r = client.send(
+        HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${seqServer.port}/score/sequence"))
+          .header("Content-Type", "application/json")
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      (r.statusCode(), mapper.readTree(r.body()))
+    }
+    try {
+      val body =
+        """{"user_id":"U9","transactions":[
+          |{"transaction_id":"A","user_id":"U9","transaction_amount":20000,
+          | "merchant_id":"M","transaction_timestamp":"2026-02-12T12:00:00"},
+          |{"transaction_id":"B","user_id":"U9","transaction_amount":15000,
+          | "merchant_id":"M","transaction_timestamp":"2026-02-12T13:00:00"}
+          |]}""".stripMargin
+      val (code, j) = postSeq(body)
+      assert(code == 200)
+      val expected = (20000.0 + 15000.0) / 50000.0
+      assert(j.get("user_id").asText == "U9")
+      assert(j.get("sequence_length").asInt == 2)
+      assert(j.get("fraud_probability").asDouble ==
+        math.rint(expected * 1e4) / 1e4)
+      assert(j.get("is_fraud").asBoolean == (expected >= 0.5))
+      assert(j.get("model_used").asText == "BILSTM")
+      assert(j.get("processing_time_ms").isNumber)
+      // top-level user_id absent → falls back to the first
+      // transaction's (both txns carry user_id U9 in `body`)
+      val noUid = body.replaceFirst("""\{"user_id":"U9",""", "{")
+      val (c2, j2) = postSeq(noUid)
+      assert(c2 == 200 && j2.get("user_id").asText == "U9")
+      // 422: empty transactions array
+      val (c3, j3) = postSeq("""{"user_id":"U","transactions":[]}""")
+      assert(c3 == 422 && j3.get("detail").asText.contains("non-empty"))
+      // 422: transactions not an array
+      assert(postSeq("""{"user_id":"U","transactions":"x"}""")._1 == 422)
+      // 422: one malformed transaction fails the whole sequence
+      val bad =
+        """{"user_id":"U","transactions":[
+          |{"transaction_id":"A","user_id":"U","transaction_amount":-5,
+          | "merchant_id":"M"}]}""".stripMargin
+      val (c4, j4) = postSeq(bad)
+      assert(c4 == 422 && j4.get("detail").asText.contains("transaction_amount"))
+    } finally seqServer.stop()
+  }
+
   test("POST /score with a model hook serves the 0.4/0.6 blend and names the model") {
     // deterministic stand-in model (the hook contract is any
     // Transaction => Double; the registry-loaded LeafBoost path is
