@@ -67,11 +67,20 @@ object Bench {
     // it off. JIT/codegen warmth still carries: each query's compiled
     // plan and memoized internals persist across sweeps.
     val k = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_K", "3").toInt)
+    // SPARK_GRAFT_BENCH_MODE=warm (round-13 verdict #7): run each
+    // query's k reps BACK-TO-BACK (the pre-r13 methodology) so in-
+    // process memos, persisted frames, and the PQ code cache stay hot
+    // across reps — the steady-state-SERVICE number. The default
+    // (interleaved round-robin, the r13 de-bias) separates reps by the
+    // whole battery + sweep, so the median is a COLD execution — the
+    // batch-job number. The two answer different capacity questions;
+    // the driver record stays interleaved.
+    val warm = sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("warm")
     val failed = scala.collection.mutable.ArrayBuffer[String]()
     val ordered = selected.toSeq.sortBy(_._1)
     val reps = scala.collection.mutable.Map[String, Vector[Double]]()
       .withDefaultValue(Vector.empty)
-    for (_ <- 1 to k) ordered.foreach { case (name, fn) =>
+    def runRep(name: String, fn: graft.queries.Util.Q): Unit = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
@@ -98,6 +107,8 @@ object Bench {
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       }
     }
+    if (warm) ordered.foreach { case (name, fn) => for (_ <- 1 to k) runRep(name, fn) }
+    else for (_ <- 1 to k) ordered.foreach { case (name, fn) => runRep(name, fn) }
     val results = ordered.map { case (name, _) =>
       val times = reps(name).sorted
       (name, times(times.size / 2), times.head) // (query, median, min)
@@ -127,7 +138,8 @@ object Bench {
     val env = {
       val jvm = System.getProperty("java.version")
       val mem = Runtime.getRuntime.maxMemory() / (1024 * 1024 * 1024)
-      s"""{"cpus":$cpus,"jvm":"$jvm","gb":$mem,"nq":${results.size},"k":$k}"""
+      val mode = if (warm) "warm" else "cold"
+      s"""{"cpus":$cpus,"jvm":"$jvm","gb":$mem,"nq":${results.size},"k":$k,"mode":"$mode"}"""
     }
     val names = results.map { case (n, med, mn) => f"$n=$med%.3f/$mn%.3f" }.mkString(" ")
     println(s"[bench-names med/min k=$k] $names")
