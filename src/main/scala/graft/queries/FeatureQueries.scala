@@ -905,7 +905,7 @@ object FeatureQueries {
         | FROM (SELECT event_id FROM events WHERE value > 0
         |       ORDER BY event_id LIMIT 600) t)
         |SELECT CAST(floor(rn / 3) AS BIGINT) AS seq_id,
-        | 'U' || CAST(CAST(floor(rn / 3) AS BIGINT) AS VARCHAR) AS user_id,
+        | 'U' || CAST(CAST(floor(rn / 3) AS BIGINT) AS STRING) AS user_id,
         | CAST(min(event_id) AS BIGINT) AS first_event_id,
         | CAST(count(*) AS BIGINT) AS sequence_length,
         | 'BILSTM' AS model_used,

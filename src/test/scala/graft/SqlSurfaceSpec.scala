@@ -24,7 +24,13 @@ class SqlSurfaceSpec extends SparkSpec {
     "q32_risk_score", "q34_onehot", "q35_impute", "q36_lookback_literal",
     "q38_onehot_rows", "q47_recall_floor", "q61_dup_groups", "q68_unpivot",
     "q78_stream_agg",
-    "q88_stream_dedup", "q89_stream_state")
+    "q88_stream_dedup", "q89_stream_state",
+    // round 14: the sequence-serving and ANN-reload oracles are
+    // dual-dialect by construction (driver-compared flags are literal
+    // TRUE; the discrete grouping/count surface is plain SQL) — running
+    // them here proves it, and exercises the HTTP/reload builders once
+    // more against their own SQL twins
+    "q142_http_sequence", "q143_ann_reload")
   // q75/q76 excluded: DuckDB GROUPING(a, b) is Spark grouping_id (arity)
   // q77/q79 excluded: DuckDB ASOF JOIN / epoch_us
   // q81-q87 excluded: list_transform/unnest/'0x' UBIGINT casts/'g' flag
