@@ -37,6 +37,16 @@ import org.apache.spark.sql.SparkSession
   */
 object HttpApi {
 
+  // TCP_NODELAY on accepted sockets (read once at the JDK server's
+  // class init, so it must be set before the first HttpServer.create):
+  // the default Nagle+delayed-ACK interaction costs ~40 ms per
+  // request on the header-then-body write pattern — q142's 200-request
+  // loop measured ~48 ms/request without it vs ~1 ms with it. Every
+  // real serving deployment sets this; setProperty only if the
+  // operator hasn't chosen a value.
+  if (System.getProperty("sun.net.httpserver.nodelay") == null)
+    System.setProperty("sun.net.httpserver.nodelay", "true")
+
   private val mapper = new ObjectMapper()
 
   /** One registered model's display row for `/models`. `kind` names the
