@@ -342,7 +342,10 @@ object Pq {
       .select("subspace", "center_id", "center").collect()
     val bySub = rows.groupBy(_.getInt(0))
     val centers = Array.tabulate(m) { j =>
-      bySub(j).sortBy(_.getInt(1))
+      bySub.getOrElse(j, throw new IllegalStateException(
+          s"PQ artifact at $path is missing subspace $j of $m - " +
+            "truncated or foreign pq_codebooks table"))
+        .sortBy(_.getInt(1))
         .map(_.getAs[scala.collection.Seq[Float]](2).toArray)
     }
     Codebooks(centers, m, k, dim)
