@@ -23,6 +23,26 @@ object Metrics {
       sum(when(label === 0 && pred === 1, 1L).otherwise(0L)).as("fp"),
       sum(when(label === 1 && pred === 0, 1L).otherwise(0L)).as("fn"),
       sum(when(label === 0 && pred === 0, 1L).otherwise(0L)).as("tn"))
+    pointMetrics(agg, costFn, costFp)
+  }
+
+  /** confusionAt over a pre-built scoreHistogram frame: the threshold
+    * splits whole tie-groups, so tp = Σ pos where s ≥ τ etc. — the same
+    * long counts as the row-level pass, hence bit-identical metrics. */
+  def confusionFromHistogram(byScore: DataFrame, tau: Double,
+                             costFn: Double = 1000.0,
+                             costFp: Double = 10.0): DataFrame = {
+    val hit = col("s") >= tau
+    val agg = byScore.agg(
+      sum(when(hit, col("pos")).otherwise(0L)).as("tp"),
+      sum(when(hit, col("cnt") - col("pos")).otherwise(0L)).as("fp"),
+      sum(when(not(hit), col("pos")).otherwise(0L)).as("fn"),
+      sum(when(not(hit), col("cnt") - col("pos")).otherwise(0L)).as("tn"))
+    pointMetrics(agg, costFn, costFp)
+  }
+
+  private def pointMetrics(agg: DataFrame, costFn: Double,
+                           costFp: Double): DataFrame = {
     val tp = col("tp"); val fp = col("fp"); val fn_ = col("fn"); val tn = col("tn")
     val precision = when(tp + fp > 0, tp / (tp + fp)).otherwise(0.0)
     val recall    = when(tp + fn_ > 0, tp / (tp + fn_)).otherwise(0.0)
@@ -132,9 +152,22 @@ object Metrics {
     * multiples of 0.5 < 2^53 so the float sums are exact and
     * order-independent (deterministic under parallel aggregation). */
   def rocAuc(df: DataFrame, label: Column, score: Column,
-             equiDepth: Boolean = false): DataFrame = {
-    val byScore = df.groupBy(score.as("s"))
+             equiDepth: Boolean = false): DataFrame =
+    rocAucFromHistogram(scoreHistogram(df, label, score), equiDepth)
+
+  /** The shared (s, cnt, pos) distinct-score histogram — ONE shuffle on
+    * score, the common prefix of rocAuc / averagePrecision / confusion.
+    * A leaderboard computes it once per model, persists the small
+    * post-shuffle frame, and derives all three metrics from it
+    * (Comparison.metricsRow) instead of re-shuffling per metric.
+    * Contract: `label` is non-null 0/1, as throughout this file. */
+  def scoreHistogram(df: DataFrame, label: Column, score: Column): DataFrame =
+    df.groupBy(score.as("s"))
       .agg(count(lit(1)).as("cnt"), sum(label.cast("long")).as("pos"))
+
+  /** rocAuc over a pre-built scoreHistogram frame. */
+  def rocAucFromHistogram(byScore: DataFrame,
+                          equiDepth: Boolean = false): DataFrame = {
     bucketedCumSums(byScore, "s", descending = false, Seq("cnt"),
       equiDepth = equiDepth)
       .withColumn("below", col("cum_cnt") - col("cnt"))
@@ -213,9 +246,12 @@ object Metrics {
     * step of a tie-group is pos_g/P, so AP = Σ_g (pos_g/P)·(cumTP_g/cumN_g)
     * — same distinct-score frame as the PR curve, no lag needed. */
   def averagePrecision(df: DataFrame, label: Column, score: Column,
-                       equiDepth: Boolean = false): DataFrame = {
-    val byScore = df.groupBy(score.as("s"))
-      .agg(count(lit(1)).as("cnt"), sum(label.cast("long")).as("pos"))
+                       equiDepth: Boolean = false): DataFrame =
+    averagePrecisionFromHistogram(scoreHistogram(df, label, score), equiDepth)
+
+  /** averagePrecision over a pre-built scoreHistogram frame. */
+  def averagePrecisionFromHistogram(byScore: DataFrame,
+                                    equiDepth: Boolean = false): DataFrame = {
     val tot = byScore.agg(sum(col("pos")).as("tot_pos"))
     bucketedCumSums(byScore, "s", descending = true, Seq("pos", "cnt"),
       equiDepth = equiDepth)

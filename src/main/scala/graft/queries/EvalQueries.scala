@@ -123,8 +123,93 @@ object EvalQueries {
         .select(col("bin"), col("n"), col("mean_score"), col("frac_pos"),
           qz(col("ece"), 6).as("ece"), qz(col("brier"), 6).as("brier"))
         .orderBy("bin")
+    }),
+
+    // O4/E8 + M5/M8: the model-comparison leaderboard as a driver-gated
+    // query (previously spec-only). Three deterministic scorers over
+    // events — a value-linear score, an hour-derived score, and their
+    // 3:1 weighted ensemble (FraudModel.weightedEnsemble, M8) — each
+    // evaluated to one metrics row (ROC-AUC, AP, point metrics at
+    // τ=0.4 via the thresholded prediction, M5) and ranked best-AUC
+    // first by Comparison.leaderboard (reference compare_models,
+    // src/evaluation/metrics.py:203-237). Scorers are transcendental-
+    // free (rational arithmetic + integer hour math only) so both
+    // engines rank identical doubles. The oracle re-derives all three
+    // score chains and every metric from scratch in SQL.
+    "q144_model_leaderboard" -> ((s, dir) => {
+      import graft.ml.FraudModel
+      val ev = Tables.events(s, dir).select(
+        (col("event_type") === "error").cast("int").as("label"),
+        least(lit(1.0), col("value") / 500.0).as("v_lin"),
+        (pmod(hour(col("ts")) * 7, lit(24)).cast("double") / 24.0).as("h_mix"))
+      val models = Seq(
+        "value_linear" -> ev.select(col("label"), col("v_lin").as("score")),
+        "hour_mix" -> ev.select(col("label"), col("h_mix").as("score")),
+        "blend_3_1" -> ev.select(col("label"),
+          FraudModel.weightedEnsemble(
+            Seq(col("v_lin") -> 3.0, col("h_mix") -> 1.0)).as("score")))
+      graft.eval.Comparison.leaderboard(models, col("label"), col("score"), tau = 0.4)
+        .select(col("model"),
+          qz(col("roc_auc"), 6).as("roc_auc"),
+          qz(col("pr_auc"), 6).as("pr_auc"),
+          qz(col("precision"), 6).as("prec"),
+          qz(col("recall"), 6).as("rec"),
+          qz(col("f1"), 6).as("f1"),
+          qz(col("cost"), 2).as("cost"))
     })
   )
+
+  /** One leaderboard metrics row in SQL: CTE block computing ROC-AUC
+    * (q41 shape), average precision (q45 shape) and confusion point
+    * metrics (q40 shape) for `scoreSql` at threshold `tau`. Generated
+    * so the three models' arithmetic cannot drift from each other or
+    * from the single-metric queries. Dual-dialect (no DuckDB-only
+    * syntax) — SqlSurfaceSpec runs it through spark.sql too. */
+  private def lbBlock(p: String, name: String, scoreSql: String,
+                      tau: Double): String =
+    s"""${p}_scored AS (
+       | SELECT CASE WHEN event_type='error' THEN 1 ELSE 0 END AS label,
+       |  ($scoreSql) AS s FROM events),
+       |${p}_by AS (
+       | SELECT s, count(*) AS cnt, sum(label) AS pos FROM ${p}_scored GROUP BY s),
+       |${p}_rk AS (
+       | SELECT s, cnt, pos,
+       |  coalesce(sum(cnt) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+       | FROM ${p}_by),
+       |${p}_auc AS (
+       | SELECT CAST(sum(pos) AS DOUBLE) AS p, CAST(sum(cnt) AS DOUBLE) AS n,
+       |  CAST(sum(pos*(below + (cnt+1)/2.0)) AS DOUBLE) AS rp
+       | FROM ${p}_rk),
+       |${p}_cum AS (
+       | SELECT pos,
+       |  sum(pos) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tp,
+       |  sum(cnt) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+       |  sum(pos) OVER () AS tot_pos
+       | FROM ${p}_by),
+       |${p}_ap AS (
+       | SELECT sum(CAST(pos AS DOUBLE)/tot_pos * cum_tp/cum_n) AS ap FROM ${p}_cum),
+       |${p}_cf AS (
+       | SELECT
+       |  count(*) FILTER (WHERE label = 1 AND s >= $tau) AS tp,
+       |  count(*) FILTER (WHERE label = 0 AND s >= $tau) AS fp,
+       |  count(*) FILTER (WHERE label = 1 AND s < $tau) AS fn,
+       |  count(*) FILTER (WHERE label = 0 AND s < $tau) AS tn
+       | FROM ${p}_scored),
+       |${p}_row AS (
+       | SELECT '$name' AS model,
+       |  round(((rp - p*(p+1)/2.0) / (p*(n-p))) * 1000000.0) / 1000000.0 + 0.0 AS roc_auc,
+       |  round((ap) * 1000000.0) / 1000000.0 + 0.0 AS pr_auc,
+       |  round((CASE WHEN tp+fp > 0 THEN CAST(tp AS DOUBLE)/(tp+fp) ELSE 0.0 END) * 1000000.0) / 1000000.0 + 0.0 AS prec,
+       |  round((CASE WHEN tp+fn > 0 THEN CAST(tp AS DOUBLE)/(tp+fn) ELSE 0.0 END) * 1000000.0) / 1000000.0 + 0.0 AS rec,
+       |  round((CASE WHEN (CASE WHEN tp+fp > 0 THEN CAST(tp AS DOUBLE)/(tp+fp) ELSE 0.0 END)
+       |           + (CASE WHEN tp+fn > 0 THEN CAST(tp AS DOUBLE)/(tp+fn) ELSE 0.0 END) > 0
+       |    THEN 2.0 * (CASE WHEN tp+fp > 0 THEN CAST(tp AS DOUBLE)/(tp+fp) ELSE 0.0 END)
+       |             * (CASE WHEN tp+fn > 0 THEN CAST(tp AS DOUBLE)/(tp+fn) ELSE 0.0 END)
+       |           / ((CASE WHEN tp+fp > 0 THEN CAST(tp AS DOUBLE)/(tp+fp) ELSE 0.0 END)
+       |            + (CASE WHEN tp+fn > 0 THEN CAST(tp AS DOUBLE)/(tp+fn) ELSE 0.0 END))
+       |    ELSE 0.0 END) * 1000000.0) / 1000000.0 + 0.0 AS f1,
+       |  round((CAST(fn AS DOUBLE)*1000.0 + CAST(fp AS DOUBLE)*10.0) * 100.0) / 100.0 + 0.0 AS cost
+       | FROM ${p}_auc, ${p}_ap, ${p}_cf)""".stripMargin
 
   def oracle: Map[String, String] = Map(
     "q40_confusion" ->
@@ -351,6 +436,21 @@ object EvalQueries {
         |SELECT bin, CAST(n AS BIGINT) AS n, mean_score, frac_pos,
         | round(tot_e / tot_n * 1000000.0) / 1000000.0 + 0.0 AS ece,
         | round(tot_sq / tot_n * 1000000.0) / 1000000.0 + 0.0 AS brier
-        |FROM f CROSS JOIN t ORDER BY bin""".stripMargin
+        |FROM f CROSS JOIN t ORDER BY bin""".stripMargin,
+
+    "q144_model_leaderboard" -> {
+      val vLin = "least(1.0, value/500.0)"
+      val hMix = "((hour(ts)*7) % 24)/24.0"
+      // mirrors FraudModel.weightedEnsemble: sum(c*w)/totalW
+      val blend = s"(($vLin)*3.0 + ($hMix)*1.0)/4.0"
+      s"""WITH
+         |${lbBlock("vl", "value_linear", vLin, 0.4)},
+         |${lbBlock("hm", "hour_mix", hMix, 0.4)},
+         |${lbBlock("bl", "blend_3_1", blend, 0.4)}
+         |SELECT * FROM vl_row
+         |UNION ALL SELECT * FROM hm_row
+         |UNION ALL SELECT * FROM bl_row
+         |ORDER BY roc_auc DESC""".stripMargin
+    }
   )
 }

@@ -30,7 +30,10 @@ class SqlSurfaceSpec extends SparkSpec {
     // TRUE; the discrete grouping/count surface is plain SQL) — running
     // them here proves it, and exercises the HTTP/reload builders once
     // more against their own SQL twins
-    "q142_http_sequence", "q143_ann_reload")
+    "q142_http_sequence", "q143_ann_reload",
+    // round 14: the leaderboard oracle is generated SQL (lbBlock) —
+    // proving it dual-dialect guards the generator, not just one query
+    "q144_model_leaderboard")
   // q75/q76 excluded: DuckDB GROUPING(a, b) is Spark grouping_id (arity)
   // q77/q79 excluded: DuckDB ASOF JOIN / epoch_us
   // q81-q87 excluded: list_transform/unnest/'0x' UBIGINT casts/'g' flag
