@@ -551,11 +551,25 @@ object LeafBoost {
     // blocks live on a persisted RDD the CacheManager never saw
     // (round-12 advice: each fold's full-frame blocks lingered until
     // ContextCleaner GC — several frame copies at the 30M-row regime).
-    // Track the checkpoint RDD ids by diffing getPersistentRDDs around
-    // the eager checkpoint (single-threaded driver loop, so the diff
-    // is exactly the one new RDD) and free them explicitly.
+    // Track the checkpoint RDD ids by walking the NEW dataset's own
+    // RDD lineage for persisted ancestors (the localCheckpoint result
+    // is a shallow LogicalRDD scan over the persisted checkpoint RDD).
+    // Scoped to the dataset itself — a round-13 advice fix: the
+    // previous global getPersistentRDDs diff would free an RDD some
+    // concurrent driver thread persisted between 'before' and the diff.
     val sc = spark.sparkContext
-    def persistedIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    def persistedInLineage(ds: org.apache.spark.sql.DataFrame): Set[Int] = {
+      val seen = scala.collection.mutable.Set.empty[Int]
+      val out = Set.newBuilder[Int]
+      def walk(r: org.apache.spark.rdd.RDD[_]): Unit =
+        if (seen.add(r.id)) {
+          if (r.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
+            out += r.id
+          r.dependencies.foreach(d => walk(d.rdd))
+        }
+      walk(ds.queryExecution.toRdd)
+      out.result()
+    }
     def dropRdds(ids: Set[Int]): Unit =
       ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
     var curCkptIds = Set.empty[Int]
@@ -577,23 +591,21 @@ object LeafBoost {
           // fold held TWO full copies of the frame for 16 rounds):
           // Dataset.unpersist for the first (CacheManager) frame, the
           // tracked RDD ids for every checkpointed successor
-          val before = persistedIds
           val old = cur
           cur = foldMargins(cur, pending).localCheckpoint(true)
-          val newIds = persistedIds -- before
+          val newIds = persistedInLineage(cur)
           old.unpersist()
-          dropRdds(curCkptIds)
+          dropRdds(curCkptIds -- newIds)
           curCkptIds = newIds
           if (useVal) {
             // same cadence for the val chain (review round 12: an
             // unbounded val plan nested one mapPartitions per round —
             // O(T²) cumulative analysis, eventual deep-TreeNode overflow)
-            val beforeV = persistedIds
             val oldVal = curVal
             curVal = curVal.map(vb => foldMargins(vb, pending).localCheckpoint(true))
-            val newIdsV = persistedIds -- beforeV
+            val newIdsV = curVal.toSet.flatMap(persistedInLineage)
             oldVal.foreach(_.unpersist())
-            dropRdds(valCkptIds)
+            dropRdds(valCkptIds -- newIdsV)
             valCkptIds = newIdsV
           }
           pending = IndexedSeq.empty

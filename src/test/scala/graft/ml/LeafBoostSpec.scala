@@ -268,6 +268,34 @@ class LeafBoostSpec extends SparkSpec {
     assert(LeafBoost.score(df, Seq("x1", "x2", "x3"), m).collect().length == 300)
   }
 
+  test("fold checkpoints free their blocks and never unpersist foreign RDDs") {
+    // 34 trees at FoldEvery=16 crosses TWO margin folds on both the
+    // train and val chains, so the second fold must drop the first
+    // fold's checkpoint blocks. The round-13 advice fix scopes that
+    // drop to the dataset's own RDD lineage — this pins both halves of
+    // the contract: (1) no checkpoint block outlives training, (2) an
+    // RDD persisted by someone else on the same context survives it.
+    val sc = spark.sparkContext
+    val foreign = sc.parallelize(1 to 10, 2).persist()
+    foreign.count()
+    val before = sc.getPersistentRDDs.keySet
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 1200).map { i =>
+      val x1 = rnd.nextGaussian(); val x2 = rnd.nextGaussian()
+      (i.toLong, x1, x2, if (x1 + 0.5 * x2 + 0.3 * rnd.nextGaussian() > 0) 1.0 else 0.0)
+    }
+    val p = LeafBoost.Params(numTrees = 34, numLeaves = 4,
+      earlyStoppingRounds = 40, localThreshold = 0)
+    val m = LeafBoost.train(mkDf(rows), Some(mkDf(rows.take(300))), "id",
+      Seq("x1", "x2"), "label", "weight", p)
+    assert(m.trees.length == 34)
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"persisted RDDs leaked by training: $leaked")
+    assert(sc.getPersistentRDDs.contains(foreign.id),
+      "foreign persisted RDD must survive training")
+    foreign.unpersist()
+  }
+
   test("no-early-stop run keeps all trees; valLoss improves on aligned validation") {
     val rnd = new scala.util.Random(5)
     val rows = (0 until 600).map { i =>
