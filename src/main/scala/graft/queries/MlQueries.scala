@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.ml.functions.vector_to_array
 import org.apache.spark.sql.functions._
 import graft.ml.FraudModel
 import graft.operators.{BehaviorWindows, Multimodal, Sequences, TimeSplit}
@@ -575,6 +576,72 @@ object MlQueries {
       val media = d.select(col("doc_id").as("media_id"),
         unhex(blobHex).as("blob"))
       Multimodal.describeHeaders(media).orderBy("media_id")
+    }),
+
+    // M7 stacking + M9 train-only scaling as a driver gate (previously
+    // spec-only): two deterministic closed-form base scorers over the
+    // seeded synthetic table → StandardScaler FIT ON TRAIN ONLY →
+    // logistic-regression meta-model with class weights → held-out AUC.
+    // q70's oracle mold: the split counts are exact constants of the
+    // seeded generator + W13 rule; the scaler fit is cross-checked
+    // against exact long-sum train stats (mu_ok/sd_ok); train_centered/
+    // test_shifted pin the LEAKAGE DISCIPLINE itself (a scaler fit on
+    // all rows would center the test slice too and flip test_shifted);
+    // auc_ok floors the stacked model's held-out AUC; amt_coef_pos pins
+    // the meta-model's learned direction on the informative feature.
+    "q145_stacking_scaled" -> ((s, _) => {
+      import org.apache.spark.ml.feature.StandardScalerModel
+      val data = SyntheticData.transactions(s, 8000L)
+        .withColumn("ts", timestamp_seconds(col("transaction_dt")))
+        .coalesce(1).cache()
+      val split = TimeSplit.assign(data, col("ts"), col("transaction_id"))
+      val base = split
+        .withColumn("b_amt", least(lit(1.0), col("transaction_amt") / 500.0))
+        .withColumn("b_v1", least(lit(1.0), abs(col("v1")) / 3.0))
+        .cache()
+      val train = base.filter(col("split") === "train")
+      val test = base.filter(col("split") === "test")
+      val scaler = FraudModel.scalerPipeline(Seq("b_amt", "b_v1")).fit(train)
+      val sm = scaler.stages.last.asInstanceOf[StandardScalerModel]
+      // exact (long-summed, association-free) train stats for the cross-check
+      val st = train.agg(
+        count(lit(1)).cast("double").as("n"),
+        Util.exactSum(col("b_amt"), 9).as("s1"),
+        Util.exactSum(col("b_amt") * col("b_amt"), 12).as("s2")).first()
+      val n = st.getDouble(0)
+      val exMu = st.getDouble(1) / n
+      val exSd = math.sqrt((st.getDouble(2) - n * exMu * exMu) / (n - 1))
+      def z(df: org.apache.spark.sql.DataFrame) = scaler.transform(df)
+        .withColumn("z_amt", element_at(vector_to_array(col("features")), 1))
+        .withColumn("z_v1", element_at(vector_to_array(col("features")), 2))
+        .drop("features", "raw_features")
+      val trainW = FraudModel.withClassWeight(z(train), col("is_fraud"))
+      val (meta, coefs) =
+        FraudModel.stackingEnsemble(trainW, Seq("z_amt", "z_v1"), "is_fraud")
+      val scoredTest = FraudModel.withProbability(meta.transform(z(test)))
+        .cache()
+      val auc = Metrics.rocAuc(scoredTest, col("is_fraud"), col("p_fraud"))
+        .first().getDouble(0)
+      val nPosTest = scoredTest.filter(col("is_fraud") === 1).count()
+      // leakage-discipline evidence: exact means of the SCALED column on
+      // each slice — ~0 on train by construction, shifted on test
+      val zTrainMu = z(train).agg(Util.exactSum(col("z_amt"), 9)).first()
+        .getDouble(0) / n
+      val zTestRow = z(test).agg(count(lit(1)).cast("double"),
+        Util.exactSum(col("z_amt"), 9)).first()
+      val zTestMu = zTestRow.getDouble(1) / zTestRow.getDouble(0)
+      val counts = split.groupBy(col("split")).agg(count(lit(1)).as("cnt"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      scoredTest.unpersist(); base.unpersist(); data.unpersist()
+      s.range(1).select(
+        lit(counts("train")).as("n_train"), lit(counts("val")).as("n_val"),
+        lit(counts("test")).as("n_test"), lit(nPosTest).as("n_pos_test"),
+        lit(math.abs(sm.mean(0) - exMu) < 1e-8).as("mu_ok"),
+        lit(math.abs(sm.std(0) - exSd) < 1e-6).as("sd_ok"),
+        lit(math.abs(zTrainMu) < 1e-8).as("train_centered"),
+        lit(math.abs(zTestMu) > 1e-3).as("test_shifted"),
+        lit(auc >= 0.80).as("auc_ok"),
+        lit(coefs.head._2 > 0).as("amt_coef_pos"))
     })
   )
 
@@ -648,6 +715,20 @@ object MlQueries {
       """SELECT CAST(2324 AS BIGINT) AS n_sequences, CAST(1626 AS BIGINT) AS n_train,
         | CAST(349 AS BIGINT) AS n_val, CAST(349 AS BIGINT) AS n_test,
         | CAST(12 AS BIGINT) AS n_pos_test, TRUE AS auc_ok""".stripMargin,
+
+    // q70's generator + split rule ⇒ same pinned counts. The flags:
+    // mu_ok/sd_ok cross-check the MLlib scaler fit against exact
+    // long-sum train stats (measured diff ~1e-16 vs 1e-8/1e-6 gates);
+    // train_centered/test_shifted pin the train-only-fit leakage
+    // discipline (scaled train mean ~2e-12, scaled test mean -0.031 —
+    // a scaler fit on all rows would flip test_shifted); auc_ok floors
+    // the stacked meta-model's held-out AUC (measured 0.991) at 0.80;
+    // amt_coef_pos pins the learned direction (measured +2.60).
+    "q145_stacking_scaled" ->
+      """SELECT CAST(5600 AS BIGINT) AS n_train, CAST(1200 AS BIGINT) AS n_val,
+        | CAST(1200 AS BIGINT) AS n_test, CAST(39 AS BIGINT) AS n_pos_test,
+        | TRUE AS mu_ok, TRUE AS sd_ok, TRUE AS train_centered,
+        | TRUE AS test_shifted, TRUE AS auc_ok, TRUE AS amt_coef_pos""".stripMargin,
 
     // same generator, sequences and split rule as q71 ⇒ same pinned
     // counts; the AUC flag floors the true BiLSTM's held-out metric

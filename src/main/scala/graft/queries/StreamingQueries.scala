@@ -463,6 +463,29 @@ object StreamingQueries {
       runToSink(s, scored, "append", _.orderBy("event_id"))
     }),
 
+    // H6 RUNNING STATS through the real engine (previously spec-only):
+    // a global streaming aggregate in update mode maintains prediction
+    // count / fraud count / exact score total across micro-batches —
+    // the reference's service-level counters (`api/main.py:30-32`,
+    // prediction_count/fraud_count updated per request) as ONE state
+    // row instead of process globals. Update mode emits the running
+    // row each batch; the FINAL row (prediction_count is monotone) must
+    // equal the batch fold DuckDB computes over the same events. The
+    // average derives from an exact long sum (runningStatsExact), so
+    // stream ≡ batch is bit-exact at any batch split — and the ≥3
+    // micro-batch floor (runToSink) proves the state actually carried
+    // across batches.
+    "q146_stream_running_stats" -> ((s, dir) => {
+      val evs = streamStaged(s, stageMultiFile(s, dir, "events"))
+      val scored = evs.withColumn("risk_score",
+        graft.serve.RiskScore.EventScore.blended)
+      val stats = graft.streaming.StreamingOps.runningStatsExact(scored)
+      runToSink(s, stats, "update", _
+        .orderBy(desc("prediction_count")).limit(1)
+        .select(col("prediction_count"), col("fraud_count"),
+          qz(col("score_sum") / col("prediction_count"), 6).as("avg_score")))
+    }),
+
     // INCREMENTAL CURATION: the batch curation tier (q51 quality score,
     // q52 lang-ID, q50/q88 content-hash dedup) run as ONE streaming
     // pipeline — the shape that curates a corpus arriving continuously
@@ -660,6 +683,33 @@ object StreamingQueries {
         |      WHEN b < 0.6 THEN 'MEDIUM' WHEN b < 0.8 THEN 'HIGH'
         |      ELSE 'CRITICAL' END AS risk_level
         |FROM blended ORDER BY event_id""".stripMargin,
+
+    // q107's score chain folded to the global stats row; the exact
+    // long-sum average (sum of round(b·10⁶) as BIGINT) reproduces the
+    // stream's runningStatsExact arithmetic term for term
+    "q146_stream_running_stats" ->
+      """WITH base AS (
+        | SELECT event_id, value*20.0 AS amt, hour(ts) AS h,
+        |  (event_type = 'error') AS dev_missing,
+        |  (event_type = 'signup') AS unusual
+        | FROM events),
+        |s0 AS (SELECT *, 1.0/(1.0 + exp(-0.003*(amt - 500.0))) AS b0 FROM base),
+        |s1 AS (SELECT *, CASE WHEN amt > 5000 THEN least(b0 + 0.15, 0.95)
+        |                      WHEN amt > 1000 THEN least(b0 + 0.08, 0.85)
+        |                      ELSE b0 END AS b1 FROM s0),
+        |s2 AS (SELECT *, CASE WHEN dev_missing THEN least(b1 + 0.05, 0.95) ELSE b1 END AS b2 FROM s1),
+        |s3 AS (SELECT *, CASE WHEN unusual THEN least(b2 + 0.05, 0.95) ELSE b2 END AS b3 FROM s2),
+        |scored AS (
+        | SELECT *, CASE WHEN h < 5 OR h > 23 THEN least(b3 + 0.07, 0.95) ELSE b3 END AS heuristic,
+        |  least(1.0, amt/10000.0) AS model
+        | FROM s3),
+        |blended AS (
+        | SELECT *, least(1.0, greatest(0.0, model*0.4 + heuristic*0.6)) AS b
+        | FROM scored)
+        |SELECT CAST(count(*) AS BIGINT) AS prediction_count,
+        | CAST(sum(CASE WHEN b >= 0.6 THEN 1 ELSE 0 END) AS BIGINT) AS fraud_count,
+        | round(((CAST(sum(CAST(round(b*1000000.0) AS BIGINT)) AS DOUBLE)/1000000.0) / count(*)) * 1000000.0) / 1000000.0 + 0.0 AS avg_score
+        |FROM blended""".stripMargin,
 
     // the whole curation chain re-derived in SQL: planted clones in,
     // quality + lang + per-hash keeper out

@@ -28,6 +28,20 @@ object StreamingOps {
       sum((col(scoreCol) >= 0.6).cast("long")).as("fraud_count"),
       avg(col(scoreCol)).as("avg_score"))
 
+  /** H6 in hash-gateable form: the score average derives from an exact
+    * long sum (`Util.exactSum` — associative at any batch/merge order,
+    * zero association error), so a streaming final row equals the
+    * batch fold bit-for-bit; `runningStats`' plain avg() would drift
+    * from a batch twin by merge-order ulps. `score_sum` is the
+    * long-sum total scaled back to a double; callers derive
+    * avg = score_sum / prediction_count. */
+  def runningStatsExact(scored: DataFrame, scoreCol: String = "risk_score",
+                        digits: Int = 6): DataFrame =
+    scored.agg(
+      count(lit(1)).as("prediction_count"),
+      sum((col(scoreCol) >= 0.6).cast("long")).as("fraud_count"),
+      graft.queries.Util.exactSum(col(scoreCol), digits).as("score_sum"))
+
   /** H6 alternative (SURVEY §2.10): piggyback the running stats on the
     * scoring query itself via Dataset.observe — the metrics ride the
     * existing action (no second pass over the data) and surface through
