@@ -401,6 +401,40 @@ object CoreQueries {
         .agg(count(lit(1)).as("n"), qz(avg("k"), 6).as("avg_k"),
           sum("k").as("sum_k"))
         .orderBy("event_type")
+    }),
+
+    // S4 + P3 as a driver gate (previously spec-only): a properties
+    // config is WRITTEN then LOADED (GraftConfig.fromProperties — the
+    // reference's config.yaml knobs), and its values parameterize the
+    // computation: the flag threshold is the file's 0.7, NOT the 0.6
+    // default, so a loader that silently fell back to defaults changes
+    // n_flagged and the hash goes red; lookback_echo pins the list
+    // parsing the same way. The dtype-driven projection (P3,
+    // Profiler.numericColumns/stringColumns — pandas select_dtypes
+    // parity) picks the columns whose names the oracle pins as
+    // literals, and the value mean is computed over the PROJECTED
+    // frame, exact-long-summed.
+    "q147_config_dtype" -> ((s, dir) => {
+      val propsPath = java.nio.file.Files.createTempFile("graft_cfg", ".properties")
+      java.nio.file.Files.writeString(propsPath,
+        "risk.fraudThreshold=0.7\nfeatures.lookbackDays=2,14\n")
+      val cfg = try graft.GraftConfig.fromProperties(propsPath.toString)
+      finally java.nio.file.Files.delete(propsPath)
+      val ev = Tables.events(s, dir)
+      val nums = graft.sources.Profiler.numericColumns(ev)
+      val strs = graft.sources.Profiler.stringColumns(ev)
+      val numOnly = ev.select(nums.map(col): _*)
+      val numStats = numOnly.agg(count(lit(1)).as("n"),
+        Util.exactSum(col("value"), 6).as("sv"))
+      val flagged = ev.agg(
+        sum((graft.serve.RiskScore.EventScore.blended >= cfg.fraudThreshold)
+          .cast("long")).as("n_flagged"))
+      flagged.crossJoin(broadcast(numStats)).select(
+        lit(nums.mkString(",")).as("numeric_cols"),
+        lit(strs.mkString(",")).as("string_cols"),
+        lit(cfg.lookbackDays.mkString(",")).as("lookback_echo"),
+        col("n_flagged"),
+        qz(col("sv") / col("n"), 6).as("mean_value_q"))
     })
   )
 
@@ -641,6 +675,38 @@ object CoreQueries {
       """SELECT event_type, count(*) AS n,
         | round((avg(CAST(json_extract_string(props,'$.k') AS BIGINT))) * 1000000.0) / 1000000.0 + 0.0 AS avg_k,
         | CAST(sum(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS BIGINT) AS sum_k
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the column lists are schema constants (int64/double vs string
+    // fields of events); n_flagged re-derives the q32 score chain at
+    // the CONFIG-FILE threshold 0.7 — a loader falling back to the 0.6
+    // default diverges by the mass between the two thresholds
+    "q147_config_dtype" ->
+      """WITH base AS (
+        | SELECT event_id, value*20.0 AS amt, hour(ts) AS h,
+        |  (event_type = 'error') AS dev_missing,
+        |  (event_type = 'signup') AS unusual
+        | FROM events),
+        |s0 AS (SELECT *, 1.0/(1.0 + exp(-0.003*(amt - 500.0))) AS b0 FROM base),
+        |s1 AS (SELECT *, CASE WHEN amt > 5000 THEN least(b0 + 0.15, 0.95)
+        |                      WHEN amt > 1000 THEN least(b0 + 0.08, 0.85)
+        |                      ELSE b0 END AS b1 FROM s0),
+        |s2 AS (SELECT *, CASE WHEN dev_missing THEN least(b1 + 0.05, 0.95) ELSE b1 END AS b2 FROM s1),
+        |s3 AS (SELECT *, CASE WHEN unusual THEN least(b2 + 0.05, 0.95) ELSE b2 END AS b3 FROM s2),
+        |scored AS (
+        | SELECT *, CASE WHEN h < 5 OR h > 23 THEN least(b3 + 0.07, 0.95) ELSE b3 END AS heuristic,
+        |  least(1.0, amt/10000.0) AS model
+        | FROM s3),
+        |blended AS (
+        | SELECT *, least(1.0, greatest(0.0, model*0.4 + heuristic*0.6)) AS b
+        | FROM scored),
+        |f AS (SELECT CAST(sum(CASE WHEN b >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged FROM blended),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(value*1000000.0) AS BIGINT)) AS DOUBLE)/1000000.0 AS sv FROM events)
+        |SELECT 'event_id,user_id,value' AS numeric_cols,
+        | 'event_type,props' AS string_cols,
+        | '2,14' AS lookback_echo, n_flagged,
+        | round((sv / n) * 1000000.0) / 1000000.0 + 0.0 AS mean_value_q
+        |FROM f CROSS JOIN m""".stripMargin
   )
 }
