@@ -117,6 +117,27 @@ object Ivf {
     assemble(df, id, vec, refined)
   }
 
+  /** Incremental index maintenance (FAISS `add()` semantics, the
+    * operation a production deployment runs per arriving shard): assign
+    * a DELTA batch to the EXISTING centroids and union it into the
+    * index — the coarse quantizer is FROZEN; only periodic rebuilds
+    * retrain. The delta goes through the same map-side assignment
+    * expression as [[build]], so `append(build(A), B).assigned` is
+    * bit-identical to assembling A∪B over A's centers (IvfSpec), and
+    * pre-existing rows are untouched bytes — a search whose true
+    * neighbors predate the delta returns exactly what it returned
+    * before the append. At 100 TB this is the difference between a
+    * daily full-corpus rebuild and a map-only pass over the new shard.
+    * Composes with [[save]]/[[load]]: load → append → save is the
+    * steady-state index-refresh job. */
+  def append(index: Index, delta: DataFrame): Index = {
+    val centers: Array[Array[Float]] = index.centroids
+      .orderBy("centroid_id").collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("cvec").toArray)
+    val assembled = assemble(delta, index.idCol, index.vecCol, centers)
+    index.copy(assigned = index.assigned.unionByName(assembled.assigned))
+  }
+
   /** Shared seed training: bounded deterministic sample → local
     * spherical k-means (one definition for both branches). */
   private def trainCentroids(df: DataFrame, id: String, vec: String,

@@ -60,6 +60,40 @@ object EmbeddingQueries {
           hits.toDouble / exactSet.size >= 0.4, res == freshRes))
         .toDF("n_queries", "n_exact", "recall_ok", "reload_exact")
     }),
+    // INCREMENTAL INDEX MAINTENANCE (FAISS add() semantics — round-14
+    // extension of q143's persistence): build + register an IVF index,
+    // RELOAD it, append a delta shard of exact copies of the first 20
+    // vectors under offset ids (the arriving-data case), and search
+    // with the originals. Recall of the planted twins is GUARANTEED,
+    // not statistical: an exact copy shares its query's argmax cell, so
+    // nProbe=1 probes it, and with self excluded the twin surfaces in
+    // the top-k — so the oracle pins the discrete outcome (20/20) and a
+    // broken frozen-quantizer assignment or a lost delta row goes red.
+    // n_indexed pins conservation: corpus + delta, nothing dropped.
+    // At 100 TB this operation (map-only assign of the new shard, no
+    // retrain) is the difference between a daily rebuild and a
+    // streaming refresh; IvfSpec proves the old rows' results are
+    // untouched and load→append composes with save.
+    "q148_ann_append" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val index = graft.operators.Ivf.build(e, "vec_id", "embedding", nLists = 16)
+      val reg = java.nio.file.Files.createTempDirectory("graft_ann_app").toString
+      graft.serve.ModelRegistry.registerIvf(s, reg, "ann_ivf", index)
+      val loaded = graft.serve.ModelRegistry.loadIvf(s, reg, "ann_ivf")
+      val delta = e.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
+      val appended = graft.operators.Ivf.append(loaded, delta)
+      val q = e.filter(col("vec_id") < 20)
+      val res = graft.operators.Ivf.search(appended, q, "vec_id", "embedding",
+        nProbe = 1, topK = 5)
+      val twinsFound = res
+        .filter(col("neighbor_id") === col("query_id") + 10000000L).count()
+      val nIndexed = appended.assigned.count()
+      Seq((20L, twinsFound, nIndexed))
+        .toDF("n_queries", "n_twins_found", "n_indexed")
+    }),
+
     "q57_embed_stats" -> ((s, dir) => {
       Embeddings.stats(Tables.embeddings(s, dir), "vec_id", "embedding")
         .select(col("vec_id"), qz(col("l2_norm"), 6).as("l2_norm"),
@@ -350,6 +384,14 @@ object EmbeddingQueries {
       """SELECT count(*) AS n_queries, CAST(5 * count(*) AS BIGINT) AS n_exact,
         | true AS recall_ok, true AS reload_exact
         |FROM embeddings WHERE vec_id < 20""".stripMargin,
+
+    // the twin count is pinned (guaranteed recall — an exact copy
+    // shares its query's argmax cell); n_indexed is conservation:
+    // every corpus row plus every delta row is in the appended index
+    "q148_ann_append" ->
+      """SELECT CAST(20 AS BIGINT) AS n_queries,
+        | CAST(20 AS BIGINT) AS n_twins_found,
+        | CAST((SELECT count(*) FROM embeddings) + 20 AS BIGINT) AS n_indexed""".stripMargin,
 
     // zipped unnest + generate_subscripts gives (position, value) pairs
     "q127_dim_stats" ->

@@ -119,6 +119,47 @@ class IvfSpec extends SparkSpec {
     assert(cents(fromReg) == cents(index))
   }
 
+  test("append: frozen-quantizer delta add — twin cells, planted recall, old results untouched") {
+    val index = Ivf.build(clustered, "vec_id", "embedding", nLists = 4)
+    // delta: exact copies of ten cluster-3 rows under fresh ids
+    val twins = clustered.filter($"vec_id" % 4 === 3 && $"vec_id" < 40)
+      .select(($"vec_id" + 10000L).as("vec_id"), $"embedding")
+    val appended = Ivf.append(index, twins)
+    assert(appended.assigned.count() == 410)
+    // identical vectors land in identical cells — the delta goes through
+    // the same argmax expression as build, against the FROZEN centers
+    val twinCells = appended.assigned.filter($"vec_id" >= 10000L)
+      .select(($"vec_id" - 10000L).as("o"), $"centroid_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val origCells = index.assigned.filter($"vec_id" % 4 === 3 && $"vec_id" < 40)
+      .select($"vec_id", $"centroid_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(twinCells == origCells)
+    // guaranteed recall: a query's exact copy shares its argmax cell, so
+    // nProbe=1 reaches it; self is excluded, so the twin is a top-5 hit
+    val q = clustered.filter($"vec_id" % 4 === 3 && $"vec_id" < 40)
+    val hits = Ivf.search(appended, q, "vec_id", "embedding", nProbe = 1, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val qIds = (3L until 40L by 4L)
+    assert(qIds.forall(i => hits.contains((i, i + 10000L))),
+      "every planted twin must surface for its original")
+    // queries whose neighbors predate the delta return the identical
+    // rows — appending cluster-3 copies cannot disturb cluster-0 top-5
+    val oldQ = clustered.filter($"vec_id" % 4 === 0 && $"vec_id" < 40)
+    def res(i: Ivf.Index) = Ivf.search(i, oldQ, "vec_id", "embedding",
+        nProbe = 1, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(res(index) == res(appended))
+    // composes with persistence: load → append ≡ append (the refresh job)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString
+    Ivf.save(index, path)
+    val viaDisk = Ivf.append(Ivf.load(spark, path), twins)
+    def resQ(i: Ivf.Index) = Ivf.search(i, q, "vec_id", "embedding",
+        nProbe = 2, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(resQ(viaDisk) == resQ(appended))
+  }
+
   test("index assignment is total and deterministic") {
     val i1 = Ivf.build(clustered, "vec_id", "embedding", nLists = 4)
     val i2 = Ivf.build(clustered, "vec_id", "embedding", nLists = 4)

@@ -78,6 +78,32 @@ class PqSpec extends SparkSpec {
     assert(res(codesReg, cbReg) == res(enc, cb))
   }
 
+  test("append shape: delta-encode + union of saved codes == whole-corpus encode, bit for bit") {
+    // the PQ half of incremental index maintenance (Ivf.append's twin):
+    // encode is a pure per-row map against FROZEN codebooks, so the
+    // arriving shard encodes independently and unions with the saved
+    // codes — no retrain, no re-encode of the existing corpus
+    val cb = Pq.train(vecs, "vid", "v", m = 4, k = 16)
+    val old = vecs.filter($"vid" < 300)
+    val delta = vecs.filter($"vid" >= 300)
+    val path = java.nio.file.Files.createTempDirectory("graft_pq_app").toString
+    Pq.saveCodes(Pq.encode(old, "v", cb), path)
+    val unioned = Pq.loadCodes(spark, path)
+      .unionByName(Pq.encode(delta, "v", cb))
+    def codeMap(df: org.apache.spark.sql.DataFrame) =
+      df.select("vid", "codes").collect()
+        .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Int]](1).toList)
+        .toMap
+    assert(codeMap(unioned) == codeMap(Pq.encode(vecs, "v", cb)))
+    // and the appended artifact searches identically to the all-at-once one
+    val q = vecs.filter($"vid" < 10)
+    def res(e: org.apache.spark.sql.DataFrame) =
+      Pq.searchReranked(e, "vid", "v", cb, q, "vid", "v",
+          shortlist = 16, topK = 3, dropSelf = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(res(unioned) == res(Pq.encode(vecs, "v", cb)))
+  }
+
   test("trainDistributed: refined codebooks bit-identical across layouts; recall parity with the local branch") {
     val cbA = Pq.trainDistributed(vecs.repartition(3), "vid", "v", m = 4, k = 16)
     val cbB = Pq.trainDistributed(vecs.repartition(13, $"vid" % 3),
