@@ -81,14 +81,19 @@ object EmbeddingQueries {
       val reg = java.nio.file.Files.createTempDirectory("graft_ann_app").toString
       graft.serve.ModelRegistry.registerIvf(s, reg, "ann_ivf", index)
       val loaded = graft.serve.ModelRegistry.loadIvf(s, reg, "ann_ivf")
+      // delta ids are NEGATIVE: absent at every scale by construction
+      // (generated and replica id spaces are nonnegative — a fixed
+      // positive offset collided with the sf1 replica's offset ids),
+      // and a negative id also wins the (sim desc, id asc) tie-break
+      // against a 6dp-rounded-to-1.0 near-duplicate
       val delta = e.filter(col("vec_id") < 20)
-        .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
+        .select((-col("vec_id") - 1).as("vec_id"), col("embedding"))
       val appended = graft.operators.Ivf.append(loaded, delta)
       val q = e.filter(col("vec_id") < 20)
       val res = graft.operators.Ivf.search(appended, q, "vec_id", "embedding",
         nProbe = 1, topK = 5)
       val twinsFound = res
-        .filter(col("neighbor_id") === col("query_id") + 10000000L).count()
+        .filter(col("neighbor_id") === -col("query_id") - 1).count()
       val nIndexed = appended.assigned.count()
       Seq((20L, twinsFound, nIndexed))
         .toDF("n_queries", "n_twins_found", "n_indexed")
