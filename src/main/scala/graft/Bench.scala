@@ -143,7 +143,15 @@ object Bench {
     }
     val names = results.map { case (n, med, mn) => f"$n=$med%.3f/$mn%.3f" }.mkString(" ")
     println(s"[bench-names med/min k=$k] $names")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"env":$env,"sf":"$sfDir"}""")
+    // stop() BEFORE the record: Spark shutdown can log lines of its own,
+    // and anything printed after the record eats into the driver's
+    // ~2000-byte tail window — at 146 queries the record is ~1.9 KB, so
+    // the margin is the few bytes between it and end-of-output
     spark.stop()
+    val record = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"env":$env,"sf":"$sfDir"}"""
+    if (record.length > 1950)
+      System.err.println(s"[bench] WARNING record ${record.length} B approaches " +
+        "the driver's ~2000 B tail window - trim the queries map before adding more")
+    println(record)
   }
 }
