@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Lexical (BM25) and hybrid lexical→semantic retrieval over a document
+  * corpus — the retrieval primitives an LLM-data pipeline runs for
+  * dedup triage, decontamination review, and hard-negative mining for
+  * retrieval training sets (beyond the reference, which has no corpus
+  * search; SURVEY.md §7 training-data tier).
+  *
+  * BM25 is the Okapi form with Lucene's +1 idf smoothing (public:
+  * Robertson & Zaragoza 2009, "The Probabilistic Relevance Framework"):
+  *   idf(t)     = ln((N − df + 0.5)/(df + 0.5) + 1)
+  *   score(d)   = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+  *
+  * Scale shape: tokens explode once and filter to the |terms| query
+  * terms BEFORE the shuffle (the exchange carries only matching
+  * (doc, term) rows); df and the corpus stats are term-count-bounded
+  * broadcasts; the per-doc sum is a bounded groupBy. The corpus text
+  * itself never shuffles. Determinism: the per-term contributions are
+  * summed as exact longs (round(x·10⁹) — the Util.exactSum doctrine),
+  * so the per-doc score is association-free and safe to quantize-hash
+  * cross-engine; only ln sits upstream, with ~1e-16 of engine slack
+  * against a 5e-10 rounding step.
+  */
+object Retrieval {
+
+  /** Per-document BM25 score for `terms` (documents hitting no query
+    * term are absent — standard sparse-retrieval semantics). Output:
+    * (idCol, bm25 double = exact-long sum of term scores / 10⁹). */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val toks = docs.select(col(idCol),
+        TextOps.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col("__toks"),
+        size(col("__toks")).cast("double").as("__dl"))
+    val stats = toks.agg(count(lit(1)).cast("double").as("__n"),
+      sum(col("__dl")).as("__sumdl"))
+    val tf = toks
+      .select(col(idCol), col("__dl"), explode(col("__toks")).as("__t"))
+      .filter(col("__t").isin(terms: _*))
+      .groupBy(col(idCol), col("__dl"), col("__t"))
+      .agg(count(lit(1)).cast("double").as("__tf"))
+    val dfT = tf.groupBy("__t").agg(count(lit(1)).cast("double").as("__df"))
+    // association order is part of the cross-engine contract: the SQL
+    // twin must write these very shapes (left-assoc, same literals)
+    val idf = log((col("__n") - col("__df") + 0.5) / (col("__df") + 0.5) + 1.0)
+    val dlNorm = col("__dl") * b * col("__n") / col("__sumdl") // dl/avgdl
+    val termScore =
+      idf * col("__tf") * (k1 + 1.0) /
+        (col("__tf") + (dlNorm + (1.0 - b)) * k1)
+    tf.join(broadcast(dfT), "__t")
+      .crossJoin(broadcast(stats))
+      .withColumn("__ts", round(termScore * 1e9, 0).cast("long"))
+      .groupBy(col(idCol))
+      .agg((sum(col("__ts")) / 1e9 + lit(0.0)).as("bm25"))
+  }
+
+  /** Hybrid retrieval: BM25 shortlist of `shortlist` docs, exact-cosine
+    * reranked against `queryVec`'s embedding — the lexical-then-semantic
+    * two-stage ranker (hard-negative mining shape: lexically close,
+    * semantically scored). `embeddings` joins on (embIdCol == idCol);
+    * shortlisted docs without an embedding drop out, standard for a
+    * corpus whose embedding coverage trails ingestion. Both stages are
+    * bounded: TakeOrdered for the shortlist, a |shortlist|-row join and
+    * rerank. */
+  def hybrid(docs: DataFrame, idCol: String, textCol: String,
+             terms: Seq[String], embeddings: DataFrame, embIdCol: String,
+             vecCol: String, queryVec: DataFrame, shortlist: Int,
+             topK: Int): DataFrame = {
+    val lex = bm25(docs, idCol, textCol, terms)
+      .withColumn("__bq", round(col("bm25") * 1e6, 0) / 1e6)
+      .orderBy(col("__bq").desc, col(idCol))
+      .limit(shortlist)
+    val shortEmb = lex.join(embeddings,
+      lex(idCol) === embeddings(embIdCol))
+    Embeddings.cosineTopK(queryVec, shortEmb.select(col(embIdCol), col(vecCol)),
+        embIdCol, embIdCol, vecCol, k = topK)
+      .join(lex.select(col(idCol).as("neighbor_id"), col("__bq").as("bm25_q")),
+        "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("bm25_q"))
+  }
+}

@@ -470,6 +470,39 @@ object CurationQueries {
         .select(col("anchor").as("user_id"), col("sample_idx"),
           col("event_id").as("neg_event_id"), col("owner"), col("value"))
         .orderBy("user_id", "sample_idx")
+    }),
+
+    // LEXICAL RETRIEVAL (BM25, round 14): the corpus-search primitive a
+    // curation pipeline uses for dedup triage and decontamination
+    // review. Okapi BM25 with Lucene's +1 idf smoothing; the per-doc
+    // score sums per-term contributions as exact longs (round(x·10⁹)),
+    // so it is association-free and hash-safe, and the oracle re-derives
+    // every tf/df/dl/avgdl and the full formula from scratch in SQL with
+    // the identical left-assoc float shapes. Top-10 via TakeOrdered
+    // (rounded-score, doc_id tie-break), never a global window.
+    "q149_bm25" -> ((s, dir) => {
+      graft.operators.Retrieval.bm25(Tables.documents(s, dir),
+          "doc_id", "text", Seq("spark", "merge", "vector"))
+        .select(col("doc_id"), qz(col("bm25"), 6).as("bm25_q"))
+        .orderBy(col("bm25_q").desc, col("doc_id"))
+        .limit(10)
+    }),
+
+    // HYBRID RETRIEVAL (lexical shortlist → exact-cosine rerank, round
+    // 14): the two-stage ranker of a hard-negative mining pipeline —
+    // lexically close by BM25, semantically ordered by the embedding.
+    // Query = doc 7's embedding; shortlisted docs without an embedding
+    // drop out (coverage trails ingestion), self is excluded by the
+    // rerank. The oracle replays BOTH stages in SQL: the full BM25
+    // block, the rounded-score shortlist cut, the embedding join, and
+    // the q58 cosine formula.
+    "q150_hybrid_retrieval" -> ((s, dir) => {
+      val qv = Tables.embeddings(s, dir).filter(col("vec_id") === 7)
+      graft.operators.Retrieval.hybrid(Tables.documents(s, dir),
+          "doc_id", "text", Seq("spark", "merge", "vector"),
+          Tables.embeddings(s, dir), "vec_id", "embedding",
+          qv, shortlist = 50, topK = 5)
+        .orderBy("neighbor_id")
     })
   )
 
@@ -846,6 +879,67 @@ object CurationQueries {
         | e.event_id AS neg_event_id, e.user_id AS owner, e.value
         |FROM draws d JOIN events e ON d.cand_id = e.event_id
         |WHERE e.user_id <> d.anchor
-        |ORDER BY user_id, sample_idx""".stripMargin
+        |ORDER BY user_id, sample_idx""".stripMargin,
+
+    // full BM25 re-derivation: tf/df/dl/avgdl and the Okapi formula with
+    // the IDENTICAL left-assoc float shapes as Retrieval.bm25 (the
+    // (1.2 + 1.0) literal is deliberate — both engines fold it with the
+    // same IEEE add); per-term scores round to exact longs before the
+    // per-doc sum, like the Spark side
+    "q149_bm25" -> bm25Sql(
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        | round(bm25 * 1000000.0) / 1000000.0 + 0.0 AS bm25_q
+        |FROM bm ORDER BY bm25_q DESC, doc_id LIMIT 10"""),
+
+    // both stages replayed: the BM25 block, the rounded-score shortlist
+    // cut (same tie-break), the embedding join (coverage drop), and the
+    // q58 cosine formula; self excluded like the rerank
+    "q150_hybrid_retrieval" -> bm25Sql(
+      """short AS (
+        | SELECT doc_id, round(bm25 * 1000000.0) / 1000000.0 AS bq
+        | FROM bm ORDER BY bq DESC, doc_id LIMIT 50),
+        |e AS (
+        | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        | FROM embeddings),
+        |qv AS (SELECT v AS qvec FROM e WHERE vec_id = 7),
+        |cand AS (
+        | SELECT s.doc_id, s.bq, e.v FROM short s JOIN e ON e.vec_id = s.doc_id),
+        |sims AS (
+        | SELECT CAST(7 AS BIGINT) AS query_id, CAST(doc_id AS BIGINT) AS neighbor_id,
+        |  round((list_dot_product(qvec, v)
+        |   / (sqrt(list_dot_product(qvec, qvec)) * sqrt(list_dot_product(v, v)))) * 1000000.0) / 1000000.0 + 0.0 AS sim,
+        |  bq FROM cand CROSS JOIN qv WHERE doc_id <> 7),
+        |rk AS (
+        | SELECT *, row_number() OVER (ORDER BY sim DESC, neighbor_id) AS rn
+        | FROM sims)
+        |SELECT query_id, neighbor_id, sim, bq + 0.0 AS bm25_q
+        |FROM rk WHERE rn <= 5 ORDER BY neighbor_id""", extraCte = true)
   )
+
+  /** Shared BM25 CTE block (q149/q150): one definition so the two
+    * oracles' formula shapes cannot drift from each other. */
+  private def bm25Sql(tail: String, extraCte: Boolean = false): String = {
+    val sep = if (extraCte) "," else ""
+    s"""WITH tok AS (
+       | SELECT doc_id,
+       |  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS dl
+       | FROM documents),
+       |t AS (
+       | SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tk
+       | FROM documents),
+       |tf AS (
+       | SELECT doc_id, tk, CAST(count(*) AS DOUBLE) AS tf FROM t
+       | WHERE tk IN ('spark', 'merge', 'vector') GROUP BY doc_id, tk),
+       |dft AS (SELECT tk, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tk),
+       |st AS (
+       | SELECT CAST(count(*) AS DOUBLE) AS n, sum(dl) AS sumdl FROM tok),
+       |sc AS (
+       | SELECT tf.doc_id,
+       |  CAST(round((ln((n - df + 0.5) / (df + 0.5) + 1.0) * tf * (1.2 + 1.0)
+       |   / (tf + ((dl * 0.75 * n / sumdl) + (1.0 - 0.75)) * 1.2)) * 1000000000.0) AS BIGINT) AS ts
+       | FROM tf JOIN dft USING (tk) JOIN tok USING (doc_id) CROSS JOIN st),
+       |bm AS (
+       | SELECT doc_id, sum(ts) / 1000000000.0 + 0.0 AS bm25 FROM sc GROUP BY doc_id)$sep
+       |${tail.stripMargin}""".stripMargin
+  }
 }
