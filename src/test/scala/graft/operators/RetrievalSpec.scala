@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** BM25 + hybrid retrieval edge contracts (the bulk correctness is
+  * oracle-gated by q149/q150; this pins hand-computed values and the
+  * sparse/coverage semantics the oracle's natural corpus can't isolate). */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // dl: 4, 2, 3; "cat" appears 2x in d0, 1x in d1, 0x in d2
+  private lazy val docs = Seq(
+    (0L, "cat cat dog bird"),
+    (1L, "cat fish"),
+    (2L, "dog dog fish")
+  ).toDF("doc_id", "text")
+
+  test("bm25 matches the hand-computed Okapi value; no-hit docs are absent") {
+    val out = Retrieval.bm25(docs, "doc_id", "text", Seq("cat"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // N=3, df=2, idf = ln((3-2+0.5)/(2+0.5)+1) = ln(1.6); avgdl = 3.0
+    val idf = math.log(1.6)
+    def score(tf: Double, dl: Double): Double = {
+      val raw = idf * tf * (1.2 + 1.0) /
+        (tf + (dl * 0.75 * 3.0 / 9.0 + 0.25) * 1.2)
+      math.round(raw * 1e9) / 1e9.toDouble
+    }
+    assert(out.keySet == Set(0L, 1L), "doc 2 has no query term - absent")
+    assert(math.abs(out(0L) - score(2.0, 4.0)) < 1e-12)
+    assert(math.abs(out(1L) - score(1.0, 2.0)) < 1e-12)
+    // higher tf on comparable length ranks first
+    assert(out(0L) > out(1L))
+  }
+
+  test("multi-term scores are the exact-long sum of per-term scores") {
+    val both = Retrieval.bm25(docs, "doc_id", "text", Seq("cat", "dog"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val cat = Retrieval.bm25(docs, "doc_id", "text", Seq("cat"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val dog = Retrieval.bm25(docs, "doc_id", "text", Seq("dog"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // exact-long arithmetic: the combined score IS the sum of the
+    // single-term runs' scores (both are sums of the same rounded longs)
+    for (id <- Seq(0L, 1L, 2L)) {
+      val expect = cat.getOrElse(id, 0.0) + dog.getOrElse(id, 0.0)
+      assert(math.abs(both(id) - expect) < 1e-12, s"doc $id")
+    }
+  }
+
+  test("hybrid: shortlist docs without embeddings drop; self excluded; rerank is cosine-ordered") {
+    // embeddings only for docs 0 and 1; query = doc 0's own vector
+    val emb = Seq(
+      (0L, Array(1f, 0f)),
+      (1L, Array(0.6f, 0.8f))
+    ).toDF("vec_id", "embedding")
+    val qv = emb.filter($"vec_id" === 0)
+    val res = Retrieval.hybrid(docs, "doc_id", "text", Seq("cat", "dog"),
+        emb, "vec_id", "embedding", qv, shortlist = 10, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // doc 2 hits "dog" lexically but has no embedding -> dropped;
+    // doc 0 is the query itself -> excluded; only doc 1 remains
+    assert(res.length == 1)
+    assert(res.head._1 == 0L && res.head._2 == 1L)
+    assert(math.abs(res.head._3 - 0.6) < 1e-6) // cos((1,0),(0.6,0.8)) = 0.6
+  }
+}
