@@ -392,4 +392,53 @@ object Dedup {
         array_min(col("__sh")).as("fingerprint_md5"),
         size(col("__sh")).cast("long").as("n_shingles"))
   }
+
+  /** Exact substring-span duplication coverage — the document-level
+    * measurement behind exact SUBSTRING dedup (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better": spans
+    * of ≥ N tokens repeated across the corpus), the one dedup mode the
+    * doc-level family above (exact hash / MinHash / SimHash) cannot
+    * see: two documents sharing a verbatim license header are distinct
+    * docs AND distant near-dups, yet every token of that header is
+    * memorization fuel. Per document: the fraction of its token
+    * N-gram POSITIONS whose gram text occurs in ≥ 2 distinct documents.
+    *
+    * Semantics: positional, not distinct — coverage measures how much
+    * OF THE DOCUMENT is duplicated, so a gram repeated at k positions
+    * counts k times; a gram repeated only WITHIN one document is not
+    * shared (the distinct-doc count gates at 2). Documents shorter
+    * than n tokens have no gram positions and are absent (q93/q149
+    * sparse semantics).
+    *
+    * Scale shape: tokenize once, md5 the N-token windows map-side —
+    * the two aggregations and the join all key on the 32-char hash;
+    * document text never shuffles. No n² stage anywhere: cost is
+    * linear in total gram positions (≈ total tokens). At 100 TB the
+    * (gram → n_docs) table is the corpus's repeated-span inventory —
+    * corpus-bounded, never collected, never broadcast (the join is
+    * hash-to-hash; AQE may broadcast while it fits). */
+  def spanCoverage(docs: DataFrame, id: String, text: String,
+                   n: Int = 8): DataFrame = {
+    require(n >= 2, s"span length must be >= 2 tokens: $n")
+    // positional gram stream: docs with < n tokens yield an EMPTY array
+    // (an unguarded sequence(1, size-n+1) would flip descending there)
+    val staged = docs.select(col(id), TextOps.tokens(col(text)).as("__toks"))
+    val grams = when(size(col("__toks")) >= n,
+      transform(sequence(lit(1), size(col("__toks")) - (n - 1)),
+        i => md5(concat_ws(" ", slice(col("__toks"), i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+    val g = staged.select(col(id), explode(grams).as("__h"))
+    // positions per (doc, gram), then distinct-doc count per gram — the
+    // doc count is count(*) over the first aggregate's rows (one row
+    // per (gram, doc) by construction), not a count_distinct
+    val perDocGram = g.groupBy(col(id), col("__h"))
+      .agg(count(lit(1)).as("__np"))
+    val docsPerGram = perDocGram.groupBy("__h")
+      .agg(count(lit(1)).as("__nd"))
+    perDocGram.join(docsPerGram, Seq("__h"))
+      .groupBy(col(id))
+      .agg(sum(col("__np")).as("n_grams"),
+        sum(when(col("__nd") >= 2, col("__np")).otherwise(lit(0L)))
+          .as("n_dup"))
+  }
 }

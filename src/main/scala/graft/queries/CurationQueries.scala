@@ -503,6 +503,46 @@ object CurationQueries {
           Tables.embeddings(s, dir), "vec_id", "embedding",
           qv, shortlist = 50, topK = 5)
         .orderBy("neighbor_id")
+    }),
+
+    // BIGRAM LM PERPLEXITY (round 14): the CCNet-shape quality filter —
+    // score every document under an interpolated bigram LM trained on
+    // the corpus itself (q93's unigram filter upgraded to conditional
+    // probabilities; Jelinek–Mercer λ=0.75 — an exact binary fraction,
+    // so the SQL twin's decimal literals fold to the identical
+    // doubles). Per-position ln(p) quantizes to a long BEFORE the
+    // per-doc sum (exact-long doctrine), so avg_logprob is
+    // association-free and hashed RAW; the oracle re-derives every
+    // count table and the full interpolation formula in SQL with
+    // identical left-assoc float shapes. The ppl itself stays out of
+    // the hash (exp spans orders of magnitude — see LangModel's note).
+    "q151_bigram_perplexity" -> ((s, dir) => {
+      graft.operators.LangModel.bigramLogprob(
+          Tables.documents(s, dir), "doc_id", "text", lambda = 0.75)
+        .select(col("doc_id"), col("n_bigrams"), col("avg_logprob"))
+        .orderBy("doc_id")
+    }),
+
+    // EXACT SUBSTRING-SPAN DEDUP COVERAGE (round 14): per-doc fraction
+    // of token-8-gram POSITIONS whose gram recurs in ≥2 distinct docs
+    // (Lee et al. 2021 — the span-level dedup mode doc-level
+    // exact/MinHash/SimHash cannot see). The harness corpus has no
+    // guaranteed cross-doc verbatim spans, which would leave the signal
+    // at the mercy of generator accidents — so the query PLANTS a
+    // 10-token boilerplate header on every 10th doc (q61/q94 pattern):
+    // those docs must show ≥3 shared positions (the header's interior
+    // grams), and a regression in the positional counting turns the row
+    // red. Grams hash to md5 map-side; text never shuffles.
+    "q152_span_coverage" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 10 === 0,
+          concat(col("text"), lit(" boiler plate license header repeated" +
+            " verbatim across many corpus documents")))
+          .otherwise(col("text")).as("text"))
+      graft.operators.Dedup.spanCoverage(docs, "doc_id", "text", n = 8)
+        .select(col("doc_id"), col("n_grams"), col("n_dup"),
+          qz(col("n_dup").cast("double") / col("n_grams"), 6).as("dup_frac"))
+        .orderBy("doc_id")
     })
   )
 
@@ -880,6 +920,66 @@ object CurationQueries {
         |FROM draws d JOIN events e ON d.cand_id = e.event_id
         |WHERE e.user_id <> d.anchor
         |ORDER BY user_id, sample_idx""".stripMargin,
+
+    // full interpolated-bigram re-derivation: the pair stream via
+    // list_zip of the shifted token slices, every count table (bigram,
+    // first-token margin, unigram, total), and the λ·c12/c1 +
+    // (1−λ)·u2/T formula with the IDENTICAL left-assoc float shapes
+    // (0.75/0.25 are exact binary fractions — decimal literals fold to
+    // the same doubles Spark's lit()s hold); per-position ln rounds to
+    // an exact long before the per-doc sum, like the Spark side
+    "q151_bigram_perplexity" ->
+      """WITH t AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        | FROM documents),
+        |bgz AS (
+        | SELECT doc_id,
+        |  unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS z
+        | FROM t),
+        |b AS (SELECT doc_id, z[1] AS w1, z[2] AS w2 FROM bgz),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY w1, w2),
+        |c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY w1),
+        |tok AS (SELECT unnest(toks) AS w2 FROM t),
+        |u AS (SELECT w2, count(*) AS u2 FROM tok GROUP BY w2),
+        |n AS (SELECT count(*) AS t FROM tok),
+        |s AS (
+        | SELECT b.doc_id,
+        |  CAST(round(ln(0.75 * (CAST(c12.c12 AS DOUBLE) / c1.c1)
+        |    + 0.25 * (CAST(u.u2 AS DOUBLE) / n.t)) * 1000000.0) AS BIGINT) AS ls
+        | FROM b JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+        |  JOIN c1 ON b.w1 = c1.w1
+        |  JOIN u ON b.w2 = u.w2
+        |  CROSS JOIN n)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        | sum(ls) / 1000000.0 / count(*) + 0.0 AS avg_logprob
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // positional 8-gram re-derivation: the same boilerplate plant, the
+    // gram stream via generate_series window slices (grams group by
+    // their RAW text where Spark groups by md5 — identical counts),
+    // the per-(doc,gram) position counts, the distinct-doc gate at 2,
+    // and the coverage fraction
+    "q152_span_coverage" ->
+      """WITH base AS (
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 10 = 0
+        |   THEN text || ' boiler plate license header repeated verbatim across many corpus documents'
+        |   ELSE text END AS text
+        | FROM documents),
+        |t AS (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        | FROM base),
+        |g AS (
+        | SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS gram
+        | FROM t, unnest(generate_series(1, len(toks)-7)) AS u(i)),
+        |pg AS (SELECT doc_id, gram, count(*) AS np FROM g GROUP BY doc_id, gram),
+        |dg AS (SELECT gram, count(*) AS nd FROM pg GROUP BY gram)
+        |SELECT pg.doc_id, CAST(sum(pg.np) AS BIGINT) AS n_grams,
+        | CAST(sum(CASE WHEN dg.nd >= 2 THEN pg.np ELSE 0 END) AS BIGINT) AS n_dup,
+        | round((CAST(sum(CASE WHEN dg.nd >= 2 THEN pg.np ELSE 0 END) AS DOUBLE)
+        |  / sum(pg.np)) * 1000000.0) / 1000000.0 + 0.0 AS dup_frac
+        |FROM pg JOIN dg ON pg.gram = dg.gram
+        |GROUP BY pg.doc_id ORDER BY pg.doc_id""".stripMargin,
 
     // full BM25 re-derivation: tf/df/dl/avgdl and the Okapi formula with
     // the IDENTICAL left-assoc float shapes as Retrieval.bm25 (the
