@@ -543,6 +543,54 @@ object CurationQueries {
         .select(col("doc_id"), col("n_grams"), col("n_dup"),
           qz(col("n_dup").cast("double") / col("n_grams"), 6).as("dup_frac"))
         .orderBy("doc_id")
+    }),
+
+    // COMPOSITE QUALITY-FILTER VERDICT (round 14 capstone): the
+    // FineWeb/CCNet-shape keep/drop decision a curation pipeline
+    // actually emits — four independent signals composed into one
+    // verdict per document: length floor, stopword-ratio floor
+    // (gibberish gate), bigram-LM log-prob floor (q151's filter), and
+    // span-duplication ceiling (q152's coverage). One planted corpus
+    // (the q152 boilerplate) feeds ALL signals, so the dup-reject
+    // branch provably fires; thresholds are calibrated against the
+    // sf0.01 distributions so EVERY reject flag is non-vacuous there
+    // (length p05=16 vs floor 20; stop-ratio p05=0 vs 0.01; logprob
+    // p05≈-3.429 vs -3.43; 91 docs with dup_frac>0 vs ceiling 0.2).
+    // Cross-engine safety: every compared value is either an exact
+    // integer, an exact-long-derived double (avg_logprob), or a
+    // qz-quantized ratio, and each threshold literal parses to the
+    // identical double in both engines. At 100 TB you'd tokenize once
+    // and persist; here each signal is its own corpus pass joined on
+    // doc_id (the joins are id-keyed, text never shuffles).
+    "q153_quality_filter" -> ((s, dir) => {
+      val planted = Tables.documents(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 10 === 0,
+          concat(col("text"), lit(" boiler plate license header repeated" +
+            " verbatim across many corpus documents")))
+          .otherwise(col("text")).as("text"))
+      val stop = graft.operators.TextOps.langWords.head._2
+      val stats = planted.select(col("doc_id"),
+        graft.operators.TextOps.nTokens(col("text")).cast("long").as("n_tokens"),
+        qz(graft.operators.TextOps.hitCount(col("text"), stop).cast("double") /
+          graft.operators.TextOps.nTokens(col("text")), 6).as("stop_ratio"))
+      val lm = graft.operators.LangModel.bigramLogprob(
+          planted, "doc_id", "text", lambda = 0.75)
+        .select(col("doc_id"), col("avg_logprob"))
+      val span = graft.operators.Dedup.spanCoverage(planted, "doc_id", "text", n = 8)
+        .select(col("doc_id"),
+          qz(col("n_dup").cast("double") / col("n_grams"), 6).as("dup_frac"))
+      stats
+        .join(lm, Seq("doc_id"), "left")
+        .join(span, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"), col("stop_ratio"),
+          col("avg_logprob"), col("dup_frac"),
+          (col("n_tokens") >= 20).as("ok_len"),
+          (col("stop_ratio") >= 0.01).as("ok_stop"),
+          (col("avg_logprob") >= -3.43).as("ok_lm"),
+          (col("dup_frac") <= 0.2).as("ok_dup"),
+          (col("n_tokens") >= 20 && col("stop_ratio") >= 0.01 &&
+            col("avg_logprob") >= -3.43 && col("dup_frac") <= 0.2).as("keep"))
+        .orderBy("doc_id")
     })
   )
 
@@ -927,19 +975,23 @@ object CurationQueries {
     // (1−λ)·u2/T formula with the IDENTICAL left-assoc float shapes
     // (0.75/0.25 are exact binary fractions — decimal literals fold to
     // the same doubles Spark's lit()s hold); per-position ln rounds to
-    // an exact long before the per-doc sum, like the Spark side
+    // an exact long before the per-doc sum, like the Spark side.
+    // Multi-referenced CTEs are AS MATERIALIZED (the q121 lesson):
+    // DuckDB otherwise INLINES t/b/c12 into each of their references —
+    // fine at sf0.01, an unbounded >50 GB spill at the sf5 spot gate
+    // (measured: 17 s materialized vs killed-at-10-min inlined)
     "q151_bigram_perplexity" ->
-      """WITH t AS (
+      """WITH t AS MATERIALIZED (
         | SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
         | FROM documents),
         |bgz AS (
         | SELECT doc_id,
         |  unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS z
         | FROM t),
-        |b AS (SELECT doc_id, z[1] AS w1, z[2] AS w2 FROM bgz),
-        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY w1, w2),
+        |b AS MATERIALIZED (SELECT doc_id, z[1] AS w1, z[2] AS w2 FROM bgz),
+        |c12 AS MATERIALIZED (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY w1, w2),
         |c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY w1),
-        |tok AS (SELECT unnest(toks) AS w2 FROM t),
+        |tok AS MATERIALIZED (SELECT unnest(toks) AS w2 FROM t),
         |u AS (SELECT w2, count(*) AS u2 FROM tok GROUP BY w2),
         |n AS (SELECT count(*) AS t FROM tok),
         |s AS (
@@ -958,7 +1010,8 @@ object CurationQueries {
     // gram stream via generate_series window slices (grams group by
     // their RAW text where Spark groups by md5 — identical counts),
     // the per-(doc,gram) position counts, the distinct-doc gate at 2,
-    // and the coverage fraction
+    // and the coverage fraction; pg is double-referenced so it must be
+    // AS MATERIALIZED (q151's note — 12 s vs unbounded spill at sf5)
     "q152_span_coverage" ->
       """WITH base AS (
         | SELECT doc_id,
@@ -972,7 +1025,7 @@ object CurationQueries {
         |g AS (
         | SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS gram
         | FROM t, unnest(generate_series(1, len(toks)-7)) AS u(i)),
-        |pg AS (SELECT doc_id, gram, count(*) AS np FROM g GROUP BY doc_id, gram),
+        |pg AS MATERIALIZED (SELECT doc_id, gram, count(*) AS np FROM g GROUP BY doc_id, gram),
         |dg AS (SELECT gram, count(*) AS nd FROM pg GROUP BY gram)
         |SELECT pg.doc_id, CAST(sum(pg.np) AS BIGINT) AS n_grams,
         | CAST(sum(CASE WHEN dg.nd >= 2 THEN pg.np ELSE 0 END) AS BIGINT) AS n_dup,
@@ -980,6 +1033,71 @@ object CurationQueries {
         |  / sum(pg.np)) * 1000000.0) / 1000000.0 + 0.0 AS dup_frac
         |FROM pg JOIN dg ON pg.gram = dg.gram
         |GROUP BY pg.doc_id ORDER BY pg.doc_id""".stripMargin,
+
+    // the full composite: the planted base feeds the q51-shape stats,
+    // the ENTIRE q151 bigram chain, and the ENTIRE q152 span chain;
+    // every threshold literal parses to the identical double in both
+    // engines, and the compared values are exact ints / exact-long
+    // doubles / qz-quantized ratios, so the boolean verdicts agree
+    // bit-for-bit. Multi-referenced CTEs stay AS MATERIALIZED.
+    "q153_quality_filter" ->
+      s"""WITH base AS MATERIALIZED (
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 10 = 0
+        |   THEN text || ' boiler plate license header repeated verbatim across many corpus documents'
+        |   ELSE text END AS text
+        | FROM documents),
+        |t AS MATERIALIZED (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        | FROM base),
+        |st AS (
+        | SELECT doc_id, len(toks) AS n_tokens,
+        |  round((CAST(len(list_filter(toks, x -> list_contains($stopList, x))) AS DOUBLE)
+        |   / len(toks)) * 1000000.0) / 1000000.0 + 0.0 AS stop_ratio
+        | FROM t),
+        |bgz AS (
+        | SELECT doc_id,
+        |  unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS z
+        | FROM t),
+        |b AS MATERIALIZED (SELECT doc_id, z[1] AS w1, z[2] AS w2 FROM bgz),
+        |c12 AS MATERIALIZED (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY w1, w2),
+        |c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY w1),
+        |tok AS MATERIALIZED (SELECT unnest(toks) AS w2 FROM t),
+        |u AS (SELECT w2, count(*) AS u2 FROM tok GROUP BY w2),
+        |n AS (SELECT count(*) AS t FROM tok),
+        |sc AS (
+        | SELECT b.doc_id,
+        |  CAST(round(ln(0.75 * (CAST(c12.c12 AS DOUBLE) / c1.c1)
+        |    + 0.25 * (CAST(u.u2 AS DOUBLE) / n.t)) * 1000000.0) AS BIGINT) AS ls
+        | FROM b JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+        |  JOIN c1 ON b.w1 = c1.w1
+        |  JOIN u ON b.w2 = u.w2
+        |  CROSS JOIN n),
+        |lm AS (
+        | SELECT doc_id, sum(ls) / 1000000.0 / count(*) + 0.0 AS avg_logprob
+        | FROM sc GROUP BY doc_id),
+        |g AS (
+        | SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS gram
+        | FROM t, unnest(generate_series(1, len(toks)-7)) AS gi(i)),
+        |pg AS MATERIALIZED (SELECT doc_id, gram, count(*) AS np FROM g GROUP BY doc_id, gram),
+        |dg AS (SELECT gram, count(*) AS nd FROM pg GROUP BY gram),
+        |span AS (
+        | SELECT pg.doc_id,
+        |  round((CAST(sum(CASE WHEN dg.nd >= 2 THEN pg.np ELSE 0 END) AS DOUBLE)
+        |   / sum(pg.np)) * 1000000.0) / 1000000.0 + 0.0 AS dup_frac
+        | FROM pg JOIN dg ON pg.gram = dg.gram
+        | GROUP BY pg.doc_id)
+        |SELECT st.doc_id, st.n_tokens, st.stop_ratio, lm.avg_logprob, span.dup_frac,
+        | st.n_tokens >= 20 AS ok_len,
+        | st.stop_ratio >= 0.01 AS ok_stop,
+        | lm.avg_logprob >= -3.43 AS ok_lm,
+        | span.dup_frac <= 0.2 AS ok_dup,
+        | (st.n_tokens >= 20 AND st.stop_ratio >= 0.01
+        |  AND lm.avg_logprob >= -3.43 AND span.dup_frac <= 0.2) AS keep
+        |FROM st
+        |LEFT JOIN lm ON st.doc_id = lm.doc_id
+        |LEFT JOIN span ON st.doc_id = span.doc_id
+        |ORDER BY st.doc_id""".stripMargin,
 
     // full BM25 re-derivation: tf/df/dl/avgdl and the Okapi formula with
     // the IDENTICAL left-assoc float shapes as Retrieval.bm25 (the
