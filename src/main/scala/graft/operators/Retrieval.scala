@@ -82,4 +82,57 @@ object Retrieval {
         "neighbor_id")
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("bm25_q"))
   }
+
+  /** Batch BM25: score a SET of queries against the corpus in ONE pass —
+    * the shape a mining pipeline actually runs (thousands of queries at
+    * once), where per-query `bm25()` calls would each rescan the corpus.
+    * The query inventory rides a broadcast join on the token (replacing
+    * the single-query isin filter); everything downstream is keyed
+    * (query_id, doc) and the arithmetic is the IDENTICAL left-assoc
+    * shape as `bm25`, with the same exact-long term-score sums — so a
+    * batch run is bit-equal to the per-query runs (spec-pinned).
+    *
+    * Also emits `n_terms_matched` (distinct query terms present in the
+    * doc — one tf row per (query, doc, term) by construction), the
+    * deterministic relevance ingredient an IR-evaluation harness needs.
+    *
+    * Scale: the exploded token stream joins the |Σterms|-row broadcast
+    * BEFORE any shuffle, so the exchange carries only matching
+    * (query, doc, term) rows; df and corpus stats stay bounded. */
+  def bm25Batch(docs: DataFrame, idCol: String, textCol: String,
+                queries: Seq[(Int, Seq[String])],
+                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
+      "bm25Batch needs at least one query, each with at least one term")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qt = queries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("query_id", "__t")
+    val toks = docs.select(col(idCol),
+        TextOps.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col("__toks"),
+        size(col("__toks")).cast("double").as("__dl"))
+    val stats = toks.agg(count(lit(1)).cast("double").as("__n"),
+      sum(col("__dl")).as("__sumdl"))
+    val tf = toks
+      .select(col(idCol), col("__dl"), explode(col("__toks")).as("__t"))
+      .join(broadcast(qt), "__t")
+      .groupBy(col("query_id"), col(idCol), col("__dl"), col("__t"))
+      .agg(count(lit(1)).cast("double").as("__tf"))
+    val dfT = tf.groupBy("query_id", "__t")
+      .agg(count(lit(1)).cast("double").as("__df"))
+    // the very shapes of bm25() — the SQL twin and the per-query spec
+    // parity both depend on them
+    val idf = log((col("__n") - col("__df") + 0.5) / (col("__df") + 0.5) + 1.0)
+    val dlNorm = col("__dl") * b * col("__n") / col("__sumdl")
+    val termScore =
+      idf * col("__tf") * (k1 + 1.0) /
+        (col("__tf") + (dlNorm + (1.0 - b)) * k1)
+    tf.join(broadcast(dfT), Seq("query_id", "__t"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__ts", round(termScore * 1e9, 0).cast("long"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg((sum(col("__ts")) / 1e9 + lit(0.0)).as("bm25"),
+        count(lit(1)).cast("long").as("n_terms_matched"))
+  }
 }

@@ -591,8 +591,60 @@ object CurationQueries {
           (col("n_tokens") >= 20 && col("stop_ratio") >= 0.01 &&
             col("avg_logprob") >= -3.43 && col("dup_frac") <= 0.2).as("keep"))
         .orderBy("doc_id")
+    }),
+
+    // RETRIEVAL EVALUATION (round 14): IR metrics over the batch BM25
+    // ranker — MRR, precision@10, recall@10 per query, against the
+    // deterministic relevance label "doc contains ALL query terms"
+    // (derivable in both engines from the same tf inventory, so the
+    // label needs no annotation side-channel). Five query sets mix
+    // dense terms (df≈380/500) with a sparse one ('dup', df=25); rank
+    // ties break on (quantized score, doc_id) — the q150 discipline —
+    // so the permutation is engine-independent. The ranking window is
+    // PARTITIONED by query. Completes the retrieval story: build
+    // (q149), serve hybrid (q150), evaluate (here).
+    "q154_retrieval_eval" -> ((s, dir) => {
+      import s.implicits._
+      val scored = graft.operators.Retrieval.bm25Batch(
+        Tables.documents(s, dir), "doc_id", "text", irQueries)
+      val nt = irQueries.map { case (q, ts) => (q, ts.size.toLong) }
+        .toDF("query_id", "n_terms")
+      val ranked = scored.join(broadcast(nt), Seq("query_id"))
+        .withColumn("rel", col("n_terms_matched") === col("n_terms"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("query_id")
+            .orderBy(qz(col("bm25"), 6).desc, col("doc_id"))))
+      ranked.groupBy("query_id")
+        .agg(
+          sum(when(col("rel"), 1L).otherwise(0L)).as("n_rel"),
+          sum(when(col("rel") && col("rank") <= 10, 1L).otherwise(0L))
+            .as("hits_at_10"))
+        .select(col("query_id"), col("n_rel"), col("hits_at_10"),
+          qz(col("hits_at_10").cast("double") / 10.0, 6).as("p_at_10"),
+          when(col("n_rel") > 0,
+            qz(col("hits_at_10").cast("double") / col("n_rel"), 6))
+            .otherwise(lit(0.0)).as("r_at_10"))
+        .join(
+          ranked.filter(col("rel"))
+            .groupBy("query_id")
+            .agg(qz(max(lit(1.0) / col("rank")), 6).as("rr")),
+          Seq("query_id"), "left")
+        .select(col("query_id"), col("n_rel"), col("hits_at_10"),
+          col("p_at_10"), col("r_at_10"),
+          coalesce(col("rr"), lit(0.0)).as("rr"))
+        .orderBy("query_id")
     })
   )
+
+  /** Shared IR query inventory (q154): the Spark side and the generated
+    * SQL oracle derive from this ONE value, so the two engines cannot
+    * disagree about what was asked. */
+  private val irQueries: Seq[(Int, Seq[String])] = Seq(
+    0 -> Seq("spark", "merge", "vector"),
+    1 -> Seq("join", "hash"),
+    2 -> Seq("dup", "scan"),
+    3 -> Seq("stream", "window", "batch"),
+    4 -> Seq("fast", "slow", "sort"))
 
   private val stopList = TextOps.stopListSql
 
@@ -1098,6 +1150,67 @@ object CurationQueries {
         |LEFT JOIN lm ON st.doc_id = lm.doc_id
         |LEFT JOIN span ON st.doc_id = span.doc_id
         |ORDER BY st.doc_id""".stripMargin,
+
+    // GENERATED multi-query BM25 + IR metrics: the query inventory is
+    // the VALUES rendering of the SAME irQueries value the Spark side
+    // reads (the q144 generated-oracle discipline — the two engines
+    // cannot disagree about what was asked); the per-(query,doc) BM25
+    // block mirrors bm25Sql's left-assoc shapes, relevance is the
+    // all-terms-matched count equality, ranks break ties on
+    // (quantized score, doc_id), and RR is max(1/rank) over relevant
+    "q154_retrieval_eval" -> {
+      val qtValues = irQueries.flatMap { case (q, ts) =>
+        ts.map(t => s"($q, '$t')") }.mkString(", ")
+      s"""WITH tok AS (
+        | SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS dl
+        | FROM documents),
+        |e AS (
+        | SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tk
+        | FROM documents),
+        |qt AS (SELECT * FROM (VALUES $qtValues) AS v(query_id, tk)),
+        |tf AS (
+        | SELECT qt.query_id, e.doc_id, e.tk, CAST(count(*) AS DOUBLE) AS tf
+        | FROM e JOIN qt ON e.tk = qt.tk GROUP BY qt.query_id, e.doc_id, e.tk),
+        |dft AS (
+        | SELECT query_id, tk, CAST(count(*) AS DOUBLE) AS df
+        | FROM tf GROUP BY query_id, tk),
+        |st AS (
+        | SELECT CAST(count(*) AS DOUBLE) AS n, sum(dl) AS sumdl FROM tok),
+        |sc AS (
+        | SELECT tf.query_id, tf.doc_id,
+        |  CAST(round((ln((n - df + 0.5) / (df + 0.5) + 1.0) * tf * (1.2 + 1.0)
+        |   / (tf + ((dl * 0.75 * n / sumdl) + (1.0 - 0.75)) * 1.2)) * 1000000000.0) AS BIGINT) AS ts
+        | FROM tf JOIN dft ON tf.query_id = dft.query_id AND tf.tk = dft.tk
+        |  JOIN tok ON tf.doc_id = tok.doc_id CROSS JOIN st),
+        |bm AS MATERIALIZED (
+        | SELECT query_id, doc_id, sum(ts) / 1000000000.0 + 0.0 AS bm25,
+        |  count(*) AS nm
+        | FROM sc GROUP BY query_id, doc_id),
+        |nt AS (SELECT query_id, count(*) AS n_terms FROM qt GROUP BY query_id),
+        |rk AS MATERIALIZED (
+        | SELECT bm.query_id, bm.doc_id, (bm.nm = nt.n_terms) AS rel,
+        |  row_number() OVER (PARTITION BY bm.query_id
+        |   ORDER BY round(bm25 * 1000000.0) / 1000000.0 + 0.0 DESC, doc_id) AS rank
+        | FROM bm JOIN nt ON bm.query_id = nt.query_id),
+        |agg AS (
+        | SELECT query_id,
+        |  CAST(sum(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT) AS n_rel,
+        |  CAST(sum(CASE WHEN rel AND rank <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_10
+        | FROM rk GROUP BY query_id),
+        |mrr AS (
+        | SELECT query_id,
+        |  round(max(CAST(1.0 AS DOUBLE) / rank) * 1000000.0) / 1000000.0 + 0.0 AS rr
+        | FROM rk WHERE rel GROUP BY query_id)
+        |SELECT agg.query_id, agg.n_rel, agg.hits_at_10,
+        | round((CAST(hits_at_10 AS DOUBLE) / 10.0) * 1000000.0) / 1000000.0 + 0.0 AS p_at_10,
+        | CASE WHEN n_rel > 0
+        |  THEN round((CAST(hits_at_10 AS DOUBLE) / n_rel) * 1000000.0) / 1000000.0 + 0.0
+        |  ELSE 0.0 END AS r_at_10,
+        | coalesce(mrr.rr, 0.0) AS rr
+        |FROM agg LEFT JOIN mrr ON agg.query_id = mrr.query_id
+        |ORDER BY agg.query_id""".stripMargin
+    },
 
     // full BM25 re-derivation: tf/df/dl/avgdl and the Okapi formula with
     // the IDENTICAL left-assoc float shapes as Retrieval.bm25 (the

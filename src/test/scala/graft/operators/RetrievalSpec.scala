@@ -64,4 +64,35 @@ class RetrievalSpec extends SparkSpec {
     assert(res.head._1 == 0L && res.head._2 == 1L)
     assert(math.abs(res.head._3 - 0.6) < 1e-6) // cos((1,0),(0.6,0.8)) = 0.6
   }
+
+  test("bm25Batch is bit-equal to per-query bm25 runs and counts matched terms") {
+    val batch = Retrieval.bm25Batch(docs, "doc_id", "text",
+        Seq(0 -> Seq("cat"), 1 -> Seq("cat", "dog"), 2 -> Seq("fish")))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> ((r.getDouble(2), r.getLong(3))))
+      .toMap
+    val singles = Seq(0 -> Seq("cat"), 1 -> Seq("cat", "dog"), 2 -> Seq("fish"))
+      .flatMap { case (q, ts) =>
+        Retrieval.bm25(docs, "doc_id", "text", ts).collect()
+          .map(r => (q, r.getLong(0)) -> r.getDouble(1))
+      }.toMap
+    assert(batch.keySet == singles.keySet,
+      "batch sparse semantics must match the per-query runs")
+    for ((k, (score, _)) <- batch) {
+      // exact-long sums of the identical shapes: BIT-equal, not close
+      assert(java.lang.Double.doubleToLongBits(score) ==
+        java.lang.Double.doubleToLongBits(singles(k)), s"pair $k")
+    }
+    // n_terms_matched: doc 0 = "cat cat dog bird" matches both of
+    // query 1's terms; doc 1 = "cat fish" matches only "cat"
+    assert(batch((1, 0L))._2 == 2L)
+    assert(batch((1, 1L))._2 == 1L)
+    // empty query set / empty terms are rejected
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25Batch(docs, "doc_id", "text", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25Batch(docs, "doc_id", "text", Seq(0 -> Seq.empty))
+    }
+  }
 }
