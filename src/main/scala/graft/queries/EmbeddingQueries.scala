@@ -327,10 +327,104 @@ object EmbeddingQueries {
         .filter(col("id2") === col("id1") + 1000000000000L)
         .select(col("id1"), col("id2"), qz(col("sim"), 3).as("sim"))
         .orderBy("id1")
+    }),
+
+    // EXACT COVARIANCE GATE (round 14, PCA tier): the distributed
+    // fixed-point gram pass behind Pca.fit, exposed as the leading 8×8
+    // corner of the 64×64 population covariance. Every emitted double
+    // is a pure function of EXACT long sums (round(x·2²⁰)
+    // half-away-from-zero — the round() both engines implement), so the
+    // values are hashed RAW: the oracle replays the quantization, the
+    // gram, and the E[xy]−E[x]E[y] shapes and must agree bit-for-bit.
+    // This row is the exact anchor under q156's eigen-property flags.
+    "q155_embed_covariance" -> ((s, dir) => {
+      import s.implicits._
+      val (cov, _, _) = graft.operators.Pca.covariance(
+        Tables.embeddings(s, dir), "embedding", dim = 64)
+      val corner = for { i <- 0 until 8; j <- i until 8 }
+        yield (i.toLong, j.toLong, cov(i)(j))
+      corner.toDF("i", "j", "cov").orderBy("i", "j")
+    }),
+
+    // PCA PROJECTION PROPERTIES (round 14): fit 64-dim PCA on the
+    // corpus, project onto the leading 8 components, and assert the
+    // eigen-contract as flags (the q17/q67 sketch-flag discipline —
+    // eigenvectors are not SQL-derivable, so the oracle pins the flags
+    // as literal TRUE while q155 exact-anchors the covariance the
+    // eigensolve consumed): per component, the projected population
+    // variance equals the eigenvalue (within the 2⁻²⁰ quantization
+    // envelope), the projected mean is ~0 (centering), adjacent
+    // components are decorrelated, the eigenvector is unit-norm, and
+    // eigenvalues are descending. Variance/mean/cross derive from
+    // exact long sums (Util.exactSum), so the flags are deterministic
+    // at any layout — a flipped flag is a real regression, not noise.
+    "q156_pca_project" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val m = graft.operators.Pca.fit(e, "embedding", dim = 64)
+      val proj = graft.operators.Pca.transform(e, "vec_id", "embedding", m, k = 8)
+      val flat = proj.select(posexplode(col("proj")).as(Seq("j", "y")))
+      val nextY = proj.select(posexplode(expr(
+          "transform(sequence(0, 6), i -> proj[i] * proj[i+1])"))
+          .as(Seq("j", "yy_next")))
+      val stats = flat.groupBy("j").agg(
+          count(lit(1)).as("n"),
+          Util.exactSum(col("y"), 9).as("sy"),
+          Util.exactSum(col("y") * col("y"), 9).as("syy"))
+        .join(nextY.groupBy("j").agg(
+          Util.exactSum(col("yy_next"), 9).as("sxy")), Seq("j"), "left")
+      val eig = m.eigenvalues.take(8).zipWithIndex
+        .map { case (ev, j) => (j, ev,
+          math.abs(math.sqrt(m.components(j).map(x => x * x).sum) - 1.0) < 1e-9,
+          j == 7 || m.eigenvalues(j) >= m.eigenvalues(j + 1) - 1e-15)
+        }.toSeq.toDF("j", "eig", "unit_ok", "order_ok")
+      stats.join(broadcast(eig), Seq("j"))
+        .select(col("j").cast("long").as("j"), col("n"),
+          (abs((col("syy") / col("n") -
+            (col("sy") / col("n")) * (col("sy") / col("n"))) / col("eig") - 1.0)
+            < 0.001).as("var_ok"),
+          (abs(col("sy") / col("n")) < 1e-4).as("mean_ok"),
+          (col("sxy").isNull ||
+            abs(col("sxy") / col("n")) < 1e-4).as("decorr_ok"),
+          col("unit_ok"), col("order_ok"))
+        .orderBy("j")
     })
   )
 
   def oracle: Map[String, String] = Map(
+    // full replay of the fixed-point covariance: the identical
+    // quantization (round = half-away-from-zero in BOTH engines,
+    // ·2²⁰ = exact power-of-two scaling), exact BIGINT gram/mean sums,
+    // and the same left-assoc E[xy]−E[x]E[y] shapes — values hashed
+    // RAW, bit-for-bit
+    "q155_embed_covariance" ->
+      """WITH p AS MATERIALIZED (
+        | SELECT vec_id, i - 1 AS d,
+        |  CAST(round(CAST(embedding[i] AS DOUBLE) * 1048576.0) AS BIGINT) AS q
+        | FROM embeddings, unnest(generate_series(1, 8)) AS gi(i)),
+        |n AS (SELECT count(*) AS n FROM embeddings),
+        |g AS (
+        | SELECT a.d AS i, b.d AS j, sum(a.q * b.q) AS gg
+        | FROM p a JOIN p b ON a.vec_id = b.vec_id AND a.d <= b.d
+        | GROUP BY a.d, b.d),
+        |m AS (SELECT d, sum(q) AS s FROM p GROUP BY d)
+        |SELECT CAST(g.i AS BIGINT) AS i, CAST(g.j AS BIGINT) AS j,
+        | g.gg / 1048576.0 / 1048576.0 / n.n
+        |  - (mi.s / 1048576.0 / n.n) * (mj.s / 1048576.0 / n.n) AS cov
+        |FROM g JOIN m mi ON g.i = mi.d JOIN m mj ON g.j = mj.d CROSS JOIN n
+        |ORDER BY i, j""".stripMargin,
+
+    // eigen-contract flags are literal TRUE (q17/q67 discipline; the
+    // exact anchor is q155's raw-hashed covariance) — the oracle pins
+    // the row inventory, the per-component count, and every flag
+    "q156_pca_project" ->
+      """WITH n AS (SELECT count(*) AS n FROM embeddings)
+        |SELECT CAST(j AS BIGINT) AS j, CAST(n.n AS BIGINT) AS n,
+        | TRUE AS var_ok, TRUE AS mean_ok, TRUE AS decorr_ok,
+        | TRUE AS unit_ok, TRUE AS order_ok
+        |FROM generate_series(0, 7) AS gs(j) CROSS JOIN n
+        |ORDER BY j""".stripMargin,
+
     // exact probe-restricted truth recomputed directly (count, sim
     // mass, planted-pair count); the two probabilistic floors are
     // predicted-true emissions (q17/q62 pattern)

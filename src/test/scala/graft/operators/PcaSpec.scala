@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** PCA/whitening contracts: a hand-solvable eigensystem, bit-identity
+  * across adversarial layouts (the exact fixed-point gram), projection
+  * parity with driver math, whitening variance, and the parking /
+  * overflow guards. */
+class PcaSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("jacobi solves the known symmetric system [[2,1],[1,2]]") {
+    val (vals, vecs) = Pca.jacobi(Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    assert(math.abs(vals(0) - 3.0) < 1e-12)
+    assert(math.abs(vals(1) - 1.0) < 1e-12)
+    val r = 1.0 / math.sqrt(2.0)
+    assert(math.abs(vecs(0)(0) - r) < 1e-12 && math.abs(vecs(0)(1) - r) < 1e-12)
+    assert(math.abs(math.abs(vecs(1)(0)) - r) < 1e-12)
+    // orthonormal
+    val dot = vecs(0)(0) * vecs(1)(0) + vecs(0)(1) * vecs(1)(1)
+    assert(math.abs(dot) < 1e-12)
+  }
+
+  // a 2-D cloud stretched along (1,1)/sqrt(2): first component must
+  // recover the diagonal direction
+  private def cloud = {
+    val pts = (0 until 200).map { i =>
+      val t = (i - 100) / 100.0          // [-1, 1) main axis
+      val o = ((i * 7) % 11 - 5) / 50.0  // small deterministic off-axis
+      (i.toLong, Array((0.5 * (t + o)).toFloat, (0.5 * (t - o)).toFloat))
+    }
+    pts.toDF("vec_id", "embedding")
+  }
+
+  test("fit recovers the dominant direction; eigenvalues are descending") {
+    val m = Pca.fit(cloud, "embedding", dim = 2)
+    assert(m.n == 200)
+    val v0 = m.components(0)
+    val r = 1.0 / math.sqrt(2.0)
+    assert(math.abs(math.abs(v0(0)) - r) < 1e-2, v0.mkString(","))
+    assert(math.abs(math.abs(v0(1)) - r) < 1e-2)
+    assert(m.eigenvalues(0) > m.eigenvalues(1) && m.eigenvalues(1) > 0)
+  }
+
+  test("fit is bit-identical across adversarial repartitions") {
+    val a = Pca.fit(cloud, "embedding", dim = 2)
+    val b = Pca.fit(cloud.repartition(13), "embedding", dim = 2)
+    assert(a.n == b.n)
+    for (d <- 0 until 2) {
+      assert(java.lang.Double.doubleToLongBits(a.mean(d)) ==
+        java.lang.Double.doubleToLongBits(b.mean(d)))
+      assert(java.lang.Double.doubleToLongBits(a.eigenvalues(d)) ==
+        java.lang.Double.doubleToLongBits(b.eigenvalues(d)))
+      for (e <- 0 until 2)
+        assert(java.lang.Double.doubleToLongBits(a.components(d)(e)) ==
+          java.lang.Double.doubleToLongBits(b.components(d)(e)))
+    }
+  }
+
+  test("transform matches driver math; projected variance ~ eigenvalue; whitening normalizes") {
+    val m = Pca.fit(cloud, "embedding", dim = 2)
+    val proj = Pca.transform(cloud, "vec_id", "embedding", m, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val rows = cloud.collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    for ((id, vec) <- rows) {
+      for (j <- 0 until 2) {
+        val exp = (0 until 2).map(d => (vec(d).toDouble - m.mean(d)) * m.components(j)(d)).sum
+        assert(math.abs(proj(id)(j) - exp) < 1e-12, s"id $id comp $j")
+      }
+    }
+    // population variance of component j equals eigenvalue j (up to
+    // the 2^-20 quantization noise of the gram pass)
+    for (j <- 0 until 2) {
+      val ys = rows.map { case (id, _) => proj(id)(j) }
+      val mu = ys.sum / ys.length
+      val va = ys.map(y => (y - mu) * (y - mu)).sum / ys.length
+      assert(math.abs(va - m.eigenvalues(j)) < 1e-5, s"comp $j: $va vs ${m.eigenvalues(j)}")
+    }
+    // whitened: variance ~ 1 in every kept component
+    val white = Pca.transform(cloud, "vec_id", "embedding", m, k = 2, whiten = true)
+      .collect().map(r => r.getSeq[Double](1))
+    for (j <- 0 until 2) {
+      val ys = white.map(_(j))
+      val mu = ys.sum / ys.length
+      val va = ys.map(y => (y - mu) * (y - mu)).sum / ys.length
+      assert(math.abs(va - 1.0) < 1e-3, s"whitened comp $j var $va")
+    }
+  }
+
+  test("parking and guards: wrong width visible, all-skipped refuses, big x refuses") {
+    val mixed = cloud.unionByName(
+      Seq((900L, Array(1f, 2f, 3f))).toDF("vec_id", "embedding"))
+    val m = Pca.fit(mixed, "embedding", dim = 2)
+    assert(m.n == 200) // the 3-wide row parks, visibly on stderr
+    intercept[IllegalArgumentException] {
+      Pca.fit(Seq((0L, Array(9f, 9f)), (1L, Array(8f, 8f)))
+        .toDF("vec_id", "embedding"), "embedding", dim = 2)
+    } // |x| >= 2 is outside the exact fixed-point envelope -> all park -> refuse
+  }
+}
