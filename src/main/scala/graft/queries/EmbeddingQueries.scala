@@ -329,6 +329,53 @@ object EmbeddingQueries {
         .orderBy("id1")
     }),
 
+    // PCA-ACCELERATED ANN (round 14): the reason the PCA tier exists —
+    // candidates are found in the 8-dim PCA space (8× less dot-product
+    // work per pair; at 100 TB the projected corpus is what you scan),
+    // then the 50-candidate shortlist exact-reranks with full vectors.
+    // PCA-ANN presumes ANISOTROPY; the synthetic corpus is isotropic
+    // (per q127, every dim has equal std — PCA would concentrate
+    // nothing), so the query PLANTS a known dominant 8-dim subspace
+    // (dims 0-7 ×3.5, rest ×0.5 → ~96% of variance mass — exactly the
+    // geometry real embedding spaces have; |x| ≤ 1.9 keeps every row
+    // inside the fixed-point envelope). Gates: eiggap_ok pins that the
+    // eigensolve actually FOUND the planted subspace (λ₇/λ₈ > 5 —
+    // measured ~30×), recall_ok pins the end-to-end candidate quality
+    // (floor 0.9; measured 1.0 at sf0.01 AND sf0.1 — the
+    // broken-machinery regime is ~0.1).
+    "q157_pca_ann" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), expr(
+        "transform(embedding, (x, i) -> CASE WHEN i < 8 THEN x * CAST(3.5 AS FLOAT)" +
+          " ELSE x * CAST(0.5 AS FLOAT) END)").as("embedding"))
+      val q = e.filter(col("vec_id") < 20)
+      val m = graft.operators.Pca.fit(e, "embedding", dim = 64)
+      def proj8(df: org.apache.spark.sql.DataFrame) =
+        graft.operators.Pca.transform(df, "vec_id", "embedding", m, k = 8)
+          .select(col("vec_id"),
+            expr("transform(proj, x -> CAST(x AS FLOAT))").as("embedding"))
+      val cand = Embeddings.cosineTopK(proj8(q), proj8(e),
+        "vec_id", "vec_id", "embedding", k = 50)
+      val reranked = cand.select(col("query_id"), col("neighbor_id"))
+        .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")),
+          "neighbor_id")
+        .join(broadcast(q.select(col("vec_id").as("query_id"),
+          col("embedding").as("qv"))), "query_id")
+        .withColumn("sim", round(Embeddings.cosine(col("qv"), col("cv")) * 1e6) / 1e6)
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("query_id").orderBy(desc("sim"), col("neighbor_id"))))
+        .filter(col("rn") <= 5)
+      val exact = Embeddings.cosineTopK(q, e, "vec_id", "vec_id", "embedding", k = 5)
+      exact.join(reranked.select(col("query_id"), col("neighbor_id"),
+          lit(1).as("h")), Seq("query_id", "neighbor_id"), "left")
+        .agg(count_distinct(col("query_id")).as("n_queries"),
+          count(lit(1)).cast("long").as("n_exact"),
+          count(col("h")).cast("long").as("n_hits"))
+        .select(col("n_queries"), col("n_exact"),
+          (col("n_hits").cast("double") / col("n_exact") >= 0.9).as("recall_ok"),
+          lit(m.eigenvalues(7) / m.eigenvalues(8) > 5.0).as("eiggap_ok"))
+    }),
+
     // EXACT COVARIANCE GATE (round 14, PCA tier): the distributed
     // fixed-point gram pass behind Pca.fit, exposed as the leading 8×8
     // corner of the 64×64 population covariance. Every emitted double
@@ -413,6 +460,13 @@ object EmbeddingQueries {
         |  - (mi.s / 1048576.0 / n.n) * (mj.s / 1048576.0 / n.n) AS cov
         |FROM g JOIN m mi ON g.i = mi.d JOIN m mj ON g.j = mj.d CROSS JOIN n
         |ORDER BY i, j""".stripMargin,
+
+    // q117 mold: exact counts from the query inventory, the two
+    // machinery flags pinned literal TRUE
+    "q157_pca_ann" ->
+      """SELECT count(*) AS n_queries, CAST(5 * count(*) AS BIGINT) AS n_exact,
+        | TRUE AS recall_ok, TRUE AS eiggap_ok
+        |FROM embeddings WHERE vec_id < 20""".stripMargin,
 
     // eigen-contract flags are literal TRUE (q17/q67 discipline; the
     // exact anchor is q155's raw-hashed covariance) — the oracle pins
