@@ -37,7 +37,11 @@ class SqlSurfaceSpec extends SparkSpec {
     // round 14: literal-flag row (q145) and the q32 score chain folded
     // to the global stats row (q146) — both plain ANSI
     "q145_stacking_scaled", "q146_stream_running_stats",
-    "q147_config_dtype", "q148_ann_append")
+    "q147_config_dtype", "q148_ann_append",
+    // round 14: the PCA-ANN oracle (exact counts + machinery flags) is
+    // plain ANSI — running it here proves the dual dialect and
+    // exercises the full fit→project→rerank builder once more
+    "q157_pca_ann")
   // q75/q76 excluded: DuckDB GROUPING(a, b) is Spark grouping_id (arity)
   // q77/q79 excluded: DuckDB ASOF JOIN / epoch_us
   // q81-q87 excluded: list_transform/unnest/'0x' UBIGINT casts/'g' flag
