@@ -68,6 +68,28 @@ object CoreQueries {
         .orderBy("o_orderstatus")
     }),
 
+    // ORC round trip (round 14, q64's mold for the second warehouse
+    // format): parquet → ORC sink → ORC scan → aggregate must equal
+    // DuckDB computing directly on the parquet source — the trip is
+    // proven lossless (types, nulls, and every value feeding the
+    // exact-long sums). No timestamp column on purpose: ORC's own
+    // temporal classes are a separate semantics (the q64 NTZ note),
+    // and this row gates the FORMAT, not calendar plumbing.
+    "q158_orc_roundtrip" -> ((s, dir) => {
+      val path = graft.sources.Io.scratchDir("graft_orc_rt")
+      graft.sources.Io.writeOrc(Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_suppkey", "l_returnflag",
+          "l_quantity", "l_extendedprice"), path)
+      graft.sources.Io.readOrc(s, path)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          Util.exactSum(col("l_quantity"), 2).as("sum_qty"),
+          Util.exactSum(col("l_extendedprice"), 2).as("sum_price"),
+          min("l_extendedprice").as("min_price"),
+          max("l_extendedprice").as("max_price"))
+        .orderBy("l_returnflag")
+    }),
+
     // deterministic stratified sampling: membership is a pure function
     // of the row key (md5 threshold), so DuckDB evaluating the same
     // predicate must select the IDENTICAL rows — sampling that survives
@@ -448,6 +470,16 @@ object CoreQueries {
         | max(o_totalprice) AS max_price,
         | max(o_orderdate) AS max_date
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // DuckDB reads the PARQUET source directly — equality proves the
+    // ORC write+read trip lossless (q64's discipline)
+    "q158_orc_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | sum(CAST(round((l_quantity) * 100.0) AS BIGINT)) / 100e0 + 0.0 AS sum_qty,
+        | sum(CAST(round((l_extendedprice) * 100.0) AS BIGINT)) / 100e0 + 0.0 AS sum_price,
+        | min(l_extendedprice) AS min_price,
+        | max(l_extendedprice) AS max_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // same md5-threshold predicate, evaluated by DuckDB: the row sets
     // must be identical (thresholds: floor(f*2^32) as 8 hex digits)

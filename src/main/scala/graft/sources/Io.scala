@@ -65,4 +65,13 @@ object Io {
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
+
+  /** ORC source/sink (Spark-native orc-core): the columnar warehouse
+    * format next to parquet — same pushdown/pruning behavior through
+    * the DataSource V2 scan, proven lossless by the q158 round trip. */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
 }

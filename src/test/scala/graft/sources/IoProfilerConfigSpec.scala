@@ -22,6 +22,21 @@ class IoProfilerConfigSpec extends SparkSpec {
     assert(back.filter($"name".isNull).count() == 1)
   }
 
+  test("ORC roundtrip preserves schema, values, and nulls (S1/S2)") {
+    val dir = Files.createTempDirectory("graft_orc").toString
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, null, 3.5))
+      .toDF("id", "name", "score")
+    Io.writeOrc(df, s"$dir/out")
+    val back = Io.readOrc(spark, s"$dir/out")
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      Seq(("id", LongType), ("name", StringType), ("score", DoubleType)))
+    // bit-faithful value round trip, including the null cell
+    val rows = back.orderBy("id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getDouble(2)))
+    assert(rows.toSeq == Seq((1L, Some("a"), 1.5), (2L, Some("b"), 2.5),
+      (3L, None, 3.5)))
+  }
+
   test("partitioned parquet sink prunes on partition key (S2)") {
     val dir = Files.createTempDirectory("graft_pq").toString
     val df = Seq((1L, "x"), (2L, "y"), (3L, "x")).toDF("id", "part")
