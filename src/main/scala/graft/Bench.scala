@@ -113,26 +113,12 @@ object Bench {
       val times = reps(name).sorted
       (name, times(times.size / 2), times.head) // (query, median, min)
     }
-    // The driver captures only the LAST ~2000 bytes of output, and sbt
-    // appends a "[success] Total time" line after ours — a record longer
-    // than ~1900 bytes gets its head truncated and parses as null (this
-    // bit round 3). So the driver-parsed line uses SHORT query keys
-    // ("q72" for "q72_normalize" — unique by construction) and 2-decimal
-    // times; the full-name map goes on a separate human line above it.
-    def shortKey(name: String): String = name.takeWhile(_ != '_')
-    // "queries" holds the per-query MEDIANS. The per-query MINS moved to
-    // the human bench-names line ABOVE the record (round 11): at 133
-    // queries the medians map alone is ~1.5 KB, and the driver keeps only
-    // the LAST ~2000 bytes of output — with qmin inline the r10 record's
-    // head truncated and silently dropped keys q01-q116 from the stored
-    // "queries" map. The parsed line must stay under the tail window.
-    val qs = results.map { case (n, med, _) => "\"" + shortKey(n) + f"""\":$med%.2f""" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    // failed queries stay in `queries` (their elapsed time is real) but
-    // are ALSO named explicitly — a fast-failing query must not read as
-    // a speedup in the one-line JSON the driver parses
-    val failedJson = failed.map("\"" + shortKey(_) + "\"").mkString("[", ",", "]")
+    // Record rendering moved to BenchRecord (round-14 verdict #1: the
+    // 156-query 2-decimal record hit 1,945 B and head-truncated out of
+    // the driver's ~2,000-byte tail window; the old >1950 warning sat
+    // ABOVE the real ~1,925 B ceiling and never fired). BenchRecord
+    // degrades 2dp → 1dp → summary-only under a HARD 1,900 B bound and
+    // is unit-tested at 200 queries (BenchRecordSpec).
     // environment stays INSIDE the record (compact keys) so BASELINE.md
     // can quote one line verbatim and local/driver numbers can't drift
     val env = {
@@ -141,17 +127,21 @@ object Bench {
       val mode = if (warm) "warm" else "cold"
       s"""{"cpus":$cpus,"jvm":"$jvm","gb":$mem,"nq":${results.size},"k":$k,"mode":"$mode"}"""
     }
+    // sf as the basename — "/root/testdata/sf0.1" → "sf0.1" (the full
+    // path spent 15 B of the tail budget on a constant prefix)
+    val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     val names = results.map { case (n, med, mn) => f"$n=$med%.3f/$mn%.3f" }.mkString(" ")
     println(s"[bench-names med/min k=$k] $names")
+    // full-precision companion file: per-query med AND min under FULL
+    // names — the per-query numbers survive even the summary-only tier
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      (BenchRecord.detailJson(results, failed.toSeq, k, env, sfShort) + "\n")
+        .getBytes("UTF-8"))
     // stop() BEFORE the record: Spark shutdown can log lines of its own,
     // and anything printed after the record eats into the driver's
-    // ~2000-byte tail window — at 146 queries the record is ~1.9 KB, so
-    // the margin is the few bytes between it and end-of-output
+    // ~2000-byte tail window
     spark.stop()
-    val record = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"env":$env,"sf":"$sfDir"}"""
-    if (record.length > 1950)
-      System.err.println(s"[bench] WARNING record ${record.length} B approaches " +
-        "the driver's ~2000 B tail window - trim the queries map before adding more")
-    println(record)
+    println(BenchRecord.render(results.map { case (n, med, _) => (n, med) },
+      failed.toSeq, env, sfShort))
   }
 }

@@ -1,0 +1,75 @@
+package graft
+
+/** Renders the ONE driver-parsed bench line under a HARD byte bound.
+  *
+  * The driver stores only the LAST ~2,000 bytes of the run's output, and
+  * sbt appends its own `[success] Total time: ...` epilogue (~74 B)
+  * after ours — so the effective budget for record+newline is ~1,925 B.
+  * This bit round 3 AND round 14: at 156 queries the 2-decimal record
+  * grew to 1,945 B, its head fell out of the tail window, and the
+  * driver's `parsed` came back null. The round-14 `> 1950` warning was
+  * ABOVE the real ceiling and never fired.
+  *
+  * Fix shape (round-14 verdict #1): a pure renderer with a TIERED
+  * degradation ladder, asserted against `MaxRecordBytes` = 1,900
+  * (2,000 − 74 epilogue − newline − margin), and a unit test that
+  * renders a 200-query record against the bound so battery growth can
+  * never re-break the parse silently:
+  *   - tier A: per-query medians at 2 decimals (fits up to ~140 queries)
+  *   - tier B: per-query medians at 1 decimal (fits up to ~165)
+  *   - tier C: summary-only — totals + failures + env, with
+  *     `"detail":"BENCH_DETAIL.json"` pointing at the full-precision
+  *     per-query file Bench ALWAYS writes beside the record.
+  * The first tier that fits wins; tier C's size is O(1) in the battery
+  * (only the failed list grows, and failures are named individually
+  * because a fast-failing query must never read as a speedup).
+  */
+object BenchRecord {
+
+  /** Hard bound for the printed record (excl. our newline): 2,000-byte
+    * driver tail − ~74 B sbt epilogue − 1 B newline − safety margin. */
+  val MaxRecordBytes = 1900
+
+  /** Short driver key: "q72_normalize" → "q72" (unique by construction). */
+  def shortKey(name: String): String = name.takeWhile(_ != '_')
+
+  /** results = (fullName, medianSec) sorted; env = compact JSON object. */
+  def render(results: Seq[(String, Double)], failed: Seq[String],
+             env: String, sf: String): String = {
+    val total = results.map(_._2).sum
+    val failedPart =
+      if (failed.isEmpty) ""
+      else "\"failed\":" + failed.map("\"" + shortKey(_) + "\"").mkString("[", ",", "],")
+    def withMap(decimals: Int): String = {
+      val fmt = s"%.${decimals}f"
+      val qs = results
+        .map { case (n, med) => "\"" + shortKey(n) + "\":" + fmt.format(med) }
+        .mkString("{", ",", "}")
+      f"""{"metric":"total","value":$total%.3f,"queries":$qs,$failedPart"env":$env,"sf":"$sf"}"""
+    }
+    val summary =
+      f"""{"metric":"total","value":$total%.3f,"nq":${results.size},"detail":"BENCH_DETAIL.json",$failedPart"env":$env,"sf":"$sf"}"""
+    val record = Seq(withMap(2), withMap(1), summary)
+      .find(_.length <= MaxRecordBytes)
+      .getOrElse(summary)
+    // tier C grows only with `failed` — if even IT overflows, something
+    // is catastrophically wrong and a loud crash beats a silent
+    // head-truncated null parse
+    require(record.length <= MaxRecordBytes,
+      s"bench record ${record.length} B exceeds $MaxRecordBytes even summary-only")
+    record
+  }
+
+  /** Full-precision companion (med AND min per query, full names) —
+    * written unconditionally so the per-query numbers survive every
+    * tier, including the round-over-round comparisons the judge runs. */
+  def detailJson(results: Seq[(String, Double, Double)], failed: Seq[String],
+                 k: Int, env: String, sf: String): String = {
+    val qs = results.map { case (n, med, mn) =>
+      f""""$n":{"med":$med%.3f,"min":$mn%.3f}"""
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","k":$k,"queries":$qs,"failed":$failedJson,"env":$env,"sf":"$sf"}"""
+  }
+}
