@@ -50,11 +50,35 @@ object Pca {
     require(components.forall(_.length == dim), "ragged components")
   }
 
+  /** Exact-gram row ceiling (2²⁰): the overflow audit in the header
+    * bounds Σq_iq_j ≤ rows·2⁴² < 2⁶³ only up to this many rows. */
+  val MaxExactRows: Int = 1 << 20
+
   /** One distributed pass: exact quantized mean + upper-triangle gram,
     * then the driver eigensolve. Rows with wrong width or non-finite
-    * components are parked VISIBLY (the Kmeans.refine contract). */
-  def fit(df: DataFrame, vecCol: String, dim: Int): Model = {
-    val (cov, n, mean) = covariance(df, vecCol, dim)
+    * components are parked VISIBLY (the Kmeans.refine contract).
+    *
+    * Corpora past [[MaxExactRows]] fit on a BOUNDED DETERMINISTIC
+    * sample (round-14 verdict #3 — the Ivf.trainCentroids doctrine,
+    * hash-top-N keyed on the vector bytes themselves so no id column
+    * is needed) instead of refusing: PCA fitted on 2²⁰ hash-uniform
+    * rows is a statistical estimator of the corpus rotation — exactly
+    * what FAISS's PCAMatrix trains on a bounded sample — and the
+    * sampled fit stays bit-reproducible at any layout because the kept
+    * SET is a pure function of the data. Below the ceiling the count
+    * gate short-circuits and the fit is the exact full-corpus model,
+    * so gate queries (q155-q157) are byte-unchanged. Callers needing
+    * the exact covariance CONTRACT call [[covariance]] directly, which
+    * keeps its loud guard. */
+  def fit(df: DataFrame, vecCol: String, dim: Int,
+          maxFitRows: Int = MaxExactRows): Model = {
+    require(maxFitRows > 1 && maxFitRows <= MaxExactRows,
+      s"maxFitRows out of the exact-gram range: $maxFitRows")
+    val slim = df.select(col(vecCol))
+    val input =
+      if (slim.count() <= maxFitRows) df
+      else Samples.hashTopN(slim, vecCol, Seq(col(vecCol)), maxFitRows)
+    val (cov, n, mean) = covariance(input, vecCol, dim)
     val (eigVals, eigVecs) = jacobi(cov)
     Model(dim, n, mean, eigVals, eigVecs)
   }
@@ -117,9 +141,9 @@ object Pca {
       s"Pca.fit: all $seen rows skipped (wrong vector width - expected " +
         s"$dim - non-finite, or |x| >= 2 outside the fixed-point range)")
     require(used > 1, s"Pca.fit needs at least 2 usable rows, got $used")
-    require(used < (1L << 20),
-      s"Pca.fit: $used rows exceeds the 2^20 exact-gram overflow guard " +
-        "- fit on a bounded deterministic sample (the Ivf/Pq doctrine)")
+    require(used <= MaxExactRows,
+      s"Pca.covariance: $used rows exceeds the 2^20 exact-gram overflow " +
+        "guard - use fit(), which auto-samples past the ceiling")
     if (used < seen)
       System.err.println(s"[pca] fit skipped ${seen - used} of $seen rows")
     val n = used.toDouble
@@ -232,6 +256,10 @@ object Pca {
       StructField("id", LongType, nullable = false),
       StructField("proj", ArrayType(DoubleType), nullable = true)))
     val rows = df.select(col(idCol).cast("long"), col(vecCol)).rdd.map { r =>
+      // ids are asserted up front like the dim/width guards: the output
+      // field is non-nullable, and a null id silently unboxing to 0L
+      // would alias distinct rows onto one key (round-14 advice)
+      require(!r.isNullAt(0), s"Pca.transform: null/uncastable id in '$idCol'")
       val id = r.getLong(0)
       val a = r.getAs[scala.collection.Seq[Float]](1)
       if (a == null || a.length != dim) Row(id, null)

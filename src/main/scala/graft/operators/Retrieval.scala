@@ -106,7 +106,11 @@ object Retrieval {
       "bm25Batch needs at least one query, each with at least one term")
     val spark = docs.sparkSession
     import spark.implicits._
-    val qt = queries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
+    // per-query term DEDUP (round-14 advice): bm25()'s isin filter
+    // dedups implicitly, but a duplicated term here would fan out the
+    // broadcast join and double __tf — silently breaking the documented
+    // bit-equality contract with the per-query path
+    val qt = queries.flatMap { case (q, ts) => ts.distinct.map(t => (q, t)) }
       .toDF("query_id", "__t")
     val toks = docs.select(col(idCol),
         TextOps.tokens(col(textCol)).as("__toks"))

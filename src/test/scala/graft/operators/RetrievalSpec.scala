@@ -95,4 +95,20 @@ class RetrievalSpec extends SparkSpec {
       Retrieval.bm25Batch(docs, "doc_id", "text", Seq(0 -> Seq.empty))
     }
   }
+
+  test("bm25Batch dedups repeated query terms (bm25's isin semantics)") {
+    // a duplicated term must NOT fan out the broadcast join and double
+    // __tf — the bit-equality contract with bm25() covers such input
+    // (round-14 advice)
+    val dup = Retrieval.bm25Batch(docs, "doc_id", "text",
+        Seq(1 -> Seq("cat", "cat", "dog"))).collect()
+      .map(r => r.getLong(1) -> ((r.getDouble(2), r.getLong(3)))).toMap
+    val clean = Retrieval.bm25(docs, "doc_id", "text", Seq("cat", "dog"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(dup.keySet == clean.keySet)
+    for ((id, (score, _)) <- dup)
+      assert(java.lang.Double.doubleToLongBits(score) ==
+        java.lang.Double.doubleToLongBits(clean(id)), s"doc $id")
+    assert(dup(0L)._2 == 2L) // "cat cat dog bird": 2 DISTINCT terms, not 3
+  }
 }
