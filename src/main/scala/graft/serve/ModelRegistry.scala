@@ -168,6 +168,38 @@ object ModelRegistry {
                   version: Long = -1L): DataFrame =
     graft.operators.Pq.loadCodes(spark, artifactPath(spark, root, name, version))
 
+  /** Registry retention (round-14 verdict #5: versions accumulated
+    * forever). Keep the newest `keepLast` versions of `name`; drop the
+    * rest — metadata rows FIRST, then artifact directories, so a crash
+    * between the two leaves only orphaned (invisible) artifacts, never
+    * a metadata row pointing at nothing. Returns the pruned versions.
+    * Single-writer per root, like registration: the metadata table is
+    * rewritten in place (it is KiB-scale — one row per
+    * name×version×metric — so a driver round-trip is the right shape
+    * even when the MODELS are huge; artifacts are never read). */
+  def prune(spark: SparkSession, root: String, name: String,
+            keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val meta = list(spark, root)
+    val versions = meta.filter(col("name") === name)
+      .select("version").distinct().collect().map(_.getLong(0)).sorted.toSeq
+    val drop = versions.dropRight(keepLast)
+    if (drop.nonEmpty) {
+      val kept = meta.filter(!(col("name") === name &&
+        col("version").isin(drop: _*))).collect()
+      val schema = meta.schema
+      spark.createDataFrame(
+          java.util.Arrays.asList(kept: _*), schema)
+        .write.mode("overwrite").parquet(metaPath(root))
+      val conf = spark.sparkContext.hadoopConfiguration
+      drop.foreach { v =>
+        val p = new org.apache.hadoop.fs.Path(s"$root/$name/v$v")
+        p.getFileSystem(conf).delete(p, true)
+      }
+    }
+    drop
+  }
+
   /** Health row (the reference's /health payload, engine-side):
     * (status, models_loaded, versions_total). Per-model detail comes
     * from `list` — the metadata table is the queryable surface. */

@@ -51,6 +51,35 @@ class ModelRegistrySpec extends SparkSpec {
     }
   }
 
+  test("prune keeps the newest versions; latest resolution survives; other names untouched") {
+    val root = Files.createTempDirectory("graft_registry_p").toString
+    val vecs = (0 until 24)
+      .map(i => (i.toLong, Array.fill(4)(((i * 7 + 3) % 19) / 10.0f - 0.9f)))
+      .toDF("vec_id", "embedding")
+    val idx = graft.operators.Ivf.build(vecs, "vec_id", "embedding", nLists = 2)
+    for (_ <- 1 to 3)
+      ModelRegistry.registerIvf(spark, root, "ann", idx, Map("recall" -> 1.0))
+    ModelRegistry.registerIvf(spark, root, "other", idx)
+    assert(ModelRegistry.prune(spark, root, "ann", keepLast = 1) == Seq(1L, 2L))
+    // latest resolution survives pruning; the artifact still loads and searches
+    assert(ModelRegistry.latestVersion(spark, root, "ann") == 3L)
+    assert(ModelRegistry.loadIvf(spark, root, "ann").assigned.count() == 24L)
+    // pruned versions: metadata rows gone, artifact dirs deleted
+    val meta = ModelRegistry.list(spark, root)
+    assert(meta.filter($"name" === "ann").select("version").distinct().count() == 1L)
+    assert(!new java.io.File(s"$root/ann/v1").exists())
+    assert(!new java.io.File(s"$root/ann/v2").exists())
+    intercept[Exception] { ModelRegistry.loadIvf(spark, root, "ann", version = 1L) }
+    // other names untouched; registration continues past the pruned range
+    assert(ModelRegistry.latestVersion(spark, root, "other") == 1L)
+    assert(ModelRegistry.registerIvf(spark, root, "ann", idx) == 4L)
+    // nothing left to prune at keepLast=2 after that
+    assert(ModelRegistry.prune(spark, root, "ann", keepLast = 2).isEmpty)
+    intercept[IllegalArgumentException] {
+      ModelRegistry.prune(spark, root, "ann", keepLast = 0)
+    }
+  }
+
   test("all three model families register, report their kind, and reload bit-equal") {
     val root = Files.createTempDirectory("graft_registry_k").toString
     // LeafBoost: tiny deterministic trainer over the synthetic frame
