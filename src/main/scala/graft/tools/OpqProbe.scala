@@ -1,0 +1,58 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.operators.{Embeddings, Opq, Pq}
+
+/** Round-15 measurement probe: raw-PQ vs OPQ-rotated-PQ recall@5 on
+  * the q157 planted anisotropic corpus — pins q159's floors from
+  * measurement, not hope. Not part of the driver battery. */
+object OpqProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), expr(
+      "transform(embedding, (x, i) -> CASE WHEN i < 8 THEN x * CAST(3.5 AS FLOAT)" +
+        " ELSE x * CAST(0.5 AS FLOAT) END)").as("embedding"))
+    val q = e.filter(col("vec_id") < 20)
+    val exact = Embeddings.cosineTopK(q, e, "vec_id", "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").cache()
+    val nExact = exact.count()
+
+    def recallOf(approx: org.apache.spark.sql.DataFrame): Double = {
+      val hits = exact.join(approx.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi").count()
+      hits.toDouble / nExact
+    }
+
+    for (k <- Seq(64, 256)) {
+      var t0 = System.nanoTime()
+      val cbRaw = Pq.train(e, "vec_id", "embedding", m = 8, k = k)
+      val encRaw = Pq.encode(e.select("vec_id", "embedding"), "embedding", cbRaw)
+      val raw = recallOf(Pq.searchReranked(encRaw, "vec_id", "embedding", cbRaw,
+        q, "vec_id", "embedding", shortlist = 50, topK = 5, dropSelf = true))
+      val tRaw = (System.nanoTime() - t0) / 1e9
+
+      t0 = System.nanoTime()
+      val rot = Opq.trainRotation(e, "embedding", dim = 64, m = 8)
+      val er = Opq.rotate(e, "vec_id", "embedding", rot)
+      val qr = Opq.rotate(q, "vec_id", "embedding", rot)
+      val cbO = Pq.train(er, "vec_id", "embedding", m = 8, k = k)
+      val encO = Pq.encode(er, "embedding", cbO)
+      val opq = recallOf(Pq.searchReranked(encO, "vec_id", "embedding", cbO,
+        qr, "vec_id", "embedding", shortlist = 50, topK = 5, dropSelf = true))
+      val tOpq = (System.nanoTime() - t0) / 1e9
+      println(f"[opq-probe] $dir k=$k nExact=$nExact raw=$raw%.3f (${tRaw}%.1f s) " +
+        f"opq=$opq%.3f (${tOpq}%.1f s) eigTop=${rot.eigenvalues.max}%.4f")
+      println("[opq-probe] perm=" + rot.perm.take(16).mkString(","))
+    }
+    spark.stop()
+  }
+}
