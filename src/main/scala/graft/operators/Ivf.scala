@@ -130,13 +130,34 @@ object Ivf {
     * daily full-corpus rebuild and a map-only pass over the new shard.
     * Composes with [[save]]/[[load]]: load → append → save is the
     * steady-state index-refresh job. */
-  def append(index: Index, delta: DataFrame): Index = {
+  def append(index: Index, delta: DataFrame): Index =
+    index.copy(assigned = index.assigned.unionByName(assignDelta(index, delta)))
+
+  /** The map-only pass behind [[append]] and [[appendShard]]: assign a
+    * delta batch to the index's FROZEN centroids (nLists rows collected
+    * — KiB) and return just the delta's assigned rows. */
+  private def assignDelta(index: Index, delta: DataFrame): DataFrame = {
     val centers: Array[Array[Float]] = index.centroids
       .orderBy("centroid_id").collect()
       .map(_.getAs[scala.collection.Seq[Float]]("cvec").toArray)
-    val assembled = assemble(delta, index.idCol, index.vecCol, centers)
-    index.copy(assigned = index.assigned.unionByName(assembled.assigned))
+    assemble(delta, index.idCol, index.vecCol, centers).assigned
   }
+
+  /** Incremental refresh of a SAVED index (round-14 verdict #5's
+    * streaming composition): assign `delta` to the artifact's frozen
+    * centroids and APPEND the assigned rows to its `ivf_assigned`
+    * table — centroids and meta are untouched, pre-existing rows stay
+    * byte-identical on disk, and nothing corpus-sized is rewritten.
+    * This is the per-shard / per-micro-batch form of load→append→save:
+    * a foreachBatch sink calls it once per arriving batch and the
+    * artifact is always searchable ([[load]] sees base ∪ all appended
+    * shards). Idempotence is the CALLER's contract (Structured
+    * Streaming replays a failed batch; an exactly-once deployment keys
+    * shard files by batch id or dedups on the id column downstream). */
+  def appendShard(spark: org.apache.spark.sql.SparkSession, path: String,
+                  delta: DataFrame): Unit =
+    assignDelta(load(spark, path), delta)
+      .write.mode("append").parquet(s"$path/ivf_assigned")
 
   /** Shared seed training: bounded deterministic sample → local
     * spherical k-means (one definition for both branches). */

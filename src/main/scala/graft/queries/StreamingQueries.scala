@@ -557,10 +557,86 @@ object StreamingQueries {
           (col("blended") === col("b_batch")).cast("long").as("score_ok"),
           (col("risk_level") === col("lvl_batch")).cast("long").as("level_ok"))
         .orderBy("event_id")
+    }),
+
+    // STREAMING ANN INDEX REFRESH (round 15, the verdict's q110-mold
+    // composition of StreamingOps with Ivf.append): build and SAVE an
+    // IVF index over 80% of the corpus, then stream the remaining 20%
+    // (4 single-file micro-batches) into a foreachBatch sink that runs
+    // Ivf.appendShard per batch — assign the arriving vectors to the
+    // FROZEN quantizer and append ONLY their rows to the artifact's
+    // ivf_assigned table. That is the steady-state index-refresh job
+    // at 100 TB (daily shards → a map-only assignment pass + an
+    // append-only write; nothing corpus-sized is ever rewritten, the
+    // artifact stays searchable throughout). Gates: the refreshed
+    // artifact's search is BIT-IDENTICAL (result set AND every rounded
+    // sim) to the in-memory batch append over the same delta, ≥3
+    // data-carrying micro-batches actually flowed, and row conservation
+    // pins base + Σ shards == corpus.
+    "q161_stream_index_refresh" -> ((s, dir) => {
+      val e = graft.sources.Tables.embeddings(s, dir)
+      val base = e.filter(col("vec_id") % 5 =!= 0)
+      val delta = e.filter(col("vec_id") % 5 === 0)
+      val stage = stagedDir(s, "embed_delta_4", 1, dir) { st =>
+        delta.repartition(4).write.mode("overwrite").parquet(st.toString)
+      }
+      val root = java.nio.file.Files.createTempDirectory("graft_q161")
+        .toString + "/idx"
+      val index = graft.operators.Ivf.build(base, "vec_id", "embedding",
+        nLists = 16)
+      graft.operators.Ivf.save(index, root)
+      val q = s.readStream
+        .schema(s.read.parquet(stage).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          graft.operators.Ivf.appendShard(s, root, b)
+        }
+        .start()
+      q.awaitTermination()
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      require(dataBatches >= MinBatches,
+        s"index refresh must cross >=$MinBatches micro-batches, saw $dataBatches")
+      val refreshed = graft.operators.Ivf.load(s, root)
+      val conservationOk =
+        refreshed.assigned.count() == e.count() // base + Σ shards, no loss/dup
+      val probes = e.filter(col("vec_id") < 20)
+      val streamRes = graft.operators.Ivf.search(refreshed, probes,
+          "vec_id", "embedding", nProbe = 4, topK = 5)
+        .select(col("query_id"), col("neighbor_id"), col("sim").as("ssim"))
+      val batchRes = graft.operators.Ivf.search(
+          graft.operators.Ivf.append(index, delta), probes,
+          "vec_id", "embedding", nProbe = 4, topK = 5)
+        .select(col("query_id"), col("neighbor_id"), col("sim").as("bsim"))
+      streamRes.join(batchRes, Seq("query_id", "neighbor_id"), "full_outer")
+        .agg(
+          count_distinct(col("query_id")).as("n_queries"),
+          count(lit(1)).cast("long").as("n_results"),
+          (sum(when(col("ssim").isNull || col("bsim").isNull, 1L)
+            .otherwise(0L)) === 0).as("sets_match"),
+          (sum(when(col("ssim") === col("bsim"), 0L).otherwise(1L)) === 0)
+            .as("sims_bit_equal"))
+        .select(col("n_queries"), col("n_results"), col("sets_match"),
+          col("sims_bit_equal"),
+          lit(dataBatches >= MinBatches).as("multi_batch_ok"),
+          lit(conservationOk).as("conservation_ok"))
     })
   )
 
   def oracle: Map[String, String] = Map(
+    // ANN results have no SQL twin — DuckDB pins the probe inventory
+    // and result cardinality; the stream ≡ batch bit-equality,
+    // multi-batch, and conservation flags are driver-compared literal
+    // TRUE (q62/q143 convention)
+    "q161_stream_index_refresh" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        | CAST(5 * count(*) AS BIGINT) AS n_results,
+        | TRUE AS sets_match, TRUE AS sims_bit_equal,
+        | TRUE AS multi_batch_ok, TRUE AS conservation_ok
+        |FROM embeddings WHERE vec_id < 20""".stripMargin,
+
     // model probability has no SQL twin — DuckDB pins row coverage
     // (every event exactly once) and the driver-side exact-equality
     // flags are literal TRUE (q102/q137 convention)

@@ -158,6 +158,18 @@ class IvfSpec extends SparkSpec {
         nProbe = 2, topK = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(resQ(viaDisk) == resQ(appended))
+    // appendShard: the on-artifact form — shard-wise appends to the
+    // SAVED index accumulate to the same index as one in-memory append
+    // (centroids untouched, assigned = base ∪ shards, identical search)
+    val shardPath = java.nio.file.Files.createTempDirectory("graft_ivf_sh").toString
+    Ivf.save(index, shardPath)
+    Ivf.appendShard(spark, shardPath, twins.filter($"vec_id" % 2 === 1))
+    Ivf.appendShard(spark, shardPath, twins.filter($"vec_id" % 2 === 0))
+    val viaShards = Ivf.load(spark, shardPath)
+    assert(viaShards.assigned.count() == 410)
+    assert(viaShards.centroids.collect().map(_.toString).sorted
+      .sameElements(index.centroids.collect().map(_.toString).sorted))
+    assert(resQ(viaShards) == resQ(appended))
   }
 
   test("index assignment is total and deterministic") {
