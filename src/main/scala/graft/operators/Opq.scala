@@ -134,4 +134,35 @@ object Opq {
       StructField(vecCol, ArrayType(FloatType), nullable = true)))
     spark.createDataFrame(rows, schema).withColumnRenamed("id", idCol)
   }
+
+  // On-disk layout (the Ivf/Pq artifact discipline — plain parquet,
+  // queryable, bit-exact double round trip):
+  //   $path/opq_rotation : (out_dim, eigen_rank, eigenvalue, row) —
+  //                        one row per output dimension, row-major
+  /** Persist the rotation under `path` (overwrites). A saved rotation
+    * plus saved PQ codebooks/codes is the complete OPQ deployment
+    * artifact: load both, rotate queries map-side, search. */
+  def save(spark: org.apache.spark.sql.SparkSession, rot: Rotation,
+           path: String): Unit = {
+    import spark.implicits._
+    rot.perm.indices.map { o =>
+      (o, rot.perm(o), rot.eigenvalues(o), rot.rows(o).toSeq)
+    }.toDF("out_dim", "eigen_rank", "eigenvalue", "row")
+      .repartition(1).write.mode("overwrite")
+      .parquet(s"$path/opq_rotation")
+  }
+
+  /** Load a rotation previously written by [[save]] — rotations with a
+    * reloaded model are bit-identical to the fresh fit's (OpqSpec). */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Rotation = {
+    val rows = spark.read.parquet(s"$path/opq_rotation")
+      .select("out_dim", "eigen_rank", "eigenvalue", "row")
+      .collect()
+      .sortBy(_.getInt(0))
+    require(rows.nonEmpty, s"no opq_rotation table under $path")
+    Rotation(rows.length,
+      rows.map(_.getInt(1)),
+      rows.map(_.getAs[scala.collection.Seq[Double]]("row").toArray),
+      rows.map(_.getDouble(2)))
+  }
 }

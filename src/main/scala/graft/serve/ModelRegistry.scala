@@ -112,6 +112,21 @@ object ModelRegistry {
       codes.foreach(graft.operators.Pq.saveCodes(_, p))
     }
 
+  /** Register an OPQ rotation, optionally together with the PQ
+    * codebooks/codes trained on the rotated corpus — one artifact then
+    * carries the complete OPQ deployment (rotate queries map-side,
+    * ADC-search the codes, rerank). */
+  def registerOpq(spark: SparkSession, root: String, name: String,
+                  rot: graft.operators.Opq.Rotation,
+                  cb: Option[graft.operators.Pq.Codebooks] = None,
+                  codes: Option[DataFrame] = None,
+                  metrics: Map[String, Double] = Map.empty): Long =
+    registerArtifact(spark, root, name, metrics) { p =>
+      graft.operators.Opq.save(spark, rot, p)
+      cb.foreach(graft.operators.Pq.save(spark, _, p))
+      codes.foreach(graft.operators.Pq.saveCodes(_, p))
+    }
+
   private def artifactPath(spark: SparkSession, root: String, name: String,
                            version: Long): String = {
     val v = if (version > 0) version else latestVersion(spark, root, name)
@@ -133,6 +148,7 @@ object ModelRegistry {
     if (has("leafboost_nodes")) "leafboost"
     else if (has("bilstm_weights")) "bilstm"
     else if (has("ivf_centroids")) "ivf"
+    else if (has("opq_rotation")) "opq" // before pq: an OPQ artifact may carry codebooks too
     else if (has("pq_codebooks")) "pq"
     else "pipeline"
   }
@@ -167,6 +183,13 @@ object ModelRegistry {
   def loadPqCodes(spark: SparkSession, root: String, name: String,
                   version: Long = -1L): DataFrame =
     graft.operators.Pq.loadCodes(spark, artifactPath(spark, root, name, version))
+
+  /** Load a registered OPQ rotation; latest version when `version` ≤ 0.
+    * Companion codebooks/codes (if registered) load via loadPq /
+    * loadPqCodes under the same name and version. */
+  def loadOpq(spark: SparkSession, root: String, name: String,
+              version: Long = -1L): graft.operators.Opq.Rotation =
+    graft.operators.Opq.load(spark, artifactPath(spark, root, name, version))
 
   /** Registry retention (round-14 verdict #5: versions accumulated
     * forever). Keep the newest `keepLast` versions of `name`; drop the

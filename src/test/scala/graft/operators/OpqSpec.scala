@@ -75,6 +75,30 @@ class OpqSpec extends SparkSpec {
         java.lang.Double.doubleToLongBits(b.rows(i)(j)))
   }
 
+  test("save/load round trip: reloaded rotation is bit-identical") {
+    val rot = Opq.trainRotation(cloud, "embedding", dim = 4, m = 2)
+    val path = java.nio.file.Files.createTempDirectory("graft_opq").toString
+    Opq.save(spark, rot, path)
+    val back = Opq.load(spark, path)
+    assert(back.dim == rot.dim && back.perm.sameElements(rot.perm))
+    for (i <- 0 until 4) {
+      assert(java.lang.Double.doubleToLongBits(back.eigenvalues(i)) ==
+        java.lang.Double.doubleToLongBits(rot.eigenvalues(i)))
+      for (j <- 0 until 4)
+        assert(java.lang.Double.doubleToLongBits(back.rows(i)(j)) ==
+          java.lang.Double.doubleToLongBits(rot.rows(i)(j)))
+    }
+    // and therefore rotations through it are bit-identical too
+    val a = Opq.rotate(cloud, "vec_id", "embedding", rot).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val b = Opq.rotate(cloud, "vec_id", "embedding", back).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(a.keySet == b.keySet && a.forall { case (k, v) => v == b(k) })
+    intercept[Exception] { // missing artifact surfaces loudly
+      Opq.load(spark, path + "/nope")
+    }
+  }
+
   test("rotate parks wrong-width rows to null and rejects null ids") {
     val rot = Opq.trainRotation(cloud, "embedding", dim = 4, m = 2)
     val mixed = cloud.unionByName(

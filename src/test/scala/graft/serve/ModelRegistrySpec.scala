@@ -124,7 +124,26 @@ class ModelRegistrySpec extends SparkSpec {
     val pm = FraudModel.gbtPipeline(cols, "is_fraud", maxIter = 3).fit(data)
     ModelRegistry.register(spark, root, "gbt", pm)
     assert(ModelRegistry.kindOf(spark, root, "gbt") == "pipeline")
-    // one metadata table lists all three families
-    assert(ModelRegistry.list(spark, root).select("name").distinct().count() == 3)
+    // OPQ rotation (+ companion codebooks under one artifact): kind
+    // resolves to "opq" even though pq_codebooks rides along, and the
+    // reloaded rotation is bit-identical (OpqSpec pins the values; here
+    // the registry path + version resolution)
+    val vecs = (0 until 64)
+      .map(i => (i.toLong, Array.tabulate(4)(d =>
+        (((i * 7 + d * 3) % 19) / 10.0f - 0.9f))))
+      .toDF("vec_id", "embedding")
+    val rot = graft.operators.Opq.trainRotation(vecs, "embedding", dim = 4, m = 2)
+    val er = graft.operators.Opq.rotate(vecs, "vec_id", "embedding", rot)
+    val cb = graft.operators.Pq.train(er, "vec_id", "embedding", m = 2, k = 4)
+    assert(ModelRegistry.registerOpq(spark, root, "opq", rot, Some(cb)) == 1L)
+    assert(ModelRegistry.kindOf(spark, root, "opq") == "opq")
+    val rot2 = ModelRegistry.loadOpq(spark, root, "opq")
+    assert(rot2.perm.toSeq == rot.perm.toSeq)
+    assert(rot2.rows.map(_.toSeq).toSeq == rot.rows.map(_.toSeq).toSeq)
+    val cb2 = ModelRegistry.loadPq(spark, root, "opq")
+    assert(cb2.centers.map(_.map(_.toSeq).toSeq).toSeq ==
+      cb.centers.map(_.map(_.toSeq).toSeq).toSeq)
+    // one metadata table lists all four families
+    assert(ModelRegistry.list(spark, root).select("name").distinct().count() == 4)
   }
 }
