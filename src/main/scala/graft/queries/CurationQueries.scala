@@ -636,20 +636,38 @@ object CurationQueries {
         .join(lm, Seq("doc_id"), "left")
         .join(span, Seq("doc_id"), "left")
         .cache()
-      val floors =
-        Util.discPercentiles(joined, Seq.empty, "n_tokens",
-            Seq(("len_floor", 1, 20)))
-          .crossJoin(Util.discPercentiles(joined, Seq.empty, "stop_ratio",
-            Seq(("stop_floor", 1, 20))))
-          .crossJoin(Util.discPercentiles(joined, Seq.empty, "avg_logprob",
-            Seq(("lm_floor", 1, 20))))
-          .crossJoin(Util.discPercentiles(joined, Seq.empty, "dup_frac",
-            Seq(("dup_ceil", 19, 20))))
-      val keepExpr = col("n_tokens") >= col("len_floor") &&
-        col("stop_ratio") >= col("stop_floor") &&
-        col("avg_logprob") >= col("lm_floor") &&
-        col("dup_frac") <= col("dup_ceil")
-      val flagged = joined.crossJoin(broadcast(floors))
+      // ONE melted rank gate computes all four floors (signals explode
+      // to (sig, v) rows and discPercentiles groups by sig) instead of
+      // four separate gate chains — same ceil-rank VALUES, a quarter of
+      // the rank passes; and the floors materialize EAGERLY to
+      // constants, because the final frame and the keep-rate aggregate
+      // both reference them and a lazy floors subtree would re-run the
+      // gates per referencing evaluation. Each signal's nulls filter
+      // exactly like the per-signal oracle CTEs' WHERE IS NOT NULL;
+      // n_tokens ranks identically through its exact double cast
+      // (small ints round-trip bit-exactly).
+      val melted = joined.select(explode(array(
+          struct(lit("len").as("sig"), col("n_tokens").cast("double").as("v")),
+          struct(lit("stop").as("sig"), col("stop_ratio").as("v")),
+          struct(lit("lm").as("sig"), col("avg_logprob").as("v")),
+          struct(lit("dup").as("sig"), col("dup_frac").as("v")))).as("x"))
+        .select(col("x.sig").as("sig"), col("x.v").as("v"))
+        .filter(col("v").isNotNull)
+      val fl = Util.discPercentiles(melted, Seq("sig"), "v",
+          Seq(("p05", 1, 20), ("p95", 19, 20)))
+        .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2))))
+        .toMap
+      val (lenFloor, stopFloor) = (fl("len")._1.toLong, fl("stop")._1)
+      val (lmFloor, dupCeil) = (fl("lm")._1, fl("dup")._2)
+      val keepExpr = col("n_tokens") >= lenFloor &&
+        col("stop_ratio") >= stopFloor &&
+        col("avg_logprob") >= lmFloor &&
+        col("dup_frac") <= dupCeil
+      val flagged = joined
+        .withColumn("len_floor", lit(lenFloor))
+        .withColumn("stop_floor", lit(stopFloor))
+        .withColumn("lm_floor", lit(lmFloor))
+        .withColumn("dup_ceil", lit(dupCeil))
         .withColumn("keep", keepExpr)
       val rate = flagged.agg(
         (sum(when(col("keep"), 1L).otherwise(0L)).cast("double") /
