@@ -251,9 +251,9 @@ object CurationQueries {
     "q96_ingest_dedup" -> ((s, dir) => {
       val corpus = Tables.documents(s, dir)
       val copies = corpus.filter(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 200000000L).as("doc_id"), col("text"))
+        .select((-col("doc_id") - 1L).as("doc_id"), col("text")) // negative plant ids: disjoint from replica ids at EVERY scale (q148 doctrine)
       val fresh = corpus.filter(col("doc_id") % 5 === 1)
-        .select((col("doc_id") + 300000000L).as("doc_id"),
+        .select((-col("doc_id") - 1000000000L).as("doc_id"),
           concat(lit("new: "), col("text")).as("text"))
       val batch = copies.unionByName(fresh)
         .select(col("doc_id"), md5(col("text")).as("content_hash"))
@@ -859,10 +859,10 @@ object CurationQueries {
     // only the genuinely-new (prefixed) docs survive the anti join
     "q96_ingest_dedup" ->
       """WITH batch AS (
-        | SELECT doc_id + 200000000 AS doc_id, md5(text) AS content_hash
+        | SELECT -doc_id - 1 AS doc_id, md5(text) AS content_hash
         | FROM documents WHERE doc_id % 10 = 0
         | UNION ALL
-        | SELECT doc_id + 300000000, md5('new: ' || text)
+        | SELECT -doc_id - 1000000000, md5('new: ' || text)
         | FROM documents WHERE doc_id % 5 = 1)
         |SELECT b.doc_id, b.content_hash
         |FROM batch b

@@ -499,7 +499,9 @@ object StreamingQueries {
       val stream = streamStaged(s, stageMultiFile(s, dir, "documents"))
       val withCopies = stream.unionByName(
         stream.filter(col("doc_id") % 20 === 0)
-          .withColumn("doc_id", col("doc_id") + lit(200000000L)))
+          // negative plant ids: disjoint from replica ids at EVERY
+          // scale (q148 doctrine)
+          .withColumn("doc_id", -col("doc_id") - lit(1L)))
       val t = col("text")
       val stop = graft.operators.TextOps.langWords.head._2
       val scored = withCopies.select(col("doc_id"),
@@ -793,7 +795,7 @@ object StreamingQueries {
       s"""WITH base AS (
          | SELECT doc_id, text FROM documents
          | UNION ALL
-         | SELECT doc_id + 200000000, text FROM documents WHERE doc_id % 20 = 0),
+         | SELECT -doc_id - 1, text FROM documents WHERE doc_id % 20 = 0),
          |t AS (
          | SELECT doc_id, md5(text) AS content_hash,
          |  regexp_split_to_array(trim(text), '\\s+') AS toks,

@@ -258,7 +258,7 @@ object TextQueries {
       val docs = Tables.documents(s, dir).select("doc_id", "text")
       val phrase = array_join(slice(TextOps.tokens(col("text")), 1, 5), " ")
       val planted = docs.filter(col("doc_id") % 25 === 0)
-        .select((col("doc_id") + 200000000L).as("doc_id"),
+        .select((-col("doc_id") - 1L).as("doc_id"), // negative plant ids: disjoint from replica ids at EVERY scale (the q148 doctrine; +2e8 collided with sf5 replica ids)
           rtrim(repeat(concat(phrase, lit(" ")), 12)).as("text"))
       val sig = TextOps.repetitionSignals(
         docs.unionByName(planted), "doc_id", "text")
@@ -669,7 +669,7 @@ object TextQueries {
     // same two levels; thresholds applied to the quantized fractions
     "q105_repetition" ->
       """WITH planted AS (
-        | SELECT doc_id + 200000000 AS doc_id,
+        | SELECT -doc_id - 1 AS doc_id,
         |  rtrim(repeat(array_to_string(
         |    (regexp_split_to_array(trim(text), '\s+'))[1:5], ' ') || ' ', 12)) AS text
         | FROM documents WHERE doc_id % 25 = 0),

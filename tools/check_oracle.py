@@ -54,8 +54,16 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
 
-def main(sfdir, outdir, json_out=None, hash_mode=False):
+def main(sfdir, outdir, json_out=None, hash_mode=False,
+         only=None, start_from=None):
     con = duckdb.connect()
+    # bounded memory + disk spill: at the sf5 replica scale a heavy
+    # oracle (BPE-apply CTE chains) exhausted process memory and took
+    # the whole compare down with it; a limit makes DuckDB spill
+    # spillable operators instead, and the per-query except below
+    # turns a genuinely untractable oracle into ONE failed row
+    con.execute("SET memory_limit='48GB'")
+    con.execute("SET temp_directory='/tmp/duck_spill'")
     for t in TABLES:
         p = f"{sfdir}/{t}.parquet"
         src = f"{p}/*.parquet" if os.path.isdir(p) else p
@@ -67,14 +75,18 @@ def main(sfdir, outdir, json_out=None, hash_mode=False):
         d = os.path.join(outdir, name)
         if not os.path.isdir(d):
             continue
+        if only and not any(name.startswith(p) for p in only):
+            continue
+        if start_from and name < start_from:
+            continue
         files = glob.glob(f"{d}/*.parquet")
         spark_df = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
         if name not in oracle:
             print(f"  [rows-only] {name}: {len(spark_df)} rows")
             results[name] = {"rows_only": True, "spark_rows": len(spark_df)}
             continue
-        duck_df = con.execute(oracle[name]).df()
         try:
+            duck_df = con.execute(oracle[name]).df()
             a, b = norm(spark_df), norm(duck_df)
             if list(a.columns) != list(b.columns):
                 raise AssertionError(f"columns differ: {list(a.columns)} vs {list(b.columns)}")
@@ -110,7 +122,7 @@ def main(sfdir, outdir, json_out=None, hash_mode=False):
                              "hash_match": True, "spark_rows": len(a),
                              "oracle_rows": len(b), "err": None}
             n_pass += 1
-        except AssertionError as e:
+        except Exception as e:  # oracle SQL errors count as failures, not crashes
             print(f"  [FAIL] {name}: {e}")
             results[name] = {"rows_match": False, "err": str(e)[:500]}
             n_fail += 1
@@ -121,7 +133,21 @@ def main(sfdir, outdir, json_out=None, hash_mode=False):
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    argv = [a for a in sys.argv[1:] if a != "--hash"]
+    # optional: --only q62,q117 (name-prefix filter), --from q130
+    # (resume the sorted walk there) — local-iteration / long-battery
+    # resume aids; the driver's positional usage is unchanged
+    only = start_from = None
+    argv = []
+    for a in sys.argv[1:]:
+        if a == "--hash":
+            continue
+        if a.startswith("--only="):
+            only = a.split("=", 1)[1].split(",")
+        elif a.startswith("--from="):
+            start_from = a.split("=", 1)[1]
+        else:
+            argv.append(a)
     hash_mode = "--hash" in sys.argv[1:]
     sys.exit(main(argv[0], argv[1],
-                  argv[2] if len(argv) > 2 else None, hash_mode=hash_mode))
+                  argv[2] if len(argv) > 2 else None, hash_mode=hash_mode,
+                  only=only, start_from=start_from))
