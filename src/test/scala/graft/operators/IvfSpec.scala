@@ -172,6 +172,21 @@ class IvfSpec extends SparkSpec {
     assert(resQ(viaShards) == resQ(appended))
   }
 
+  test("delta assignment is map-only: appended frame plans with zero exchanges") {
+    val index = Ivf.build(clustered, "vec_id", "embedding", nLists = 4)
+    val twins = clustered.filter($"vec_id" < 20)
+      .select(($"vec_id" + 20000L).as("vec_id"), $"embedding")
+    val ap = Ivf.append(index, twins).assigned
+    ap.collect()
+    val exchanges = ap.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty,
+      s"frozen-quantizer delta assignment must stay map-side (the 100 TB " +
+        s"refresh-job contract), found ${exchanges.size} exchange(s):\n" +
+        ap.queryExecution.executedPlan)
+  }
+
   test("index assignment is total and deterministic") {
     val i1 = Ivf.build(clustered, "vec_id", "embedding", nLists = 4)
     val i2 = Ivf.build(clustered, "vec_id", "embedding", nLists = 4)
