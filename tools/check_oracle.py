@@ -54,20 +54,26 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
 
-def main(sfdir, outdir, json_out=None, hash_mode=False,
-         only=None, start_from=None):
+def fresh_con(sfdir):
+    # one connection PER QUERY: DuckDB state accumulated across a long
+    # battery cost q99 its headroom at the sf5 replicas (passed fresh,
+    # OOM'd after 150 prior queries). Views are trivial to recreate.
+    # bounded memory + disk spill: a heavy oracle (BPE-apply CTE
+    # chains) once exhausted process memory and took the whole compare
+    # down; a limit makes DuckDB spill spillable operators instead,
+    # and the per-query except below turns a genuinely untractable
+    # oracle into ONE failed row
     con = duckdb.connect()
-    # bounded memory + disk spill: at the sf5 replica scale a heavy
-    # oracle (BPE-apply CTE chains) exhausted process memory and took
-    # the whole compare down with it; a limit makes DuckDB spill
-    # spillable operators instead, and the per-query except below
-    # turns a genuinely untractable oracle into ONE failed row
-    con.execute("SET memory_limit='48GB'")
+    con.execute("SET memory_limit='84GB'")
     con.execute("SET temp_directory='/tmp/duck_spill'")
     for t in TABLES:
         p = f"{sfdir}/{t}.parquet"
         src = f"{p}/*.parquet" if os.path.isdir(p) else p
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+    return con
+
+def main(sfdir, outdir, json_out=None, hash_mode=False,
+         only=None, start_from=None):
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = 0
     results = {}
@@ -86,7 +92,11 @@ def main(sfdir, outdir, json_out=None, hash_mode=False,
             results[name] = {"rows_only": True, "spark_rows": len(spark_df)}
             continue
         try:
-            duck_df = con.execute(oracle[name]).df()
+            con = fresh_con(sfdir)
+            try:
+                duck_df = con.execute(oracle[name]).df()
+            finally:
+                con.close()
             a, b = norm(spark_df), norm(duck_df)
             if list(a.columns) != list(b.columns):
                 raise AssertionError(f"columns differ: {list(a.columns)} vs {list(b.columns)}")
