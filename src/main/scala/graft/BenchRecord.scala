@@ -33,22 +33,28 @@ object BenchRecord {
   /** Short driver key: "q72_normalize" → "q72" (unique by construction). */
   def shortKey(name: String): String = name.takeWhile(_ != '_')
 
-  /** results = (fullName, medianSec) sorted; env = compact JSON object. */
+  /** results = (fullName, medianSec) sorted; env = compact JSON object.
+    * Schema stability (round-15 advice): every tier keeps the
+    * `"unit":"sec"` key and ALWAYS emits `"failed"` (as `[]` when
+    * nothing failed) — the pre-tiered record carried both
+    * unconditionally, and a parser distinguishing missing-failed from
+    * empty-failed must not see the shape change under it. The 22 B
+    * these cost are priced into the tier ladder (the 159-query battery
+    * still renders at tier B, BenchRecordSpec re-asserts the bound). */
   def render(results: Seq[(String, Double)], failed: Seq[String],
              env: String, sf: String): String = {
     val total = results.map(_._2).sum
     val failedPart =
-      if (failed.isEmpty) ""
-      else "\"failed\":" + failed.map("\"" + shortKey(_) + "\"").mkString("[", ",", "],")
+      "\"failed\":" + failed.map("\"" + shortKey(_) + "\"").mkString("[", ",", "],")
     def withMap(decimals: Int): String = {
       val fmt = s"%.${decimals}f"
       val qs = results
         .map { case (n, med) => "\"" + shortKey(n) + "\":" + fmt.format(med) }
         .mkString("{", ",", "}")
-      f"""{"metric":"total","value":$total%.3f,"queries":$qs,$failedPart"env":$env,"sf":"$sf"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,$failedPart"env":$env,"sf":"$sf"}"""
     }
     val summary =
-      f"""{"metric":"total","value":$total%.3f,"nq":${results.size},"detail":"BENCH_DETAIL.json",$failedPart"env":$env,"sf":"$sf"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","nq":${results.size},"detail":"BENCH_DETAIL.json",$failedPart"env":$env,"sf":"$sf"}"""
     val record = Seq(withMap(2), withMap(1), summary)
       .find(_.length <= MaxRecordBytes)
       .getOrElse(summary)

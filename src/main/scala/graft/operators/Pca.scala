@@ -65,20 +65,35 @@ object Pca {
     * rows is a statistical estimator of the corpus rotation — exactly
     * what FAISS's PCAMatrix trains on a bounded sample — and the
     * sampled fit stays bit-reproducible at any layout because the kept
-    * SET is a pure function of the data. Below the ceiling the count
-    * gate short-circuits and the fit is the exact full-corpus model,
-    * so gate queries (q155-q157) are byte-unchanged. Callers needing
-    * the exact covariance CONTRACT call [[covariance]] directly, which
-    * keeps its loud guard. */
+    * SET is a pure function of the data.
+    *
+    * The ceiling decision is FOLDED INTO the gram pass (round-15
+    * verdict #6 / advice — the old shape paid a full count() scan
+    * before every fit): the pass accumulates the exact partials with a
+    * per-partition abort at `maxFitRows` rows (a single partition past
+    * the GLOBAL cap already decides the outcome, and the abort is what
+    * keeps every partial inside the 2⁶² overflow audit no matter how
+    * large the corpus is). If the whole corpus fit under the cap, those
+    * partials ARE the exact full-corpus covariance — one job total,
+    * byte-identical to the old two-job result. Only above the ceiling
+    * does a second (sampled) pass run. Callers needing the exact
+    * covariance CONTRACT call [[covariance]] directly, which keeps its
+    * loud guard. */
   def fit(df: DataFrame, vecCol: String, dim: Int,
           maxFitRows: Int = MaxExactRows): Model = {
     require(maxFitRows > 1 && maxFitRows <= MaxExactRows,
       s"maxFitRows out of the exact-gram range: $maxFitRows")
     val slim = df.select(col(vecCol))
-    val input =
-      if (slim.count() <= maxFitRows) df
-      else Samples.hashTopN(slim, vecCol, Seq(col(vecCol)), maxFitRows)
-    val (cov, n, mean) = covariance(input, vecCol, dim)
+    val parts = gramPass(slim, dim, capRows = maxFitRows.toLong)
+    val totalSeen = parts.map(_._3).sum
+    val anyAborted = parts.exists(_._5)
+    val (cov, n, mean) =
+      if (!anyAborted && totalSeen <= maxFitRows)
+        finalizeCov(parts, dim) // the partials ARE the exact fit — done in one pass
+      else {
+        val sample = Samples.hashTopN(slim, vecCol, Seq(col(vecCol)), maxFitRows)
+        covariance(sample, vecCol, dim)
+      }
     val (eigVals, eigVecs) = jacobi(cov)
     Model(dim, n, mean, eigVals, eigVecs)
   }
@@ -90,17 +105,33 @@ object Pca {
     * (q / 2²⁰-scale division, then E[xy] − E[x]E[y]). */
   def covariance(df: DataFrame, vecCol: String, dim: Int): (Array[Array[Double]], Long, Array[Double]) = {
     require(dim > 0 && dim <= 512, s"dim out of the driver-eigensolve range: $dim")
+    finalizeCov(gramPass(df.select(col(vecCol)), dim, capRows = Long.MaxValue), dim)
+  }
+
+  /** Per-partition exact partials: (sums, upper-tri gram, seen, used,
+    * aborted). `capRows` bounds the per-partition accumulation: once a
+    * partition has SEEN more than capRows rows it stops accumulating
+    * and flags aborted — any such partition already proves the corpus
+    * exceeds the global cap, and the bound is what keeps each partial
+    * inside the 2⁶² long-overflow audit regardless of corpus size
+    * (after the abort only the flag is carried; rows are not even
+    * counted further). With capRows = Long.MaxValue this is exactly the
+    * historical covariance pass. */
+  private def gramPass(slim: DataFrame, dim: Int, capRows: Long)
+      : Array[(Array[Long], Array[Long], Long, Long, Boolean)] = {
     val tri = dim * (dim + 1) / 2
-    val slim = df.select(col(vecCol))
-    val partials: Array[(Array[Long], Array[Long], Long, Long)] =
-      slim.rdd.mapPartitions { rows =>
-        val sums = new Array[Long](dim)
-        val gram = new Array[Long](tri)
-        var seen = 0L
-        var used = 0L
-        val q = new Array[Long](dim)
-        rows.foreach { r =>
-          seen += 1L
+    slim.rdd.mapPartitions { rows =>
+      val sums = new Array[Long](dim)
+      val gram = new Array[Long](tri)
+      var seen = 0L
+      var used = 0L
+      var aborted = false
+      val q = new Array[Long](dim)
+      while (!aborted && rows.hasNext) {
+        val r = rows.next()
+        seen += 1L
+        if (seen > capRows) aborted = true
+        else {
           val a = r.getAs[scala.collection.Seq[Float]](0)
           if (a != null && a.length == dim) {
             var finite = true
@@ -124,13 +155,23 @@ object Pca {
             }
           }
         }
-        Iterator.single((sums, gram, seen, used))
-      }.collect()
+      }
+      Iterator.single((sums, gram, seen, used, aborted))
+    }.collect()
+  }
+
+  /** Merge partials and finish the covariance arithmetic — the exact
+    * same left-assoc shapes as always, so both fit paths and the SQL
+    * twins replay it bit-for-bit. */
+  private def finalizeCov(
+      partials: Array[(Array[Long], Array[Long], Long, Long, Boolean)],
+      dim: Int): (Array[Array[Double]], Long, Array[Double]) = {
+    val tri = dim * (dim + 1) / 2
     val sums = new Array[Long](dim)
     val gram = new Array[Long](tri)
     var seen = 0L
     var used = 0L
-    partials.foreach { case (s, g, sn, us) =>
+    partials.foreach { case (s, g, sn, us, _) =>
       var i = 0
       while (i < dim) { sums(i) += s(i); i += 1 }
       i = 0

@@ -250,10 +250,16 @@ object CurationQueries {
     // modified docs must survive.
     "q96_ingest_dedup" -> ((s, dir) => {
       val corpus = Tables.documents(s, dir)
+      // negative plant ids, STRUCTURALLY disjoint (round-15 advice): the
+      // two plant families interleave odd/even negatives — -(2a)-1 can
+      // never equal -(2b)-2 for ANY a, b, and both stay negative, so the
+      // scheme is collision-free among plants AND vs real ids at every
+      // scale (the earlier -id-1 / -id-1e9 pair collided once the corpus
+      // id range itself approached 1e9)
       val copies = corpus.filter(col("doc_id") % 10 === 0)
-        .select((-col("doc_id") - 1L).as("doc_id"), col("text")) // negative plant ids: disjoint from replica ids at EVERY scale (q148 doctrine)
+        .select((-col("doc_id") * 2L - 1L).as("doc_id"), col("text"))
       val fresh = corpus.filter(col("doc_id") % 5 === 1)
-        .select((-col("doc_id") - 1000000000L).as("doc_id"),
+        .select((-col("doc_id") * 2L - 2L).as("doc_id"),
           concat(lit("new: "), col("text")).as("text"))
       val batch = copies.unionByName(fresh)
         .select(col("doc_id"), md5(col("text")).as("content_hash"))
@@ -859,10 +865,10 @@ object CurationQueries {
     // only the genuinely-new (prefixed) docs survive the anti join
     "q96_ingest_dedup" ->
       """WITH batch AS (
-        | SELECT -doc_id - 1 AS doc_id, md5(text) AS content_hash
+        | SELECT -doc_id * 2 - 1 AS doc_id, md5(text) AS content_hash
         | FROM documents WHERE doc_id % 10 = 0
         | UNION ALL
-        | SELECT -doc_id - 1000000000, md5('new: ' || text)
+        | SELECT -doc_id * 2 - 2, md5('new: ' || text)
         | FROM documents WHERE doc_id % 5 = 1)
         |SELECT b.doc_id, b.content_hash
         |FROM batch b

