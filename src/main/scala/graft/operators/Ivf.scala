@@ -145,19 +145,24 @@ object Ivf {
 
   /** Incremental refresh of a SAVED index (round-14 verdict #5's
     * streaming composition): assign `delta` to the artifact's frozen
-    * centroids and APPEND the assigned rows to its `ivf_assigned`
-    * table — centroids and meta are untouched, pre-existing rows stay
-    * byte-identical on disk, and nothing corpus-sized is rewritten.
-    * This is the per-shard / per-micro-batch form of load→append→save:
-    * a foreachBatch sink calls it once per arriving batch and the
-    * artifact is always searchable ([[load]] sees base ∪ all appended
-    * shards). Idempotence is the CALLER's contract (Structured
-    * Streaming replays a failed batch; an exactly-once deployment keys
-    * shard files by batch id or dedups on the id column downstream). */
+    * centroids and write the assigned rows as a BATCH-KEYED shard
+    * (`$path/ivf_shards/batch=<batchId>`) — centroids, meta, and the
+    * base `ivf_assigned` table are untouched; nothing corpus-sized is
+    * rewritten, and [[load]] sees base ∪ all shards. This is the
+    * per-micro-batch form of load→append→save: a foreachBatch sink
+    * calls it once per arriving batch with Structured Streaming's
+    * batchId, and the artifact is always searchable.
+    *
+    * EXACTLY-ONCE under replay (round-15 verdict #2 — previously the
+    * caller's contract, now the engine's): Structured Streaming replays
+    * a failed micro-batch with the SAME batchId, and the shard write is
+    * an idempotent per-directory overwrite — the replay replaces its
+    * own shard byte-for-byte instead of appending duplicate index rows
+    * (IvfSpec pins load-equality after a double call). */
   def appendShard(spark: org.apache.spark.sql.SparkSession, path: String,
-                  delta: DataFrame): Unit =
+                  delta: DataFrame, batchId: Long): Unit =
     assignDelta(load(spark, path), delta)
-      .write.mode("append").parquet(s"$path/ivf_assigned")
+      .write.mode("overwrite").parquet(s"$path/ivf_shards/batch=$batchId")
 
   /** Shared seed training: bounded deterministic sample → local
     * spherical k-means (one definition for both branches). */
@@ -308,9 +313,17 @@ object Ivf {
   // Reload bit-equality (same search results to the bit) is asserted
   // by IvfSpec.
 
-  /** Persist the index under `path` (overwrites). */
+  /** Persist the index under `path` (overwrites). Any `ivf_shards`
+    * residue from a previous incarnation of `path` is cleared FIRST —
+    * save writes the full assigned frame into `ivf_assigned`, and a
+    * stale shard surviving beside it would double its rows on load.
+    * (As with any save-over-the-source, write to a fresh path when the
+    * index being saved was loaded from `path` itself.) */
   def save(index: Index, path: String): Unit = {
     val spark = index.centroids.sparkSession
+    val shards = new org.apache.hadoop.fs.Path(s"$path/ivf_shards")
+    shards.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(shards, true)
     index.centroids.repartition(1).write.mode("overwrite")
       .parquet(s"$path/ivf_centroids")
     index.assigned.write.mode("overwrite").parquet(s"$path/ivf_assigned")
@@ -319,14 +332,25 @@ object Ivf {
       .repartition(1).write.mode("overwrite").parquet(s"$path/ivf_meta")
   }
 
-  /** Load an index previously written by [[save]]; searches over the
-    * reloaded index are bit-identical to the fresh build's. */
+  /** Load an index previously written by [[save]] (plus any shards
+    * [[appendShard]] added since); searches over the reloaded index are
+    * bit-identical to the fresh build's. Shard rows union in behind the
+    * base table with their `batch` partition key dropped — the index
+    * schema is identical whether or not refreshes ever ran. */
   def load(spark: org.apache.spark.sql.SparkSession, path: String): Index = {
     val meta = spark.read.parquet(s"$path/ivf_meta")
       .select("idCol", "vecCol").head()
+    val base = spark.read.parquet(s"$path/ivf_assigned")
+    val shardsDir = new org.apache.hadoop.fs.Path(s"$path/ivf_shards")
+    val fs = shardsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val assigned =
+      if (fs.exists(shardsDir) && fs.listStatus(shardsDir).nonEmpty)
+        base.unionByName(
+          spark.read.parquet(s"$path/ivf_shards").drop("batch"))
+      else base
     Index(
       spark.read.parquet(s"$path/ivf_centroids").select("centroid_id", "cvec"),
-      spark.read.parquet(s"$path/ivf_assigned"),
+      assigned,
       meta.getString(0), meta.getString(1))
   }
 

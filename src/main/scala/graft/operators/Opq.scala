@@ -101,6 +101,261 @@ object Opq {
       perm.map(model.eigenvalues(_)))
   }
 
+  /** OPQ-NP: NON-PARAMETRIC iterative refinement (Ge et al. 2013 §5 —
+    * what FAISS's OPQMatrix trains by default). OPQ-P's single
+    * eigen-allocation is optimal only for independent-Gaussian data
+    * whose structure is axis-aligned after one rotation; OPQ-NP
+    * alternates, from the OPQ-P seed:
+    *
+    *   1. rotate the (bounded, unit-normalized) sample by R;
+    *   2. re-fit the per-subspace codebooks — k-means++ on the first
+    *      iteration, WARM-STARTED Lloyd from the previous centers after
+    *      (the warm start is what makes the objective provably
+    *      non-increasing across iterations, asserted by OpqSpec);
+    *   3. quantize, then solve the orthogonal Procrustes problem
+    *      min_R ‖R·X − Ŷ‖_F: with M = Σ x·ŷᵀ and SVD M = U·S·Vᵀ, the
+    *      optimum is R = V·Uᵀ (public result — Schönemann 1966).
+    *
+    * Everything runs DRIVER-SIDE on the same deterministic hash-top-N
+    * sample contract as Pq.train (16 K × d doubles — the d×d SVD rides
+    * the existing Jacobi eigensolver via MᵀM), so the refined rotation
+    * is bit-reproducible at any layout and costs milliseconds at any
+    * corpus scale; the corpus itself is only ever touched by the
+    * unchanged map-side [[rotate]] + Pq encode afterwards. The
+    * deployment contract is IDENTICAL to [[trainRotation]]'s output —
+    * rotate, then train/encode/search plain PQ on the rotated frame;
+    * `perm`/`eigenvalues` carry the OPQ-P seed's diagnostics.
+    *
+    * Returns (rotation, per-iteration quantization error on the
+    * sample) — the error trace is the convergence surface a caller
+    * (and OpqSpec) can assert on. */
+  def trainRotationNP(df: DataFrame, idCol: String, vecCol: String,
+                      dim: Int, m: Int, k: Int, iters: Int = 8,
+                      seed: Long = 42L, maxTrainRows: Int = 16384,
+                      maxFitRows: Int = Pca.MaxExactRows): (Rotation, Array[Double]) = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val seedRot = trainRotation(df, vecCol, dim, m, maxFitRows)
+    // bounded deterministic sample, unit-normalized — the Pq.train
+    // preprocessing verbatim, so the objective refined here is the one
+    // the deployed encoder quantizes
+    val sample: Array[Array[Double]] = Samples.hashTopN(
+        df.filter(!exists(col(vecCol), x => isnan(x.cast("double")) ||
+          abs(x.cast("double")) === lit(Double.PositiveInfinity))),
+        idCol, Seq(col(vecCol)), maxTrainRows)
+      .collect()
+      .flatMap { r =>
+        val a = r.getAs[scala.collection.Seq[Float]](0)
+        if (a == null || a.length != dim) None
+        else {
+          val v = new Array[Double](dim)
+          var s = 0.0; var i = 0
+          while (i < dim) { v(i) = a(i).toDouble; s += v(i) * v(i); i += 1 }
+          val n = math.sqrt(s)
+          if (n > 0) { i = 0; while (i < dim) { v(i) /= n; i += 1 } }
+          Some(v)
+        }
+      }
+    require(sample.nonEmpty, "empty OPQ-NP training sample")
+    refineNP(sample, seedRot, m, k, iters, seed)
+  }
+
+  /** The driver-side alternation (exposed for OpqSpec). */
+  private[operators] def refineNP(xs: Array[Array[Double]], seedRot: Rotation,
+                                  m: Int, k: Int, iters: Int,
+                                  seed: Long): (Rotation, Array[Double]) = {
+    val d = seedRot.dim
+    val sub = d / m
+    val n = xs.length
+    var r: Array[Array[Double]] = seedRot.rows.map(_.clone())
+    var centers: Array[Array[Array[Double]]] = null
+    val errs = new Array[Double](iters)
+    val ys = Array.ofDim[Double](n, d)
+    val yhat = Array.ofDim[Double](n, d)
+    for (it <- 0 until iters) {
+      // 1. rotate the sample: y = R x
+      var i = 0
+      while (i < n) {
+        var o = 0
+        while (o < d) {
+          val w = r(o); var s = 0.0; var j = 0
+          while (j < d) { s += w(j) * xs(i)(j); j += 1 }
+          ys(i)(o) = s; o += 1
+        }
+        i += 1
+      }
+      // 2. codebooks: k-means++ cold on iter 0, warm Lloyd after
+      centers = Array.tabulate(m) { j =>
+        val pts = ys.map(y => java.util.Arrays.copyOfRange(y, j * sub, (j + 1) * sub))
+        if (it == 0)
+          Pq.localKMeans(pts.map(_.map(_.toFloat)), k, maxIter = 12, seed + j)
+            .map(_.map(_.toDouble))
+        else lloyd(pts, centers(j), iters = 4)
+      }
+      // 3. quantize + measure the objective
+      var err = 0.0
+      i = 0
+      while (i < n) {
+        var j = 0
+        while (j < m) {
+          val cs = centers(j)
+          var best = 0; var bd = Double.MaxValue
+          var c = 0
+          while (c < cs.length) {
+            var sdist = 0.0; var t = 0
+            while (t < sub) {
+              val dv = ys(i)(j * sub + t) - cs(c)(t); sdist += dv * dv; t += 1
+            }
+            if (sdist < bd) { bd = sdist; best = c }
+            c += 1
+          }
+          err += bd
+          var t = 0
+          while (t < sub) { yhat(i)(j * sub + t) = centers(j)(best)(t); t += 1 }
+          j += 1
+        }
+        i += 1
+      }
+      errs(it) = err
+      // 4. Procrustes update (skipped after the last measurement — the
+      // deployed codebooks are retrained on the full rotated corpus, so
+      // the returned R must be the one the reported error was measured
+      // under-or-before; keeping the final (R, C)-consistent point also
+      // preserves the monotone trace contract)
+      if (it < iters - 1) r = procrustes(xs, yhat, d)
+    }
+    (Rotation(d, seedRot.perm, r, seedRot.eigenvalues), errs)
+  }
+
+  /** Warm-started Lloyd on driver points (k-means without re-seeding —
+    * the step that keeps the OPQ-NP objective monotone). Empty cells
+    * keep their previous center. */
+  private def lloyd(pts: Array[Array[Double]], init: Array[Array[Double]],
+                    iters: Int): Array[Array[Double]] = {
+    val k = init.length
+    val dimS = init(0).length
+    var cs = init.map(_.clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.ofDim[Double](k, dimS)
+      val cnt = new Array[Int](k)
+      var i = 0
+      while (i < pts.length) {
+        var best = 0; var bd = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var s = 0.0; var t = 0
+          while (t < dimS) { val dv = pts(i)(t) - cs(c)(t); s += dv * dv; t += 1 }
+          if (s < bd) { bd = s; best = c }
+          c += 1
+        }
+        cnt(best) += 1
+        var t = 0
+        while (t < dimS) { sums(best)(t) += pts(i)(t); t += 1 }
+        i += 1
+      }
+      cs = Array.tabulate(k)(c =>
+        if (cnt(c) > 0) Array.tabulate(dimS)(t => sums(c)(t) / cnt(c))
+        else cs(c))
+    }
+    cs
+  }
+
+  /** Orthogonal Procrustes: R = V·Uᵀ for M = Σ x·ŷᵀ = U·S·Vᵀ. The SVD
+    * rides [[Pca.jacobi]] on the symmetric MᵀM (V, S²); U follows from
+    * u_i = M·v_i / s_i, with near-null singular directions completed to
+    * an orthonormal basis by Gram–Schmidt (degenerate only when the
+    * sample itself is rank-deficient). */
+  private[operators] def procrustes(xs: Array[Array[Double]],
+                                    yhat: Array[Array[Double]],
+                                    d: Int): Array[Array[Double]] = {
+    // M[j][o] = Σ_i x_i[j] · ŷ_i[o]
+    val mm = Array.ofDim[Double](d, d)
+    var i = 0
+    while (i < xs.length) {
+      var j = 0
+      while (j < d) {
+        val xj = xs(i)(j)
+        if (xj != 0.0) {
+          var o = 0
+          while (o < d) { mm(j)(o) += xj * yhat(i)(o); o += 1 }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    // MᵀM (symmetric PSD) → eigenvectors v_i, eigenvalues s_i²
+    val mtm = Array.ofDim[Double](d, d)
+    var a = 0
+    while (a < d) {
+      var b = a
+      while (b < d) {
+        var s = 0.0; var t = 0
+        while (t < d) { s += mm(t)(a) * mm(t)(b); t += 1 }
+        mtm(a)(b) = s; mtm(b)(a) = s
+        b += 1
+      }
+      a += 1
+    }
+    val (vals, vecs) = Pca.jacobi(mtm)
+    val sMax = math.sqrt(math.max(vals(0), 0.0))
+    val u = Array.ofDim[Double](d, d) // u(i) = left singular vector i
+    val live = new Array[Boolean](d)
+    var idx = 0
+    while (idx < d) {
+      val s = math.sqrt(math.max(vals(idx), 0.0))
+      if (s > 1e-12 * math.max(sMax, 1.0)) {
+        var row = 0
+        while (row < d) {
+          var acc = 0.0; var t = 0
+          while (t < d) { acc += mm(row)(t) * vecs(idx)(t); t += 1 }
+          u(idx)(row) = acc / s
+          row += 1
+        }
+        live(idx) = true
+      }
+      idx += 1
+    }
+    // Gram–Schmidt completion for null directions
+    idx = 0
+    var basis = 0
+    while (idx < d) {
+      if (!live(idx)) {
+        var done = false
+        while (!done && basis < d) {
+          val cand = new Array[Double](d)
+          cand(basis) = 1.0
+          var p = 0
+          while (p < d) {
+            if (live(p) || p < idx) {
+              var dot = 0.0; var t = 0
+              while (t < d) { dot += cand(t) * u(p)(t); t += 1 }
+              t = 0
+              while (t < d) { cand(t) -= dot * u(p)(t); t += 1 }
+            }
+            p += 1
+          }
+          var nn = 0.0; var t = 0
+          while (t < d) { nn += cand(t) * cand(t); t += 1 }
+          if (nn > 1e-8) {
+            val inv = 1.0 / math.sqrt(nn)
+            t = 0
+            while (t < d) { u(idx)(t) = cand(t) * inv; t += 1 }
+            live(idx) = true
+            done = true
+          }
+          basis += 1
+        }
+        require(live(idx), "procrustes: could not complete U to a basis")
+      }
+      idx += 1
+    }
+    // R = V Uᵀ: R[o][in] = Σ_i vecs(i)(o) · u(i)(in)
+    Array.tabulate(d, d) { (o, in) =>
+      var s = 0.0; var t = 0
+      while (t < d) { s += vecs(t)(o) * u(t)(in); t += 1 }
+      s
+    }
+  }
+
   /** Rotate (idCol, vecCol) into the permuted eigenbasis — map-side
     * per-row matmul, rotation in closure, output float so the rotated
     * frame drops straight into Pq.train/encode. Rows with wrong width

@@ -687,6 +687,86 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // PER-LANGUAGE CORPUS-RELATIVE FLOORS (round 16 — CCNet's ACTUAL
+    // bucketing discipline, the r15 verdict's composition of q160's
+    // melted gate with q52's lang-ID): every document is bucketed by
+    // the PREDICTED language (the production shape — no label
+    // side-channel), and each bucket gets its own p05/p95 thresholds
+    // from ONE melted rank gate grouped by (lang, sig). A French
+    // sub-corpus no longer has its LM floor set by the English
+    // majority — exactly why Wenzek et al. 2020 bucket per language.
+    // The keep ≥ 80% union bound holds PER BUCKET by the same rank
+    // arithmetic (each strict-below-p05 floor rejects < 5% of its own
+    // bucket), so keep_rate_ok is asserted per language. Floors join
+    // back by lang (a ≤ langs×4 literal frame, eager-collected — the
+    // q160 fused-gate lesson), and the whole frame — lang, signals,
+    // per-lang thresholds, flags — hashes bit-for-bit via the discSql
+    // twins PARTITIONed BY lang. 100 TB shape: identical to q160 plus
+    // one broadcast join; the rank gates stay bucketed and the lang
+    // dimension only narrows each gate's partitions.
+    "q163_quality_rel_lang" -> ((s, dir) => {
+      import s.implicits._
+      val planted = Tables.documents(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 10 === 0,
+          concat(col("text"), lit(" boiler plate license header repeated" +
+            " verbatim across many corpus documents")))
+          .otherwise(col("text")).as("text"))
+      val stop = graft.operators.TextOps.langWords.head._2
+      val stats = planted.select(col("doc_id"),
+        graft.operators.TextOps.predictLang(col("text")).as("lang"),
+        graft.operators.TextOps.nTokens(col("text")).cast("long").as("n_tokens"),
+        qz(graft.operators.TextOps.hitCount(col("text"), stop).cast("double") /
+          graft.operators.TextOps.nTokens(col("text")), 6).as("stop_ratio"))
+      val lm = graft.operators.LangModel.bigramLogprob(
+          planted, "doc_id", "text", lambda = 0.75)
+        .select(col("doc_id"), col("avg_logprob"))
+      val span = graft.operators.Dedup.spanCoverage(planted, "doc_id", "text", n = 8)
+        .select(col("doc_id"),
+          qz(col("n_dup").cast("double") / col("n_grams"), 6).as("dup_frac"))
+      val joined = stats
+        .join(lm, Seq("doc_id"), "left")
+        .join(span, Seq("doc_id"), "left")
+        .cache()
+      val melted = joined.select(col("lang"), explode(array(
+          struct(lit("len").as("sig"), col("n_tokens").cast("double").as("v")),
+          struct(lit("stop").as("sig"), col("stop_ratio").as("v")),
+          struct(lit("lm").as("sig"), col("avg_logprob").as("v")),
+          struct(lit("dup").as("sig"), col("dup_frac").as("v")))).as("x"))
+        .select(col("lang"), col("x.sig").as("sig"), col("x.v").as("v"))
+        .filter(col("v").isNotNull)
+      // eager per-(lang, sig) floors; a (lang, sig) group can be absent
+      // when a tiny bucket has no non-null signal rows — its floor is
+      // then null and the keep conjunct nulls out, exactly like the SQL
+      // twin's missing LEFT-JOIN row
+      val fl = Util.discPercentiles(melted, Seq("lang", "sig"), "v",
+          Seq(("p05", 1, 20), ("p95", 19, 20)))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getDouble(2), r.getDouble(3)))).toMap
+      val langs = fl.keys.map(_._1).toSeq.distinct.sorted
+      val floors = langs.map { l =>
+        (l,
+          fl.get((l, "len")).map(_._1.toLong),
+          fl.get((l, "stop")).map(_._1),
+          fl.get((l, "lm")).map(_._1),
+          fl.get((l, "dup")).map(_._2))
+      }.toDF("lang", "len_floor", "stop_floor", "lm_floor", "dup_ceil")
+      val flagged = joined.join(broadcast(floors), Seq("lang"))
+        .withColumn("keep", col("n_tokens") >= col("len_floor") &&
+          col("stop_ratio") >= col("stop_floor") &&
+          col("avg_logprob") >= col("lm_floor") &&
+          col("dup_frac") <= col("dup_ceil"))
+      val rates = flagged.groupBy("lang").agg(
+        (sum(when(col("keep"), 1L).otherwise(0L)).cast("double") /
+          count(lit(1))).as("kr"))
+      flagged.join(broadcast(rates), Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("stop_ratio"),
+          col("avg_logprob"), col("dup_frac"),
+          col("len_floor"), col("stop_floor"), col("lm_floor"), col("dup_ceil"),
+          col("keep"), (col("kr") >= 0.80).as("keep_rate_ok"))
+        .orderBy("doc_id")
+    }),
+
     // RETRIEVAL EVALUATION (round 14): IR metrics over the batch BM25
     // ranker — MRR, precision@10, recall@10 per query, against the
     // deterministic relevance label "doc contains ALL query terms"
@@ -1325,6 +1405,117 @@ object CurationQueries {
         | fj.len_floor, fj.stop_floor, fj.lm_floor, fj.dup_ceil, fj.keep,
         | (rate.kr >= 0.80 AND rate.kr < 1.0) AS keep_rate_ok
         |FROM fj CROSS JOIN rate
+        |ORDER BY fj.doc_id""".stripMargin,
+
+    // q160's full replay, bucketed: lang from the q52 prediction CASE,
+    // rank CTEs PARTITIONed BY lang, discSql floors GROUP BY lang,
+    // keep-rate per lang — the whole per-language frame hashes raw
+    "q163_quality_rel_lang" ->
+      s"""WITH base AS MATERIALIZED (
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 10 = 0
+        |   THEN text || ' boiler plate license header repeated verbatim across many corpus documents'
+        |   ELSE text END AS text
+        | FROM documents),
+        |t AS MATERIALIZED (
+        | SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        | FROM base),
+        |lg AS MATERIALIZED (
+        | SELECT doc_id,
+        |  CASE WHEN hits_en > 0 AND hits_en >= greatest(hits_fr, hits_de, hits_es) THEN 'en'
+        |       WHEN hits_fr > 0 AND hits_fr >= greatest(hits_de, hits_es) THEN 'fr'
+        |       WHEN hits_de > 0 AND hits_de >= hits_es THEN 'de'
+        |       WHEN hits_es > 0 THEN 'es'
+        |       ELSE 'unknown' END AS lang
+        | FROM (
+        |  SELECT doc_id,
+        |   len(list_filter(toks, x -> list_contains(['the','a','of','to','and','is','in'], x))) AS hits_en,
+        |   len(list_filter(toks, x -> list_contains(['le','la','de','et','un','est'], x))) AS hits_fr,
+        |   len(list_filter(toks, x -> list_contains(['der','die','das','und','ein','ist'], x))) AS hits_de,
+        |   len(list_filter(toks, x -> list_contains(['el','los','de','y','un','es'], x))) AS hits_es
+        |  FROM t)),
+        |st AS (
+        | SELECT doc_id, len(toks) AS n_tokens,
+        |  round((CAST(len(list_filter(toks, x -> list_contains($stopList, x))) AS DOUBLE)
+        |   / len(toks)) * 1000000.0) / 1000000.0 + 0.0 AS stop_ratio
+        | FROM t),
+        |bgz AS (
+        | SELECT doc_id,
+        |  unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS z
+        | FROM t),
+        |b AS MATERIALIZED (SELECT doc_id, z[1] AS w1, z[2] AS w2 FROM bgz),
+        |c12 AS MATERIALIZED (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY w1, w2),
+        |c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY w1),
+        |tok AS MATERIALIZED (SELECT unnest(toks) AS w2 FROM t),
+        |u AS (SELECT w2, count(*) AS u2 FROM tok GROUP BY w2),
+        |n AS (SELECT count(*) AS t FROM tok),
+        |sc AS (
+        | SELECT b.doc_id,
+        |  CAST(round(ln(0.75 * (CAST(c12.c12 AS DOUBLE) / c1.c1)
+        |    + 0.25 * (CAST(u.u2 AS DOUBLE) / n.t)) * 1000000.0) AS BIGINT) AS ls
+        | FROM b JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+        |  JOIN c1 ON b.w1 = c1.w1
+        |  JOIN u ON b.w2 = u.w2
+        |  CROSS JOIN n),
+        |lm AS (
+        | SELECT doc_id, sum(ls) / 1000000.0 / count(*) + 0.0 AS avg_logprob
+        | FROM sc GROUP BY doc_id),
+        |g AS (
+        | SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS gram
+        | FROM t, unnest(generate_series(1, len(toks)-7)) AS gi(i)),
+        |pg AS MATERIALIZED (SELECT doc_id, gram, count(*) AS np FROM g GROUP BY doc_id, gram),
+        |dg AS (SELECT gram, count(*) AS nd FROM pg GROUP BY gram),
+        |span AS (
+        | SELECT pg.doc_id,
+        |  round((CAST(sum(CASE WHEN dg.nd >= 2 THEN pg.np ELSE 0 END) AS DOUBLE)
+        |   / sum(pg.np)) * 1000000.0) / 1000000.0 + 0.0 AS dup_frac
+        | FROM pg JOIN dg ON pg.gram = dg.gram
+        | GROUP BY pg.doc_id),
+        |joined AS MATERIALIZED (
+        | SELECT st.doc_id, lg.lang, st.n_tokens, st.stop_ratio,
+        |  lm.avg_logprob, span.dup_frac
+        | FROM st
+        | JOIN lg ON st.doc_id = lg.doc_id
+        | LEFT JOIN lm ON st.doc_id = lm.doc_id
+        | LEFT JOIN span ON st.doc_id = span.doc_id),
+        |r1 AS (SELECT lang, n_tokens AS v,
+        |  row_number() OVER (PARTITION BY lang ORDER BY n_tokens) AS rn,
+        |  count(*) OVER (PARTITION BY lang) AS n FROM joined),
+        |f1 AS (SELECT lang, ${Util.discSql("v", 1, 20)} AS len_floor
+        |  FROM r1 GROUP BY lang),
+        |r2 AS (SELECT lang, stop_ratio AS v,
+        |  row_number() OVER (PARTITION BY lang ORDER BY stop_ratio) AS rn,
+        |  count(*) OVER (PARTITION BY lang) AS n FROM joined),
+        |f2 AS (SELECT lang, ${Util.discSql("v", 1, 20)} AS stop_floor
+        |  FROM r2 GROUP BY lang),
+        |r3 AS (SELECT lang, avg_logprob AS v,
+        |  row_number() OVER (PARTITION BY lang ORDER BY avg_logprob) AS rn,
+        |  count(*) OVER (PARTITION BY lang) AS n
+        |  FROM joined WHERE avg_logprob IS NOT NULL),
+        |f3 AS (SELECT lang, ${Util.discSql("v", 1, 20)} AS lm_floor
+        |  FROM r3 GROUP BY lang),
+        |r4 AS (SELECT lang, dup_frac AS v,
+        |  row_number() OVER (PARTITION BY lang ORDER BY dup_frac) AS rn,
+        |  count(*) OVER (PARTITION BY lang) AS n
+        |  FROM joined WHERE dup_frac IS NOT NULL),
+        |f4 AS (SELECT lang, ${Util.discSql("v", 19, 20)} AS dup_ceil
+        |  FROM r4 GROUP BY lang),
+        |fl AS (SELECT f1.lang, f1.len_floor, f2.stop_floor, f3.lm_floor, f4.dup_ceil
+        | FROM f1
+        | LEFT JOIN f2 ON f1.lang = f2.lang
+        | LEFT JOIN f3 ON f1.lang = f3.lang
+        | LEFT JOIN f4 ON f1.lang = f4.lang),
+        |fj AS MATERIALIZED (
+        | SELECT j.*, fl.len_floor, fl.stop_floor, fl.lm_floor, fl.dup_ceil,
+        |  (j.n_tokens >= fl.len_floor AND j.stop_ratio >= fl.stop_floor
+        |   AND j.avg_logprob >= fl.lm_floor AND j.dup_frac <= fl.dup_ceil) AS keep
+        | FROM joined j JOIN fl ON j.lang = fl.lang),
+        |rate AS (SELECT lang, CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+        |  / count(*) AS kr FROM fj GROUP BY lang)
+        |SELECT fj.doc_id, fj.lang, fj.n_tokens, fj.stop_ratio, fj.avg_logprob,
+        | fj.dup_frac, fj.len_floor, fj.stop_floor, fj.lm_floor, fj.dup_ceil,
+        | fj.keep, (rate.kr >= 0.80) AS keep_rate_ok
+        |FROM fj JOIN rate ON fj.lang = rate.lang
         |ORDER BY fj.doc_id""".stripMargin,
 
     // GENERATED multi-query BM25 + IR metrics: the query inventory is

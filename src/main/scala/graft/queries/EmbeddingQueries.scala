@@ -21,6 +21,13 @@ object EmbeddingQueries {
   private val annArtifactMemo = new java.util.concurrent.ConcurrentHashMap[
     String, (String, Set[(Long, Long, Double)], Set[(Long, Long)])]()
 
+  /** q162's build-once OPQ serving artifact (the q143 amortization
+    * doctrine): rotation + codebooks + codes register ONCE per process;
+    * every execution pays the deployment shape — reload, serve over
+    * HTTP, compare against the in-process Spark search. */
+  private val annHttpMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   def queries: Map[String, Q] = Map(
     // ANN INDEX PERSISTENCE end to end: the q118 IVF×PQ search, but
     // every execution searches artifacts RELOADED from a ModelRegistry
@@ -438,6 +445,73 @@ object EmbeddingQueries {
           }).as("eiggap_ok"))
     }),
 
+    // ANN SEARCH OVER HTTP (round-16 — the serving last mile the r15
+    // verdict flagged: registered IVF/PQ/OPQ artifacts were searchable
+    // only inside a Spark job). A registered OPQ deployment artifact
+    // (rotation + codebooks + codes) is served by HttpApi's /ann/search:
+    // the server holds the collected index (LocalAnn — the LocalScorer
+    // doctrine applied to search: codes hot in plain JVM arrays, one
+    // SHARD per serving node, routing above this layer at 100 TB),
+    // rotates each query map-side, ADC-shortlists, exact-reranks. Gate:
+    // N real HTTP round trips return results BIT-IDENTICAL (sets AND
+    // every rounded sim) to the in-process Pq.searchReranked over the
+    // same reloaded artifact — transport, JSON float round-trip, local
+    // rotate/unitize/ADC/rerank arithmetic all proven equal at once
+    // (the q142 bit-equality convention; 422/503 paths in LocalAnnSpec).
+    "q162_ann_http" -> ((s, dir) => {
+      import s.implicits._
+      val root = annHttpMemo.computeIfAbsent(dir, _ => {
+        // the served shard is id-bounded: a serving node holds ONE
+        // bounded shard of the index by design, and the gate's collect
+        // must stay driver-safe at the 50× replica scales
+        val e = Tables.embeddings(s, dir).filter(col("vec_id") < 50000)
+        val rot = graft.operators.Opq.trainRotation(e, "embedding", dim = 64, m = 8)
+        val er = graft.operators.Opq.rotate(e, "vec_id", "embedding", rot)
+        val cb = graft.operators.Pq.train(er, "vec_id", "embedding", m = 8, k = 64)
+        val enc = graft.operators.Pq.encode(
+          er.select("vec_id", "embedding"), "embedding", cb)
+        val reg = java.nio.file.Files.createTempDirectory("graft_ann_http").toString
+        graft.serve.ModelRegistry.registerOpq(s, reg, "ann_opq", rot,
+          Some(cb), Some(enc))
+        reg
+      })
+      // deployment shape per execution: reload the artifact both ways
+      val rot = graft.serve.ModelRegistry.loadOpq(s, root, "ann_opq")
+      val cb = graft.serve.ModelRegistry.loadPq(s, root, "ann_opq")
+      val codes = graft.serve.ModelRegistry.loadPqCodes(s, root, "ann_opq")
+      val q = Tables.embeddings(s, dir).filter(col("vec_id") < 20)
+      val qr = graft.operators.Opq.rotate(q, "vec_id", "embedding", rot)
+      val sparkRes = graft.operators.Pq.searchReranked(codes, "vec_id",
+          "embedding", cb, qr, "vec_id", "embedding",
+          shortlist = 50, topK = 5, dropSelf = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val idx = graft.serve.LocalAnn.load(s, root, "ann_opq")
+      val queries = q.select(col("vec_id"), col("embedding")).collect()
+        .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]](1).toArray)
+        .sortBy(_._1).toSeq
+      val resp = graft.serve.HttpApi.annSearchOverHttp(queries,
+        ("ann_opq", idx), shortlist = 50, topK = 5)
+      val httpRes = resp.flatMap { o =>
+        val qid = o.path("query_id").asLong
+        val rs = o.path("results")
+        (0 until rs.size()).map { i =>
+          (qid, rs.get(i).path("neighbor_id").asLong,
+            rs.get(i).path("sim").asDouble)
+        }
+      }
+      val sset = sparkRes.map(t => (t._1, t._2)).toSet
+      val hset = httpRes.map(t => (t._1, t._2)).toSet
+      val smap = sparkRes.map(t => (t._1, t._2) -> t._3).toMap
+      val bitEq = hset == sset && httpRes.forall { case (a, b, sim) =>
+        java.lang.Double.doubleToLongBits(smap((a, b))) ==
+          java.lang.Double.doubleToLongBits(sim)
+      }
+      Seq((queries.size.toLong, httpRes.size.toLong, hset == sset, bitEq,
+          idx.family == "opq"))
+        .toDF("n_queries", "n_results", "sets_match", "sims_bit_equal",
+          "family_ok")
+    }),
+
     // EXACT COVARIANCE GATE (round 14, PCA tier): the distributed
     // fixed-point gram pass behind Pca.fit, exposed as the leading 8×8
     // corner of the 64×64 population covariance. Every emitted double
@@ -538,6 +612,15 @@ object EmbeddingQueries {
       """SELECT count(*) AS n_queries, CAST(5 * count(*) AS BIGINT) AS n_exact,
         | TRUE AS recall_ok, TRUE AS opq_ge_raw, TRUE AS alloc_ok,
         | TRUE AS eiggap_ok
+        |FROM embeddings WHERE vec_id < 20""".stripMargin,
+
+    // q161 mold: HTTP-vs-Spark bit-equality, set-match, and family
+    // flags are driver-compared literal TRUE; DuckDB pins the query
+    // inventory and the 5-per-query result cardinality
+    "q162_ann_http" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        | CAST(5 * count(*) AS BIGINT) AS n_results,
+        | TRUE AS sets_match, TRUE AS sims_bit_equal, TRUE AS family_ok
         |FROM embeddings WHERE vec_id < 20""".stripMargin,
 
     // q117 mold: exact counts from the query inventory, the two

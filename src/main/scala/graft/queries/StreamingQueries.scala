@@ -593,8 +593,11 @@ object StreamingQueries {
         .parquet(stage)
         .writeStream
         .trigger(Trigger.AvailableNow())
-        .foreachBatch { (b: DataFrame, _: Long) =>
-          graft.operators.Ivf.appendShard(s, root, b)
+        .foreachBatch { (b: DataFrame, batchId: Long) =>
+          // batchId keys the shard dir: a replayed batch overwrites its
+          // OWN shard instead of duplicating rows (exactly-once is the
+          // engine's contract now — round-15 verdict #2)
+          graft.operators.Ivf.appendShard(s, root, b, batchId)
         }
         .start()
       q.awaitTermination()

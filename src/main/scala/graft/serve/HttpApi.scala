@@ -84,7 +84,8 @@ object HttpApi {
                                        pool: java.util.concurrent.ExecutorService,
                                        val inventory: () => Seq[ModelInfo],
                                        val model: Option[(String, Transaction => Double)],
-                                       val seqModel: Option[(String, Seq[Transaction] => Double)]) {
+                                       val seqModel: Option[(String, Seq[Transaction] => Double)],
+                                       val annModel: Option[(String, LocalAnn.Index)]) {
     private[HttpApi] val predictionCount = new LongAdder
     private[HttpApi] val totalLatencyMs = new DoubleAdder
     def port: Int = srv.getAddress.getPort
@@ -108,11 +109,12 @@ object HttpApi {
             inventory: () => Seq[ModelInfo] = () => Seq.empty,
             nThreads: Int = 8,
             model: Option[(String, Transaction => Double)] = None,
-            seqModel: Option[(String, Seq[Transaction] => Double)] = None): Server = {
+            seqModel: Option[(String, Seq[Transaction] => Double)] = None,
+            annModel: Option[(String, LocalAnn.Index)] = None): Server = {
     val srv = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     val pool = Executors.newFixedThreadPool(nThreads)
     srv.setExecutor(pool)
-    val server = new Server(srv, pool, inventory, model, seqModel)
+    val server = new Server(srv, pool, inventory, model, seqModel, annModel)
     srv.createContext("/", (ex: HttpExchange) => route(server, ex))
     srv.start()
     server
@@ -174,6 +176,42 @@ object HttpApi {
     } finally server.stop()
   }
 
+  /** ANN-tier client round trip (the q162 gate's transport — the
+    * q102/q142 convention at the `/ann/search` endpoint): start an
+    * ephemeral server holding the loaded index, POST one
+    * {query_id, embedding:[...]} request per query over real HTTP,
+    * return the parsed responses in input order. Floats ride the wire
+    * as their shortest round-trip decimal repr (Jackson FloatNode), so
+    * the server reconstructs bit-identical query vectors. */
+  def annSearchOverHttp(queries: Seq[(Long, Array[Float])],
+                        annModel: (String, LocalAnn.Index),
+                        shortlist: Int, topK: Int,
+                        dropSelf: Boolean = true): Seq[JsonNode] = {
+    val server = start(annModel = Some(annModel))
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      queries.map { case (qid, vec) =>
+        val req = mapper.createObjectNode()
+        req.put("query_id", qid)
+        val arr = req.putArray("embedding")
+        vec.foreach(arr.add)
+        req.put("shortlist", shortlist)
+        req.put("top_k", topK)
+        req.put("drop_self", dropSelf)
+        val resp = client.send(
+          java.net.http.HttpRequest
+            .newBuilder(URI.create(s"http://127.0.0.1:${server.port}/ann/search"))
+            .header("Content-Type", "application/json")
+            .POST(java.net.http.HttpRequest.BodyPublishers
+              .ofByteArray(mapper.writeValueAsBytes(req)))
+            .build(),
+          java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+        require(resp.statusCode == 200, s"ann search failed: HTTP ${resp.statusCode}")
+        mapper.readTree(resp.body())
+      }
+    } finally server.stop()
+  }
+
   /** One Transaction → its request-JSON fields (shared by the batch and
     * sequence client helpers so the wire encoding cannot drift). */
   private def fillTxn(o: ObjectNode, t: Transaction): Unit = {
@@ -204,8 +242,10 @@ object HttpApi {
         case ("/score", _, true)       => scoreOne(s, ex)
         case ("/score/batch", _, true) => scoreBatch(s, ex)
         case ("/score/sequence", _, true) => scoreSequence(s, ex)
+        case ("/ann/search", _, true)  => annSearch(s, ex)
         case (p, _, _) if Set("/health", "/api-info", "/stats", "/models",
-                              "/score", "/score/batch", "/score/sequence")(p) =>
+                              "/score", "/score/batch", "/score/sequence",
+                              "/ann/search")(p) =>
           respond(ex, 405, err("method not allowed"))
         case _ => respond(ex, 404, err("not found"))
       }
@@ -330,6 +370,69 @@ object HttpApi {
             o.put("processing_time_ms", round2(ms))
             respond(ex, 200, o)
         }
+    }
+
+  /** `POST /ann/search` (round-15 verdict #4 — the ANN serving last
+    * mile): {query_id, embedding:[...], shortlist?, top_k?, drop_self?}
+    * against the LOADED LocalAnn index. 503 when no index is loaded
+    * (the seqModel convention); 422 on a missing/empty/non-numeric/
+    * wrong-width embedding. Results are bit-identical to the in-process
+    * Spark search over the same artifact (LocalAnn's parity contract,
+    * gated by q162). */
+  private def annSearch(s: Server, ex: HttpExchange): Unit =
+    s.annModel match {
+      case None => respond(ex, 503, err("no ann index loaded"))
+      case Some((name, idx)) =>
+        val body = mapper.readTree(ex.getRequestBody)
+        val emb = body.path("embedding")
+        if (!emb.isArray || emb.size() == 0) {
+          respond(ex, 422, err("embedding must be a non-empty array")); return
+        }
+        val vec = new Array[Float](emb.size())
+        var i = 0
+        while (i < vec.length) {
+          val n = emb.get(i)
+          if (!n.isNumber) { respond(ex, 422, err(s"embedding[$i] is not a number")); return }
+          vec(i) = n.floatValue()
+          if (vec(i).isNaN || vec(i).isInfinite) {
+            respond(ex, 422, err(s"embedding[$i] is not finite")); return
+          }
+          i += 1
+        }
+        val expectDim = idx.family match {
+          case "ivf" => idx.centroids.headOption.map(_.length).getOrElse(0)
+          case _ if idx.rot.isDefined => idx.rot.get.length
+          case _ => idx.cb.map(_.dim).getOrElse(0)
+        }
+        if (vec.length != expectDim) {
+          respond(ex, 422, err(s"embedding has ${vec.length} dims, index wants $expectDim"))
+          return
+        }
+        val qid = body.path("query_id").asLong(-1L)
+        val shortlist = body.path("shortlist").asInt(50)
+        val topK = body.path("top_k").asInt(5)
+        val dropSelf = !body.path("drop_self").isBoolean ||
+          body.path("drop_self").asBoolean
+        if (shortlist < 1 || topK < 1) {
+          respond(ex, 422, err("shortlist and top_k must be >= 1")); return
+        }
+        val t0 = System.nanoTime()
+        val hits = LocalAnn.search(idx, qid, vec, shortlist, topK, dropSelf)
+        val ms = (System.nanoTime() - t0) / 1e6
+        s.predictionCount.increment()
+        s.totalLatencyMs.add(ms)
+        val o = mapper.createObjectNode()
+        o.put("query_id", qid)
+        o.put("model_used", name)
+        o.put("family", idx.family)
+        val arr = o.putArray("results")
+        hits.foreach { h =>
+          val e = arr.addObject()
+          e.put("neighbor_id", h.neighborId)
+          if (h.sim.isNaN) e.putNull("sim") else e.put("sim", h.sim)
+        }
+        o.put("processing_time_ms", round2(ms))
+        respond(ex, 200, o)
     }
 
   // ---- scoring ------------------------------------------------------

@@ -1,0 +1,242 @@
+package graft.serve
+
+import org.apache.spark.sql.SparkSession
+
+import graft.operators.{Ivf, Opq, Pq}
+
+/** Driver-local ANN searcher over a REGISTERED artifact — the serving
+  * half of the ANN tier (round-15 verdict #4: registry artifacts were
+  * searchable only inside a Spark job; the rotate-query + ADC + rerank
+  * path over HTTP was the missing last mile). The LocalScorer doctrine
+  * applied to search: the artifact is collected into plain JVM arrays
+  * once at load, every request is pure Scala at microsecond-to-
+  * millisecond latency, and the arithmetic mirrors the Spark path
+  * OPERATION FOR OPERATION so results are bit-identical to
+  * `Pq.searchReranked` / `Ivf.search` over the same artifact
+  * (LocalAnnSpec + the q162 gate assert it):
+  *
+  *  - query rotation = Opq.rotate's double-accumulate / toFloat loop;
+  *  - query unitization = Pq.qTables' (v/‖v‖).toFloat float array;
+  *  - ADC = the same j=0..m−1 left-assoc double sum of table lookups,
+  *    shortlist ties broken (adc asc, id asc);
+  *  - exact rerank = NativeVector.cosine's in-order double dot with
+  *    the same round(c·10⁶)/10⁶ (BigDecimal HALF_UP — Spark's round)
+  *    BEFORE ranking, ties (sim desc, id asc).
+  *
+  * Memory contract: PQ codes are m bytes-worth per vector and the
+  * full-precision vectors ride along for the exact rerank — the FAISS
+  * serving model (codes hot, vectors addressable). One serving node
+  * holds one shard of the index; at 100 TB the shards are routed above
+  * this layer, exactly like any other model server.
+  */
+object LocalAnn {
+
+  /** A loaded, serveable index. `family` ∈ {"ivf", "pq", "opq"}.
+    *  - pq/opq: `cb`+`ids`/`codes`/`vecs` drive ADC + rerank; `rot` is
+    *    the OPQ rotation (identity absent).
+    *  - ivf: `centroids`+`cellOf` drive the probe; vecs are exact. */
+  final case class Index(name: String, family: String,
+                         rot: Option[Array[Array[Double]]],
+                         cb: Option[Pq.Codebooks],
+                         ids: Array[Long],
+                         vecs: Array[Array[Float]],
+                         codes: Array[Array[Int]],
+                         centroids: Array[Array[Float]],
+                         cellOf: Array[Int]) {
+    def size: Int = ids.length
+  }
+
+  /** One search hit: (neighbor id, exact cosine rounded to 1e−6). */
+  final case class Hit(neighborId: Long, sim: Double)
+
+  /** Load a registered artifact into a serveable in-memory index.
+    * Family comes from the on-disk layout (ModelRegistry.kindOf):
+    * "opq" wants rotation + codebooks + codes, "pq" codebooks + codes,
+    * "ivf" centroids + assigned. The codes table must carry the id,
+    * the (rotated, for opq) vector column, and `codes`. */
+  def load(spark: SparkSession, root: String, name: String,
+           version: Long = -1L): Index = {
+    val family = ModelRegistry.kindOf(spark, root, name, version)
+    family match {
+      case "opq" | "pq" =>
+        val rot =
+          if (family == "opq") Some(ModelRegistry.loadOpq(spark, root, name, version).rows)
+          else None
+        val cb = ModelRegistry.loadPq(spark, root, name, version)
+        val rows = ModelRegistry.loadPqCodes(spark, root, name, version)
+          .collect()
+        require(rows.nonEmpty, s"registered '$name' has no pq_codes table " +
+          "- register with codes to make the artifact serveable")
+        val schema = rows.head.schema
+        val idIx = 0 // encode keeps input column order: (id, vec, ..., codes)
+        val vecIx = 1
+        val codeIx = schema.fieldIndex("codes")
+        val n = rows.length
+        val ids = new Array[Long](n)
+        val vecs = new Array[Array[Float]](n)
+        val codes = new Array[Array[Int]](n)
+        var i = 0
+        while (i < n) {
+          val r = rows(i)
+          ids(i) = r.getLong(idIx)
+          vecs(i) = r.getAs[scala.collection.Seq[Float]](vecIx).toArray
+          val cs = r.getAs[scala.collection.Seq[Any]](codeIx)
+          codes(i) =
+            if (cs == null || cs.exists(_ == null)) null // parked: never ranked
+            else cs.map(_.asInstanceOf[Int]).toArray
+          i += 1
+        }
+        Index(name, family, rot, Some(cb), ids, vecs, codes,
+          Array.empty, Array.empty)
+      case "ivf" =>
+        val idx = ModelRegistry.loadIvf(spark, root, name, version)
+        val cents = idx.centroids.orderBy("centroid_id").collect()
+          .map(_.getAs[scala.collection.Seq[Float]]("cvec").toArray)
+        val rows = idx.assigned.collect()
+        val n = rows.length
+        val ids = new Array[Long](n)
+        val vecs = new Array[Array[Float]](n)
+        val cellOf = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          val r = rows(i)
+          ids(i) = r.getLong(r.schema.fieldIndex(idx.idCol))
+          vecs(i) = r.getAs[scala.collection.Seq[Float]](r.schema.fieldIndex(idx.vecCol)).toArray
+          cellOf(i) = r.getInt(r.schema.fieldIndex("centroid_id"))
+          i += 1
+        }
+        Index(name, family, None, None, ids, vecs, Array.empty, cents, cellOf)
+      case other => throw new IllegalArgumentException(
+        s"registered '$name' is family '$other' - not a serveable ANN artifact")
+    }
+  }
+
+  /** Spark's `round(x)` on a double: BigDecimal.valueOf + HALF_UP. */
+  private def sparkRound(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** NativeVector.cosine verbatim: in-order double dot over float
+    * elements, null (NaN here) when a norm is zero. */
+  private def cosine(a: Array[Float], b: Array[Float]): Double = {
+    var dab = 0.0; var daa = 0.0; var dbb = 0.0
+    var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dab += x * y; daa += x * x; dbb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(daa) * math.sqrt(dbb)
+    if (denom > 0) dab / denom else Double.NaN
+  }
+
+  /** Search the index for one query vector (the `/ann/search` hot
+    * path). `shortlist` bounds the ADC candidate set for pq/opq (it is
+    * `nProbe` for ivf); `dropSelf` excludes `queryId` from candidates
+    * (the corpus-query convention). Results are exactly
+    * `Pq.searchReranked` / `Ivf.search` rows for this query. */
+  def search(idx: Index, queryId: Long, query: Array[Float],
+             shortlist: Int, topK: Int, dropSelf: Boolean = true): Seq[Hit] = {
+    require(query != null && query.forall(x => !x.isNaN && !x.isInfinite),
+      "query vector must be finite")
+    idx.family match {
+      case "opq" | "pq" => searchPq(idx, queryId, query, shortlist, topK, dropSelf)
+      case "ivf"        => searchIvf(idx, queryId, query, shortlist, topK, dropSelf)
+      case other => throw new IllegalStateException(s"unserveable family $other")
+    }
+  }
+
+  private def searchPq(idx: Index, queryId: Long, queryRaw: Array[Float],
+                       shortlist: Int, topK: Int, dropSelf: Boolean): Seq[Hit] = {
+    val cb = idx.cb.get
+    require(queryRaw.length == (if (idx.rot.isDefined) idx.rot.get.length else cb.dim),
+      s"query dim ${queryRaw.length} does not match the index")
+    // 1. rotate (opq): Opq.rotate's exact loop — double acc, toFloat
+    val q: Array[Float] = idx.rot match {
+      case Some(r) =>
+        val d = r.length
+        val y = new Array[Float](d)
+        var o = 0
+        while (o < d) {
+          val w = r(o); var s = 0.0; var i = 0
+          while (i < d) { s += queryRaw(i).toDouble * w(i); i += 1 }
+          y(o) = s.toFloat; o += 1
+        }
+        y
+      case None => queryRaw
+    }
+    // 2. qTables' unitization (float array) + M×k table in double
+    val qu = q.clone()
+    var s = 0.0; var i = 0
+    while (i < qu.length) { s += qu(i).toDouble * qu(i); i += 1 }
+    val nrm = math.sqrt(s)
+    if (nrm > 0) { i = 0; while (i < qu.length) { qu(i) = (qu(i) / nrm).toFloat; i += 1 } }
+    val tab = new Array[Double](cb.m * cb.k)
+    var j = 0
+    while (j < cb.m) {
+      var c = 0
+      while (c < cb.centers(j).length) {
+        val cen = cb.centers(j)(c)
+        var ss = 0.0; var d = 0
+        while (d < cb.subDim) {
+          val diff = qu(j * cb.subDim + d).toDouble - cen(d)
+          ss += diff * diff; d += 1
+        }
+        tab(j * cb.k + c) = ss
+        c += 1
+      }
+      j += 1
+    }
+    // 3. ADC over all codes; shortlist by (adc asc, id asc)
+    val cand = collection.mutable.ArrayBuffer[(Double, Long, Int)]()
+    i = 0
+    while (i < idx.size) {
+      val cs = idx.codes(i)
+      if (cs != null && !(dropSelf && idx.ids(i) == queryId)) {
+        var adc = 0.0
+        var m = 0
+        while (m < cb.m) { adc += tab(m * cb.k + cs(m)); m += 1 }
+        cand += ((adc, idx.ids(i), i))
+      }
+      i += 1
+    }
+    val short = cand.sortBy(t => (t._1, t._2)).take(shortlist)
+    // 4. exact rerank: rounded cosine (on the UNNORMALIZED rotated
+    // query — rerank joins the raw qvec), ties (sim desc, id asc);
+    // NaN sims (zero-norm corpus rows) sort last, like SQL nulls
+    short.map { case (_, id, row) =>
+      val c = cosine(q, idx.vecs(row))
+      Hit(id, if (c.isNaN) Double.NaN else sparkRound(c * 1e6) / 1e6)
+    }
+      .sortBy(h => (h.sim.isNaN, -h.sim, h.neighborId))
+      .take(topK).toSeq
+  }
+
+  private def searchIvf(idx: Index, queryId: Long, q: Array[Float],
+                        nProbe: Int, topK: Int, dropSelf: Boolean): Seq[Hit] = {
+    require(idx.centroids.nonEmpty, "ivf index has no centroids")
+    require(q.length == idx.centroids(0).length,
+      s"query dim ${q.length} does not match the index")
+    // probe ranking: raw dot desc, centroid_id asc (Ivf.search's window)
+    val probed = idx.centroids.indices
+      .map { c =>
+        var s = 0.0; var i = 0
+        while (i < q.length) { s += q(i).toDouble * idx.centroids(c)(i); i += 1 }
+        (s, c)
+      }
+      .sortBy { case (sim, cid) => (-sim, cid) }
+      .take(nProbe).map(_._2).toSet
+    val hits = collection.mutable.ArrayBuffer[Hit]()
+    var i = 0
+    while (i < idx.size) {
+      if (probed.contains(idx.cellOf(i)) &&
+          !(dropSelf && idx.ids(i) == queryId)) {
+        val c = cosine(q, idx.vecs(i))
+        hits += Hit(idx.ids(i),
+          if (c.isNaN) Double.NaN else sparkRound(c * 1e6) / 1e6)
+      }
+      i += 1
+    }
+    hits.sortBy(h => (h.sim.isNaN, -h.sim, h.neighborId)).take(topK).toSeq
+  }
+}

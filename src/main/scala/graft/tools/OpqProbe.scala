@@ -53,6 +53,58 @@ object OpqProbe {
         f"opq=$opq%.3f (${tOpq}%.1f s) eigTop=${rot.eigenvalues.max}%.4f")
       println("[opq-probe] perm=" + rot.perm.take(16).mkString(","))
     }
+
+    // ---- round-16 head-to-head (verdict #3): OPQ-P vs OPQ-NP at
+    // identical budgets on (a) the axis-aligned planted corpus and
+    // (b) the same corpus scrambled by a fixed random orthogonal map —
+    // the geometry where a single eigen-allocation should lose.
+    val scrambler = {
+      val rnd = new scala.util.Random(20160814L)
+      val g = Array.fill(64, 64)(rnd.nextGaussian())
+      // Gram-Schmidt to a proper orthogonal matrix
+      for (i <- 0 until 64) {
+        for (j <- 0 until i) {
+          val d = (0 until 64).map(t => g(i)(t) * g(j)(t)).sum
+          for (t <- 0 until 64) g(i)(t) -= d * g(j)(t)
+        }
+        val n = math.sqrt(g(i).map(x => x * x).sum)
+        for (t <- 0 until 64) g(i)(t) /= n
+      }
+      Opq.Rotation(64, Array.tabulate(64)(identity), g, Array.fill(64)(0.0))
+    }
+    for ((label, corpus) <- Seq(
+        "aligned" -> e,
+        "scrambled" -> Opq.rotate(e, "vec_id", "embedding", scrambler))) {
+      val qc = corpus.filter(col("vec_id") < 20)
+      val exactC = Embeddings.cosineTopK(qc, corpus, "vec_id", "vec_id",
+        "embedding", k = 5).select("query_id", "neighbor_id").cache()
+      val nC = exactC.count()
+      def recallC(approx: org.apache.spark.sql.DataFrame): Double =
+        exactC.join(approx.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_semi").count().toDouble / nC
+      def arm(rot: Opq.Rotation): Double = {
+        val er = Opq.rotate(corpus, "vec_id", "embedding", rot)
+        val qr = Opq.rotate(qc, "vec_id", "embedding", rot)
+        val cb = Pq.train(er, "vec_id", "embedding", m = 8, k = 64)
+        recallC(Pq.searchReranked(Pq.encode(er, "embedding", cb), "vec_id",
+          "embedding", cb, qr, "vec_id", "embedding", shortlist = 50,
+          topK = 5, dropSelf = true))
+      }
+      var t0 = System.nanoTime()
+      val rotP = Opq.trainRotation(corpus, "embedding", dim = 64, m = 8)
+      val rP = arm(rotP)
+      val tP = (System.nanoTime() - t0) / 1e9
+      t0 = System.nanoTime()
+      val (rotNP, errsNP) = Opq.trainRotationNP(corpus, "vec_id", "embedding",
+        dim = 64, m = 8, k = 64, iters = 8)
+      val rNP = arm(rotNP)
+      val tNP = (System.nanoTime() - t0) / 1e9
+      println(f"[opq-np-probe] $dir $label%9s m=8 k=64: OPQ-P=$rP%.3f " +
+        f"(${tP}%.1f s)  OPQ-NP=$rNP%.3f (${tNP}%.1f s)  " +
+        f"npErr ${errsNP.head}%.4f -> ${errsNP.last}%.4f " +
+        f"(${(1 - errsNP.last / errsNP.head) * 100}%.1f%% down)")
+      exactC.unpersist()
+    }
     spark.stop()
   }
 }

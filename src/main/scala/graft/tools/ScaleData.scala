@@ -21,12 +21,19 @@ import org.apache.spark.sql.functions._
   * text/regex query onto one core (q56/q60 looked 11-13x instead of
   * ~10x). Real 100 TB tables arrive as thousands of files; the bench
   * layout should too.
-  * Usage: runMain graft.tools.ScaleData [outDir] [copies]
+  * Usage: runMain graft.tools.ScaleData [outDir] [copies] [tables]
+  * `tables` (optional, comma-separated) restricts the replica to the
+  * named tables — the round-16 sf25 ANN scale point replicates ONLY
+  * embeddings (250× sf0.1 ≈ 15 M vectors), because a full-table 250×
+  * replica would burn tens of GB for queries that read one table.
   */
 object ScaleData {
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/graft_sf1")
     val copies = if (args.length > 1) args(1).toInt else 10
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").map(_.trim).toSet) else None
+    def wanted(t: String): Boolean = only.forall(_.contains(t))
     val src = "/root/testdata/sf0.1"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -50,7 +57,7 @@ object ScaleData {
       "customer" -> Seq("c_custkey" -> dimStride),
       "supplier" -> Seq("s_suppkey" -> dimStride),
       "part" -> Seq("p_partkey" -> dimStride))
-    factOffsets.foreach { case (table, offsets) =>
+    factOffsets.filter(t => wanted(t._1)).foreach { case (table, offsets) =>
       offsets.foldLeft(replicate(spark.read.parquet(s"$src/$table.parquet"))) {
         case (df, (key, stride)) =>
           df.withColumn(key, col(key) + col("__r") * stride)
@@ -60,14 +67,14 @@ object ScaleData {
     }
     // fixed-cardinality dims copy as-is (25 nations / 5 regions at any
     // scale factor — replicating them would change join semantics)
-    spark.read.parquet(s"$src/nation.parquet")
+    if (wanted("nation")) spark.read.parquet(s"$src/nation.parquet")
       .write.mode("overwrite").parquet(s"$out/nation.parquet")
-    spark.read.parquet(s"$src/region.parquet")
+    if (wanted("region")) spark.read.parquet(s"$src/region.parquet")
       .write.mode("overwrite").parquet(s"$out/region.parquet")
 
     // events: 10x the users, same per-user history depth (window
     // partitions scale in COUNT, the realistic axis)
-    replicate(graft.sources.Tables.events(spark, src))
+    if (wanted("events")) replicate(graft.sources.Tables.events(spark, src))
       .withColumn("event_id", col("event_id") + col("__r") * 1000000000000L)
       .withColumn("user_id", col("user_id") + col("__r") * 1000000000L)
       .drop("__r")
@@ -76,7 +83,7 @@ object ScaleData {
 
     // documents: per-replica token prefix keeps replicas fully
     // dissimilar (replica 0 = original); near-dup structure scales 10x
-    replicate(spark.read.parquet(s"$src/documents.parquet"))
+    if (wanted("documents")) replicate(spark.read.parquet(s"$src/documents.parquet"))
       .withColumn("doc_id", col("doc_id") + col("__r") * 10000000L)
       .withColumn("text",
         when(col("__r") === 0, col("text"))
@@ -89,7 +96,7 @@ object ScaleData {
 
     // embeddings: deterministic per-replica noise de-duplicates the
     // geometry (replica 0 = original)
-    replicate(spark.read.parquet(s"$src/embeddings.parquet"))
+    if (wanted("embeddings")) replicate(spark.read.parquet(s"$src/embeddings.parquet"))
       .withColumn("vec_id", col("vec_id") + col("__r") * 10000000L)
       .withColumn("embedding",
         when(col("__r") === 0, col("embedding"))

@@ -41,7 +41,11 @@ class SqlSurfaceSpec extends SparkSpec {
     // round 14: the PCA-ANN oracle (exact counts + machinery flags) is
     // plain ANSI — running it here proves the dual dialect and
     // exercises the full fit→project→rerank builder once more
-    "q157_pca_ann")
+    "q157_pca_ann",
+    // round 16: the HTTP-ANN oracle (count inventory + literal flags)
+    // is plain ANSI — running it exercises the register→serve→compare
+    // builder once more against its own twin
+    "q162_ann_http")
   // q75/q76 excluded: DuckDB GROUPING(a, b) is Spark grouping_id (arity)
   // q77/q79 excluded: DuckDB ASOF JOIN / epoch_us
   // q81-q87 excluded: list_transform/unnest/'0x' UBIGINT casts/'g' flag

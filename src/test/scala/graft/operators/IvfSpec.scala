@@ -163,13 +163,33 @@ class IvfSpec extends SparkSpec {
     // (centroids untouched, assigned = base ∪ shards, identical search)
     val shardPath = java.nio.file.Files.createTempDirectory("graft_ivf_sh").toString
     Ivf.save(index, shardPath)
-    Ivf.appendShard(spark, shardPath, twins.filter($"vec_id" % 2 === 1))
-    Ivf.appendShard(spark, shardPath, twins.filter($"vec_id" % 2 === 0))
+    Ivf.appendShard(spark, shardPath, twins.filter($"vec_id" % 2 === 1), batchId = 0L)
+    Ivf.appendShard(spark, shardPath, twins.filter($"vec_id" % 2 === 0), batchId = 1L)
     val viaShards = Ivf.load(spark, shardPath)
     assert(viaShards.assigned.count() == 410)
     assert(viaShards.centroids.collect().map(_.toString).sorted
       .sameElements(index.centroids.collect().map(_.toString).sorted))
     assert(resQ(viaShards) == resQ(appended))
+    // materialize BEFORE the replay below: the replay overwrites shard
+    // files, so the pre-replay frame's file listing goes stale by design
+    val beforeReplay = viaShards.assigned.select("vec_id", "centroid_id")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // EXACTLY-ONCE under micro-batch replay (round-15 verdict #2):
+    // Structured Streaming re-runs a failed batch with the SAME batchId;
+    // re-calling appendShard with it must leave the loaded index
+    // unchanged — same row count, same per-id assignment, same search
+    Ivf.appendShard(spark, shardPath, twins.filter($"vec_id" % 2 === 0), batchId = 1L)
+    val replayed = Ivf.load(spark, shardPath)
+    assert(replayed.assigned.count() == 410, "replayed shard must not duplicate rows")
+    assert(replayed.assigned.select("vec_id", "centroid_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap == beforeReplay)
+    assert(resQ(replayed) == resQ(appended))
+    // save() over a sharded load consolidates: shards fold into the base
+    // table at the new path and no stale shard dir survives to double-count
+    val consolidated = java.nio.file.Files.createTempDirectory("graft_ivf_cn").toString
+    Ivf.save(replayed, consolidated)
+    assert(Ivf.load(spark, consolidated).assigned.count() == 410)
+    assert(!new java.io.File(s"$consolidated/ivf_shards").exists())
   }
 
   test("delta assignment is map-only: appended frame plans with zero exchanges") {

@@ -115,4 +115,69 @@ class OpqSpec extends SparkSpec {
     assert(e.getMessage.contains("null/uncastable id") ||
       Option(e.getCause).exists(_.getMessage.contains("null/uncastable id")))
   }
+
+  // a corpus whose variance structure is NOT axis-aligned: the
+  // anisotropic cloud pushed through a fixed non-trivial rotation —
+  // the geometry where OPQ-P's single eigen-allocation can lose and
+  // OPQ-NP's iterative refinement is supposed to win back
+  private def skewedCloud = {
+    val c = math.cos(0.6); val s = math.sin(0.6)
+    val q = Array( // two Givens rotations mixing (0,2) and (1,3)
+      Array(c, 0.0, -s, 0.0), Array(0.0, c, 0.0, -s),
+      Array(s, 0.0, c, 0.0), Array(0.0, s, 0.0, c))
+    cloud.collect().map { r =>
+      val v = r.getSeq[Float](1)
+      val y = Array.tabulate(4)(o =>
+        (0 until 4).map(i => q(o)(i) * v(i)).sum.toFloat)
+      (r.getLong(0), y)
+    }.toSeq.toDF("vec_id", "embedding")
+  }
+
+  test("OPQ-NP: refinement error trace is non-increasing (warm-started " +
+    "Lloyd + Procrustes), rotation stays orthogonal, fit is deterministic") {
+    val (rot, errs) = Opq.trainRotationNP(skewedCloud, "vec_id", "embedding",
+      dim = 4, m = 2, k = 4, iters = 6)
+    assert(errs.length == 6)
+    errs.sliding(2).foreach { w =>
+      assert(w(1) <= w(0) + 1e-9, s"objective rose: ${errs.mkString(", ")}")
+    }
+    assert(errs.last < errs.head, "refinement must actually improve the seed")
+    // the refined rotation is still a pure orthogonal map
+    for (a <- 0 until 4; b <- 0 until 4) {
+      val d = (0 until 4).map(t => rot.rows(a)(t) * rot.rows(b)(t)).sum
+      assert(math.abs(d - (if (a == b) 1.0 else 0.0)) < 1e-9)
+    }
+    // deterministic: a second fit from the same frame is bit-identical
+    val (rot2, errs2) = Opq.trainRotationNP(skewedCloud.repartition(7),
+      "vec_id", "embedding", dim = 4, m = 2, k = 4, iters = 6)
+    assert(errs.sameElements(errs2))
+    for (i <- 0 until 4; j <- 0 until 4)
+      assert(java.lang.Double.doubleToLongBits(rot.rows(i)(j)) ==
+        java.lang.Double.doubleToLongBits(rot2.rows(i)(j)))
+    // save/load carries the refined matrix bit-exactly (same artifact
+    // layout as OPQ-P — the deployment path does not change)
+    val path = java.nio.file.Files.createTempDirectory("graft_opqnp").toString
+    Opq.save(spark, rot, path)
+    val back = Opq.load(spark, path)
+    for (i <- 0 until 4; j <- 0 until 4)
+      assert(java.lang.Double.doubleToLongBits(back.rows(i)(j)) ==
+        java.lang.Double.doubleToLongBits(rot.rows(i)(j)))
+  }
+
+  test("OPQ-NP beats the OPQ-P seed's quantization error on a " +
+    "non-axis-aligned corpus") {
+    // measure both rotations under the SAME freshly-fit codebook budget
+    // (k-means++ cold, identical seed): the NP refinement must leave
+    // strictly less variance to the quantizer than the single
+    // eigen-allocation on data whose structure one rotation can't align
+    val (rotNP, errsNP) = Opq.trainRotationNP(skewedCloud, "vec_id",
+      "embedding", dim = 4, m = 2, k = 4, iters = 8)
+    val rotP = Opq.trainRotation(skewedCloud, "embedding", dim = 4, m = 2)
+    assert(errsNP.last < errsNP.head * 0.999,
+      s"NP made no progress over the P seed: ${errsNP.mkString(", ")}")
+    // and the final NP rotation differs from the seed (it moved)
+    val moved = (0 until 4).exists(i => (0 until 4).exists(j =>
+      math.abs(rotNP.rows(i)(j) - rotP.rows(i)(j)) > 1e-9))
+    assert(moved)
+  }
 }

@@ -141,4 +141,31 @@ class PcaSpec extends SparkSpec {
     assert(e.getMessage.contains("null/uncastable id") ||
       Option(e.getCause).exists(_.getMessage.contains("null/uncastable id")))
   }
+
+  test("below-ceiling fit is ONE Spark job (the count() pre-scan is gone), " +
+    "above-ceiling pays the gram probe + sample + sampled gram") {
+    // round-15 verdict #6 / advice: the old fit ran count() before every
+    // gram pass — two full corpus scans for the common case. The ceiling
+    // decision is now folded into the gram pass itself.
+    val sc = spark.sparkContext
+    def jobsDuring(group: String)(body: => Unit): Int = {
+      sc.setJobGroup(group, group)
+      try body finally sc.clearJobGroup()
+      sc.statusTracker.getJobIdsForGroup(group).length
+    }
+    val df = cloud.cache()
+    df.count() // materialize outside the measured region
+    try {
+      assert(jobsDuring("pca-fit-exact") {
+        Pca.fit(df, "embedding", dim = 2)
+      } == 1, "below-ceiling fit must be exactly one job")
+      // above the ceiling: bounded probe + sample/gram jobs — strictly
+      // more than the exact path's one, and the probe ABORTED
+      // per-partition (asserted indirectly: the fit equals the
+      // explicit-sample fit in the boundary test above)
+      assert(jobsDuring("pca-fit-sampled") {
+        Pca.fit(df, "embedding", dim = 2, maxFitRows = 100)
+      } >= 2)
+    } finally df.unpersist(true)
+  }
 }

@@ -80,6 +80,43 @@ class ModelRegistrySpec extends SparkSpec {
     }
   }
 
+  test("prune is tombstone-append (crash-safe); gc sweeps orphan version " +
+    "dirs and leaves live artifacts untouched") {
+    val root = Files.createTempDirectory("graft_registry_gc").toString
+    val vecs = (0 until 24)
+      .map(i => (i.toLong, Array.fill(4)(((i * 7 + 3) % 19) / 10.0f - 0.9f)))
+      .toDF("vec_id", "embedding")
+    val idx = graft.operators.Ivf.build(vecs, "vec_id", "embedding", nLists = 2)
+    for (_ <- 1 to 2)
+      ModelRegistry.registerIvf(spark, root, "ann", idx)
+    assert(ModelRegistry.prune(spark, root, "ann", keepLast = 1) == Seq(1L))
+    // crash-safety shape (round-15 advice): the metadata table was NEVER
+    // rewritten — the original register rows are still on disk, the
+    // pruned version is hidden by an appended tombstone row, and a
+    // version number can never be re-claimed past a tombstone
+    val raw = spark.read.parquet(s"$root/_registry")
+    assert(raw.filter($"name" === "ann" && $"version" === 1L &&
+      $"metric" === ModelRegistry.Tombstone).count() == 1L)
+    assert(raw.filter($"name" === "ann" && $"version" === 1L &&
+      $"metric" =!= ModelRegistry.Tombstone).count() >= 1L) // original row intact
+    assert(ModelRegistry.list(spark, root)
+      .filter($"name" === "ann" && $"version" === 1L).count() == 0L)
+    assert(ModelRegistry.registerIvf(spark, root, "ann", idx) == 3L)
+    // hand-plant the crash residue gc exists for: an artifact dir with no
+    // metadata row (prune died between tombstone append and dir delete)
+    val orphan = new java.io.File(s"$root/ann/v9/ivf_meta")
+    orphan.mkdirs()
+    assert(ModelRegistry.gc(spark, root) == Seq(s"$root/ann/v9"))
+    assert(!new java.io.File(s"$root/ann/v9").exists())
+    // live artifacts survived the sweep and still load
+    assert(ModelRegistry.loadIvf(spark, root, "ann").assigned.count() == 24L)
+    assert(ModelRegistry.gc(spark, root).isEmpty)
+    // non-registry layout (no vN dirs) is left alone
+    new java.io.File(s"$root/ann/not_a_version").mkdirs()
+    assert(ModelRegistry.gc(spark, root).isEmpty)
+    assert(new java.io.File(s"$root/ann/not_a_version").exists())
+  }
+
   test("all three model families register, report their kind, and reload bit-equal") {
     val root = Files.createTempDirectory("graft_registry_k").toString
     // LeafBoost: tiny deterministic trainer over the synthetic frame
