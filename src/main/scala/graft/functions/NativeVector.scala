@@ -608,6 +608,158 @@ object BpeApply {
   }
 }
 
+/** Native PQ encode: the per-subspace argmax of (x·c − ‖c‖²/2) over a
+  * bounded codebook, emitted as the M int codes directly.
+  *
+  * The expression form (round 9-15: per subspace, `transform` over the
+  * codebook LITERAL + array_max + array_position) evaluates correctly
+  * but ALLOCATES the k-double score array per subspace per row —
+  * m=8 × k=256 ≈ 16 KB of garbage per encoded vector. At gate scale
+  * (≤ 100 K vectors) that is noise; at the round-16 sf25 scale point
+  * (15 M vectors) it is ~250 GB of allocation churn and the encode
+  * became GC-bound (measured: the cache build sat at 32 saturated
+  * cores for ~an hour without finishing). This is the q60/q62 native-
+  * expression doctrine applied to the encode: one JIT-compiled
+  * primitive loop, codebooks prepared ONCE into flat arrays (a
+  * reference object — never per-row), zero per-row allocation beyond
+  * the m-int result.
+  *
+  * Exact-parity contract with the replaced expression (PqSpec pins it
+  * bit-for-bit): scores are the same in-order double accumulation
+  * (float×float promoted) minus the same driver-computed ‖c‖²/2;
+  * argmax takes the FIRST maximum (strict `>` — array_position
+  * semantics); a NULL input vector (parked by unitize) yields the same
+  * non-null array of M null elements; a wrong-width vector throws
+  * loudly (the float_dot mismatch contract). `right` must be a
+  * FOLDABLE literal (the codebooks), evaluated once per task. */
+case class PqEncodeCodes(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = true)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    val leftOk = left.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    val rightOk = right.foldable && (right.dataType match {
+      case ArrayType(ArrayType(ArrayType(FloatType, _), _), _) => true
+      case _ => false
+    })
+    if (leftOk && rightOk) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "pq_encode expects (array<float>, foldable array<array<array<float>>>), " +
+        s"got (${left.dataType.simpleString}, ${right.dataType.simpleString}" +
+        s"${if (right.foldable) "" else ", non-foldable"})")
+  }
+
+  @transient private lazy val state: PqEncodeCodes.State =
+    PqEncodeCodes.prepare(right.eval(null).asInstanceOf[ArrayData])
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = left.eval(input)
+    if (v == null) PqEncodeCodes.parked(state.m)
+    else PqEncodeCodes.encode(v.asInstanceOf[ArrayData], state)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val st = ctx.addReferenceObj("pqCodebooks", state,
+      classOf[PqEncodeCodes.State].getName)
+    val l = left.genCode(ctx)
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    ev.copy(
+      code = code"""
+        ${l.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          ${l.isNull} ? graft.functions.PqEncodeCodes.parked($st.m())
+                      : graft.functions.PqEncodeCodes.encode(${l.value}, $st);
+      """,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object PqEncodeCodes {
+
+  /** Codebooks flattened for the hot loop: `cf` is (m, k, subDim)
+    * row-major, `hn(j·k + c) = ‖c‖²/2` computed with the exact loop the
+    * old literal used. Prepared once per task from the foldable child. */
+  final case class State(m: Int, k: Int, subDim: Int, dim: Int,
+                         cf: Array[Float], hn: Array[Double])
+
+  def prepare(outer: ArrayData): State = {
+    val m = outer.numElements()
+    require(m >= 1, "pq_encode: empty codebooks")
+    val first = outer.getArray(0)
+    val k = first.numElements()
+    val subDim = first.getArray(0).numElements()
+    val cf = new Array[Float](m * k * subDim)
+    val hn = new Array[Double](m * k)
+    var j = 0
+    while (j < m) {
+      val sub = outer.getArray(j)
+      require(sub.numElements() == k, "pq_encode: ragged codebooks (k)")
+      var c = 0
+      while (c < k) {
+        val cen = sub.getArray(c)
+        require(cen.numElements() == subDim, "pq_encode: ragged codebooks (subDim)")
+        var s = 0.0
+        var d = 0
+        while (d < subDim) {
+          val x = cen.getFloat(d)
+          cf(((j * k) + c) * subDim + d) = x
+          s += x.toDouble * x
+          d += 1
+        }
+        hn(j * k + c) = s / 2.0
+        c += 1
+      }
+      j += 1
+    }
+    State(m, k, subDim, m * subDim, cf, hn)
+  }
+
+  /** Parked row: the SAME shape the old expression produced for a null
+    * input — a non-null array of m NULL code elements. */
+  def parked(m: Int): ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[AnyRef](m))
+
+  def encode(v: ArrayData, st: State): ArrayData = {
+    if (v.numElements() != st.dim)
+      throw new IllegalArgumentException(
+        s"pq_encode: vector has ${v.numElements()} elements, codebooks want ${st.dim}")
+    val codes = new Array[Int](st.m)
+    var j = 0
+    while (j < st.m) {
+      var best = 0
+      var bestScore = Double.NegativeInfinity
+      val base = j * st.k * st.subDim
+      var c = 0
+      while (c < st.k) {
+        var s = 0.0
+        val off = base + c * st.subDim
+        var d = 0
+        while (d < st.subDim) {
+          s += v.getFloat(j * st.subDim + d).toDouble * st.cf(off + d)
+          d += 1
+        }
+        s -= st.hn(j * st.k + c)
+        if (s > bestScore) { bestScore = s; best = c } // first max wins (array_position parity)
+        c += 1
+      }
+      codes(j) = best
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(codes)
+  }
+}
+
 object NativeVector {
   val FnName = "float_dot"
   val IntersectFnName = "sorted_long_intersect"
@@ -616,6 +768,7 @@ object NativeVector {
   val NgramStatsFnName = "ngram_stats"
   val BpeMergeFnName = "bpe_merge"
   val BpeApplyFnName = "bpe_apply"
+  val PqEncodeFnName = "pq_encode"
 
   /** Register once per session; then `dot`/`sortedIntersect` resolve to
     * the native expressions through the function registry. Arity is
@@ -649,6 +802,9 @@ object NativeVector {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       BpeApplyFnName, checked(BpeApplyFnName, 2)(
         e => BpeApply(e(0), e(1))), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      PqEncodeFnName, checked(PqEncodeFnName, 2)(
+        e => PqEncodeCodes(e(0), e(1))), "built-in")
   }
 
   def dot(a: Column, b: Column): Column = call_function(FnName, a, b)
@@ -662,6 +818,8 @@ object NativeVector {
     call_function(BpeMergeFnName, syms, a, b)
   def bpeApply(syms: Column, merges: Column): Column =
     call_function(BpeApplyFnName, syms, merges)
+  def pqEncode(vec: Column, centers: Column): Column =
+    call_function(PqEncodeFnName, vec, centers)
 
   /** cos(a,b) from raw float arrays: dot/(‖a‖·‖b‖), every norm evaluated
     * once per row via the native dot. THE single cosine form — Embeddings

@@ -220,21 +220,24 @@ object Pq {
 
   /** The shared argmin-per-subspace encode over a staged `__unit`
     * column (unit vector, residual, or null for parked rows — null
-    * propagates to null code elements). */
+    * propagates to null code elements).
+    *
+    * Round 16: the encode is the NATIVE `pq_encode` expression
+    * (functions/NativeVector.scala, PqEncodeCodes) — bit-identical
+    * codes to the old per-subspace transform/array_max/array_position
+    * composition (PqSpec pins the parity on nulls, ties, and values),
+    * but with the codebooks prepared ONCE into flat arrays instead of
+    * a per-row 16 KB score-array allocation. At gate scale the two are
+    * indistinguishable; at the sf25 scale point (15 M vectors) the old
+    * expression was GC-bound (BASELINE round-16: the encode cache sat
+    * at 32 saturated cores without finishing; native = minutes). */
   private def encodeStaged(staged: DataFrame, cb: Codebooks): DataFrame = {
     NativeVector.register(staged.sparkSession)
-    val codeCols: Seq[Column] = (0 until cb.m).map { j =>
-      val sub = slice(col("__unit"), j * cb.subDim + 1, cb.subDim)
-      val scores = typedLit(cb.centers(j).map { c =>
-        var s = 0.0; var i = 0
-        while (i < c.length) { s += c(i).toDouble * c(i); i += 1 }
-        (c.toSeq, s / 2.0)
-      }.toSeq).cast("array<struct<c:array<float>,h:double>>")
-      val perCenter = transform(scores,
-        s => NativeVector.dot(sub, s.getField("c")) - s.getField("h"))
-      (array_position(perCenter, array_max(perCenter)) - 1).cast("int")
-    }
-    staged.withColumn("codes", array(codeCols: _*)).drop("__unit")
+    val centLit = typedLit(cb.centers.map(_.map(_.toSeq).toSeq).toSeq)
+      .cast("array<array<array<float>>>")
+    staged
+      .withColumn("codes", NativeVector.pqEncode(col("__unit"), centLit))
+      .drop("__unit")
   }
 
   /** True iff the row was parked by `encode` (null input propagated to

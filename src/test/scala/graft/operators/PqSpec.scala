@@ -26,6 +26,48 @@ class PqSpec extends SparkSpec {
     assert(enc.join(enc2, "vid").filter($"codes" =!= $"codes2").isEmpty)
   }
 
+  test("native pq_encode is bit-identical to the replaced expression " +
+    "composition (values, first-max ties, parked nulls)") {
+    // the round-16 native encode swap is only legal if the codes are
+    // byte-for-byte what the old transform/array_max/array_position
+    // composition produced — rebuild that composition here verbatim as
+    // the reference and diff whole frames, including a parked row
+    val cb = Pq.train(vecs, "vid", "v", m = 4, k = 16)
+    val withBad = vecs.unionByName(
+      Seq((9000L, Array.fill(32)(Float.NaN))).toDF("vid", "v"))
+    val native = Pq.encode(withBad, "v", cb)
+      .select($"vid", $"codes").collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Any]](1)).toMap
+    // reference: the pre-round-16 expression, inlined (unitize parks
+    // non-finite exactly as encode's staged column did)
+    graft.functions.NativeVector.register(spark)
+    val norm = sqrt(graft.functions.NativeVector.dot(col("v"), col("v")))
+    val unit = when(!isnan(norm) && norm =!= lit(Double.PositiveInfinity) && norm > 0,
+      transform(col("v"), x => (x.cast("double") / norm).cast("float")))
+      .otherwise(when(norm === 0, col("v")))
+    val codeCols = (0 until cb.m).map { j =>
+      val sub = slice(col("__unit"), j * cb.subDim + 1, cb.subDim)
+      val scores = typedLit(cb.centers(j).map { c =>
+        var s = 0.0; var i = 0
+        while (i < c.length) { s += c(i).toDouble * c(i); i += 1 }
+        (c.toSeq, s / 2.0)
+      }.toSeq).cast("array<struct<c:array<float>,h:double>>")
+      val perCenter = transform(scores,
+        s => graft.functions.NativeVector.dot(sub, s.getField("c")) - s.getField("h"))
+      (array_position(perCenter, array_max(perCenter)) - 1).cast("int")
+    }
+    val reference = withBad.withColumn("__unit", unit)
+      .withColumn("codes", array(codeCols: _*))
+      .select($"vid", $"codes").collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Any]](1)).toMap
+    assert(native.keySet == reference.keySet)
+    native.foreach { case (id, cs) =>
+      assert(cs == reference(id), s"codes diverge for vid=$id")
+    }
+    // the parked row is a non-null array of m nulls in BOTH paths
+    assert(native(9000L).length == 4 && native(9000L).forall(_ == null))
+  }
+
   test("a codebook center encodes to itself with zero ADC self-distance") {
     val cb = Pq.train(vecs, "vid", "v", m = 4, k = 16)
     // synthesize vectors that ARE concatenated centers: code m must pick
