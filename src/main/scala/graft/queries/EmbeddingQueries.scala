@@ -28,6 +28,32 @@ object EmbeddingQueries {
   private val annHttpMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q166's build-once two-family serving artifacts (OPQ + IVF under
+    * one registry root): registered ONCE per process; every execution
+    * pays the deployment shape — reload both, serve both from ONE
+    * server, compare each against its in-process Spark search. */
+  private val annMultiMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Temp registry dir for the HTTP-serving gates, swept at JVM exit
+    * (round-16 verdict #8: repeated batteries accumulated orphan
+    * `graft_ann_http*` registries under /tmp — gate-only residue). */
+  private def tempRegistryDir(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p,
+            java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+          val s = java.nio.file.Files.list(p)
+          try s.forEach(rm(_)) finally s.close()
+        }
+        java.nio.file.Files.deleteIfExists(p); ()
+      }
+      try rm(dir) catch { case _: Exception => () } // best-effort sweep
+    }))
+    dir.toString
+  }
+
   def queries: Map[String, Q] = Map(
     // ANN INDEX PERSISTENCE end to end: the q118 IVF×PQ search, but
     // every execution searches artifacts RELOADED from a ModelRegistry
@@ -470,7 +496,7 @@ object EmbeddingQueries {
         val cb = graft.operators.Pq.train(er, "vec_id", "embedding", m = 8, k = 64)
         val enc = graft.operators.Pq.encode(
           er.select("vec_id", "embedding"), "embedding", cb)
-        val reg = java.nio.file.Files.createTempDirectory("graft_ann_http").toString
+        val reg = tempRegistryDir("graft_ann_http")
         graft.serve.ModelRegistry.registerOpq(s, reg, "ann_opq", rot,
           Some(cb), Some(enc))
         reg
@@ -484,7 +510,13 @@ object EmbeddingQueries {
       val sparkRes = graft.operators.Pq.searchReranked(codes, "vec_id",
           "embedding", cb, qr, "vec_id", "embedding",
           shortlist = 50, topK = 5, dropSelf = true)
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        // null sim (zero-norm corpus row in the shortlist) reads as the
+        // NaN marker instead of NPEing — both sides then compare through
+        // doubleToLongBits, so null-vs-null is equality, null-vs-value
+        // is a fail (round-16 advice: the old getDouble/asDouble pair
+        // compared asymmetrically on the null path)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))
       val idx = graft.serve.LocalAnn.load(s, root, "ann_opq")
       val queries = q.select(col("vec_id"), col("embedding")).collect()
         .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]](1).toArray)
@@ -495,8 +527,9 @@ object EmbeddingQueries {
         val qid = o.path("query_id").asLong
         val rs = o.path("results")
         (0 until rs.size()).map { i =>
+          val sim = rs.get(i).path("sim")
           (qid, rs.get(i).path("neighbor_id").asLong,
-            rs.get(i).path("sim").asDouble)
+            if (sim.isNull || sim.isMissingNode) Double.NaN else sim.asDouble)
         }
       }
       val sset = sparkRes.map(t => (t._1, t._2)).toSet
@@ -510,6 +543,85 @@ object EmbeddingQueries {
           idx.family == "opq"))
         .toDF("n_queries", "n_results", "sets_match", "sims_bit_equal",
           "family_ok")
+    }),
+
+    // MULTI-INDEX ANN SERVING (round 17 — the round-16 verdict's
+    // "Missing #3": one serving process, name-addressed indexes). TWO
+    // families (an OPQ deployment artifact and an IVF index) register
+    // under ONE registry root, reload via LocalAnn, and serve from ONE
+    // HttpApi server; each request routes by its `model` field (the
+    // /models registry convention applied to search — unknown name 404,
+    // ambiguous absence 422, both in LocalAnnSpec). Gate, per model, in
+    // the q161 mold (flags DERIVED in-query from a full-outer join, not
+    // driver-side literals): the HTTP results land in a DataFrame and
+    // join against the in-process Spark search over the same reloaded
+    // artifacts — set equality AND null-safe sim equality per family
+    // (Spark `<=>`: null≡null, and rounded doubles compare exactly —
+    // both sides are the same BigDecimal-HALF_UP round).
+    "q166_ann_http_multi" -> ((s, dir) => {
+      import s.implicits._
+      val root = annMultiMemo.computeIfAbsent(dir, _ => {
+        val e = Tables.embeddings(s, dir).filter(col("vec_id") < 50000)
+        val rot = graft.operators.Opq.trainRotation(e, "embedding", dim = 64, m = 8)
+        val er = graft.operators.Opq.rotate(e, "vec_id", "embedding", rot)
+        val cb = graft.operators.Pq.train(er, "vec_id", "embedding", m = 8, k = 64)
+        val enc = graft.operators.Pq.encode(
+          er.select("vec_id", "embedding"), "embedding", cb)
+        val reg = tempRegistryDir("graft_ann_multi")
+        graft.serve.ModelRegistry.registerOpq(s, reg, "ann_opq", rot,
+          Some(cb), Some(enc))
+        val ivf = graft.operators.Ivf.build(e, "vec_id", "embedding", nLists = 16)
+        graft.serve.ModelRegistry.registerIvf(s, reg, "ann_ivf", ivf)
+        reg
+      })
+      // deployment shape per execution: reload BOTH artifacts each way
+      val opqIdx = graft.serve.LocalAnn.load(s, root, "ann_opq")
+      val ivfIdx = graft.serve.LocalAnn.load(s, root, "ann_ivf")
+      val q = Tables.embeddings(s, dir).filter(col("vec_id") < 20)
+      val rot = graft.serve.ModelRegistry.loadOpq(s, root, "ann_opq")
+      val cb = graft.serve.ModelRegistry.loadPq(s, root, "ann_opq")
+      val codes = graft.serve.ModelRegistry.loadPqCodes(s, root, "ann_opq")
+      val qr = graft.operators.Opq.rotate(q, "vec_id", "embedding", rot)
+      val sparkSide = graft.operators.Pq.searchReranked(codes, "vec_id",
+          "embedding", cb, qr, "vec_id", "embedding",
+          shortlist = 50, topK = 5, dropSelf = true)
+        .select(lit("ann_opq").as("model"), col("query_id"),
+          col("neighbor_id"), col("sim").as("ssim"))
+        .unionByName(graft.operators.Ivf.search(
+            graft.serve.ModelRegistry.loadIvf(s, root, "ann_ivf"),
+            q, "vec_id", "embedding", nProbe = 8, topK = 5)
+          .select(lit("ann_ivf").as("model"), col("query_id"),
+            col("neighbor_id"), col("sim").as("ssim")))
+      val queries = q.select(col("vec_id"), col("embedding")).collect()
+        .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]](1).toArray)
+        .sortBy(_._1).toSeq
+      val reqs = queries.flatMap { case (qid, v) =>
+        Seq(("ann_opq", qid, v), ("ann_ivf", qid, v)) }
+      val resp = graft.serve.HttpApi.annSearchModelsOverHttp(reqs,
+        Seq(("ann_opq", opqIdx), ("ann_ivf", ivfIdx)),
+        // shortlist = ADC candidates for opq, nProbe for ivf — matched
+        // one-for-one to the in-process search parameters above
+        shortlistOf = Map("ann_opq" -> 50, "ann_ivf" -> 8), topK = 5)
+      val httpSide = resp.flatMap { o =>
+        val model = o.path("model_used").asText
+        val qid = o.path("query_id").asLong
+        val rs = o.path("results")
+        (0 until rs.size()).map { i =>
+          val sim = rs.get(i).path("sim")
+          (model, qid, rs.get(i).path("neighbor_id").asLong,
+            if (sim.isNull || sim.isMissingNode) None else Some(sim.asDouble))
+        }
+      }.toDF("model", "query_id", "neighbor_id", "hsim")
+      sparkSide.join(httpSide, Seq("model", "query_id", "neighbor_id"),
+          "full_outer")
+        .groupBy("model").agg(
+          count_distinct(col("query_id")).as("n_queries"),
+          count(lit(1)).cast("long").as("n_results"),
+          (sum(when(col("ssim").isNull =!= col("hsim").isNull, 1L)
+            .otherwise(0L)) === 0).as("sets_match"),
+          (sum(when(col("ssim") <=> col("hsim"), 0L).otherwise(1L)) === 0)
+            .as("sims_bit_equal"))
+        .orderBy("model")
     }),
 
     // EXACT COVARIANCE GATE (round 14, PCA tier): the distributed
@@ -622,6 +734,19 @@ object EmbeddingQueries {
         | CAST(5 * count(*) AS BIGINT) AS n_results,
         | TRUE AS sets_match, TRUE AS sims_bit_equal, TRUE AS family_ok
         |FROM embeddings WHERE vec_id < 20""".stripMargin,
+
+    // q161 mold, per served family: the HTTP-vs-Spark equality flags
+    // are DERIVED in-query (full-outer join over both result frames),
+    // so the oracle pins the per-model query inventory, the exact
+    // 5-per-query result cardinality (a one-sided row would break it),
+    // and the flags
+    "q166_ann_http_multi" ->
+      """WITH q AS (SELECT count(*) AS n FROM embeddings WHERE vec_id < 20)
+        |SELECT m.model AS model, CAST(q.n AS BIGINT) AS n_queries,
+        | CAST(5 * q.n AS BIGINT) AS n_results,
+        | TRUE AS sets_match, TRUE AS sims_bit_equal
+        |FROM (VALUES ('ann_ivf'), ('ann_opq')) m(model) CROSS JOIN q
+        |ORDER BY model""".stripMargin,
 
     // q117 mold: exact counts from the query inventory, the two
     // machinery flags pinned literal TRUE

@@ -63,13 +63,41 @@ object LocalAnn {
           if (family == "opq") Some(ModelRegistry.loadOpq(spark, root, name, version).rows)
           else None
         val cb = ModelRegistry.loadPq(spark, root, name, version)
-        val rows = ModelRegistry.loadPqCodes(spark, root, name, version)
-          .collect()
+        val codesDf = ModelRegistry.loadPqCodes(spark, root, name, version)
+        // resolve id/vec by schema TYPE, not position (round-16 verdict
+        // #4 / advice: `encode` happens to keep input column order
+        // today, but a layout change there would mis-wire serving while
+        // PqSpec stayed green). The codes table must carry exactly one
+        // long column (the id) and exactly one array<float> column (the
+        // rerank vector) besides `codes` — ambiguity fails loudly with
+        // the registry context instead of silently reranking against
+        // the wrong column.
+        val schema = codesDf.schema
+        require(schema.fieldNames.contains("codes"),
+          s"registered '$name' pq_codes table has no `codes` column " +
+            s"(columns: ${schema.fieldNames.mkString(", ")})")
+        def only(what: String)(p: org.apache.spark.sql.types.StructField => Boolean): Int = {
+          val hits = schema.fields.zipWithIndex
+            .filter { case (f, _) => f.name != "codes" && p(f) }
+          require(hits.length == 1,
+            s"registered '$name' pq_codes table must carry exactly one $what " +
+              s"column besides `codes`; found ${hits.map(_._1.name).mkString("[", ", ", "]")} " +
+              s"in (${schema.fieldNames.mkString(", ")}) - slim the codes frame " +
+              "to (id, vec, codes) before registering")
+          hits.head._2
+        }
+        val idIx = only("long id")(_.dataType ==
+          org.apache.spark.sql.types.LongType)
+        val vecIx = only("array<float> vector") { f =>
+          f.dataType match {
+            case org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType, _) => true
+            case _ => false
+          }
+        }
+        val rows = codesDf.collect()
         require(rows.nonEmpty, s"registered '$name' has no pq_codes table " +
           "- register with codes to make the artifact serveable")
-        val schema = rows.head.schema
-        val idIx = 0 // encode keeps input column order: (id, vec, ..., codes)
-        val vecIx = 1
         val codeIx = schema.fieldIndex("codes")
         val n = rows.length
         val ids = new Array[Long](n)

@@ -252,8 +252,16 @@ object ModelRegistry {
     * artifact bytes; anything not matching the registry layout is left
     * alone. Returns the deleted paths. Single-writer per root: do not
     * run gc concurrently with a register (its artifact lands before
-    * its metadata row and would look orphaned for that window). */
-  def gc(spark: SparkSession, root: String): Seq[String] = {
+    * its metadata row and would look orphaned for that window).
+    *
+    * Safety latch (round-16 advice, medium): a missing `_registry`
+    * table reads as an EMPTY live set, so a lost metadata table — or a
+    * wrong `root` that happens to contain version-shaped directories —
+    * would make gc delete every `v<N>` artifact under it. When the live
+    * set is empty but version directories exist, gc refuses with an
+    * IllegalStateException unless `force = true` (the caller asserting
+    * "yes, this root's registry is intentionally empty — sweep it"). */
+  def gc(spark: SparkSession, root: String, force: Boolean = false): Seq[String] = {
     // compare (name, version-dir) keys, not path strings — a filesystem
     // may render the same location with or without a scheme prefix
     val live: Set[(String, String)] = list(spark, root)
@@ -273,6 +281,12 @@ object ModelRegistry {
           .filterNot(live.contains)
       }
       .map { case (n, v) => s"$root/$n/$v" }
+    if (live.isEmpty && orphans.nonEmpty && !force)
+      throw new IllegalStateException(
+        s"registry metadata at ${metaPath(root)} is empty but ${orphans.size} " +
+          s"version director${if (orphans.size == 1) "y" else "ies"} exist under $root - " +
+          "refusing to delete them all (lost metadata table or wrong root?); " +
+          "pass force=true to sweep an intentionally-empty registry")
     orphans.foreach { p =>
       fs.delete(new org.apache.hadoop.fs.Path(p), true)
     }

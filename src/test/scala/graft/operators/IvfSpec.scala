@@ -190,6 +190,19 @@ class IvfSpec extends SparkSpec {
     Ivf.save(replayed, consolidated)
     assert(Ivf.load(spark, consolidated).assigned.count() == 410)
     assert(!new java.io.File(s"$consolidated/ivf_shards").exists())
+    // crash residue under ivf_shards (round-16 advice): a killed
+    // appendShard leaves a _temporary dir; load must ignore it instead
+    // of handing it to the parquet reader (schema inference fails and
+    // the whole artifact becomes unloadable until the batch replays)
+    new java.io.File(s"$shardPath/ivf_shards/_temporary/0").mkdirs()
+    val withResidue = Ivf.load(spark, shardPath)
+    assert(withResidue.assigned.count() == 410)
+    assert(resQ(withResidue) == resQ(appended))
+    // residue as the ONLY entry: committed-shard set is empty → base only
+    val residueOnly = java.nio.file.Files.createTempDirectory("graft_ivf_res").toString
+    Ivf.save(index, residueOnly)
+    new java.io.File(s"$residueOnly/ivf_shards/_temporary/0").mkdirs()
+    assert(Ivf.load(spark, residueOnly).assigned.count() == 400)
   }
 
   test("delta assignment is map-only: appended frame plans with zero exchanges") {

@@ -79,4 +79,42 @@ class LangModelSpec extends SparkSpec {
       LangModel.bigramLogprob(docs, "doc_id", "text", lambda = 0.0)
     }
   }
+
+  test("per-language LM scores a minority doc against its OWN " +
+    "distribution: higher than the global LM gives it (Wenzek et al. " +
+    "discipline, round-16 verdict Missing #2)") {
+    // majority-English corpus + two French docs with DISJOINT vocabulary
+    // (so the fr bigram/prefix counts are identical under both LMs and
+    // the only difference is the denominator of the unigram back-off:
+    // global T spans all tokens, per-lang T only the French ones —
+    // every fr position's p strictly rises, so avg_logprob must rise)
+    val mixed = (
+      (0 until 10).map(i => (i.toLong,
+        s"the quick fox of den$i is to and in the field of work")) ++
+      Seq((100L, "le chat est un animal et le chien est un ami"),
+          (101L, "le chat est un ami et le chien est un animal"))
+    ).toDF("doc_id", "text")
+    val withLang = mixed.select(col("doc_id"),
+      TextOps.predictLang(col("text")).as("lang"), col("text"))
+    // sanity: the lang-ID actually buckets them
+    val langs = withLang.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(langs(100L) == "fr" && langs(101L) == "fr" && langs(0L) == "en")
+    val global = LangModel.bigramLogprob(mixed, "doc_id", "text", 0.75)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val perLang = LangModel.bigramLogprobByLang(
+        withLang, "doc_id", "text", "lang", 0.75)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(3)))).toMap
+    assert(perLang(100L)._1 == "fr")
+    assert(perLang(100L)._2 > global(100L),
+      s"fr doc under its own LM (${perLang(100L)._2}) must outscore the " +
+        s"majority-trained global LM (${global(100L)})")
+    assert(perLang(101L)._2 > global(101L))
+    // and the per-lang result is layout-independent like the global one
+    val reparted = LangModel.bigramLogprobByLang(
+        withLang.repartition(7), "doc_id", "text", "lang", 0.75)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    for ((k, v) <- reparted)
+      assert(java.lang.Double.doubleToLongBits(perLang(k)._2) ==
+        java.lang.Double.doubleToLongBits(v))
+  }
 }

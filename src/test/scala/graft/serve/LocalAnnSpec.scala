@@ -149,4 +149,115 @@ class LocalAnnSpec extends SparkSpec {
       assert(r.statusCode() == 503)
     } finally bare.stop()
   }
+
+  test("missing query_id never drops a corpus row: id -1 is returned " +
+    "when the request omits query_id (round-16 verdict #2)") {
+    // plant id -1 in the corpus — the repo's own plant doctrine puts
+    // negative ids in indexes (q96/q148), so the old asLong(-1) default
+    // with drop_self=true silently hid exactly this row
+    val planted = corpus.unionByName(
+      Seq((-1L, Array(1.0f, 0.05f, 0.05f, 0.05f))).toDF("vec_id", "embedding"))
+    val cb = Pq.train(planted, "vec_id", "embedding", m = 2, k = 8)
+    val enc = Pq.encode(planted.select("vec_id", "embedding"), "embedding", cb)
+    val root = java.nio.file.Files.createTempDirectory("graft_lann_qid").toString
+    ModelRegistry.registerPq(spark, root, "pq", cb, Some(enc))
+    val idx = LocalAnn.load(spark, root, "pq")
+    val server = HttpApi.start(annModel = Some(("pq", idx)))
+    def post(body: String) = {
+      val r = client.send(
+        HttpRequest.newBuilder(
+            URI.create(s"http://127.0.0.1:${server.port}/ann/search"))
+          .header("Content-Type", "application/json")
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      (r.statusCode(), mapper.readTree(r.body()))
+    }
+    try {
+      // no query_id: id -1 (the exact-direction row) must appear
+      val anon = post("""{"embedding":[1.0,0.05,0.05,0.05],"top_k":3,"shortlist":30}""")
+      assert(anon._1 == 200)
+      val ids = (0 until anon._2.path("results").size())
+        .map(i => anon._2.path("results").get(i).path("neighbor_id").asLong)
+      assert(ids.contains(-1L),
+        s"id -1 must not be self-dropped without a query_id; got $ids")
+      assert(anon._2.path("query_id").isNull)
+      // WITH query_id -1, drop_self applies and excludes it
+      val self = post("""{"query_id":-1,"embedding":[1.0,0.05,0.05,0.05],"top_k":3,"shortlist":30}""")
+      assert(self._1 == 200)
+      val ids2 = (0 until self._2.path("results").size())
+        .map(i => self._2.path("results").get(i).path("neighbor_id").asLong)
+      assert(!ids2.contains(-1L))
+      // non-integral query_id is the client's error
+      assert(post("""{"query_id":"x","embedding":[1,0,0,0]}""")._1 == 422)
+      // malformed JSON is 422, not 500 (round-16 advice)
+      assert(post("""{"embedding":[1,2,""")._1 == 422)
+    } finally server.stop()
+  }
+
+  test("LocalAnn.load resolves pq columns by type, not position " +
+    "(round-16 verdict #4): reordered codes frame loads identically; " +
+    "an ambiguous frame fails loudly") {
+    val cb = Pq.train(corpus, "vec_id", "embedding", m = 2, k = 8)
+    val enc = Pq.encode(corpus.select("vec_id", "embedding"), "embedding", cb)
+    val root = java.nio.file.Files.createTempDirectory("graft_lann_reorder").toString
+    ModelRegistry.registerPq(spark, root, "ordered", cb, Some(enc))
+    // deliberate reorder: (codes, embedding, vec_id) — a positional
+    // reader would cast codes as the id and the vector as codes
+    ModelRegistry.registerPq(spark, root, "reordered", cb,
+      Some(enc.select("codes", "embedding", "vec_id")))
+    val a = LocalAnn.load(spark, root, "ordered")
+    val b = LocalAnn.load(spark, root, "reordered")
+    assert(hitsOf(a, 20, 5) == hitsOf(b, 20, 5))
+    // ambiguity (two long columns) must fail with the registry context
+    ModelRegistry.registerPq(spark, root, "ambiguous", cb,
+      Some(enc.withColumn("other_id", $"vec_id" + 1)))
+    val e = intercept[IllegalArgumentException] {
+      LocalAnn.load(spark, root, "ambiguous")
+    }
+    assert(e.getMessage.contains("exactly one long id"))
+  }
+
+  test("multi-index serving (round-16 verdict #5): one server routes by " +
+    "model name; 404 unknown, 422 ambiguous, /models lists both") {
+    val cb = Pq.train(corpus, "vec_id", "embedding", m = 2, k = 8)
+    val enc = Pq.encode(corpus.select("vec_id", "embedding"), "embedding", cb)
+    val ivf = Ivf.build(corpus, "vec_id", "embedding", nLists = 4)
+    val root = java.nio.file.Files.createTempDirectory("graft_lann_multi").toString
+    ModelRegistry.registerPq(spark, root, "pq", cb, Some(enc))
+    ModelRegistry.registerIvf(spark, root, "ivf", ivf)
+    val pqIdx = LocalAnn.load(spark, root, "pq")
+    val ivfIdx = LocalAnn.load(spark, root, "ivf")
+    val server = HttpApi.start(annModels = Seq(("pq", pqIdx), ("ivf", ivfIdx)))
+    def post(body: String) = {
+      val r = client.send(
+        HttpRequest.newBuilder(
+            URI.create(s"http://127.0.0.1:${server.port}/ann/search"))
+          .header("Content-Type", "application/json")
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      (r.statusCode(), mapper.readTree(r.body()))
+    }
+    try {
+      val viaPq = post("""{"model":"pq","query_id":0,"embedding":[1.0,0.05,0.05,0.05]}""")
+      assert(viaPq._1 == 200 && viaPq._2.path("model_used").asText == "pq" &&
+        viaPq._2.path("family").asText == "pq")
+      val viaIvf = post("""{"model":"ivf","query_id":0,"embedding":[1.0,0.05,0.05,0.05],"shortlist":2}""")
+      assert(viaIvf._1 == 200 && viaIvf._2.path("model_used").asText == "ivf" &&
+        viaIvf._2.path("family").asText == "ivf")
+      assert(post("""{"model":"nope","query_id":0,"embedding":[1,0,0,0]}""")._1 == 404)
+      // two indexes loaded, no model named: ambiguous
+      assert(post("""{"query_id":0,"embedding":[1,0,0,0]}""")._1 == 422)
+      assert(post("""{"model":7,"query_id":0,"embedding":[1,0,0,0]}""")._1 == 422)
+      // inventory: both served indexes are /models rows
+      val inv = client.send(
+        HttpRequest.newBuilder(
+            URI.create(s"http://127.0.0.1:${server.port}/models")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      val models = mapper.readTree(inv.body()).path("models")
+      assert(models.path("pq").path("kind").asText == "ann_pq")
+      assert(models.path("ivf").path("kind").asText == "ann_ivf")
+      assert(models.path("pq").path("size").asInt == 160)
+      assert(mapper.readTree(inv.body()).path("total_loaded").asInt == 2)
+    } finally server.stop()
+  }
 }

@@ -117,6 +117,28 @@ class ModelRegistrySpec extends SparkSpec {
     assert(new java.io.File(s"$root/ann/not_a_version").exists())
   }
 
+  test("gc refuses to sweep when the metadata table is empty but version " +
+    "dirs exist (round-16 advice: lost-metadata total-loss footgun)") {
+    val root = Files.createTempDirectory("graft_registry_gc2").toString
+    val vecs = (0 until 24)
+      .map(i => (i.toLong, Array.fill(4)(((i * 7 + 3) % 19) / 10.0f - 0.9f)))
+      .toDF("vec_id", "embedding")
+    val idx = graft.operators.Ivf.build(vecs, "vec_id", "embedding", nLists = 2)
+    ModelRegistry.registerIvf(spark, root, "ann", idx)
+    // simulate the metadata table being lost (or gc pointed at a wrong
+    // root that happens to contain version-shaped directories)
+    val meta = new org.apache.hadoop.fs.Path(s"$root/_registry")
+    meta.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(meta, true)
+    val e = intercept[IllegalStateException] { ModelRegistry.gc(spark, root) }
+    assert(e.getMessage.contains("refusing"))
+    assert(new java.io.File(s"$root/ann/v1").exists()) // artifact survived
+    // the explicit force flag is the caller's assertion — then it sweeps
+    assert(ModelRegistry.gc(spark, root, force = true) == Seq(s"$root/ann/v1"))
+    assert(!new java.io.File(s"$root/ann/v1").exists())
+    // an empty root with NO version dirs stays a clean no-op either way
+    assert(ModelRegistry.gc(spark, root).isEmpty)
+  }
+
   test("all three model families register, report their kind, and reload bit-equal") {
     val root = Files.createTempDirectory("graft_registry_k").toString
     // LeafBoost: tiny deterministic trainer over the synthetic frame
