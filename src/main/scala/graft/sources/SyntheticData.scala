@@ -78,4 +78,82 @@ object SyntheticData {
     sqrt(lit(-2.0) * log(when(u1 <= 0, 1e-12).otherwise(u1))) *
       cos(lit(2.0 * math.Pi) * u2)
   }
+
+  /** uniform(0,1) from (id, salt-COLUMN) — the lambda-friendly form of
+    * [[u]] (a per-element salt must be a Column, not an Int). */
+  private def uc(salt: Column) =
+    (shiftrightunsigned(xxhash64(col("id"), salt), 11).cast("double")
+      / lit(9007199254740992.0))
+
+  /** n MIXTURE-OF-CLUSTERS embeddings (round-16 verdict "Missing #4":
+    * the driver corpus is Gaussian/isotropic, so IVF cell-recall,
+    * SemDeDup, and the OPQ rotation tiers never see discriminating
+    * geometry — OPQ-P saturates at recall 1.000 everywhere and q157/
+    * q159 must plant anisotropy by hand). Geometry: `k` seeded cluster
+    * centers; each cluster draws x = center_c + Σ_j s_j·g_j·v_{c,j}
+    * with its OWN orthonormal principal axes v_{c,·} (Gram-Schmidt on
+    * seeded Gaussians) and a long/short axis split (s = 2.5 on dim/8
+    * axes, 0.3 elsewhere) — per-cluster anisotropy in per-cluster
+    * ORIENTATIONS, the geometry a single global rotation provably
+    * cannot align for every cluster at once.
+    *
+    * Determinism: the per-cluster matrices are driver-side constants
+    * of the seed; every per-row draw is a pure function of (id, salt)
+    * via xxhash64 (the S3 discipline) — layout-independent at any
+    * partitioning. Cost note: the matvec is an interpreted
+    * O(dim²)-per-row expression over literal arrays — a FIXTURE
+    * generator for probes and specs, not a hot-path operator (at the
+    * probe's 10⁵ rows it is sub-second; a corpus-scale generator would
+    * stage this as a native expression first). */
+  def clusteredEmbeddings(spark: SparkSession, n: Long, k: Int = 8,
+                          dim: Int = 64, seed: Int = 42): DataFrame = {
+    require(k >= 1 && dim >= 8 && dim % 8 == 0,
+      s"need k >= 1 and dim a positive multiple of 8: k=$k dim=$dim")
+    // amplitude budget: every component must stay inside Pca.fit's
+    // fixed-point range (|x| < 2). Center components are N(0, 0.35²)
+    // (512 draws — a 3.5σ outlier is ~1.2) and the noise sum per output
+    // dim is N(0, ~0.13²) (a 5σ tail over 4M draws is ~0.66), so |x|
+    // stays under ~1.9 without clipping that would distort the geometry
+    val rnd = new scala.util.Random(seed.toLong * 1000003L + 17L)
+    val centers = Array.fill(k, dim)(rnd.nextGaussian() * 0.35)
+    // per-cluster M[o][j] = s_j · v_j[o]: x = center + M · g
+    val mats: Array[Array[Array[Double]]] = Array.fill(k) {
+      val g = Array.fill(dim, dim)(rnd.nextGaussian())
+      for (i <- 0 until dim) {
+        for (j <- 0 until i) {
+          val d = (0 until dim).map(t => g(i)(t) * g(j)(t)).sum
+          for (t <- 0 until dim) g(i)(t) -= d * g(j)(t)
+        }
+        val nn = math.sqrt(g(i).map(x => x * x).sum)
+        for (t <- 0 until dim) g(i)(t) /= nn
+      }
+      Array.tabulate(dim, dim) { (o, j) =>
+        val s = if (j < dim / 8) 0.35 else 0.05 // 7x long/short anisotropy
+        s * g(j)(o)
+      }
+    }
+    val mLit = typedLit(mats.map(_.map(_.toSeq).toSeq).toSeq)
+    val cLit = typedLit(centers.map(_.toSeq).toSeq)
+    spark.range(n).toDF("id")
+      .withColumn("__c",
+        pmod(xxhash64(col("id"), lit(seed + 21)), lit(k.toLong)).cast("int"))
+      // the Gaussian vector is STAGED once per row — referencing the
+      // Box-Muller expression inside the matvec lambda would re-derive
+      // it per output dimension (the O(n²) interpreted-lambda trap)
+      .withColumn("__g", transform(sequence(lit(0), lit(dim - 1)), j => {
+        val u1 = uc(lit(seed + 100) + j * 2)
+        val u2 = uc(lit(seed + 101) + j * 2)
+        sqrt(lit(-2.0) * log(when(u1 <= 0, 1e-12).otherwise(u1))) *
+          cos(lit(2.0 * math.Pi) * u2)
+      }))
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(1), lit(dim)), o =>
+          (element_at(element_at(cLit, col("__c") + 1), o) +
+            aggregate(sequence(lit(1), lit(dim)), lit(0.0), (acc, j) =>
+              acc + element_at(element_at(
+                element_at(mLit, col("__c") + 1), o), j) *
+                element_at(col("__g"), j)))
+            .cast("float")).as("embedding"),
+        col("__c").as("cluster_id"))
+  }
 }

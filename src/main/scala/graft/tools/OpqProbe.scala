@@ -54,6 +54,48 @@ object OpqProbe {
       println("[opq-probe] perm=" + rot.perm.take(16).mkString(","))
     }
 
+    // ---- round-17 (verdict "Missing #4"): the MIXTURE corpus — k
+    // clusters, each with its own orthonormal principal axes and a
+    // long/short axis split (SyntheticData.clusteredEmbeddings), the
+    // geometry a single global rotation cannot align for every cluster
+    // at once. Raw-PQ vs OPQ-P vs OPQ-NP at identical budgets.
+    val mix = graft.sources.SyntheticData
+      .clusteredEmbeddings(spark, 60000L, k = 8, dim = 64)
+      .select("vec_id", "embedding").cache()
+    mix.count()
+    locally {
+      val qm = mix.filter(col("vec_id") < 20)
+      val exactM = Embeddings.cosineTopK(qm, mix, "vec_id", "vec_id",
+        "embedding", k = 5).select("query_id", "neighbor_id").cache()
+      val nM = exactM.count()
+      def recallM(approx: org.apache.spark.sql.DataFrame): Double =
+        exactM.join(approx.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_semi").count().toDouble / nM
+      def armM(rot: Option[Opq.Rotation]): Double = {
+        val (er, qr) = rot match {
+          case Some(r) => (Opq.rotate(mix, "vec_id", "embedding", r),
+            Opq.rotate(qm, "vec_id", "embedding", r))
+          case None => (mix, qm)
+        }
+        val cb = Pq.train(er, "vec_id", "embedding", m = 8, k = 64)
+        recallM(Pq.searchReranked(Pq.encode(er, "embedding", cb), "vec_id",
+          "embedding", cb, qr, "vec_id", "embedding", shortlist = 50,
+          topK = 5, dropSelf = true))
+      }
+      val rRaw = armM(None)
+      val rotP = Opq.trainRotation(mix, "embedding", dim = 64, m = 8)
+      val rP = armM(Some(rotP))
+      val (rotNP, errsNP) = Opq.trainRotationNP(mix, "vec_id", "embedding",
+        dim = 64, m = 8, k = 64, iters = 8)
+      val rNP = armM(Some(rotNP))
+      println(f"[opq-mix-probe] mixture n=60000 k8/d64 m=8 k=64: " +
+        f"raw=$rRaw%.3f OPQ-P=$rP%.3f OPQ-NP=$rNP%.3f " +
+        f"npErr ${errsNP.head}%.4f -> ${errsNP.last}%.4f " +
+        f"(${(1 - errsNP.last / errsNP.head) * 100}%.1f%% down)")
+      exactM.unpersist()
+    }
+    mix.unpersist()
+
     // ---- round-16 head-to-head (verdict #3): OPQ-P vs OPQ-NP at
     // identical budgets on (a) the axis-aligned planted corpus and
     // (b) the same corpus scrambled by a fixed random orthogonal map —
