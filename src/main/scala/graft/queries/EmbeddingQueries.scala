@@ -42,6 +42,13 @@ object EmbeddingQueries {
   private val mixtureMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q168's build-once sharded serving artifacts: ONE codebook, two
+    * per-node code shards under one registry root (the deployment
+    * layout); registered once per process, every execution reloads and
+    * serves — the q162/q166 amortization doctrine. */
+  private val annShardMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Temp registry dir for the HTTP-serving gates, swept at JVM exit
     * (round-16 verdict #8: repeated batteries accumulated orphan
     * `graft_ann_http*` registries under /tmp — gate-only residue). */
@@ -702,6 +709,93 @@ object EmbeddingQueries {
         .orderBy("model")
     }),
 
+    // SHARDED ANN SERVING (round 17 — the fan-out/merge "layer above"
+    // the r16 verdict noted was missing: q162/q166 served one bounded
+    // shard per name; a fleet answers a query by searching EVERY shard
+    // and merging). Deployment layout: ONE PQ codebook, two per-node
+    // code shards (even/odd ids) under one registry root; the server
+    // holds both shards under ONE name, fans each request out
+    // (LocalAnn.searchSharded) and merges per-shard top-k on the exact
+    // rerank key — correct because every global top-k hit necessarily
+    // ranks inside its own shard's top-k. Gate in the q161/q166 mold:
+    // HTTP results land in a DataFrame and full-outer join against the
+    // Spark-side reference (per-shard Pq.searchReranked, unioned, the
+    // SAME (sim desc, id asc) merge window) — set equality AND
+    // null-safe sim equality derived in-query, plus the exhaustive-
+    // shortlist equivalence to the UNSHARDED index (shortlist ≥ both
+    // shards ⇒ both paths are exact rerank over everything).
+    "q168_ann_sharded" -> ((s, dir) => {
+      import s.implicits._
+      val root = annShardMemo.computeIfAbsent(dir, _ => {
+        val e = Tables.embeddings(s, dir).filter(col("vec_id") < 50000)
+        val cb = graft.operators.Pq.train(e, "vec_id", "embedding", m = 8, k = 64)
+        val enc = graft.operators.Pq.encode(
+          e.select("vec_id", "embedding"), "embedding", cb).cache()
+        val reg = tempRegistryDir("graft_ann_shard")
+        graft.serve.ModelRegistry.registerPq(s, reg, "ann_s0", cb,
+          Some(enc.filter(col("vec_id") % 2 === 0)))
+        graft.serve.ModelRegistry.registerPq(s, reg, "ann_s1", cb,
+          Some(enc.filter(col("vec_id") % 2 === 1)))
+        enc.unpersist()
+        reg
+      })
+      val cb = graft.serve.ModelRegistry.loadPq(s, root, "ann_s0")
+      val codes0 = graft.serve.ModelRegistry.loadPqCodes(s, root, "ann_s0")
+      val codes1 = graft.serve.ModelRegistry.loadPqCodes(s, root, "ann_s1")
+      val q = Tables.embeddings(s, dir).filter(col("vec_id") < 20)
+      // Spark-side reference: per-shard search, then the SAME merge key
+      def shardRes(codes: org.apache.spark.sql.DataFrame) =
+        graft.operators.Pq.searchReranked(codes, "vec_id", "embedding", cb,
+          q, "vec_id", "embedding", shortlist = 50, topK = 5, dropSelf = true)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(desc("sim"), col("neighbor_id"))
+      val sparkSide = shardRes(codes0).unionByName(shardRes(codes1))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("query_id"), col("neighbor_id"), col("sim").as("ssim"))
+      val s0 = graft.serve.LocalAnn.load(s, root, "ann_s0")
+      val s1 = graft.serve.LocalAnn.load(s, root, "ann_s1")
+      val queries = q.select(col("vec_id"), col("embedding")).collect()
+        .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]](1).toArray)
+        .sortBy(_._1).toSeq
+      val resp = graft.serve.HttpApi.annSearchGroupsOverHttp(
+        queries.map { case (qid, v) => ("ann_pq", qid, v) },
+        Seq(("ann_pq", Seq(s0, s1))),
+        shortlistOf = Map("ann_pq" -> 50), topK = 5)
+      val shardsOk = resp.forall(_.path("shards").asInt == 2)
+      val httpSide = resp.flatMap { o =>
+        val qid = o.path("query_id").asLong
+        val rs = o.path("results")
+        (0 until rs.size()).map { i =>
+          val sim = rs.get(i).path("sim")
+          (qid, rs.get(i).path("neighbor_id").asLong,
+            if (sim.isNull || sim.isMissingNode) None else Some(sim.asDouble))
+        }
+      }.toDF("query_id", "neighbor_id", "hsim")
+      // exhaustive-shortlist equivalence: sharded ≡ unsharded when the
+      // per-shard budget covers both shards (both are full exact rerank)
+      val exhaustiveOk = {
+        val qhead = queries.take(5)
+        val full = graft.serve.LocalAnn.Index(s0.name, s0.family, s0.rot,
+          s0.cb, s0.ids ++ s1.ids, s0.vecs ++ s1.vecs, s0.codes ++ s1.codes,
+          Array.empty, Array.empty)
+        qhead.forall { case (qid, v) =>
+          graft.serve.LocalAnn.searchSharded(Seq(s0, s1), qid, v, 100000, 5) ==
+            graft.serve.LocalAnn.search(full, qid, v, 100000, 5)
+        }
+      }
+      sparkSide.join(httpSide, Seq("query_id", "neighbor_id"), "full_outer")
+        .agg(count_distinct(col("query_id")).as("n_queries"),
+          count(lit(1)).cast("long").as("n_results"),
+          (sum(when(col("ssim").isNull =!= col("hsim").isNull, 1L)
+            .otherwise(0L)) === 0).as("sets_match"),
+          (sum(when(col("ssim") <=> col("hsim"), 0L).otherwise(1L)) === 0)
+            .as("sims_bit_equal"))
+        .select(col("n_queries"), col("n_results"), col("sets_match"),
+          col("sims_bit_equal"), lit(shardsOk).as("shards_ok"),
+          lit(exhaustiveOk).as("exhaustive_eq_ok"))
+    }),
+
     // EXACT COVARIANCE GATE (round 14, PCA tier): the distributed
     // fixed-point gram pass behind Pca.fit, exposed as the leading 8×8
     // corner of the 64×64 population covariance. Every emitted double
@@ -822,6 +916,17 @@ object EmbeddingQueries {
       """SELECT CAST(20 AS BIGINT) AS n_queries, CAST(100 AS BIGINT) AS n_exact,
         | TRUE AS raw_band_ok, TRUE AS p_gt_raw, TRUE AS np_gt_p,
         | TRUE AS np_err_down""".stripMargin,
+
+    // q161/q166 mold: the HTTP-vs-Spark equality flags are derived
+    // in-query from the full-outer join; DuckDB pins the query
+    // inventory and the exact 5-per-query merged cardinality (a
+    // one-sided row breaks n_results)
+    "q168_ann_sharded" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        | CAST(5 * count(*) AS BIGINT) AS n_results,
+        | TRUE AS sets_match, TRUE AS sims_bit_equal,
+        | TRUE AS shards_ok, TRUE AS exhaustive_eq_ok
+        |FROM embeddings WHERE vec_id < 20""".stripMargin,
 
     // q161 mold, per served family: the HTTP-vs-Spark equality flags
     // are DERIVED in-query (full-outer join over both result frames),

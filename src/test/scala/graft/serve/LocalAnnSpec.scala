@@ -260,4 +260,87 @@ class LocalAnnSpec extends SparkSpec {
       assert(mapper.readTree(inv.body()).path("total_loaded").asInt == 2)
     } finally server.stop()
   }
+
+  test("sharded fan-out/merge (round 17): one shard is search() verbatim; " +
+    "a 2-shard split merges to the per-shard-top-k union's top-k; HTTP " +
+    "serves the group under one name") {
+    val cb = Pq.train(corpus, "vec_id", "embedding", m = 2, k = 8)
+    val encAll = Pq.encode(corpus.select("vec_id", "embedding"), "embedding", cb)
+    val root = java.nio.file.Files.createTempDirectory("graft_lann_shard").toString
+    // one codebook, per-node code shards — the deployment layout
+    ModelRegistry.registerPq(spark, root, "all", cb, Some(encAll))
+    ModelRegistry.registerPq(spark, root, "s0", cb,
+      Some(encAll.filter($"vec_id" % 2 === 0)))
+    ModelRegistry.registerPq(spark, root, "s1", cb,
+      Some(encAll.filter($"vec_id" % 2 === 1)))
+    val all = LocalAnn.load(spark, root, "all")
+    val s0 = LocalAnn.load(spark, root, "s0")
+    val s1 = LocalAnn.load(spark, root, "s1")
+    // single-shard group ≡ plain search, bit for bit
+    val q0 = corpus.filter($"vec_id" === 0).collect().head
+      .getAs[scala.collection.Seq[Float]](1).toArray
+    assert(LocalAnn.searchSharded(Seq(all), 0L, q0, 20, 5) ==
+      LocalAnn.search(all, 0L, q0, 20, 5))
+    // shortlist ≥ corpus: both paths are exact rerank over everything —
+    // the 2-shard merge must equal the single index bit for bit
+    val qs = queries.collect().map(r =>
+      r.getLong(0) -> r.getAs[scala.collection.Seq[Float]](1).toArray)
+    for ((qid, v) <- qs) {
+      val single = LocalAnn.search(all, qid, v, 200, 5)
+      val merged = LocalAnn.searchSharded(Seq(s0, s1), qid, v, 200, 5)
+      assert(merged == single, s"query $qid: exhaustive-shortlist shard " +
+        "merge must equal the single index")
+    }
+    // tight shortlist: the sharded per-shard budget reranks a SUPERSET —
+    // recall vs the exact top-5 can only meet or beat the single index
+    val exact = Embeddings.cosineTopK(queries, corpus, "vec_id", "vec_id",
+        "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(f: (Long, Array[Float]) => Seq[LocalAnn.Hit]): Double =
+      qs.flatMap { case (qid, v) => f(qid, v).map(h => (qid, h.neighborId)) }
+        .count(exact.contains).toDouble / exact.size
+    val rSingle = recall(LocalAnn.search(all, _, _, 6, 5))
+    val rSharded = recall(LocalAnn.searchSharded(Seq(s0, s1), _, _, 6, 5))
+    assert(rSharded >= rSingle,
+      s"sharded recall $rSharded must meet or beat single-index $rSingle")
+    // HTTP: the group serves under ONE name, fans out, reports shards
+    val server = HttpApi.start(annShards = Seq(("pq", Seq(s0, s1))))
+    try {
+      val req = mapper.createObjectNode()
+      req.put("query_id", 0L)
+      val arr = req.putArray("embedding"); q0.foreach(arr.add)
+      req.put("shortlist", 200); req.put("top_k", 5)
+      val r = client.send(
+        HttpRequest.newBuilder(
+            URI.create(s"http://127.0.0.1:${server.port}/ann/search"))
+          .header("Content-Type", "application/json")
+          .POST(HttpRequest.BodyPublishers.ofString(
+            mapper.writeValueAsString(req))).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 200)
+      val o = mapper.readTree(r.body())
+      assert(o.path("shards").asInt == 2)
+      val got = (0 until o.path("results").size()).map(i =>
+        (o.path("results").get(i).path("neighbor_id").asLong,
+          java.lang.Double.doubleToLongBits(
+            o.path("results").get(i).path("sim").asDouble)))
+      val want = LocalAnn.searchSharded(Seq(s0, s1), 0L, q0, 200, 5)
+        .map(h => (h.neighborId, java.lang.Double.doubleToLongBits(h.sim)))
+      assert(got == want)
+      // /models reports the group size as the shard sum
+      val inv = mapper.readTree(client.send(
+        HttpRequest.newBuilder(
+            URI.create(s"http://127.0.0.1:${server.port}/models")).GET().build(),
+        HttpResponse.BodyHandlers.ofString()).body())
+      assert(inv.path("models").path("pq").path("size").asInt == 160)
+      assert(inv.path("models").path("pq").path("shards").asInt == 2)
+    } finally server.stop()
+    // a mixed-family group must fail at startup, not per request
+    val ivf = Ivf.build(corpus, "vec_id", "embedding", nLists = 4)
+    ModelRegistry.registerIvf(spark, root, "ivf", ivf)
+    val ivfIdx = LocalAnn.load(spark, root, "ivf")
+    intercept[IllegalArgumentException] {
+      HttpApi.start(annShards = Seq(("bad", Seq(s0, ivfIdx))))
+    }
+  }
 }
