@@ -717,8 +717,17 @@ object CurationQueries {
         graft.operators.TextOps.nTokens(col("text")).cast("long").as("n_tokens"),
         qz(graft.operators.TextOps.hitCount(col("text"), stop).cast("double") /
           graft.operators.TextOps.nTokens(col("text")), 6).as("stop_ratio"))
-      val lm = graft.operators.LangModel.bigramLogprob(
-          planted, "doc_id", "text", lambda = 0.75)
+      // round 17 (the r16 verdict's completion of this query): the LM
+      // floor is now fed by the PER-LANGUAGE LM (q165's operator) — the
+      // thresholds were already bucketed per language, but fluency
+      // itself was still scored under the majority-trained global LM;
+      // Wenzek et al. bucket BOTH. Same predicted-language column
+      // drives the scoring bucket and the floor bucket.
+      val lm = graft.operators.LangModel.bigramLogprobByLang(
+          planted.select(col("doc_id"),
+            graft.operators.TextOps.predictLang(col("text")).as("lang"),
+            col("text")),
+          "doc_id", "text", "lang", lambda = 0.75)
         .select(col("doc_id"), col("avg_logprob"))
       val span = graft.operators.Dedup.spanCoverage(planted, "doc_id", "text", n = 8)
         .select(col("doc_id"),
@@ -1486,23 +1495,25 @@ object CurationQueries {
         |   / len(toks)) * 1000000.0) / 1000000.0 + 0.0 AS stop_ratio
         | FROM t),
         |bgz AS (
-        | SELECT doc_id,
+        | SELECT t.doc_id, lg.lang,
         |  unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS z
-        | FROM t),
-        |b AS MATERIALIZED (SELECT doc_id, z[1] AS w1, z[2] AS w2 FROM bgz),
-        |c12 AS MATERIALIZED (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY w1, w2),
-        |c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY w1),
-        |tok AS MATERIALIZED (SELECT unnest(toks) AS w2 FROM t),
-        |u AS (SELECT w2, count(*) AS u2 FROM tok GROUP BY w2),
-        |n AS (SELECT count(*) AS t FROM tok),
+        | FROM t JOIN lg ON t.doc_id = lg.doc_id),
+        |b AS MATERIALIZED (SELECT doc_id, lang, z[1] AS w1, z[2] AS w2 FROM bgz),
+        |c12 AS MATERIALIZED (SELECT lang, w1, w2, count(*) AS c12 FROM b GROUP BY lang, w1, w2),
+        |c1 AS (SELECT lang, w1, sum(c12) AS c1 FROM c12 GROUP BY lang, w1),
+        |tok AS MATERIALIZED (
+        | SELECT lg.lang, unnest(toks) AS w2
+        | FROM t JOIN lg ON t.doc_id = lg.doc_id),
+        |u AS (SELECT lang, w2, count(*) AS u2 FROM tok GROUP BY lang, w2),
+        |n AS (SELECT lang, count(*) AS t FROM tok GROUP BY lang),
         |sc AS (
         | SELECT b.doc_id,
         |  CAST(round(ln(0.75 * (CAST(c12.c12 AS DOUBLE) / c1.c1)
         |    + 0.25 * (CAST(u.u2 AS DOUBLE) / n.t)) * 1000000.0) AS BIGINT) AS ls
-        | FROM b JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
-        |  JOIN c1 ON b.w1 = c1.w1
-        |  JOIN u ON b.w2 = u.w2
-        |  CROSS JOIN n),
+        | FROM b JOIN c12 ON b.lang = c12.lang AND b.w1 = c12.w1 AND b.w2 = c12.w2
+        |  JOIN c1 ON b.lang = c1.lang AND b.w1 = c1.w1
+        |  JOIN u ON b.lang = u.lang AND b.w2 = u.w2
+        |  JOIN n ON b.lang = n.lang),
         |lm AS (
         | SELECT doc_id, sum(ls) / 1000000.0 / count(*) + 0.0 AS avg_logprob
         | FROM sc GROUP BY doc_id),
