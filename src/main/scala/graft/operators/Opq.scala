@@ -159,7 +159,37 @@ object Opq {
     refineNP(sample, seedRot, m, k, iters, seed)
   }
 
-  /** The driver-side alternation (exposed for OpqSpec). */
+  /** Fixed chunking for the driver-side parallel loops: 32 contiguous
+    * row ranges REGARDLESS of host core count, partials combined in
+    * chunk order — so every sum has one fixed association and the
+    * refined rotation is bit-reproducible on any machine (the
+    * determinism contract OpqSpec pins). 32 ≈ the local[32] benchmark
+    * budget; more chunks would only fragment the ~16 K-row sample. */
+  private val NpChunks = 32
+
+  /** Run f over [0,n) split into [[NpChunks]] contiguous ranges on the
+    * common pool; per-chunk results return IN CHUNK ORDER. */
+  private def parChunks[T](n: Int)(f: (Int, Int) => T)(
+      implicit ct: scala.reflect.ClassTag[T]): Array[T] = {
+    val bounds = (0 to NpChunks).map(c => ((c.toLong * n) / NpChunks).toInt)
+    val out = new Array[T](NpChunks)
+    val tasks = (0 until NpChunks).map { c =>
+      java.util.concurrent.CompletableFuture.runAsync(() => {
+        out(c) = f(bounds(c), bounds(c + 1))
+      })
+    }
+    tasks.foreach(_.join())
+    out
+  }
+
+  /** The driver-side alternation (exposed for OpqSpec). Inner loops
+    * (rotate / codebook refit / quantize / Procrustes gram) parallelize
+    * over [[NpChunks]] fixed row ranges or the m subspaces — round-17
+    * perf: the sequential alternation was ~4 s of single-core work per
+    * call at the 16 K × 64 sample (8 iters ≈ 4 G flops) while 31 cores
+    * idled; same fixed-order reductions, so results stay deterministic
+    * per host-independent chunking (floating association is FIXED by
+    * the chunk grid, not by core count). */
   private[operators] def refineNP(xs: Array[Array[Double]], seedRot: Rotation,
                                   m: Int, k: Int, iters: Int,
                                   seed: Long): (Rotation, Array[Double]) = {
@@ -172,49 +202,69 @@ object Opq {
     val ys = Array.ofDim[Double](n, d)
     val yhat = Array.ofDim[Double](n, d)
     for (it <- 0 until iters) {
-      // 1. rotate the sample: y = R x
-      var i = 0
-      while (i < n) {
-        var o = 0
-        while (o < d) {
-          val w = r(o); var s = 0.0; var j = 0
-          while (j < d) { s += w(j) * xs(i)(j); j += 1 }
-          ys(i)(o) = s; o += 1
-        }
-        i += 1
-      }
-      // 2. codebooks: k-means++ cold on iter 0, warm Lloyd after
-      centers = Array.tabulate(m) { j =>
-        val pts = ys.map(y => java.util.Arrays.copyOfRange(y, j * sub, (j + 1) * sub))
-        if (it == 0)
-          Pq.localKMeans(pts.map(_.map(_.toFloat)), k, maxIter = 12, seed + j)
-            .map(_.map(_.toDouble))
-        else lloyd(pts, centers(j), iters = 4)
-      }
-      // 3. quantize + measure the objective
-      var err = 0.0
-      i = 0
-      while (i < n) {
-        var j = 0
-        while (j < m) {
-          val cs = centers(j)
-          var best = 0; var bd = Double.MaxValue
-          var c = 0
-          while (c < cs.length) {
-            var sdist = 0.0; var t = 0
-            while (t < sub) {
-              val dv = ys(i)(j * sub + t) - cs(c)(t); sdist += dv * dv; t += 1
-            }
-            if (sdist < bd) { bd = sdist; best = c }
-            c += 1
+      // 1. rotate the sample: y = R x (independent row writes)
+      val rNow = r
+      parChunks(n) { (lo, hi) =>
+        var i = lo
+        while (i < hi) {
+          var o = 0
+          while (o < d) {
+            val w = rNow(o); var s = 0.0; var j = 0
+            while (j < d) { s += w(j) * xs(i)(j); j += 1 }
+            ys(i)(o) = s; o += 1
           }
-          err += bd
-          var t = 0
-          while (t < sub) { yhat(i)(j * sub + t) = centers(j)(best)(t); t += 1 }
-          j += 1
+          i += 1
         }
-        i += 1
       }
+      // 2. codebooks: k-means++ cold on iter 0, warm Lloyd after —
+      // the m subspace fits are independent tasks
+      val prev = centers
+      val next = new Array[Array[Array[Double]]](m)
+      val fitTasks = (0 until m).map { j =>
+        java.util.concurrent.CompletableFuture.runAsync(() => {
+          val pts = ys.map(y =>
+            java.util.Arrays.copyOfRange(y, j * sub, (j + 1) * sub))
+          next(j) =
+            if (it == 0)
+              Pq.localKMeans(pts.map(_.map(_.toFloat)), k, maxIter = 12, seed + j)
+                .map(_.map(_.toDouble))
+            else lloyd(pts, prev(j), iters = 4)
+        })
+      }
+      fitTasks.foreach(_.join())
+      centers = next
+      // 3. quantize + measure the objective: yhat rows are independent
+      // writes; err sums per chunk, chunk partials combined in order
+      val cNow = centers
+      val errParts = parChunks(n) { (lo, hi) =>
+        var part = 0.0
+        var i = lo
+        while (i < hi) {
+          var j = 0
+          while (j < m) {
+            val cs = cNow(j)
+            var best = 0; var bd = Double.MaxValue
+            var c = 0
+            while (c < cs.length) {
+              var sdist = 0.0; var t = 0
+              while (t < sub) {
+                val dv = ys(i)(j * sub + t) - cs(c)(t); sdist += dv * dv; t += 1
+              }
+              if (sdist < bd) { bd = sdist; best = c }
+              c += 1
+            }
+            part += bd
+            var t = 0
+            while (t < sub) { yhat(i)(j * sub + t) = cNow(j)(best)(t); t += 1 }
+            j += 1
+          }
+          i += 1
+        }
+        part
+      }
+      var err = 0.0
+      var ci = 0
+      while (ci < errParts.length) { err += errParts(ci); ci += 1 }
       errs(it) = err
       // 4. Procrustes update (skipped after the last measurement — the
       // deployed codebooks are retrained on the full rotated corpus, so
@@ -267,20 +317,35 @@ object Opq {
   private[operators] def procrustes(xs: Array[Array[Double]],
                                     yhat: Array[Array[Double]],
                                     d: Int): Array[Array[Double]] = {
-    // M[j][o] = Σ_i x_i[j] · ŷ_i[o]
+    // M[j][o] = Σ_i x_i[j] · ŷ_i[o] — per-chunk d×d partials combined
+    // in chunk order (the refineNP fixed-association discipline)
+    val mmParts = parChunks(xs.length) { (lo, hi) =>
+      val part = Array.ofDim[Double](d, d)
+      var i = lo
+      while (i < hi) {
+        var j = 0
+        while (j < d) {
+          val xj = xs(i)(j)
+          if (xj != 0.0) {
+            var o = 0
+            while (o < d) { part(j)(o) += xj * yhat(i)(o); o += 1 }
+          }
+          j += 1
+        }
+        i += 1
+      }
+      part
+    }
     val mm = Array.ofDim[Double](d, d)
-    var i = 0
-    while (i < xs.length) {
+    var ci = 0
+    while (ci < mmParts.length) {
       var j = 0
       while (j < d) {
-        val xj = xs(i)(j)
-        if (xj != 0.0) {
-          var o = 0
-          while (o < d) { mm(j)(o) += xj * yhat(i)(o); o += 1 }
-        }
+        var o = 0
+        while (o < d) { mm(j)(o) += mmParts(ci)(j)(o); o += 1 }
         j += 1
       }
-      i += 1
+      ci += 1
     }
     // MᵀM (symmetric PSD) → eigenvectors v_i, eigenvalues s_i²
     val mtm = Array.ofDim[Double](d, d)

@@ -65,12 +65,22 @@ object Pq {
     val dim = sample(0).length
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
     val subDim = dim / m
-    val centers = Array.tabulate(m) { j =>
-      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, j * subDim, (j + 1) * subDim))
-      // distinct seed per subspace — identical seeds would correlate
-      // the k-means++ draws across subspaces on structured data
-      localKMeans(sub, k, maxIter, seed + j)
+    // the m subspace fits are INDEPENDENT driver tasks (own seed, own
+    // slice, no shared reduction) — run them concurrently (round-17
+    // perf: sequential fits left 31 cores idle for ~1 s per train call
+    // at m=8 × k=256; results are bit-identical to the sequential loop
+    // because nothing crosses subspaces)
+    val centers = new Array[Array[Array[Float]]](m)
+    val fits = (0 until m).map { j =>
+      java.util.concurrent.CompletableFuture.runAsync(() => {
+        val sub = sample.map(v =>
+          java.util.Arrays.copyOfRange(v, j * subDim, (j + 1) * subDim))
+        // distinct seed per subspace — identical seeds would correlate
+        // the k-means++ draws across subspaces on structured data
+        centers(j) = localKMeans(sub, k, maxIter, seed + j)
+      })
     }
+    fits.foreach(_.join())
     Codebooks(centers, m, k, dim)
   }
 
