@@ -472,7 +472,7 @@ object Pq {
     * is rounded to 1e-6 BEFORE ranking — cosineTopK's canonical ranking
     * semantic, so full-shortlist PQ+R reproduces brute force bit-for-bit
     * (PqSpec machinery proof) instead of diverging on sub-µ ties. */
-  private def rerank(cands: DataFrame, corpus: DataFrame, id: String,
+  private[operators] def rerank(cands: DataFrame, corpus: DataFrame, id: String,
                      vec: String, queries: DataFrame, qid: String,
                      qvec: String, topK: Int): DataFrame = {
     val qv = broadcast(
@@ -510,6 +510,28 @@ object Pq {
     rerank(
       adcSearch(encoded, id, cb, queries, qid, qvec, shortlist, dropSelf),
       encoded, id, vec, queries, qid, qvec, topK)
+
+  /** Attribute-FILTERED ANN search (round 17 — the FAISS-IDSelector /
+    * vector-DB metadata-filter semantics, `LocalAnn.search(allow=...)`'s
+    * batch twin): top-k of the corpus rows satisfying `pred`, found by
+    * restricting the candidate scan BEFORE the ADC shortlist is taken.
+    * The composition is deliberately just `encoded.filter(pred)` ahead
+    * of [[searchReranked]] — the declarative form Catalyst pushes to
+    * the codes scan (partition pruning / row-group skipping at scale),
+    * which is exactly what hand-scheduled pre-filtering would do. It
+    * exists as a named operator because the SEMANTICS are the point:
+    * post-filtering an UNFILTERED top-k (the naive composition) loses
+    * every admissible hit past rank k, while this returns the true
+    * top-k of the filtered corpus; with an exhaustive shortlist it is
+    * bit-identical to brute force over the filtered rows (the q169
+    * gate replays both arithmetics in the oracle). */
+  def searchRerankedFiltered(encoded: DataFrame, pred: org.apache.spark.sql.Column,
+                             id: String, vec: String,
+                             cb: Codebooks, queries: DataFrame,
+                             qid: String, qvec: String, shortlist: Int, topK: Int,
+                             dropSelf: Boolean = false): DataFrame =
+    searchReranked(encoded.filter(pred), id, vec, cb, queries, qid, qvec,
+      shortlist, topK, dropSelf)
 
   /** IVF × PQ composition — the billion-scale shape (FAISS IndexIVFPQ's
     * coarse structure): the coarse quantizer prunes the scan to the

@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.NativeVector
+
+/** SQ8 scalar quantization — the remaining classic compression tier of
+  * the ANN family (FAISS `ScalarQuantizer` QT_8bit semantics, Jégou et
+  * al.'s baseline next to PQ): each DIMENSION is affinely quantized to
+  * one byte against its own corpus-wide [min, max] range. 4× smaller
+  * than raw float32 (vs PQ's ~32×) with far higher reconstruction
+  * fidelity — the tier a deployment reaches for when PQ's recall at a
+  * tight shortlist isn't enough but raw floats don't fit in RAM.
+  *
+  * Everything is EXACT and layout-independent by construction, so the
+  * whole train+encode arithmetic is cross-engine replayable (the q170
+  * oracle recomputes per-dim ranges and per-dim code sums in DuckDB):
+  *  - train = per-dim min/max — exact order statistics, one scan, no
+  *    float-accumulation order sensitivity at any partitioning;
+  *  - encode: code_i = round(255 · (x_i − mn_i) / (mx_i − mn_i)) in
+  *    DOUBLE arithmetic (Spark `round` = BigDecimal HALF_UP; the value
+  *    is non-negative so DuckDB's half-away-from-zero agrees bit for
+  *    bit), degenerate dims (mx == mn) code to 0;
+  *  - decode: x̂_i = mn_i + code_i · (mx_i − mn_i) / 255, double.
+  *
+  * Search is decode-and-scan (FAISS's flat-SQ shape): the approximate
+  * cosine over reconstructed vectors prunes the corpus to `shortlist`
+  * candidates per query, exact cosine re-ranks only those — same
+  * deployment contract as [[Pq.searchReranked]], so an exhaustive
+  * shortlist reproduces brute force bit-for-bit. Scale: codes are the
+  * only corpus-sized column the scan touches (4× less IO than floats;
+  * at 100 TB the float vectors stay cold until the rerank reads the
+  * shortlist rows), and the scan composes with [[Ivf]] cell pruning
+  * exactly like PQ (probe first, decode only probed cells) when a flat
+  * scan is too much — the IVF,SQ8 index of the FAISS taxonomy.
+  */
+object Sq {
+
+  /** Per-dimension quantization ranges (floats exactly as aggregated —
+    * they round-trip parquet bit-identically; arithmetic widens to
+    * double at use). */
+  final case class Quantizer(mins: Array[Float], maxs: Array[Float]) {
+    def dim: Int = mins.length
+    private[operators] def spans: Array[Double] =
+      Array.tabulate(dim)(i => (maxs(i).toDouble - mins(i).toDouble) / 255.0)
+  }
+
+  /** Fit per-dim [min, max] over every corpus row of exact width `dim`
+    * (one codegen'd scan, 2·dim partial aggregates — KiB of state; rows
+    * of any other width are ignored here and park at [[encode]]).
+    * Non-finite values are the caller's contract breach, same as
+    * [[Pq.train]]'s convention. */
+  def train(df: DataFrame, vec: String, dim: Int): Quantizer = {
+    val v = col(vec)
+    val ok = df.filter(size(v) === dim).select(v.as("v"))
+    val aggs = (0 until dim).flatMap { i =>
+      Seq(min(element_at(col("v"), i + 1)).as(s"mn$i"),
+        max(element_at(col("v"), i + 1)).as(s"mx$i"))
+    }
+    val r = ok.agg(aggs.head, aggs.tail: _*).head()
+    require(!r.isNullAt(0), s"Sq.train: no rows of width $dim in $vec")
+    Quantizer(
+      Array.tabulate(dim)(i => r.getFloat(2 * i)),
+      Array.tabulate(dim)(i => r.getFloat(2 * i + 1)))
+  }
+
+  private def minsLit(q: Quantizer): Column =
+    array(q.mins.map(m => lit(m.toDouble)): _*)
+  private def spansLit(q: Quantizer): Column =
+    array(q.spans.map(lit(_)): _*)
+
+  /** Append `sq_codes` (array<int>, one byte-range code per dim).
+    * Rows with the wrong width park as null codes (never ranked, the
+    * [[Pq.encode]] parking convention). The two zip_with lambdas do
+    * only per-element literal-array arithmetic — nothing expensive is
+    * re-evaluated per element (the round-2 lambda doctrine). */
+  def encode(df: DataFrame, vec: String, q: Quantizer): DataFrame = {
+    val v = col(vec)
+    val centered = zip_with(v, minsLit(q), (x, mn) => x.cast("double") - mn)
+    val codes = zip_with(centered, spansLit(q), (d, sp) =>
+      when(sp > 0d,
+        least(greatest(round(d / sp), lit(0d)), lit(255d)).cast("int"))
+        .otherwise(lit(0)))
+    df.withColumn("sq_codes", when(size(v) === q.dim, codes))
+  }
+
+  /** Reconstructed vector (array<double>) from `sq_codes` — the scan
+    * side of decode-and-scan search, also exposed for fidelity checks
+    * (SqSpec pins reconstruction error ≤ half a quantization step per
+    * dim). */
+  def decodeCol(codes: Column, q: Quantizer): Column =
+    zip_with(zip_with(codes, spansLit(q), (c, sp) => c.cast("double") * sp),
+      minsLit(q), (x, mn) => x + mn)
+
+  /** Decode-and-scan shortlist + EXACT re-rank (the [[Pq.searchReranked]]
+    * deployment contract on SQ8 codes): approximate cosine over the
+    * reconstructed corpus ranks a `shortlist` per query (approx desc,
+    * id asc — deterministic), exact cosine re-scores only those and
+    * keeps `topK` with the canonical (sim desc, id asc) ranking. An
+    * exhaustive shortlist therefore reproduces [[Embeddings.cosineTopK]]
+    * bit-for-bit (every emitted sim is exact either way). The decoded
+    * column is STAGED and the pruned frame persisted before the query
+    * join (the round-9 expression-cliff doctrine). */
+  def searchReranked(encoded: DataFrame, id: String, vec: String,
+                     q: Quantizer, queries: DataFrame,
+                     qid: String, qvec: String, shortlist: Int, topK: Int,
+                     dropSelf: Boolean = false): DataFrame = {
+    NativeVector.register(encoded.sparkSession)
+    val corpus = encoded
+      .select(col(id).as("neighbor_id"),
+        decodeCol(col("sq_codes"), q).as("__dec"))
+      .filter(col("__dec").isNotNull)
+      .persist()
+    try {
+      val qv = broadcast(queries.select(col(qid).cast("long").as("query_id"),
+        col(qvec).as("__qv")))
+      val paired = corpus.crossJoin(qv)
+      val scored = (if (dropSelf) paired.filter(col("neighbor_id") =!= col("query_id"))
+                    else paired)
+        .withColumn("__approx", NativeVector.cosine(col("__qv"), col("__dec")))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("__approx").desc_nulls_last, col("neighbor_id").asc)
+      val cands = scored.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= shortlist)
+        .select("query_id", "neighbor_id")
+      // exact re-rank touches shortlist·|queries| float rows only
+      Pq.rerank(cands, encoded, id, vec, queries, qid, qvec, topK)
+    } finally { corpus.unpersist(); () }
+  }
+
+  /** Persist the quantizer + codes as a registry-shaped artifact
+    * (`sq_meta` ranges + the caller's codes frame via
+    * [[Pq.saveCodes]]'s layout discipline). */
+  def save(spark: SparkSession, q: Quantizer, path: String): Unit = {
+    import spark.implicits._
+    q.mins.indices.map(i => (i, q.mins(i), q.maxs(i)))
+      .toDF("dim", "mn", "mx")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/sq_meta")
+  }
+
+  /** Load ranges written by [[save]]; bit-identical encode/search. */
+  def load(spark: SparkSession, path: String): Quantizer = {
+    val rows = spark.read.parquet(s"$path/sq_meta")
+      .select("dim", "mn", "mx").collect().sortBy(_.getInt(0))
+    require(rows.nonEmpty, s"no sq_meta table at $path")
+    Quantizer(rows.map(_.getFloat(1)), rows.map(_.getFloat(2)))
+  }
+}

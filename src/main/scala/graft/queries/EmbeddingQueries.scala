@@ -49,6 +49,14 @@ object EmbeddingQueries {
   private val annShardMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q169's build-once filtered-serving artifact: PQ codebooks + a
+    * codes table carrying the `label` attribute column register ONCE
+    * per process; every execution pays the deployment shape — reload,
+    * serve with an attribute filter, compare against the exact filtered
+    * brute force. */
+  private val annFilterMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Temp registry dir for the HTTP-serving gates, swept at JVM exit
     * (round-16 verdict #8: repeated batteries accumulated orphan
     * `graft_ann_http*` registries under /tmp — gate-only residue). */
@@ -796,6 +804,136 @@ object EmbeddingQueries {
           lit(exhaustiveOk).as("exhaustive_eq_ok"))
     }),
 
+    // ATTRIBUTE-FILTERED ANN SEARCH (round 17 — the FAISS-IDSelector /
+    // vector-DB metadata-filter semantics, batch AND serving): the PQ
+    // artifact's codes table carries a `label` attribute; search
+    // restricts candidates to label ∈ {2, 7} (~20% of the corpus)
+    // BEFORE the shortlist is taken (pre-filtering), so the result is
+    // the true top-k OF THE FILTERED CORPUS. This gate is the battery's
+    // STRONGEST oracle form for the serving tier: with an exhaustive
+    // shortlist the filtered search ≡ exact filtered brute force, so
+    // the emitted (query_id, neighbor_id, sim) rows are REPLAYED
+    // row-for-row in DuckDB (the q74 list_dot_product + round(·1e6)
+    // idiom — no cardinality pins, the actual neighbor sets and sims
+    // hash). Two derived columns ride along: `http_eq` (per-row
+    // null-safe equality of the HTTP-served sim vs the Spark sim, the
+    // q166 full-outer-join mold) and `post_kept` (how many of the
+    // query's exact UNFILTERED top-5 happen to satisfy the filter —
+    // the naive post-filtering yield, also exactly replayed in SQL;
+    // pre-filter always returns 5, post-filter keeps ~1 — the gap IS
+    // the feature's reason to exist, measured per query).
+    "q169_ann_filtered" -> ((s, dir) => {
+      import s.implicits._
+      val root = annFilterMemo.computeIfAbsent(dir, _ => {
+        val e = Tables.embeddings(s, dir).filter(col("vec_id") < 50000)
+        val cb = graft.operators.Pq.train(e, "vec_id", "embedding", m = 8, k = 64)
+        // the codes frame keeps `label` — the attribute rides the
+        // artifact like any other codes column and LocalAnn loads it
+        // via attrCols (the id/vec type resolution skips attr columns)
+        val enc = graft.operators.Pq.encode(
+          e.select("vec_id", "embedding", "label"), "embedding", cb)
+        val reg = tempRegistryDir("graft_ann_filt")
+        graft.serve.ModelRegistry.registerPq(s, reg, "ann_filt", cb, Some(enc))
+        reg
+      })
+      val allowed = Seq(2L, 7L)
+      val cb = graft.serve.ModelRegistry.loadPq(s, root, "ann_filt")
+      val codes = graft.serve.ModelRegistry.loadPqCodes(s, root, "ann_filt")
+      val q = Tables.embeddings(s, dir).filter(col("vec_id") < 20)
+      // PRE arm (Spark): filtered search with an exhaustive shortlist —
+      // every filtered row is reranked exactly, so this IS the filtered
+      // brute force (searchRerankedFiltered's contract)
+      val pre = graft.operators.Pq.searchRerankedFiltered(codes,
+        col("label").isin(allowed: _*), "vec_id", "embedding", cb,
+        q, "vec_id", "embedding", shortlist = 50000, topK = 5,
+        dropSelf = true)
+      // HTTP arm: the same artifact served with attrCols + the request
+      // filter — results must be bit-identical to the Spark arm
+      val idx = graft.serve.LocalAnn.load(s, root, "ann_filt",
+        attrCols = Seq("label"))
+      val queries = q.select(col("vec_id"), col("embedding")).collect()
+        .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]](1).toArray)
+        .sortBy(_._1).toSeq
+      val resp = graft.serve.HttpApi.annSearchOverHttp(queries,
+        ("ann_filt", idx), shortlist = 50000, topK = 5,
+        filter = Map("label" -> allowed))
+      val httpDf = resp.flatMap { o =>
+        val qid = o.path("query_id").asLong
+        val rs = o.path("results")
+        (0 until rs.size()).map { i =>
+          val sim = rs.get(i).path("sim")
+          (qid, rs.get(i).path("neighbor_id").asLong,
+            if (sim.isNull || sim.isMissingNode) None else Some(sim.asDouble))
+        }
+      }.toDF("query_id", "neighbor_id", "hsim")
+      // POST arm: exact unfiltered top-5, then filter — the naive
+      // composition's per-query yield (exactly SQL-replayable)
+      val e = Tables.embeddings(s, dir).filter(col("vec_id") < 50000)
+      val postKept = graft.operators.Embeddings
+        .cosineTopK(q, e, "vec_id", "vec_id", "embedding", k = 5)
+        .join(e.select(col("vec_id").as("neighbor_id"), col("label")),
+          Seq("neighbor_id"))
+        .groupBy("query_id")
+        .agg(sum(when(col("label").isin(allowed: _*), 1L).otherwise(0L))
+          .as("post_kept"))
+      pre.join(httpDf, Seq("query_id", "neighbor_id"), "full_outer")
+        .withColumn("http_eq", col("sim") <=> col("hsim"))
+        .join(postKept, Seq("query_id"), "left")
+        .select(col("query_id"), col("neighbor_id"), col("sim"),
+          col("http_eq"), coalesce(col("post_kept"), lit(0L)).as("post_kept"))
+        .orderBy("query_id", "neighbor_id")
+    }),
+
+    // SQ8 SCALAR QUANTIZATION (round 17 — the remaining classic FAISS
+    // compression tier next to PQ/OPQ/IVF): per-dim affine byte codes,
+    // decode-and-scan shortlist, exact rerank. STRONGEST oracle form
+    // for a quantizer: per-dim (mn, mx, Σcode) rows are recomputed in
+    // DuckDB from the same parquet — the exact order-statistic ranges
+    // AND the full affine round(·) encode arithmetic of every corpus
+    // row hash cross-engine (no cardinality pins). Two derived flags
+    // ride along: recall@5 of the TIGHT-shortlist search vs exact
+    // brute force (floor with real slack), and bit-identity of the
+    // EXHAUSTIVE-shortlist search vs Embeddings.cosineTopK (the
+    // searchReranked contract: every emitted sim is exact, so full
+    // shortlist ≡ brute force bit-for-bit).
+    "q170_sq8_knn" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir).filter(col("vec_id") < 50000)
+      val q = Tables.embeddings(s, dir).filter(col("vec_id") < 20)
+      val qz = graft.operators.Sq.train(e, "embedding", dim = 64)
+      val enc = graft.operators.Sq.encode(
+        e.select("vec_id", "embedding"), "embedding", qz).persist()
+      try {
+        // per-dim Σcode — the hashed value gate on the whole encode
+        // (collected eagerly: 64 rows, the q155 driver-anchor mold)
+        val sums = enc
+          .select(posexplode(col("sq_codes")).as(Seq("dim", "code")))
+          .groupBy("dim").agg(sum(col("code").cast("long")).as("code_sum"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val exact = graft.operators.Embeddings
+          .cosineTopK(q, e, "vec_id", "vec_id", "embedding", k = 5).persist()
+        val tight = graft.operators.Sq.searchReranked(enc, "vec_id",
+          "embedding", qz, q, "vec_id", "embedding",
+          shortlist = 20, topK = 5, dropSelf = true)
+        val recall = tight.join(exact, Seq("query_id", "neighbor_id"),
+          "left_semi").count().toDouble / exact.count()
+        val exhaustive = graft.operators.Sq.searchReranked(enc, "vec_id",
+          "embedding", qz, q, "vec_id", "embedding",
+          shortlist = 50000, topK = 5, dropSelf = true)
+        val bitEq = exhaustive
+          .withColumnRenamed("sim", "xsim")
+          .join(exact.withColumnRenamed("sim", "bsim"),
+            Seq("query_id", "neighbor_id"), "full_outer")
+          .filter(!(col("xsim") <=> col("bsim"))).isEmpty
+        exact.unpersist()
+        qz.mins.indices
+          .map(i => (i, qz.mins(i).toDouble, qz.maxs(i).toDouble, sums(i),
+            recall >= 0.9, bitEq))
+          .toDF("dim", "mn", "mx", "code_sum", "recall_ok", "exhaustive_eq")
+          .orderBy("dim")
+      } finally { enc.unpersist(); () }
+    }),
+
     // EXACT COVARIANCE GATE (round 14, PCA tier): the distributed
     // fixed-point gram pass behind Pca.fit, exposed as the leading 8×8
     // corner of the 64×64 population covariance. Every emitted double
@@ -927,6 +1065,71 @@ object EmbeddingQueries {
         | TRUE AS sets_match, TRUE AS sims_bit_equal,
         | TRUE AS shards_ok, TRUE AS exhaustive_eq_ok
         |FROM embeddings WHERE vec_id < 20""".stripMargin,
+
+    // STRONG form (q74's list_dot_product + round(·1e6) replay): both
+    // the pre-filtered top-5 rows AND the post-filter yield are exact
+    // brute-force-derived, so DuckDB recomputes the whole frame —
+    // neighbor sets, sims, and per-query post_kept all hash for real.
+    // Only http_eq is a derived-flag column (per-row null-safe Spark-
+    // vs-HTTP sim equality, the q166 full-outer-join mold).
+    "q169_ann_filtered" ->
+      """WITH e AS MATERIALIZED (
+        | SELECT vec_id, label,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        | FROM embeddings WHERE vec_id < 50000),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+        |sims AS MATERIALIZED (
+        | SELECT q.query_id, e.vec_id AS neighbor_id, e.label,
+        |  round((list_dot_product(q.qv, e.v)
+        |   / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v)))) * 1000000.0) / 1000000.0 + 0.0 AS sim
+        | FROM q JOIN e ON e.vec_id <> q.query_id),
+        |pre AS (
+        | SELECT query_id, neighbor_id, sim,
+        |  row_number() OVER (PARTITION BY query_id
+        |   ORDER BY sim DESC, neighbor_id ASC) AS rk
+        | FROM sims WHERE label IN (2, 7)),
+        |post AS (
+        | SELECT query_id, label,
+        |  row_number() OVER (PARTITION BY query_id
+        |   ORDER BY sim DESC, neighbor_id ASC) AS rk
+        | FROM sims),
+        |pk AS (
+        | SELECT query_id,
+        |  CAST(sum(CASE WHEN label IN (2, 7) THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS post_kept
+        | FROM post WHERE rk <= 5 GROUP BY query_id)
+        |SELECT p.query_id AS query_id, p.neighbor_id AS neighbor_id,
+        | p.sim AS sim, TRUE AS http_eq, pk.post_kept AS post_kept
+        |FROM pre p JOIN pk USING (query_id)
+        |WHERE p.rk <= 5
+        |ORDER BY query_id, neighbor_id""".stripMargin,
+
+    // STRONG form: the per-dim ranges (exact order statistics) and the
+    // per-dim code sums (the full affine round(·) encode of every
+    // corpus element) are recomputed from the parquet — train+encode
+    // arithmetic hashes cross-engine. recall_ok / exhaustive_eq are
+    // derived flags (tight-shortlist recall floor; exhaustive-shortlist
+    // bit-identity to brute force via full-outer join).
+    "q170_sq8_knn" ->
+      """WITH e AS MATERIALIZED (
+        | SELECT embedding FROM embeddings WHERE vec_id < 50000),
+        |x AS MATERIALIZED (
+        | SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+        |  unnest(embedding) AS val
+        | FROM e),
+        |st AS MATERIALIZED (
+        | SELECT dim, min(val) AS mn, max(val) AS mx FROM x GROUP BY dim)
+        |SELECT CAST(st.dim AS INTEGER) AS dim,
+        | CAST(st.mn AS DOUBLE) AS mn, CAST(st.mx AS DOUBLE) AS mx,
+        | CAST(sum(CASE WHEN st.mx > st.mn
+        |   THEN CAST(round((CAST(x.val AS DOUBLE) - CAST(st.mn AS DOUBLE))
+        |     / ((CAST(st.mx AS DOUBLE) - CAST(st.mn AS DOUBLE)) / 255.0))
+        |    AS BIGINT)
+        |   ELSE 0 END) AS BIGINT) AS code_sum,
+        | TRUE AS recall_ok, TRUE AS exhaustive_eq
+        |FROM x JOIN st USING (dim)
+        |GROUP BY st.dim, st.mn, st.mx
+        |ORDER BY dim""".stripMargin,
 
     // q161 mold, per served family: the HTTP-vs-Spark equality flags
     // are DERIVED in-query (full-outer join over both result frames),

@@ -205,10 +205,11 @@ object HttpApi {
   def annSearchOverHttp(queries: Seq[(Long, Array[Float])],
                         annModel: (String, LocalAnn.Index),
                         shortlist: Int, topK: Int,
-                        dropSelf: Boolean = true): Seq[JsonNode] =
+                        dropSelf: Boolean = true,
+                        filter: Map[String, Seq[Long]] = Map.empty): Seq[JsonNode] =
     annSearchModelsOverHttp(
       queries.map { case (qid, v) => (annModel._1, qid, v) },
-      Seq(annModel), Map(annModel._1 -> shortlist), topK, dropSelf)
+      Seq(annModel), Map(annModel._1 -> shortlist), topK, dropSelf, filter)
 
   /** Multi-index form of [[annSearchOverHttp]] (the q166 gate's
     * transport — round-16 verdict "Missing #3"): ONE server holds all
@@ -219,16 +220,19 @@ object HttpApi {
   def annSearchModelsOverHttp(queries: Seq[(String, Long, Array[Float])],
                               annModels: Seq[(String, LocalAnn.Index)],
                               shortlistOf: Map[String, Int], topK: Int,
-                              dropSelf: Boolean = true): Seq[JsonNode] =
+                              dropSelf: Boolean = true,
+                              filter: Map[String, Seq[Long]] = Map.empty): Seq[JsonNode] =
     annSearchGroupsOverHttp(queries,
-      annModels.map { case (n, i) => (n, Seq(i)) }, shortlistOf, topK, dropSelf)
+      annModels.map { case (n, i) => (n, Seq(i)) }, shortlistOf, topK, dropSelf,
+      filter)
 
   /** Shard-group form (the q168 gate's transport): each name maps to N
     * shards the server fans out over and merges (LocalAnn.searchSharded). */
   def annSearchGroupsOverHttp(queries: Seq[(String, Long, Array[Float])],
                               annShards: Seq[(String, Seq[LocalAnn.Index])],
                               shortlistOf: Map[String, Int], topK: Int,
-                              dropSelf: Boolean = true): Seq[JsonNode] = {
+                              dropSelf: Boolean = true,
+                              filter: Map[String, Seq[Long]] = Map.empty): Seq[JsonNode] = {
     val server = start(annShards = annShards)
     try {
       val client = java.net.http.HttpClient.newHttpClient()
@@ -241,6 +245,13 @@ object HttpApi {
         req.put("shortlist", shortlistOf(model))
         req.put("top_k", topK)
         req.put("drop_self", dropSelf)
+        if (filter.nonEmpty) {
+          val f = req.putObject("filter")
+          filter.toSeq.sortBy(_._1).foreach { case (a, vs) =>
+            val arr2 = f.putArray(a)
+            vs.foreach(arr2.add)
+          }
+        }
         val resp = client.send(
           java.net.http.HttpRequest
             .newBuilder(URI.create(s"http://127.0.0.1:${server.port}/ann/search"))
@@ -365,6 +376,12 @@ object HttpApi {
       e.put("kind", s"ann_${shards.head.family}")
       e.put("size", shards.map(_.size).sum)
       if (shards.size > 1) e.put("shards", shards.size)
+      // filterable attributes are inventory facts: a client learns what
+      // `filter` keys /ann/search accepts for this index from /models
+      if (shards.head.attrs.nonEmpty) {
+        val aa = e.putArray("attrs")
+        shards.head.attrs.keys.toSeq.sorted.foreach(aa.add)
+      }
     }
     o.put("total_loaded", inv.size + s.annModels.size)
     o
@@ -508,9 +525,47 @@ object HttpApi {
         if (shortlist < 1 || topK < 1) {
           respond(ex, 422, err("shortlist and top_k must be >= 1")); return
         }
+        // attribute filter (round 17 — the FAISS-IDSelector / vector-DB
+        // metadata-filter request shape): {"filter": {"label": [2, 7]}}
+        // restricts candidates to rows whose loaded attr value is in
+        // the set, PRE-shortlist (LocalAnn.search's `allow` contract).
+        // Unknown attr → 422 (a typo'd name must be a request error,
+        // never an empty result set); non-integral values → 422.
+        val fNode = body.path("filter")
+        var allow = Map.empty[String, Set[Long]]
+        if (!fNode.isMissingNode && !fNode.isNull) {
+          if (!fNode.isObject) {
+            respond(ex, 422, err("filter must be an object of attr -> [values]")); return
+          }
+          val names = fNode.fieldNames()
+          while (names.hasNext) {
+            val a = names.next()
+            val vs = fNode.get(a)
+            if (!vs.isArray) {
+              respond(ex, 422, err(s"filter.$a must be an array of integers")); return
+            }
+            if (!shards.forall(_.attrs.contains(a))) {
+              val loaded = shards.head.attrs.keys.toSeq.sorted
+              respond(ex, 422, err(s"index '$name' has no attribute '$a'" +
+                (if (loaded.isEmpty) " (no attributes loaded)"
+                 else s" (loaded: ${loaded.mkString(", ")})")))
+              return
+            }
+            var set = Set.empty[Long]
+            var vi = 0
+            while (vi < vs.size()) {
+              val v = vs.get(vi)
+              if (!v.isIntegralNumber) {
+                respond(ex, 422, err(s"filter.$a[$vi] is not an integer")); return
+              }
+              set += v.asLong; vi += 1
+            }
+            allow += a -> set
+          }
+        }
         val t0 = System.nanoTime()
         val hits = LocalAnn.searchSharded(shards, qid, vec, shortlist, topK,
-          dropSelf)
+          dropSelf, allow)
         val ms = (System.nanoTime() - t0) / 1e6
         s.predictionCount.increment()
         s.totalLatencyMs.add(ms)

@@ -34,7 +34,11 @@ object LocalAnn {
   /** A loaded, serveable index. `family` ∈ {"ivf", "pq", "opq"}.
     *  - pq/opq: `cb`+`ids`/`codes`/`vecs` drive ADC + rerank; `rot` is
     *    the OPQ rotation (identity absent).
-    *  - ivf: `centroids`+`cellOf` drive the probe; vecs are exact. */
+    *  - ivf: `centroids`+`cellOf` drive the probe; vecs are exact.
+    *  - `attrs` (round 17): per-row integer metadata columns loaded via
+    *    `load(attrCols = ...)` — the FAISS-IDSelector / vector-DB
+    *    metadata-filter substrate. Row i of every attrs array describes
+    *    ids(i). */
   final case class Index(name: String, family: String,
                          rot: Option[Array[Array[Double]]],
                          cb: Option[Pq.Codebooks],
@@ -42,9 +46,27 @@ object LocalAnn {
                          vecs: Array[Array[Float]],
                          codes: Array[Array[Int]],
                          centroids: Array[Array[Float]],
-                         cellOf: Array[Int]) {
+                         cellOf: Array[Int],
+                         attrs: Map[String, Array[Long]] = Map.empty) {
     def size: Int = ids.length
   }
+
+  /** True when row i passes every attribute constraint in `allow`
+    * (attr name → allowed value set; conjunctive, the WHERE-clause
+    * semantics). Callers validate attr existence up front so the hot
+    * loop never throws. */
+  private def passes(idx: Index, i: Int, allow: Map[String, Set[Long]]): Boolean =
+    allow.forall { case (a, set) => set.contains(idx.attrs(a)(i)) }
+
+  /** Fail loudly (before the scan) when a filter names an attribute the
+    * index did not load — a typo'd attr must be a request error, never
+    * an empty result set. */
+  private def validateFilter(idx: Index, allow: Map[String, Set[Long]]): Unit =
+    allow.keys.foreach { a =>
+      require(idx.attrs.contains(a),
+        s"index '${idx.name}' has no attribute '$a' " +
+          s"(loaded: ${if (idx.attrs.isEmpty) "none" else idx.attrs.keys.toSeq.sorted.mkString(", ")})")
+    }
 
   /** One search hit: (neighbor id, exact cosine rounded to 1e−6). */
   final case class Hit(neighborId: Long, sim: Double)
@@ -53,9 +75,17 @@ object LocalAnn {
     * Family comes from the on-disk layout (ModelRegistry.kindOf):
     * "opq" wants rotation + codebooks + codes, "pq" codebooks + codes,
     * "ivf" centroids + assigned. The codes table must carry the id,
-    * the (rotated, for opq) vector column, and `codes`. */
+    * the (rotated, for opq) vector column, and `codes`.
+    *
+    * `attrCols` (round 17 — filtered search): names of integer columns
+    * riding the codes/assigned table to load as per-row metadata for
+    * attribute-filtered search (FAISS IDSelector semantics). Attr
+    * columns are excluded from the id/vec type resolution, so a codes
+    * frame registered as (id, vec, codes, label, ...) serves both
+    * unfiltered and filtered requests. Missing or non-integer attr
+    * columns fail at load with registry context. */
   def load(spark: SparkSession, root: String, name: String,
-           version: Long = -1L): Index = {
+           version: Long = -1L, attrCols: Seq[String] = Nil): Index = {
     val family = ModelRegistry.kindOf(spark, root, name, version)
     family match {
       case "opq" | "pq" =>
@@ -78,7 +108,8 @@ object LocalAnn {
             s"(columns: ${schema.fieldNames.mkString(", ")})")
         def only(what: String)(p: org.apache.spark.sql.types.StructField => Boolean): Int = {
           val hits = schema.fields.zipWithIndex
-            .filter { case (f, _) => f.name != "codes" && p(f) }
+            .filter { case (f, _) =>
+              f.name != "codes" && !attrCols.contains(f.name) && p(f) }
           require(hits.length == 1,
             s"registered '$name' pq_codes table must carry exactly one $what " +
               s"column besides `codes`; found ${hits.map(_._1.name).mkString("[", ", ", "]")} " +
@@ -115,7 +146,7 @@ object LocalAnn {
           i += 1
         }
         Index(name, family, rot, Some(cb), ids, vecs, codes,
-          Array.empty, Array.empty)
+          Array.empty, Array.empty, readAttrs(rows, schema, attrCols, name))
       case "ivf" =>
         val idx = ModelRegistry.loadIvf(spark, root, name, version)
         val cents = idx.centroids.orderBy("centroid_id").collect()
@@ -133,11 +164,41 @@ object LocalAnn {
           cellOf(i) = r.getInt(r.schema.fieldIndex("centroid_id"))
           i += 1
         }
-        Index(name, family, None, None, ids, vecs, Array.empty, cents, cellOf)
+        Index(name, family, None, None, ids, vecs, Array.empty, cents, cellOf,
+          readAttrs(rows, idx.assigned.schema, attrCols, name))
       case other => throw new IllegalArgumentException(
         s"registered '$name' is family '$other' - not a serveable ANN artifact")
     }
   }
+
+  /** Load `attrCols` off the collected codes/assigned rows as per-row
+    * long arrays (integral column types only; nulls fail loudly — a
+    * filter over a partial attribute would silently drop rows). */
+  private def readAttrs(rows: Array[org.apache.spark.sql.Row],
+                        schema: org.apache.spark.sql.types.StructType,
+                        attrCols: Seq[String], name: String): Map[String, Array[Long]] =
+    attrCols.map { a =>
+      require(schema.fieldNames.contains(a),
+        s"registered '$name' has no attribute column '$a' " +
+          s"(columns: ${schema.fieldNames.mkString(", ")})")
+      val ix = schema.fieldIndex(a)
+      import org.apache.spark.sql.types._
+      val get: org.apache.spark.sql.Row => Long = schema.fields(ix).dataType match {
+        case LongType    => r => r.getLong(ix)
+        case IntegerType => r => r.getInt(ix).toLong
+        case ShortType   => r => r.getShort(ix).toLong
+        case ByteType    => r => r.getByte(ix).toLong
+        case other => throw new IllegalArgumentException(
+          s"attribute column '$a' of registered '$name' must be integral " +
+            s"for filtered search, found $other")
+      }
+      a -> rows.map { r =>
+        require(!r.isNullAt(ix),
+          s"attribute '$a' of registered '$name' has a null value - " +
+            "filtered search needs a total attribute column")
+        get(r)
+      }
+    }.toMap
 
   /** Spark's `round(x)` on a double: BigDecimal.valueOf + HALF_UP. */
   private def sparkRound(x: Double): Double =
@@ -174,9 +235,10 @@ object LocalAnn {
     * be one family (enforced at serving registration). */
   def searchSharded(shards: Seq[Index], queryId: Long, query: Array[Float],
                     shortlist: Int, topK: Int,
-                    dropSelf: Boolean = true): Seq[Hit] = {
+                    dropSelf: Boolean = true,
+                    allow: Map[String, Set[Long]] = Map.empty): Seq[Hit] = {
     require(shards.nonEmpty, "at least one shard required")
-    shards.flatMap(search(_, queryId, query, shortlist, topK, dropSelf))
+    shards.flatMap(search(_, queryId, query, shortlist, topK, dropSelf, allow))
       .sortBy(h => (h.sim.isNaN, -h.sim, h.neighborId))
       .take(topK)
   }
@@ -185,20 +247,34 @@ object LocalAnn {
     * path). `shortlist` bounds the ADC candidate set for pq/opq (it is
     * `nProbe` for ivf); `dropSelf` excludes `queryId` from candidates
     * (the corpus-query convention). Results are exactly
-    * `Pq.searchReranked` / `Ivf.search` rows for this query. */
+    * `Pq.searchReranked` / `Ivf.search` rows for this query.
+    *
+    * `allow` (round 17 — attribute-filtered search, the FAISS
+    * IDSelector / vector-DB metadata-filter semantics): attr name →
+    * allowed value set, conjunctive across attrs. PRE-filtering — the
+    * constraint applies in the candidate scan, BEFORE the shortlist is
+    * taken, so the result is the top-k OF THE FILTERED CORPUS. (The
+    * naive alternative, post-filtering an unfiltered top-k, loses every
+    * hit the filter would have admitted past rank k — the q169 gate
+    * measures exactly that gap.) Unknown attr names fail the request
+    * loudly; an empty allowed set is a legal constraint that matches
+    * nothing. */
   def search(idx: Index, queryId: Long, query: Array[Float],
-             shortlist: Int, topK: Int, dropSelf: Boolean = true): Seq[Hit] = {
+             shortlist: Int, topK: Int, dropSelf: Boolean = true,
+             allow: Map[String, Set[Long]] = Map.empty): Seq[Hit] = {
     require(query != null && query.forall(x => !x.isNaN && !x.isInfinite),
       "query vector must be finite")
+    validateFilter(idx, allow)
     idx.family match {
-      case "opq" | "pq" => searchPq(idx, queryId, query, shortlist, topK, dropSelf)
-      case "ivf"        => searchIvf(idx, queryId, query, shortlist, topK, dropSelf)
+      case "opq" | "pq" => searchPq(idx, queryId, query, shortlist, topK, dropSelf, allow)
+      case "ivf"        => searchIvf(idx, queryId, query, shortlist, topK, dropSelf, allow)
       case other => throw new IllegalStateException(s"unserveable family $other")
     }
   }
 
   private def searchPq(idx: Index, queryId: Long, queryRaw: Array[Float],
-                       shortlist: Int, topK: Int, dropSelf: Boolean): Seq[Hit] = {
+                       shortlist: Int, topK: Int, dropSelf: Boolean,
+                       allow: Map[String, Set[Long]]): Seq[Hit] = {
     val cb = idx.cb.get
     require(queryRaw.length == (if (idx.rot.isDefined) idx.rot.get.length else cb.dim),
       s"query dim ${queryRaw.length} does not match the index")
@@ -243,7 +319,8 @@ object LocalAnn {
     i = 0
     while (i < idx.size) {
       val cs = idx.codes(i)
-      if (cs != null && !(dropSelf && idx.ids(i) == queryId)) {
+      if (cs != null && !(dropSelf && idx.ids(i) == queryId) &&
+          passes(idx, i, allow)) {
         var adc = 0.0
         var m = 0
         while (m < cb.m) { adc += tab(m * cb.k + cs(m)); m += 1 }
@@ -264,7 +341,8 @@ object LocalAnn {
   }
 
   private def searchIvf(idx: Index, queryId: Long, q: Array[Float],
-                        nProbe: Int, topK: Int, dropSelf: Boolean): Seq[Hit] = {
+                        nProbe: Int, topK: Int, dropSelf: Boolean,
+                        allow: Map[String, Set[Long]]): Seq[Hit] = {
     require(idx.centroids.nonEmpty, "ivf index has no centroids")
     require(q.length == idx.centroids(0).length,
       s"query dim ${q.length} does not match the index")
@@ -281,7 +359,8 @@ object LocalAnn {
     var i = 0
     while (i < idx.size) {
       if (probed.contains(idx.cellOf(i)) &&
-          !(dropSelf && idx.ids(i) == queryId)) {
+          !(dropSelf && idx.ids(i) == queryId) &&
+          passes(idx, i, allow)) {
         val c = cosine(q, idx.vecs(i))
         hits += Hit(idx.ids(i),
           if (c.isNaN) Double.NaN else sparkRound(c * 1e6) / 1e6)

@@ -343,4 +343,90 @@ class LocalAnnSpec extends SparkSpec {
       HttpApi.start(annShards = Seq(("bad", Seq(s0, ivfIdx))))
     }
   }
+
+  test("attribute-filtered search (round 17): pre-filter semantics bit-equal " +
+    "the Spark filtered search; exhaustive shortlist equals filtered brute " +
+    "force; unknown attr and bad filter shapes are request errors") {
+    val labeled = corpus.withColumn("label", (col("vec_id") % 4).cast("int"))
+    val cb = Pq.train(labeled, "vec_id", "embedding", m = 2, k = 8)
+    val enc = Pq.encode(
+      labeled.select("vec_id", "embedding", "label"), "embedding", cb)
+    val root = java.nio.file.Files.createTempDirectory("graft_lann_filt").toString
+    ModelRegistry.registerPq(spark, root, "pq", cb, Some(enc))
+    val idx = LocalAnn.load(spark, root, "pq", attrCols = Seq("label"))
+    assert(idx.attrs.keySet == Set("label"))
+    val allow = Map("label" -> Set(1L, 3L))
+    // parity: LocalAnn filtered search == Spark searchRerankedFiltered
+    val sparkSide = rows(Pq.searchRerankedFiltered(
+      ModelRegistry.loadPqCodes(spark, root, "pq"), col("label").isin(1, 3),
+      "vec_id", "embedding", ModelRegistry.loadPq(spark, root, "pq"),
+      queries, "vec_id", "embedding", shortlist = 200, topK = 5,
+      dropSelf = true))
+    val qs = queries.collect().map(r =>
+      r.getLong(0) -> r.getAs[scala.collection.Seq[Float]](1).toArray)
+    val localSide = qs.flatMap { case (qid, v) =>
+      LocalAnn.search(idx, qid, v, 200, 5, dropSelf = true, allow = allow)
+        .map(h => (qid, h.neighborId, java.lang.Double.doubleToLongBits(h.sim)))
+    }.sortBy(t => (t._1, t._2)).toSeq
+    assert(localSide == sparkSide)
+    // pre-filter semantics: only allowed labels surface, and the result
+    // is the top-5 OF THE FILTERED CORPUS (≡ filtered brute force at an
+    // exhaustive shortlist), not a filtered unfiltered-top-5
+    assert(localSide.nonEmpty &&
+      localSide.forall { case (_, nid, _) => nid % 4 == 1 || nid % 4 == 3 })
+    val bruteFiltered = Embeddings.cosineTopK(queries,
+        labeled.filter(col("label").isin(1, 3)), "vec_id", "vec_id",
+        "embedding", k = 5)
+      .orderBy("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSeq
+    assert(localSide == bruteFiltered)
+    // an empty allowed set is a legal constraint matching nothing
+    assert(LocalAnn.search(idx, 0L, Array(1f, 0.05f, 0.05f, 0.05f), 200, 5,
+      allow = Map("label" -> Set.empty[Long])).isEmpty)
+    // a typo'd attr is an error, never an empty result
+    intercept[IllegalArgumentException] {
+      LocalAnn.search(idx, 0L, Array(1f, 0.05f, 0.05f, 0.05f), 200, 5,
+        allow = Map("labl" -> Set(1L)))
+    }
+    // HTTP: the filter rides the request; bad shapes are 422s; /models
+    // advertises the filterable attrs
+    val server = HttpApi.start(annModel = Some(("pq", idx)))
+    def post(body: String) = {
+      val r = client.send(
+        HttpRequest.newBuilder(
+            URI.create(s"http://127.0.0.1:${server.port}/ann/search"))
+          .header("Content-Type", "application/json")
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      (r.statusCode(), mapper.readTree(r.body()))
+    }
+    try {
+      val v0 = qs.find(_._1 == 0L).get._2
+      val ok = post(s"""{"query_id":0,"embedding":[${v0.mkString(",")}],""" +
+        """"shortlist":200,"top_k":5,"filter":{"label":[1,3]}}""")
+      assert(ok._1 == 200)
+      val got = (0 until ok._2.path("results").size()).map(i =>
+        (0L, ok._2.path("results").get(i).path("neighbor_id").asLong,
+          java.lang.Double.doubleToLongBits(
+            ok._2.path("results").get(i).path("sim").asDouble)))
+        .sortBy(_._2)
+      assert(got == localSide.filter(_._1 == 0L))
+      assert(post("""{"embedding":[1,0,0,0],"filter":{"nope":[1]}}""")._1 == 422)
+      assert(post("""{"embedding":[1,0,0,0],"filter":{"label":1}}""")._1 == 422)
+      assert(post("""{"embedding":[1,0,0,0],"filter":{"label":[1.5]}}""")._1 == 422)
+      assert(post("""{"embedding":[1,0,0,0],"filter":[1]}""")._1 == 422)
+      val inv = mapper.readTree(client.send(
+        HttpRequest.newBuilder(
+            URI.create(s"http://127.0.0.1:${server.port}/models")).GET().build(),
+        HttpResponse.BodyHandlers.ofString()).body())
+      val attrs = inv.path("models").path("pq").path("attrs")
+      assert(attrs.isArray && attrs.size() == 1 && attrs.get(0).asText == "label")
+    } finally server.stop()
+    // load-time contract: a missing attr column fails with registry
+    // context; a non-integral attr column is rejected
+    intercept[IllegalArgumentException] {
+      LocalAnn.load(spark, root, "pq", attrCols = Seq("absent"))
+    }
+  }
 }
