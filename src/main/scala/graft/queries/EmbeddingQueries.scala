@@ -934,6 +934,33 @@ object EmbeddingQueries {
       } finally { enc.unpersist(); () }
     }),
 
+    // MMR DIVERSIFIED RE-RANKING (round 17 — Carbonell & Goldstein
+    // 1998, the diversity selector of the retrieval/curation tier):
+    // per-query exact top-20 candidates greedily re-ranked to 5 picks
+    // trading relevance against redundancy (λ=0.7). The greedy is
+    // sequential per query but parallel across queries
+    // (flatMapGroups over bounded groups — no driver collect). STRONG
+    // oracle: every input the greedy sees is a 1e-6 multiple (rel from
+    // cosineTopK, pairwise candidate sims by the same rounding), so
+    // the selection runs on EXACT integer micro-units — the objective
+    // is the integer 7·R − 3·M, scale 1e7 (a raw double multiply-
+    // subtract measured 1 ulp apart cross-engine via FMA contraction,
+    // and re-quantizing it lands exactly on decimal halves, so only
+    // the integer form replays) — and DuckDB replays the ENTIRE
+    // selection as 5 chained SQL steps (the q121 chained-round
+    // doctrine); ranks AND scores hash bit-for-bit.
+    "q171_mmr_rerank" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir).filter(col("vec_id") < 50000)
+      val q = Tables.embeddings(s, dir).filter(col("vec_id") < 20)
+      val cands = graft.operators.Embeddings
+        .cosineTopK(q, e, "vec_id", "vec_id", "embedding", k = 20)
+        .join(e.select(col("vec_id").as("neighbor_id"), col("embedding")),
+          Seq("neighbor_id"))
+      graft.operators.Mmr.rerank(cands, "query_id", "neighbor_id", "sim",
+          "embedding", k = 5, lambdaTenths = 7)
+        .orderBy("query_id", "mmr_rank")
+    }),
+
     // EXACT COVARIANCE GATE (round 14, PCA tier): the distributed
     // fixed-point gram pass behind Pca.fit, exposed as the leading 8×8
     // corner of the 64×64 population covariance. Every emitted double
@@ -1103,6 +1130,97 @@ object EmbeddingQueries {
         |FROM pre p JOIN pk USING (query_id)
         |WHERE p.rk <= 5
         |ORDER BY query_id, neighbor_id""".stripMargin,
+
+    // STRONG form: the WHOLE greedy selection is replayed as 5 chained
+    // SQL steps (sK picks step K's argmax, mK carries each remaining
+    // candidate's max-sim-to-picked forward) over the same quantized
+    // rel/pairwise-sim inputs carried as exact BIGINT micro-units
+    // (rm = rel·1e6, sm = sim·1e6; objective 7·rm − 3·sm — no float
+    // enters a comparison in either engine), so ranks AND scores hash
+    // bit-for-bit; ties break (key desc, id asc) in both engines.
+    "q171_mmr_rerank" ->
+      """WITH e AS MATERIALIZED (
+        | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        | FROM embeddings WHERE vec_id < 50000),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+        |c AS MATERIALIZED (
+        | SELECT query_id, nid, rm FROM (
+        |  SELECT query_id, nid, rm,
+        |   row_number() OVER (PARTITION BY query_id
+        |    ORDER BY rm DESC, nid ASC) AS rk
+        |  FROM (
+        |   SELECT q.query_id, e.vec_id AS nid,
+        |    CAST(round((list_dot_product(q.qv, e.v)
+        |     / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v)))) * 1000000.0) AS BIGINT) AS rm
+        |   FROM q JOIN e ON e.vec_id <> q.query_id))
+        | WHERE rk <= 20),
+        |pair AS MATERIALIZED (
+        | SELECT a.query_id, a.nid AS i, b.nid AS j,
+        |  CAST(round((list_dot_product(va.v, vb.v)
+        |   / (sqrt(list_dot_product(va.v, va.v)) * sqrt(list_dot_product(vb.v, vb.v)))) * 1000000.0) AS BIGINT) AS sm
+        | FROM c a
+        | JOIN c b ON a.query_id = b.query_id AND a.nid <> b.nid
+        | JOIN e va ON va.vec_id = a.nid
+        | JOIN e vb ON vb.vec_id = b.nid),
+        |s1 AS MATERIALIZED (
+        | SELECT query_id, nid, CAST(rm AS DOUBLE) / 1000000.0 AS score FROM (
+        |  SELECT query_id, nid, rm, row_number() OVER (PARTITION BY query_id
+        |   ORDER BY rm DESC, nid ASC) AS rk FROM c) WHERE rk = 1),
+        |m1 AS MATERIALIZED (
+        | SELECT c.query_id, c.nid, c.rm, p.sm AS ms
+        | FROM c
+        | JOIN s1 ON s1.query_id = c.query_id AND c.nid <> s1.nid
+        | JOIN pair p ON p.query_id = c.query_id AND p.i = c.nid
+        |  AND p.j = s1.nid),
+        |s2 AS MATERIALIZED (
+        | SELECT query_id, nid, CAST(key AS DOUBLE) / 10000000.0 AS score FROM (
+        |  SELECT query_id, nid, 7 * rm - 3 * ms AS key,
+        |   row_number() OVER (PARTITION BY query_id
+        |    ORDER BY 7 * rm - 3 * ms DESC, nid ASC) AS rk
+        |  FROM m1) WHERE rk = 1),
+        |m2 AS MATERIALIZED (
+        | SELECT m.query_id, m.nid, m.rm, greatest(m.ms, p.sm) AS ms
+        | FROM m1 m
+        | JOIN s2 ON s2.query_id = m.query_id AND m.nid <> s2.nid
+        | JOIN pair p ON p.query_id = m.query_id AND p.i = m.nid
+        |  AND p.j = s2.nid),
+        |s3 AS MATERIALIZED (
+        | SELECT query_id, nid, CAST(key AS DOUBLE) / 10000000.0 AS score FROM (
+        |  SELECT query_id, nid, 7 * rm - 3 * ms AS key,
+        |   row_number() OVER (PARTITION BY query_id
+        |    ORDER BY 7 * rm - 3 * ms DESC, nid ASC) AS rk
+        |  FROM m2) WHERE rk = 1),
+        |m3 AS MATERIALIZED (
+        | SELECT m.query_id, m.nid, m.rm, greatest(m.ms, p.sm) AS ms
+        | FROM m2 m
+        | JOIN s3 ON s3.query_id = m.query_id AND m.nid <> s3.nid
+        | JOIN pair p ON p.query_id = m.query_id AND p.i = m.nid
+        |  AND p.j = s3.nid),
+        |s4 AS MATERIALIZED (
+        | SELECT query_id, nid, CAST(key AS DOUBLE) / 10000000.0 AS score FROM (
+        |  SELECT query_id, nid, 7 * rm - 3 * ms AS key,
+        |   row_number() OVER (PARTITION BY query_id
+        |    ORDER BY 7 * rm - 3 * ms DESC, nid ASC) AS rk
+        |  FROM m3) WHERE rk = 1),
+        |m4 AS MATERIALIZED (
+        | SELECT m.query_id, m.nid, m.rm, greatest(m.ms, p.sm) AS ms
+        | FROM m3 m
+        | JOIN s4 ON s4.query_id = m.query_id AND m.nid <> s4.nid
+        | JOIN pair p ON p.query_id = m.query_id AND p.i = m.nid
+        |  AND p.j = s4.nid),
+        |s5 AS MATERIALIZED (
+        | SELECT query_id, nid, CAST(key AS DOUBLE) / 10000000.0 AS score FROM (
+        |  SELECT query_id, nid, 7 * rm - 3 * ms AS key,
+        |   row_number() OVER (PARTITION BY query_id
+        |    ORDER BY 7 * rm - 3 * ms DESC, nid ASC) AS rk
+        |  FROM m4) WHERE rk = 1)
+        |SELECT query_id, nid AS neighbor_id,
+        | CAST(1 AS INTEGER) AS mmr_rank, score AS mmr_score FROM s1
+        |UNION ALL SELECT query_id, nid, CAST(2 AS INTEGER), score FROM s2
+        |UNION ALL SELECT query_id, nid, CAST(3 AS INTEGER), score FROM s3
+        |UNION ALL SELECT query_id, nid, CAST(4 AS INTEGER), score FROM s4
+        |UNION ALL SELECT query_id, nid, CAST(5 AS INTEGER), score FROM s5
+        |ORDER BY query_id, mmr_rank""".stripMargin,
 
     // STRONG form: the per-dim ranges (exact order statistics) and the
     // per-dim code sums (the full affine round(·) encode of every
