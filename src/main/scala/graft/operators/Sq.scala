@@ -43,7 +43,7 @@ object Sq {
     * double at use). */
   final case class Quantizer(mins: Array[Float], maxs: Array[Float]) {
     def dim: Int = mins.length
-    private[operators] def spans: Array[Double] =
+    private[graft] def spans: Array[Double] =
       Array.tabulate(dim)(i => (maxs(i).toDouble - mins(i).toDouble) / 255.0)
   }
 
@@ -127,6 +127,53 @@ object Sq {
         .select("query_id", "neighbor_id")
       // exact re-rank touches shortlist·|queries| float rows only
       Pq.rerank(cands, encoded, id, vec, queries, qid, qvec, topK)
+    } finally { corpus.unpersist(); () }
+  }
+
+  /** IVF × SQ8 composition — FAISS's `IVF<n>,SQ8` index (the taxonomy's
+    * middle tier between IVF,Flat and IVF,PQ): the coarse quantizer
+    * prunes the scan to the nProbe cells nearest each query (the SAME
+    * probe rule as [[Ivf.search]] — raw dot desc, centroid_id asc),
+    * the decode-and-scan runs only inside probed cells on byte codes
+    * (4× less IO than IVF,Flat's float members), and exact cosine
+    * re-ranks the shortlist. With an exhaustive shortlist this is
+    * BIT-IDENTICAL to `Ivf.search` at the same nProbe (both are exact
+    * cosine over exactly the probed members, same rounding, same tie
+    * order — the q173 gate derives that equality in-query).
+    *
+    * `encoded` must be `Sq.encode(index.assigned, index.vecCol, q)` —
+    * i.e. carry `centroid_id`, the id/vec columns, and `sq_codes`. */
+  def ivfSearchReranked(index: Ivf.Index, q: Quantizer, encoded: DataFrame,
+                        queries: DataFrame, qid: String, qvec: String,
+                        nProbe: Int, shortlist: Int, topK: Int,
+                        dropSelf: Boolean = false): DataFrame = {
+    NativeVector.register(encoded.sparkSession)
+    val qdf = queries.select(col(qid).cast("long").as("query_id"),
+      col(qvec).as("__qv"))
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(desc("csim"), col("centroid_id"))
+    val probes = qdf.crossJoin(broadcast(index.centroids))
+      .withColumn("csim", NativeVector.dot(col("__qv"), col("cvec")))
+      .withColumn("__pr", row_number().over(wProbe))
+      .filter(col("__pr") <= nProbe)
+      .select("query_id", "__qv", "centroid_id")
+    val corpus = encoded
+      .select(col("centroid_id"), col(index.idCol).as("neighbor_id"),
+        decodeCol(col("sq_codes"), q).as("__dec"))
+      .filter(col("__dec").isNotNull)
+      .persist()
+    try {
+      val paired = corpus.join(broadcast(probes), Seq("centroid_id"))
+      val scored = (if (dropSelf) paired.filter(col("neighbor_id") =!= col("query_id"))
+                    else paired)
+        .withColumn("__approx", NativeVector.cosine(col("__qv"), col("__dec")))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("__approx").desc_nulls_last, col("neighbor_id").asc)
+      val cands = scored.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= shortlist)
+        .select("query_id", "neighbor_id")
+      Pq.rerank(cands, encoded, index.idCol, index.vecCol, queries, qid,
+        qvec, topK)
     } finally { corpus.unpersist(); () }
   }
 

@@ -2,7 +2,7 @@ package graft.serve
 
 import org.apache.spark.sql.SparkSession
 
-import graft.operators.{Ivf, Opq, Pq}
+import graft.operators.{Ivf, Opq, Pq, Sq}
 
 /** Driver-local ANN searcher over a REGISTERED artifact — the serving
   * half of the ANN tier (round-15 verdict #4: registry artifacts were
@@ -31,7 +31,7 @@ import graft.operators.{Ivf, Opq, Pq}
   */
 object LocalAnn {
 
-  /** A loaded, serveable index. `family` ∈ {"ivf", "pq", "opq"}.
+  /** A loaded, serveable index. `family` ∈ {"ivf", "pq", "opq", "sq8"}.
     *  - pq/opq: `cb`+`ids`/`codes`/`vecs` drive ADC + rerank; `rot` is
     *    the OPQ rotation (identity absent).
     *  - ivf: `centroids`+`cellOf` drive the probe; vecs are exact.
@@ -47,7 +47,8 @@ object LocalAnn {
                          codes: Array[Array[Int]],
                          centroids: Array[Array[Float]],
                          cellOf: Array[Int],
-                         attrs: Map[String, Array[Long]] = Map.empty) {
+                         attrs: Map[String, Array[Long]] = Map.empty,
+                         sq: Option[Sq.Quantizer] = None) {
     def size: Int = ids.length
   }
 
@@ -93,60 +94,18 @@ object LocalAnn {
           if (family == "opq") Some(ModelRegistry.loadOpq(spark, root, name, version).rows)
           else None
         val cb = ModelRegistry.loadPq(spark, root, name, version)
-        val codesDf = ModelRegistry.loadPqCodes(spark, root, name, version)
-        // resolve id/vec by schema TYPE, not position (round-16 verdict
-        // #4 / advice: `encode` happens to keep input column order
-        // today, but a layout change there would mis-wire serving while
-        // PqSpec stayed green). The codes table must carry exactly one
-        // long column (the id) and exactly one array<float> column (the
-        // rerank vector) besides `codes` — ambiguity fails loudly with
-        // the registry context instead of silently reranking against
-        // the wrong column.
-        val schema = codesDf.schema
-        require(schema.fieldNames.contains("codes"),
-          s"registered '$name' pq_codes table has no `codes` column " +
-            s"(columns: ${schema.fieldNames.mkString(", ")})")
-        def only(what: String)(p: org.apache.spark.sql.types.StructField => Boolean): Int = {
-          val hits = schema.fields.zipWithIndex
-            .filter { case (f, _) =>
-              f.name != "codes" && !attrCols.contains(f.name) && p(f) }
-          require(hits.length == 1,
-            s"registered '$name' pq_codes table must carry exactly one $what " +
-              s"column besides `codes`; found ${hits.map(_._1.name).mkString("[", ", ", "]")} " +
-              s"in (${schema.fieldNames.mkString(", ")}) - slim the codes frame " +
-              "to (id, vec, codes) before registering")
-          hits.head._2
-        }
-        val idIx = only("long id")(_.dataType ==
-          org.apache.spark.sql.types.LongType)
-        val vecIx = only("array<float> vector") { f =>
-          f.dataType match {
-            case org.apache.spark.sql.types.ArrayType(
-              org.apache.spark.sql.types.FloatType, _) => true
-            case _ => false
-          }
-        }
-        val rows = codesDf.collect()
-        require(rows.nonEmpty, s"registered '$name' has no pq_codes table " +
-          "- register with codes to make the artifact serveable")
-        val codeIx = schema.fieldIndex("codes")
-        val n = rows.length
-        val ids = new Array[Long](n)
-        val vecs = new Array[Array[Float]](n)
-        val codes = new Array[Array[Int]](n)
-        var i = 0
-        while (i < n) {
-          val r = rows(i)
-          ids(i) = r.getLong(idIx)
-          vecs(i) = r.getAs[scala.collection.Seq[Float]](vecIx).toArray
-          val cs = r.getAs[scala.collection.Seq[Any]](codeIx)
-          codes(i) =
-            if (cs == null || cs.exists(_ == null)) null // parked: never ranked
-            else cs.map(_.asInstanceOf[Int]).toArray
-          i += 1
-        }
+        val (ids, vecs, codes, attrs) = loadCodesTable(
+          ModelRegistry.loadPqCodes(spark, root, name, version),
+          "codes", attrCols, name)
         Index(name, family, rot, Some(cb), ids, vecs, codes,
-          Array.empty, Array.empty, readAttrs(rows, schema, attrCols, name))
+          Array.empty, Array.empty, attrs)
+      case "sq8" =>
+        val q = ModelRegistry.loadSq(spark, root, name, version)
+        val (ids, vecs, codes, attrs) = loadCodesTable(
+          ModelRegistry.loadPqCodes(spark, root, name, version),
+          "sq_codes", attrCols, name)
+        Index(name, family, None, None, ids, vecs, codes,
+          Array.empty, Array.empty, attrs, Some(q))
       case "ivf" =>
         val idx = ModelRegistry.loadIvf(spark, root, name, version)
         val cents = idx.centroids.orderBy("centroid_id").collect()
@@ -169,6 +128,66 @@ object LocalAnn {
       case other => throw new IllegalArgumentException(
         s"registered '$name' is family '$other' - not a serveable ANN artifact")
     }
+  }
+
+  /** Collect a codes table (`codesCol` = "codes" for pq/opq, "sq_codes"
+    * for sq8) into serving arrays, resolving the id/vec columns by
+    * schema TYPE, not position (round-16 verdict #4 / advice: encode
+    * happens to keep input column order today, but a layout change
+    * there would mis-wire serving while the operator spec stayed
+    * green). The table must carry exactly one long column (the id) and
+    * exactly one array<float> column (the rerank vector) besides the
+    * codes and declared attr columns — ambiguity fails loudly with the
+    * registry context instead of silently reranking against the wrong
+    * column. Rows with null codes park (never ranked). */
+  private def loadCodesTable(codesDf: org.apache.spark.sql.DataFrame,
+                             codesCol: String, attrCols: Seq[String],
+                             name: String):
+      (Array[Long], Array[Array[Float]], Array[Array[Int]], Map[String, Array[Long]]) = {
+    val schema = codesDf.schema
+    require(schema.fieldNames.contains(codesCol),
+      s"registered '$name' codes table has no `$codesCol` column " +
+        s"(columns: ${schema.fieldNames.mkString(", ")})")
+    def only(what: String)(p: org.apache.spark.sql.types.StructField => Boolean): Int = {
+      val hits = schema.fields.zipWithIndex
+        .filter { case (f, _) =>
+          f.name != codesCol && !attrCols.contains(f.name) && p(f) }
+      require(hits.length == 1,
+        s"registered '$name' codes table must carry exactly one $what " +
+          s"column besides `$codesCol`; found ${hits.map(_._1.name).mkString("[", ", ", "]")} " +
+          s"in (${schema.fieldNames.mkString(", ")}) - slim the codes frame " +
+          "to (id, vec, codes) before registering")
+      hits.head._2
+    }
+    val idIx = only("long id")(_.dataType ==
+      org.apache.spark.sql.types.LongType)
+    val vecIx = only("array<float> vector") { f =>
+      f.dataType match {
+        case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, _) => true
+        case _ => false
+      }
+    }
+    val rows = codesDf.collect()
+    require(rows.nonEmpty, s"registered '$name' has no codes table " +
+      "- register with codes to make the artifact serveable")
+    val codeIx = schema.fieldIndex(codesCol)
+    val n = rows.length
+    val ids = new Array[Long](n)
+    val vecs = new Array[Array[Float]](n)
+    val codes = new Array[Array[Int]](n)
+    var i = 0
+    while (i < n) {
+      val r = rows(i)
+      ids(i) = r.getLong(idIx)
+      vecs(i) = r.getAs[scala.collection.Seq[Float]](vecIx).toArray
+      val cs = r.getAs[scala.collection.Seq[Any]](codeIx)
+      codes(i) =
+        if (cs == null || cs.exists(_ == null)) null // parked: never ranked
+        else cs.map(_.asInstanceOf[Int]).toArray
+      i += 1
+    }
+    (ids, vecs, codes, readAttrs(rows, schema, attrCols, name))
   }
 
   /** Load `attrCols` off the collected codes/assigned rows as per-row
@@ -267,9 +286,54 @@ object LocalAnn {
     validateFilter(idx, allow)
     idx.family match {
       case "opq" | "pq" => searchPq(idx, queryId, query, shortlist, topK, dropSelf, allow)
+      case "sq8"        => searchSq(idx, queryId, query, shortlist, topK, dropSelf, allow)
       case "ivf"        => searchIvf(idx, queryId, query, shortlist, topK, dropSelf, allow)
       case other => throw new IllegalStateException(s"unserveable family $other")
     }
+  }
+
+  /** sq8: decode-and-scan shortlist + exact rerank, mirroring
+    * [[Sq.searchReranked]] operation for operation — decode is
+    * (code · span) + min in double, the approximate cosine is
+    * NativeVector.cosine's in-order double dot (null → NaN marker,
+    * sorts last like SQL nulls), shortlist ties (approx desc, id asc),
+    * exact rerank identical to the pq path. */
+  private def searchSq(idx: Index, queryId: Long, q: Array[Float],
+                       shortlist: Int, topK: Int, dropSelf: Boolean,
+                       allow: Map[String, Set[Long]]): Seq[Hit] = {
+    val sq = idx.sq.get
+    require(q.length == sq.dim,
+      s"query dim ${q.length} does not match the index")
+    val spans = sq.spans
+    val cand = collection.mutable.ArrayBuffer[(Double, Long, Int)]()
+    var i = 0
+    while (i < idx.size) {
+      val cs = idx.codes(i)
+      if (cs != null && !(dropSelf && idx.ids(i) == queryId) &&
+          passes(idx, i, allow)) {
+        // decode + cosine fused: dec_d = cs(d)·span_d + min_d
+        var dab = 0.0; var daa = 0.0; var dbb = 0.0
+        var d = 0
+        while (d < sq.dim) {
+          val x = q(d).toDouble
+          val y = cs(d).toDouble * spans(d) + sq.mins(d).toDouble
+          dab += x * y; daa += x * x; dbb += y * y
+          d += 1
+        }
+        val denom = math.sqrt(daa) * math.sqrt(dbb)
+        val approx = if (denom > 0) dab / denom else Double.NaN
+        cand += ((approx, idx.ids(i), i))
+      }
+      i += 1
+    }
+    val short = cand
+      .sortBy(t => (t._1.isNaN, -t._1, t._2)).take(shortlist)
+    short.map { case (_, id, row) =>
+      val c = cosine(q, idx.vecs(row))
+      Hit(id, if (c.isNaN) Double.NaN else sparkRound(c * 1e6) / 1e6)
+    }
+      .sortBy(h => (h.sim.isNaN, -h.sim, h.neighborId))
+      .take(topK).toSeq
   }
 
   private def searchPq(idx: Index, queryId: Long, queryRaw: Array[Float],

@@ -134,6 +134,19 @@ object ModelRegistry {
       codes.foreach(graft.operators.Pq.saveCodes(_, p))
     }
 
+  /** Register an SQ8 scalar quantizer (round 17), optionally with its
+    * encoded corpus — the codes frame rides the same `pq_codes` table
+    * convention the PQ family uses (one codes table per artifact),
+    * carrying `sq_codes` instead of `codes`. */
+  def registerSq(spark: SparkSession, root: String, name: String,
+                 q: graft.operators.Sq.Quantizer,
+                 codes: Option[DataFrame] = None,
+                 metrics: Map[String, Double] = Map.empty): Long =
+    registerArtifact(spark, root, name, metrics) { p =>
+      graft.operators.Sq.save(spark, q, p)
+      codes.foreach(graft.operators.Pq.saveCodes(_, p))
+    }
+
   /** Register an OPQ rotation, optionally together with the PQ
     * codebooks/codes trained on the rotated corpus — one artifact then
     * carries the complete OPQ deployment (rotate queries map-side,
@@ -172,6 +185,7 @@ object ModelRegistry {
     else if (has("ivf_centroids")) "ivf"
     else if (has("opq_rotation")) "opq" // before pq: an OPQ artifact may carry codebooks too
     else if (has("pq_codebooks")) "pq"
+    else if (has("sq_meta")) "sq8"
     else "pipeline"
   }
 
@@ -205,6 +219,13 @@ object ModelRegistry {
   def loadPqCodes(spark: SparkSession, root: String, name: String,
                   version: Long = -1L): DataFrame =
     graft.operators.Pq.loadCodes(spark, artifactPath(spark, root, name, version))
+
+  /** Load a registered SQ8 quantizer; latest version when `version` ≤ 0.
+    * Its codes frame (if registered) loads via [[loadPqCodes]] — the
+    * families share one codes-table convention. */
+  def loadSq(spark: SparkSession, root: String, name: String,
+             version: Long = -1L): graft.operators.Sq.Quantizer =
+    graft.operators.Sq.load(spark, artifactPath(spark, root, name, version))
 
   /** Load a registered OPQ rotation; latest version when `version` ≤ 0.
     * Companion codebooks/codes (if registered) load via loadPq /

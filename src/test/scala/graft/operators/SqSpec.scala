@@ -95,4 +95,21 @@ class SqSpec extends SparkSpec {
     assert(recall >= 0.9, s"tight-shortlist recall $recall below 0.9")
     enc.unpersist()
   }
+
+  test("ivfSearchReranked: exhaustive shortlist is bit-identical to " +
+    "Ivf.search at the same nProbe") {
+    val index = Ivf.build(vecs, "vid", "v", nLists = 6)
+    val q = Sq.train(index.assigned, index.vecCol, dim = 8)
+    val enc = Sq.encode(index.assigned, index.vecCol, q).persist()
+    val queries = vecs.filter($"vid" < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSeq
+    val composed = rows(Sq.ivfSearchReranked(index, q, enc, queries,
+      "vid", "v", nProbe = 2, shortlist = 400, topK = 5, dropSelf = true))
+    val ref = rows(Ivf.search(index, queries, "vid", "v", nProbe = 2, topK = 5))
+    assert(composed == ref)
+    enc.unpersist()
+  }
 }

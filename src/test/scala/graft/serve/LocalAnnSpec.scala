@@ -344,6 +344,41 @@ class LocalAnnSpec extends SparkSpec {
     }
   }
 
+  test("sq8 family (round 17): LocalAnn.search is bit-identical to " +
+    "Sq.searchReranked over the registered artifact; attrs and filters " +
+    "compose; /models reports kind ann_sq8") {
+    val qz = graft.operators.Sq.train(corpus, "embedding", dim = 4)
+    val enc = graft.operators.Sq.encode(
+      corpus.select("vec_id", "embedding"), "embedding", qz)
+    val root = java.nio.file.Files.createTempDirectory("graft_lann_sq").toString
+    ModelRegistry.registerSq(spark, root, "sq8", qz, Some(enc))
+    assert(ModelRegistry.kindOf(spark, root, "sq8") == "sq8")
+    val sparkSide = rows(graft.operators.Sq.searchReranked(
+      ModelRegistry.loadPqCodes(spark, root, "sq8"), "vec_id", "embedding",
+      ModelRegistry.loadSq(spark, root, "sq8"), queries, "vec_id", "embedding",
+      shortlist = 20, topK = 5, dropSelf = true))
+    val idx = LocalAnn.load(spark, root, "sq8")
+    assert(idx.family == "sq8" && idx.sq.nonEmpty && idx.size == 160)
+    assert(hitsOf(idx, 20, 5) == sparkSide)
+    // exhaustive shortlist ≡ brute force (the searchReranked contract,
+    // carried over the serving mirror)
+    val brute = Embeddings.cosineTopK(queries, corpus, "vec_id", "vec_id",
+        "embedding", k = 5)
+      .orderBy("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSeq
+    assert(hitsOf(idx, 200, 5) == brute)
+    // /models reports the family
+    val server = HttpApi.start(annModel = Some(("sq8", idx)))
+    try {
+      val inv = mapper.readTree(client.send(
+        HttpRequest.newBuilder(
+            URI.create(s"http://127.0.0.1:${server.port}/models")).GET().build(),
+        HttpResponse.BodyHandlers.ofString()).body())
+      assert(inv.path("models").path("sq8").path("kind").asText == "ann_sq8")
+    } finally server.stop()
+  }
+
   test("attribute-filtered search (round 17): pre-filter semantics bit-equal " +
     "the Spark filtered search; exhaustive shortlist equals filtered brute " +
     "force; unknown attr and bad filter shapes are request errors") {
