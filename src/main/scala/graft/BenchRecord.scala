@@ -17,6 +17,11 @@ package graft
   * never re-break the parse silently:
   *   - tier A: per-query medians at 2 decimals (fits up to ~140 queries)
   *   - tier B: per-query medians at 1 decimal (fits up to ~165)
+  *   - tier B2 (round 17, the 172-query battery pushed tier B to
+  *     1,949 B): 1 decimal with the redundant "q" key prefix stripped
+  *     ("q169" → "169" — still unique, numbers stay plain seconds;
+  *     fits up to ~185 queries). Full names always live in
+  *     BENCH_DETAIL.json.
   *   - tier C: summary-only — totals + failures + env, with
   *     `"detail":"BENCH_DETAIL.json"` pointing at the full-precision
   *     per-query file Bench ALWAYS writes beside the record.
@@ -46,16 +51,19 @@ object BenchRecord {
     val total = results.map(_._2).sum
     val failedPart =
       "\"failed\":" + failed.map("\"" + shortKey(_) + "\"").mkString("[", ",", "],")
-    def withMap(decimals: Int): String = {
+    def withMap(decimals: Int, stripQ: Boolean = false): String = {
       val fmt = s"%.${decimals}f"
       val qs = results
-        .map { case (n, med) => "\"" + shortKey(n) + "\":" + fmt.format(med) }
+        .map { case (n, med) =>
+          val k = shortKey(n)
+          "\"" + (if (stripQ) k.stripPrefix("q") else k) + "\":" + fmt.format(med)
+        }
         .mkString("{", ",", "}")
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,$failedPart"env":$env,"sf":"$sf"}"""
     }
     val summary =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","nq":${results.size},"detail":"BENCH_DETAIL.json",$failedPart"env":$env,"sf":"$sf"}"""
-    val record = Seq(withMap(2), withMap(1), summary)
+    val record = Seq(withMap(2), withMap(1), withMap(1, stripQ = true), summary)
       .find(_.length <= MaxRecordBytes)
       .getOrElse(summary)
     // tier C grows only with `failed` — if even IT overflows, something

@@ -121,6 +121,32 @@ object Embeddings {
       .select("query_id", "neighbor_id", "sim")
   }
 
+  /** k-NN label vote (round 17 — label propagation, the classic
+    * embedding-space classifier of the curation stack: a small labeled
+    * seed set labels an unlabeled corpus by nearest-neighbor majority,
+    * the fastText/SemDeDup-era technique for topic/quality tagging at
+    * corpus scale): given a (query_id, neighbor_id) NEIGHBORS frame —
+    * [[cosineTopK]]'s exact output, or any ANN search result
+    * ([[Pq.searchReranked]], [[Ivf.search]], [[Sq.searchReranked]]) for
+    * the approximate scale path — join each neighbor's label and keep
+    * the per-query majority (votes desc, label asc on ties, the
+    * deterministic convention). One shuffle on query_id; the labels
+    * side joins on the neighbor id (broadcast when the seed set is
+    * small — the usual deployment). */
+  def knnVote(neighbors: DataFrame, labels: DataFrame, id: String,
+              labelCol: String): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("votes"), col("label").asc)
+    neighbors.select("query_id", "neighbor_id")
+      .join(labels.select(col(id).as("neighbor_id"),
+        col(labelCol).cast("long").as("label")), Seq("neighbor_id"))
+      .groupBy("query_id", "label").agg(count(lit(1)).as("votes"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col("query_id"), col("label").as("predicted_label"),
+        col("votes"))
+  }
+
   /** Deterministic random hyperplanes: planes(i)(j) ∈ [-0.5, 0.5). */
   private def planes(nPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(seed)

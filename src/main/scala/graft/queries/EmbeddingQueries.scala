@@ -1030,6 +1030,26 @@ object EmbeddingQueries {
       } finally { enc.unpersist(); () }
     }),
 
+    // k-NN LABEL PROPAGATION (round 17 — the embedding-space classifier
+    // of the curation stack: label an unlabeled corpus by
+    // nearest-neighbor majority over a labeled seed set). Queries =
+    // vec_id < 20 classified against the rest of the corpus (the seed):
+    // exact top-5 neighbors, per-query majority vote, ties (votes desc,
+    // label asc). STRONG oracle: the whole chain — cosine ranking, the
+    // label join, the vote count, the argmax — is replayed in SQL and
+    // the (prediction, votes) frame hashes with zero pinned flags. The
+    // approximate scale path is the same knnVote over any ANN search
+    // output (the operator takes the neighbors frame, not the corpus).
+    "q174_knn_classify" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir).filter(col("vec_id") < 50000)
+      val q = e.filter(col("vec_id") < 20)
+      val seed = e.filter(col("vec_id") >= 20)
+      val neighbors = graft.operators.Embeddings
+        .cosineTopK(q, seed, "vec_id", "vec_id", "embedding", k = 5)
+      graft.operators.Embeddings.knnVote(neighbors, seed, "vec_id", "label")
+        .orderBy("query_id")
+    }),
+
     // MMR DIVERSIFIED RE-RANKING (round 17 — Carbonell & Goldstein
     // 1998, the diversity selector of the retrieval/curation tier):
     // per-query exact top-20 candidates greedily re-ranked to 5 picks
@@ -1341,6 +1361,35 @@ object EmbeddingQueries {
         | FROM sims)
         |WHERE rk <= 5
         |ORDER BY query_id, neighbor_id""".stripMargin,
+
+    // STRONG form, zero pinned flags: the exact-kNN ranking, label
+    // join, vote count and argmax all replay in SQL
+    "q174_knn_classify" ->
+      """WITH e AS MATERIALIZED (
+        | SELECT vec_id, label,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        | FROM embeddings WHERE vec_id < 50000),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+        |nb AS (
+        | SELECT query_id, nid, label FROM (
+        |  SELECT q.query_id, e.vec_id AS nid, e.label,
+        |   row_number() OVER (PARTITION BY q.query_id
+        |    ORDER BY round((list_dot_product(q.qv, e.v)
+        |     / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v)))) * 1000000.0) / 1000000.0 DESC,
+        |     e.vec_id ASC) AS rk
+        |  FROM q JOIN e ON e.vec_id >= 20)
+        | WHERE rk <= 5),
+        |votes AS (
+        | SELECT query_id, CAST(label AS BIGINT) AS label,
+        |  count(*) AS votes
+        | FROM nb GROUP BY query_id, label)
+        |SELECT query_id, label AS predicted_label, votes FROM (
+        | SELECT query_id, label, votes,
+        |  row_number() OVER (PARTITION BY query_id
+        |   ORDER BY votes DESC, label ASC) AS rk
+        | FROM votes)
+        |WHERE rk = 1
+        |ORDER BY query_id""".stripMargin,
 
     // q118 mold: exact counts from the query inventory; the recall
     // floor is a predicted-true emission backed by the measured margin
