@@ -69,8 +69,13 @@ def fresh_con(sfdir):
     # DUCK_MEM_LIMIT; spill dir likewise via DUCK_SPILL_DIR.
     mem = os.environ.get("DUCK_MEM_LIMIT")
     if not mem:
+        # 50%, not 70% (round-17 lesson): DuckDB's pool shares the
+        # process with pandas peaks (a 5M-row window frame costs tens
+        # of GB while both engines' results are resident for compare) —
+        # at 70% the sf5 battery OOM'd DuckDB AND numpy mid-run, while
+        # the same oracles pass standalone. Spill beats bad_alloc.
         total_gb = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES") / (1 << 30)
-        mem = f"{max(1, int(total_gb * 0.7))}GB"
+        mem = f"{max(1, int(total_gb * 0.5))}GB"
     con = duckdb.connect()
     con.execute(f"SET memory_limit='{mem}'")
     con.execute(f"SET temp_directory='{os.environ.get('DUCK_SPILL_DIR', '/tmp/duck_spill')}'")
