@@ -63,6 +63,13 @@ object EmbeddingQueries {
   private val sqHttpMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q175's build-once HNSW artifact + its fresh-search reference set
+    * (the q143 doctrine): graph built and registered ONCE per process;
+    * every execution pays the deployment shape — reload, serve over
+    * HTTP, compare bit-for-bit against the fresh graph's search. */
+  private val hnswMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Set[(Long, Long, Long)])]()
+
   /** Temp registry dir for the HTTP-serving gates, swept at JVM exit
     * (round-16 verdict #8: repeated batteries accumulated orphan
     * `graft_ann_http*` registries under /tmp — gate-only residue). */
@@ -1050,6 +1057,63 @@ object EmbeddingQueries {
         .orderBy("query_id")
     }),
 
+    // HNSW (round 17 — Malkov & Yashunin 2016, the graph tier of the
+    // ANN family and the serving tier's FIFTH family): deterministic
+    // build (levels from xxhash64(id), ascending-id insertion, (dist,
+    // id) tie order), greedy-descent search, registry persistence.
+    // Gate: the REGISTERED graph reloads into LocalAnn and serves 20
+    // real HTTP searches; results must be BIT-IDENTICAL to the fresh
+    // in-process graph's search (save/load + LocalAnn mirror + JSON
+    // transport proven equal at once — the q162 convention), and
+    // recall@5 vs exact brute force clears the floor. Build is
+    // driver-side over ONE bounded shard by design (the hnswlib/
+    // LocalAnn serving model; fleets = per-shard graphs behind q168's
+    // fan-out/merge).
+    "q175_hnsw_knn" -> ((s, dir) => {
+      import s.implicits._
+      val (root, freshRes) = hnswMemo.computeIfAbsent(dir, _ => {
+        val e = Tables.embeddings(s, dir).filter(col("vec_id") < 50000)
+        val g = graft.operators.Hnsw.fromDataFrame(e, "vec_id", "embedding",
+          m = 16, efConstruction = 100)
+        val qs = e.filter(col("vec_id") < 20)
+          .select(col("vec_id"), col("embedding")).collect()
+          .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]](1).toArray)
+        val fresh = qs.flatMap { case (qid, v) =>
+          graft.operators.Hnsw.search(g, v, efSearch = 64, topK = 5,
+            dropId = Some(qid)).map(h =>
+            (qid, h._1, java.lang.Double.doubleToLongBits(h._2)))
+        }.toSet
+        val reg = tempRegistryDir("graft_ann_hnsw")
+        graft.serve.ModelRegistry.registerHnsw(s, reg, "ann_hnsw", g)
+        (reg, fresh)
+      })
+      val idx = graft.serve.LocalAnn.load(s, root, "ann_hnsw")
+      val e = Tables.embeddings(s, dir).filter(col("vec_id") < 50000)
+      val q = e.filter(col("vec_id") < 20)
+      val queries = q.select(col("vec_id"), col("embedding")).collect()
+        .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]](1).toArray)
+        .sortBy(_._1).toSeq
+      // shortlist doubles as efSearch for the hnsw family
+      val resp = graft.serve.HttpApi.annSearchOverHttp(queries,
+        ("ann_hnsw", idx), shortlist = 64, topK = 5)
+      val httpRes = resp.flatMap { o =>
+        val qid = o.path("query_id").asLong
+        val rs = o.path("results")
+        (0 until rs.size()).map(i => (qid,
+          rs.get(i).path("neighbor_id").asLong,
+          java.lang.Double.doubleToLongBits(rs.get(i).path("sim").asDouble)))
+      }.toSet
+      val exact = graft.operators.Embeddings
+        .cosineTopK(q, e, "vec_id", "vec_id", "embedding", k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (httpRes.map(t => (t._1, t._2)) & exact).size.toDouble /
+        exact.size
+      Seq((exact.map(_._1).size.toLong, exact.size.toLong,
+          recall >= 0.8, httpRes == freshRes, idx.family == "hnsw"))
+        .toDF("n_queries", "n_exact", "recall_ok", "reload_http_eq",
+          "family_ok")
+    }),
+
     // MMR DIVERSIFIED RE-RANKING (round 17 — Carbonell & Goldstein
     // 1998, the diversity selector of the retrieval/curation tier):
     // per-query exact top-20 candidates greedily re-ranked to 5 picks
@@ -1361,6 +1425,15 @@ object EmbeddingQueries {
         | FROM sims)
         |WHERE rk <= 5
         |ORDER BY query_id, neighbor_id""".stripMargin,
+
+    // q162 mold: the save/load + LocalAnn-mirror + transport
+    // bit-identity and the recall floor are driver/in-query-derived;
+    // DuckDB pins the query inventory and the exact-truth cardinality
+    "q175_hnsw_knn" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        | CAST(5 * count(*) AS BIGINT) AS n_exact,
+        | TRUE AS recall_ok, TRUE AS reload_http_eq, TRUE AS family_ok
+        |FROM embeddings WHERE vec_id < 20""".stripMargin,
 
     // STRONG form, zero pinned flags: the exact-kNN ranking, label
     // join, vote count and argmax all replay in SQL

@@ -2,7 +2,7 @@ package graft.serve
 
 import org.apache.spark.sql.SparkSession
 
-import graft.operators.{Ivf, Opq, Pq, Sq}
+import graft.operators.{Hnsw, Ivf, Opq, Pq, Sq}
 
 /** Driver-local ANN searcher over a REGISTERED artifact — the serving
   * half of the ANN tier (round-15 verdict #4: registry artifacts were
@@ -31,7 +31,8 @@ import graft.operators.{Ivf, Opq, Pq, Sq}
   */
 object LocalAnn {
 
-  /** A loaded, serveable index. `family` ∈ {"ivf", "pq", "opq", "sq8"}.
+  /** A loaded, serveable index.
+    * `family` ∈ {"ivf", "pq", "opq", "sq8", "hnsw"}.
     *  - pq/opq: `cb`+`ids`/`codes`/`vecs` drive ADC + rerank; `rot` is
     *    the OPQ rotation (identity absent).
     *  - ivf: `centroids`+`cellOf` drive the probe; vecs are exact.
@@ -48,7 +49,8 @@ object LocalAnn {
                          centroids: Array[Array[Float]],
                          cellOf: Array[Int],
                          attrs: Map[String, Array[Long]] = Map.empty,
-                         sq: Option[Sq.Quantizer] = None) {
+                         sq: Option[Sq.Quantizer] = None,
+                         hnsw: Option[Hnsw.Graph] = None) {
     def size: Int = ids.length
   }
 
@@ -106,6 +108,17 @@ object LocalAnn {
           "sq_codes", attrCols, name)
         Index(name, family, None, None, ids, vecs, codes,
           Array.empty, Array.empty, attrs, Some(q))
+      case "hnsw" =>
+        // the graph IS the serveable artifact; attribute-filtered
+        // traversal is not implemented for this family (a filter names
+        // no loaded attr and fails the request loudly — see
+        // validateFilter), so attrCols are rejected up front
+        require(attrCols.isEmpty,
+          s"registered '$name' is an hnsw graph - attribute-filtered " +
+            "search is not supported for this family")
+        val g = ModelRegistry.loadHnsw(spark, root, name, version)
+        Index(name, family, None, None, g.ids, g.vecs, Array.empty,
+          Array.empty, Array.empty, Map.empty, None, Some(g))
       case "ivf" =>
         val idx = ModelRegistry.loadIvf(spark, root, name, version)
         val cents = idx.centroids.orderBy("centroid_id").collect()
@@ -288,6 +301,13 @@ object LocalAnn {
       case "opq" | "pq" => searchPq(idx, queryId, query, shortlist, topK, dropSelf, allow)
       case "sq8"        => searchSq(idx, queryId, query, shortlist, topK, dropSelf, allow)
       case "ivf"        => searchIvf(idx, queryId, query, shortlist, topK, dropSelf, allow)
+      case "hnsw" =>
+        // `shortlist` is efSearch here (the nProbe convention: one
+        // breadth knob per family); Hnsw.search already emits the
+        // canonical (sim desc, id asc) rounded-cosine hits
+        Hnsw.search(idx.hnsw.get, query, efSearch = shortlist, topK = topK,
+            dropId = if (dropSelf) Some(queryId) else None)
+          .map { case (id, sim) => Hit(id, sim) }
       case other => throw new IllegalStateException(s"unserveable family $other")
     }
   }

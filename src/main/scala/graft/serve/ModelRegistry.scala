@@ -147,6 +147,16 @@ object ModelRegistry {
       codes.foreach(graft.operators.Pq.saveCodes(_, p))
     }
 
+  /** Register an HNSW graph (round 17) — nodes (vectors + id-keyed
+    * per-level links) and meta ride parquet; the artifact is the
+    * complete serveable index. */
+  def registerHnsw(spark: SparkSession, root: String, name: String,
+                   g: graft.operators.Hnsw.Graph,
+                   metrics: Map[String, Double] = Map.empty): Long =
+    registerArtifact(spark, root, name, metrics) { p =>
+      graft.operators.Hnsw.save(spark, g, p)
+    }
+
   /** Register an OPQ rotation, optionally together with the PQ
     * codebooks/codes trained on the rotated corpus — one artifact then
     * carries the complete OPQ deployment (rotate queries map-side,
@@ -186,6 +196,7 @@ object ModelRegistry {
     else if (has("opq_rotation")) "opq" // before pq: an OPQ artifact may carry codebooks too
     else if (has("pq_codebooks")) "pq"
     else if (has("sq_meta")) "sq8"
+    else if (has("hnsw_meta")) "hnsw"
     else "pipeline"
   }
 
@@ -226,6 +237,11 @@ object ModelRegistry {
   def loadSq(spark: SparkSession, root: String, name: String,
              version: Long = -1L): graft.operators.Sq.Quantizer =
     graft.operators.Sq.load(spark, artifactPath(spark, root, name, version))
+
+  /** Load a registered HNSW graph; latest version when `version` ≤ 0. */
+  def loadHnsw(spark: SparkSession, root: String, name: String,
+               version: Long = -1L): graft.operators.Hnsw.Graph =
+    graft.operators.Hnsw.load(spark, artifactPath(spark, root, name, version))
 
   /** Load a registered OPQ rotation; latest version when `version` ≤ 0.
     * Companion codebooks/codes (if registered) load via loadPq /
