@@ -49,8 +49,14 @@ object BenchRecord {
   def render(results: Seq[(String, Double)], failed: Seq[String],
              env: String, sf: String): String = {
     val total = results.map(_._2).sum
-    val failedPart =
-      "\"failed\":" + failed.map("\"" + shortKey(_) + "\"").mkString("[", ",", "],")
+    // failed keys live in the SAME key space as the queries map of the
+    // tier that renders them (round-17 advice: a B2 record mixing
+    // "169" map keys with "q169" failed names breaks any parser
+    // correlating the two)
+    def failedPart(stripQ: Boolean): String =
+      "\"failed\":" + failed
+        .map(n => "\"" + (if (stripQ) shortKey(n).stripPrefix("q") else shortKey(n)) + "\"")
+        .mkString("[", ",", "],")
     def withMap(decimals: Int, stripQ: Boolean = false): String = {
       val fmt = s"%.${decimals}f"
       val qs = results
@@ -59,10 +65,10 @@ object BenchRecord {
           "\"" + (if (stripQ) k.stripPrefix("q") else k) + "\":" + fmt.format(med)
         }
         .mkString("{", ",", "}")
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,$failedPart"env":$env,"sf":"$sf"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,${failedPart(stripQ)}"env":$env,"sf":"$sf"}"""
     }
     val summary =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","nq":${results.size},"detail":"BENCH_DETAIL.json",$failedPart"env":$env,"sf":"$sf"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","nq":${results.size},"detail":"BENCH_DETAIL.json",${failedPart(stripQ = false)}"env":$env,"sf":"$sf"}"""
     val record = Seq(withMap(2), withMap(1), withMap(1, stripQ = true), summary)
       .find(_.length <= MaxRecordBytes)
       .getOrElse(summary)

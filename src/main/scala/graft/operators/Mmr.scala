@@ -51,7 +51,13 @@ object Mmr {
       dab += x * y; daa += x * x; dbb += y * y
       i += 1
     }
-    sparkRound1e6(dab / (math.sqrt(daa) * math.sqrt(dbb)))
+    val denom = math.sqrt(daa) * math.sqrt(dbb)
+    // fail LOUDLY on the contract breach: a zero-norm vector would
+    // yield NaN, which Math.round silently maps to 0 micro-units —
+    // a fabricated sim, not an error (round-17 advice)
+    require(denom > 0, "zero-norm vector in MMR candidates - " +
+      "candidates must come from a cosine ranking (caller contract)")
+    sparkRound1e6(dab / denom)
   }
 
   /** Greedy MMR over one query's candidates: (id, rel, vec) →

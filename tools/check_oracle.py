@@ -159,6 +159,10 @@ if __name__ == "__main__":
     # optional: --only q62,q117 (name-prefix filter), --from q130
     # (resume the sorted walk there) — local-iteration / long-battery
     # resume aids; the driver's positional usage is unchanged
+    USAGE = ("usage: check_oracle.py <sfdir> <verify_out> [results.json] "
+             "[--hash] [--only=qX,qY] [--from=qX]\n"
+             "note: --only/--from REQUIRE the '=' syntax - a space-separated "
+             "value would silently become a positional arg (round-17 verdict #2)")
     only = start_from = None
     argv = []
     for a in sys.argv[1:]:
@@ -168,8 +172,18 @@ if __name__ == "__main__":
             only = a.split("=", 1)[1].split(",")
         elif a.startswith("--from="):
             start_from = a.split("=", 1)[1]
+        elif a.startswith("-"):
+            # unknown flag (incl. bare --only / --from): loud error, never
+            # a silently ignored arg or a file named after the flag
+            sys.exit(f"check_oracle.py: unknown flag '{a}'\n{USAGE}")
         else:
             argv.append(a)
+    if not (2 <= len(argv) <= 3):
+        sys.exit(f"check_oracle.py: expected 2-3 positional args, "
+                 f"got {len(argv)}: {argv}\n{USAGE}")
+    for p in argv[:2]:
+        if not os.path.isdir(p):
+            sys.exit(f"check_oracle.py: '{p}' is not a directory\n{USAGE}")
     hash_mode = "--hash" in sys.argv[1:]
     sys.exit(main(argv[0], argv[1],
                   argv[2] if len(argv) > 2 else None, hash_mode=hash_mode,
