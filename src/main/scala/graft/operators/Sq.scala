@@ -106,7 +106,8 @@ object Sq {
   def searchReranked(encoded: DataFrame, id: String, vec: String,
                      q: Quantizer, queries: DataFrame,
                      qid: String, qvec: String, shortlist: Int, topK: Int,
-                     dropSelf: Boolean = false): DataFrame = {
+                     dropSelf: Boolean = false,
+                     shortlistViaAgg: Boolean = false): DataFrame = {
     NativeVector.register(encoded.sparkSession)
     val corpus = encoded
       .select(col(id).as("neighbor_id"),
@@ -120,11 +121,23 @@ object Sq {
       val scored = (if (dropSelf) paired.filter(col("neighbor_id") =!= col("query_id"))
                     else paired)
         .withColumn("__approx", NativeVector.cosine(col("__qv"), col("__dec")))
-      val w = Window.partitionBy("query_id")
-        .orderBy(col("__approx").desc_nulls_last, col("neighbor_id").asc)
-      val cands = scored.withColumn("__rk", row_number().over(w))
-        .filter(col("__rk") <= shortlist)
-        .select("query_id", "neighbor_id")
+      // `shortlistViaAgg` (round 18, r17 verdict #5): take the
+      // per-query shortlist with the BoundedTopK partial aggregate —
+      // the shuffle carries k-bounded buffers instead of every scored
+      // row. Same (approx desc, id asc) selection; null approx
+      // (zero-norm decode) is excluded rather than ranked last, which
+      // diverges from the window form only when a query has fewer than
+      // `shortlist` non-null candidates. Priced at the 15 M probe
+      // (BASELINE.md round 18) before being made the default.
+      val cands =
+        if (shortlistViaAgg)
+          BoundedTopK.shortlist(scored.filter(col("__approx").isNotNull),
+            "query_id", "__approx", "neighbor_id", shortlist)
+        else scored.withColumn("__rk", row_number().over(
+            Window.partitionBy("query_id")
+              .orderBy(col("__approx").desc_nulls_last, col("neighbor_id").asc)))
+          .filter(col("__rk") <= shortlist)
+          .select("query_id", "neighbor_id")
       // exact re-rank touches shortlist·|queries| float rows only
       Pq.rerank(cands, encoded, id, vec, queries, qid, qvec, topK)
     } finally { corpus.unpersist(); () }

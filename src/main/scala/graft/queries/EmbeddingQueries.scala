@@ -63,12 +63,53 @@ object EmbeddingQueries {
   private val sqHttpMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** q175's build-once HNSW artifact + its fresh-search reference set
-    * (the q143 doctrine): graph built and registered ONCE per process;
-    * every execution pays the deployment shape — reload, serve over
-    * HTTP, compare bit-for-bit against the fresh graph's search. */
+  /** q175's build-once HNSW artifact + its fresh EXHAUSTIVE-search
+    * reference set (the q143 doctrine): graph built and registered ONCE
+    * per process; every execution pays the deployment shape — reload,
+    * serve over HTTP, compare bit-for-bit against the fresh graph's
+    * search. */
   private val hnswMemo = new java.util.concurrent.ConcurrentHashMap[
     String, (String, Set[(Long, Long, Long)])]()
+
+  /** q176's build-once mixture corpus + graph pair (closest-M vs §4
+    * heuristic at identical budgets); the graphs live in memory — per
+    * execution only the searches and the exact arm re-run. Its own 20 K
+    * corpus (same generator/geometry as q167's 60 K one): the
+    * comparison needs the clustered GEOMETRY, not the larger scale, and
+    * two graph builds ride every process. */
+  private val hnswMixMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, graft.operators.Hnsw.Graph, graft.operators.Hnsw.Graph)]()
+
+  /** The shared q175/q178 base graph (vec_id < 50000, m=16, efC=100)
+    * — built once per process per dir; the two gates register their
+    * own artifacts (plain / label-attributed) off it. */
+  private val hnswGraphMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.operators.Hnsw.Graph]()
+  private def hnswBaseGraph(s: org.apache.spark.sql.SparkSession,
+                            dir: String): graft.operators.Hnsw.Graph =
+    hnswGraphMemo.computeIfAbsent(dir, _ =>
+      graft.operators.Hnsw.fromDataFrame(
+        Tables.embeddings(s, dir).filter(col("vec_id") < 50000),
+        "vec_id", "embedding", m = 16, efConstruction = 100))
+
+  /** q177's build-once append artifacts: full-build reference search
+    * set + the registered appended graph + the struct-equality verdict
+    * computed at build time. */
+  private val hnswAppendMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Set[(Long, Long, Long)], Boolean)]()
+
+  /** q178's build-once filtered-serving HNSW artifact (label attr rides
+    * the nodes table) + the fresh filtered exhaustive reference set. */
+  private val hnswFilterMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Set[(Long, Long, Long)])]()
+
+  /** q176 budgets — both arms get IDENTICAL (m, efConstruction,
+    * efSearch); chosen with `graft.tools.HnswProbe` on the mixture
+    * fixture so closest-M sits below saturation (the regime where the
+    * §4-heuristic comparison discriminates). */
+  private val HnswMixM = 4
+  private val HnswMixEfc = 64
+  private val HnswMixEf = 16
 
   /** Temp registry dir for the HTTP-serving gates, swept at JVM exit
     * (round-16 verdict #8: repeated batteries accumulated orphan
@@ -1071,15 +1112,27 @@ object EmbeddingQueries {
     // fan-out/merge).
     "q175_hnsw_knn" -> ((s, dir) => {
       import s.implicits._
-      val (root, freshRes) = hnswMemo.computeIfAbsent(dir, _ => {
-        val e = Tables.embeddings(s, dir).filter(col("vec_id") < 50000)
-        val g = graft.operators.Hnsw.fromDataFrame(e, "vec_id", "embedding",
-          m = 16, efConstruction = 100)
-        val qs = e.filter(col("vec_id") < 20)
+      // Round-18 rework to the q172 REAL-ROW mold (round-17 verdict
+      // #6): the served rows themselves hash against DuckDB's exact
+      // brute-force replay. The exactness lever for a graph: with
+      // efSearch = corpus size the level-0 beam never prunes, so the
+      // search visits every reachable node and — the graph being
+      // connected (bidirectional inserts + full degree budgets) — the
+      // top-5 IS exact brute force. A disconnected component or any
+      // traversal defect diverges the hashed rows loudly. http_eq
+      // derives per-row from HTTP-over-reloaded-artifact vs the fresh
+      // graph's search (save/load + LocalAnn mirror + JSON transport
+      // at once); recall_ok derives from a TIGHT efSearch=64 serving
+      // pass against the exhaustive rows — the one remaining
+      // oracle-literal-TRUE pair, both failure-capable in-query.
+      val (root, freshExh) = hnswMemo.computeIfAbsent(dir, _ => {
+        val g = hnswBaseGraph(s, dir)
+        val qs = Tables.embeddings(s, dir)
+          .filter(col("vec_id") < 20 && col("vec_id") < 50000)
           .select(col("vec_id"), col("embedding")).collect()
           .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]](1).toArray)
         val fresh = qs.flatMap { case (qid, v) =>
-          graft.operators.Hnsw.search(g, v, efSearch = 64, topK = 5,
+          graft.operators.Hnsw.search(g, v, efSearch = g.size, topK = 5,
             dropId = Some(qid)).map(h =>
             (qid, h._1, java.lang.Double.doubleToLongBits(h._2)))
         }.toSet
@@ -1088,14 +1141,144 @@ object EmbeddingQueries {
         (reg, fresh)
       })
       val idx = graft.serve.LocalAnn.load(s, root, "ann_hnsw")
-      val e = Tables.embeddings(s, dir).filter(col("vec_id") < 50000)
-      val q = e.filter(col("vec_id") < 20)
+      val q = Tables.embeddings(s, dir)
+        .filter(col("vec_id") < 20 && col("vec_id") < 50000)
       val queries = q.select(col("vec_id"), col("embedding")).collect()
         .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]](1).toArray)
         .sortBy(_._1).toSeq
-      // shortlist doubles as efSearch for the hnsw family
+      // shortlist doubles as efSearch for the hnsw family: one
+      // EXHAUSTIVE pass (the hashed rows) and one TIGHT pass (recall)
+      def httpRows(ef: Int) = graft.serve.HttpApi
+        .annSearchOverHttp(queries, ("ann_hnsw", idx), shortlist = ef, topK = 5)
+        .flatMap { o =>
+          val qid = o.path("query_id").asLong
+          val rs = o.path("results")
+          (0 until rs.size()).map(i => (qid,
+            rs.get(i).path("neighbor_id").asLong,
+            rs.get(i).path("sim").asDouble))
+        }
+      val exhaustive = httpRows(idx.size)
+      val tight = httpRows(64).map(t => (t._1, t._2)).toSet
+      val httpEq = exhaustive
+        .map(t => (t._1, t._2, java.lang.Double.doubleToLongBits(t._3)))
+        .toSet == freshExh
+      val recallOk = exhaustive.count(t => tight((t._1, t._2))).toDouble /
+        exhaustive.size >= 0.8
+      exhaustive.toSeq
+        .toDF("query_id", "neighbor_id", "sim")
+        .withColumn("http_eq", lit(httpEq))
+        .withColumn("recall_ok", lit(recallOk))
+        .orderBy("query_id", "neighbor_id")
+    }),
+
+    // HNSW NEIGHBOR-SELECTION HEAD-TO-HEAD (round 18 — the paper's §4
+    // diversity heuristic vs simple closest-M, measured WHERE IT
+    // MATTERS: the clustered mixture fixture whose anisotropic
+    // per-cluster geometry collapses closest-M neighborhoods into the
+    // densest direction; the q167 discipline verbatim). Both graphs
+    // build at IDENTICAL budgets (m, efConstruction, efSearch); the
+    // tight-beam recall of each arm vs exact brute force is a
+    // deterministic constant of the seeded corpus (builds are
+    // input-order independent, searches deterministic), so the oracle
+    // pins the discrete hit counts themselves (the q148 20/20 mold)
+    // plus the ordering flags: the heuristic must MEET OR BEAT
+    // closest-M, and closest-M must sit below saturation (the regime
+    // where the comparison discriminates).
+    "q176_hnsw_heuristic" -> ((s, dir) => {
+      import s.implicits._
+      val (path, gC, gH) = hnswMixMemo.computeIfAbsent("mix", _ => {
+        val p = tempRegistryDir("graft_hnsw_mix") + "/corpus"
+        graft.sources.SyntheticData
+          .clusteredEmbeddings(s, 20000L, k = 8, dim = 64)
+          .select("vec_id", "embedding")
+          .write.mode("overwrite").parquet(p)
+        val rows = s.read.parquet(p)
+          .select(col("vec_id").cast("long"), col("embedding"))
+          .collect()
+          .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]](1).toArray)
+          .toSeq
+        (p,
+          graft.operators.Hnsw.build(rows, m = HnswMixM, efConstruction = HnswMixEfc),
+          graft.operators.Hnsw.build(rows, m = HnswMixM, efConstruction = HnswMixEfc,
+            heuristic = true))
+      })
+      val e = s.read.parquet(path)
+      val q = e.filter(col("vec_id") < 20)
+      val queries = q.select(col("vec_id").cast("long"), col("embedding"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]](1).toArray)
+        .sortBy(_._1).toSeq
+      def hitsOf(g: graft.operators.Hnsw.Graph) = queries.flatMap {
+        case (qid, v) =>
+          graft.operators.Hnsw.search(g, v, efSearch = HnswMixEf, topK = 5,
+            dropId = Some(qid)).map(h => (qid, h._1))
+      }.toSet
+      val (cHits, hHits) = (hitsOf(gC), hitsOf(gH))
+      val exact = Embeddings.cosineTopK(q, e, "vec_id", "vec_id",
+          "embedding", k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val (nC, nH) = ((cHits & exact).size.toLong, (hHits & exact).size.toLong)
+      Seq((exact.map(_._1).size.toLong, exact.size.toLong, nC, nH,
+          nH >= nC, nC <= exact.size - 3))
+        .toDF("n_queries", "n_exact", "n_closest", "n_heuristic",
+          "heur_ge_closest", "closest_unsaturated")
+    }),
+
+    // HNSW INCREMENTAL INSERT (round 18 — q148's FAISS-add semantics
+    // for the graph tier): because insertion is ascending-id and
+    // levels are a pure function of the id, appending ids above the
+    // current max REPLAYS the exact tail of the full build — so the
+    // gate asserts the STRONGEST possible outcome, bit-identity:
+    // (1) struct_eq — the appended graph's links/levels/entry equal a
+    // from-scratch build of the union, node for node (computed once at
+    // build); (2) append_http_eq — the REGISTERED appended graph,
+    // reloaded into LocalAnn and served over real HTTP at a TIGHT
+    // structure-sensitive beam, returns results bit-identical to the
+    // fresh full build's in-process search (an ef where a single
+    // misplaced link would reroute the greedy descent). The oracle
+    // pins the discrete inventory (q168 mold).
+    "q177_hnsw_append" -> ((s, dir) => {
+      import s.implicits._
+      val (root, freshRes, structEq) = hnswAppendMemo.computeIfAbsent(dir, _ => {
+        val e = Tables.embeddings(s, dir).filter(col("vec_id") < 20000)
+        val rows = e.select(col("vec_id").cast("long"), col("embedding"))
+          .collect()
+          .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]](1).toArray)
+          .sortBy(_._1).toSeq
+        // the arriving-data split: first 60% is the standing index,
+        // the id-ordered tail is the delta batch (ids strictly above)
+        val (base, delta) = rows.splitAt((rows.length * 3) / 5)
+        val gFull = graft.operators.Hnsw.build(rows, m = 16,
+          efConstruction = 100)
+        val gApp = graft.operators.Hnsw.append(
+          graft.operators.Hnsw.build(base, m = 16, efConstruction = 100),
+          delta)
+        val structEq =
+          gApp.ids.sameElements(gFull.ids) &&
+          gApp.levels.sameElements(gFull.levels) &&
+          gApp.entry == gFull.entry && gApp.maxLevel == gFull.maxLevel &&
+          gApp.links.zip(gFull.links).forall { case (a, b) =>
+            a.length == b.length &&
+              a.zip(b).forall { case (x, y) => x.sameElements(y) }
+          }
+        val qs = rows.filter(_._1 < 20)
+        val fresh = qs.flatMap { case (qid, v) =>
+          graft.operators.Hnsw.search(gFull, v, efSearch = 64, topK = 5,
+            dropId = Some(qid)).map(h =>
+            (qid, h._1, java.lang.Double.doubleToLongBits(h._2)))
+        }.toSet
+        val reg = tempRegistryDir("graft_ann_hnsw_app")
+        graft.serve.ModelRegistry.registerHnsw(s, reg, "ann_hnsw_app", gApp)
+        (reg, fresh, structEq)
+      })
+      val idx = graft.serve.LocalAnn.load(s, root, "ann_hnsw_app")
+      val q = Tables.embeddings(s, dir)
+        .filter(col("vec_id") < 20 && col("vec_id") < 50000)
+      val queries = q.select(col("vec_id"), col("embedding")).collect()
+        .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]](1).toArray)
+        .sortBy(_._1).toSeq
       val resp = graft.serve.HttpApi.annSearchOverHttp(queries,
-        ("ann_hnsw", idx), shortlist = 64, topK = 5)
+        ("ann_hnsw_app", idx), shortlist = 64, topK = 5)
       val httpRes = resp.flatMap { o =>
         val qid = o.path("query_id").asLong
         val rs = o.path("results")
@@ -1103,15 +1286,81 @@ object EmbeddingQueries {
           rs.get(i).path("neighbor_id").asLong,
           java.lang.Double.doubleToLongBits(rs.get(i).path("sim").asDouble)))
       }.toSet
-      val exact = graft.operators.Embeddings
-        .cosineTopK(q, e, "vec_id", "vec_id", "embedding", k = 5)
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      val recall = (httpRes.map(t => (t._1, t._2)) & exact).size.toDouble /
-        exact.size
-      Seq((exact.map(_._1).size.toLong, exact.size.toLong,
-          recall >= 0.8, httpRes == freshRes, idx.family == "hnsw"))
-        .toDF("n_queries", "n_exact", "recall_ok", "reload_http_eq",
-          "family_ok")
+      Seq((queries.size.toLong, httpRes.size.toLong,
+          httpRes == freshRes, structEq))
+        .toDF("n_queries", "n_results", "append_http_eq", "struct_eq")
+    }),
+
+    // ATTRIBUTE-FILTERED HNSW SEARCH (round 18 — q169's filter surface
+    // completed for the graph family, hnswlib semantics: failing nodes
+    // stay TRAVERSABLE, keeping the beam connected through filtered-out
+    // regions, but never surface as results — so the return is the
+    // top-k OF THE FILTERED CORPUS, pre-filtering semantics like every
+    // other family). STRONG real-row mold: with an exhaustive beam the
+    // filtered search IS the filtered brute force, so DuckDB recomputes
+    // the emitted rows from the parquet (q169's pre SQL verbatim);
+    // http_eq derives per-row (the registered artifact + label attr
+    // served over real HTTP vs the fresh graph's filtered search);
+    // recall_ok derives from the tight filtered beam vs the exhaustive
+    // rows.
+    "q178_hnsw_filtered" -> ((s, dir) => {
+      import s.implicits._
+      val allowed = Seq(2L, 7L)
+      val (root, freshExh) = hnswFilterMemo.computeIfAbsent(dir, _ => {
+        val g = hnswBaseGraph(s, dir)
+        // labels aligned to graph node order: both ascending vec_id
+        val labRows = Tables.embeddings(s, dir)
+          .filter(col("vec_id") < 50000)
+          .select(col("vec_id").cast("long"), col("label").cast("long"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+        require(labRows.map(_._1).sameElements(g.ids),
+          "label rows must align with graph nodes")
+        val labels = labRows.map(_._2)
+        val allowSet = allowed.toSet
+        val pass = (i: Int) => allowSet.contains(labels(i))
+        val qs = Tables.embeddings(s, dir)
+          .filter(col("vec_id") < 20 && col("vec_id") < 50000)
+          .select(col("vec_id"), col("embedding")).collect()
+          .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]](1).toArray)
+        val fresh = qs.flatMap { case (qid, v) =>
+          graft.operators.Hnsw.search(g, v, efSearch = g.size, topK = 5,
+            dropId = Some(qid), allow = Some(pass)).map(h =>
+            (qid, h._1, java.lang.Double.doubleToLongBits(h._2)))
+        }.toSet
+        val reg = tempRegistryDir("graft_ann_hnsw_filt")
+        graft.serve.ModelRegistry.registerHnsw(s, reg, "ann_hnsw_filt", g,
+          attrs = Seq("label" -> labels))
+        (reg, fresh)
+      })
+      val idx = graft.serve.LocalAnn.load(s, root, "ann_hnsw_filt",
+        attrCols = Seq("label"))
+      val q = Tables.embeddings(s, dir)
+        .filter(col("vec_id") < 20 && col("vec_id") < 50000)
+      val queries = q.select(col("vec_id"), col("embedding")).collect()
+        .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]](1).toArray)
+        .sortBy(_._1).toSeq
+      def httpRows(ef: Int) = graft.serve.HttpApi
+        .annSearchOverHttp(queries, ("ann_hnsw_filt", idx), shortlist = ef,
+          topK = 5, filter = Map("label" -> allowed))
+        .flatMap { o =>
+          val qid = o.path("query_id").asLong
+          val rs = o.path("results")
+          (0 until rs.size()).map(i => (qid,
+            rs.get(i).path("neighbor_id").asLong,
+            rs.get(i).path("sim").asDouble))
+        }
+      val exhaustive = httpRows(idx.size)
+      val tight = httpRows(64).map(t => (t._1, t._2)).toSet
+      val httpEq = exhaustive
+        .map(t => (t._1, t._2, java.lang.Double.doubleToLongBits(t._3)))
+        .toSet == freshExh
+      val recallOk = exhaustive.count(t => tight((t._1, t._2))).toDouble /
+        exhaustive.size >= 0.8
+      exhaustive.toSeq
+        .toDF("query_id", "neighbor_id", "sim")
+        .withColumn("http_eq", lit(httpEq))
+        .withColumn("recall_ok", lit(recallOk))
+        .orderBy("query_id", "neighbor_id")
     }),
 
     // MMR DIVERSIFIED RE-RANKING (round 17 — Carbonell & Goldstein
@@ -1426,14 +1675,77 @@ object EmbeddingQueries {
         |WHERE rk <= 5
         |ORDER BY query_id, neighbor_id""".stripMargin,
 
-    // q162 mold: the save/load + LocalAnn-mirror + transport
-    // bit-identity and the recall floor are driver/in-query-derived;
-    // DuckDB pins the query inventory and the exact-truth cardinality
+    // q172's REAL-ROW mold (round-18 rework of the old pinned-flag
+    // form): the exhaustive-beam served rows ARE exact brute force
+    // (the beam visits every reachable node; the graph is connected),
+    // so DuckDB recomputes (query_id, neighbor_id, sim) row for row;
+    // http_eq (reload + serving-mirror + transport bit-identity) and
+    // recall_ok (tight-beam floor) are derived in-query.
     "q175_hnsw_knn" ->
+      """WITH e AS MATERIALIZED (
+        | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        | FROM embeddings WHERE vec_id < 50000),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+        |sims AS (
+        | SELECT q.query_id, e.vec_id AS neighbor_id,
+        |  round((list_dot_product(q.qv, e.v)
+        |   / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v)))) * 1000000.0) / 1000000.0 + 0.0 AS sim
+        | FROM q JOIN e ON e.vec_id <> q.query_id)
+        |SELECT query_id, neighbor_id, sim, TRUE AS http_eq,
+        | TRUE AS recall_ok
+        |FROM (
+        | SELECT query_id, neighbor_id, sim,
+        |  row_number() OVER (PARTITION BY query_id
+        |   ORDER BY sim DESC, neighbor_id ASC) AS rk
+        | FROM sims)
+        |WHERE rk <= 5
+        |ORDER BY query_id, neighbor_id""".stripMargin,
+
+    // q148's discrete-outcome mold on the seeded mixture corpus: both
+    // arms' hit counts are deterministic constants (input-order-
+    // independent builds over a layout-independent generator), so the
+    // oracle pins them exactly — any selection/build drift lands red —
+    // plus the ordering flags derived in-query.
+    "q176_hnsw_heuristic" ->
+      """SELECT CAST(20 AS BIGINT) AS n_queries,
+        | CAST(100 AS BIGINT) AS n_exact,
+        | CAST(32 AS BIGINT) AS n_closest, CAST(99 AS BIGINT) AS n_heuristic,
+        | TRUE AS heur_ge_closest, TRUE AS closest_unsaturated""".stripMargin,
+
+    // q168 mold: append ≡ rebuild bit-identity (struct_eq) and the
+    // served-vs-fresh HTTP bit-compare (append_http_eq) are derived
+    // in-query; DuckDB pins the query inventory and result cardinality
+    "q177_hnsw_append" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_queries,
-        | CAST(5 * count(*) AS BIGINT) AS n_exact,
-        | TRUE AS recall_ok, TRUE AS reload_http_eq, TRUE AS family_ok
+        | CAST(5 * count(*) AS BIGINT) AS n_results,
+        | TRUE AS append_http_eq, TRUE AS struct_eq
         |FROM embeddings WHERE vec_id < 20""".stripMargin,
+
+    // q169's STRONG filtered-brute-force mold for the graph family:
+    // the exhaustive filtered beam equals the filtered exact top-5, so
+    // the rows replay from the parquet; http_eq/recall_ok derive
+    // in-query.
+    "q178_hnsw_filtered" ->
+      """WITH e AS MATERIALIZED (
+        | SELECT vec_id, label,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        | FROM embeddings WHERE vec_id < 50000),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+        |sims AS (
+        | SELECT q.query_id, e.vec_id AS neighbor_id,
+        |  round((list_dot_product(q.qv, e.v)
+        |   / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v)))) * 1000000.0) / 1000000.0 + 0.0 AS sim
+        | FROM q JOIN e ON e.vec_id <> q.query_id
+        | WHERE e.label IN (2, 7))
+        |SELECT query_id, neighbor_id, sim, TRUE AS http_eq,
+        | TRUE AS recall_ok
+        |FROM (
+        | SELECT query_id, neighbor_id, sim,
+        |  row_number() OVER (PARTITION BY query_id
+        |   ORDER BY sim DESC, neighbor_id ASC) AS rk
+        | FROM sims)
+        |WHERE rk <= 5
+        |ORDER BY query_id, neighbor_id""".stripMargin,
 
     // STRONG form, zero pinned flags: the exact-kNN ranking, label
     // join, vote count and argmax all replay in SQL

@@ -109,16 +109,19 @@ object LocalAnn {
         Index(name, family, None, None, ids, vecs, codes,
           Array.empty, Array.empty, attrs, Some(q))
       case "hnsw" =>
-        // the graph IS the serveable artifact; attribute-filtered
-        // traversal is not implemented for this family (a filter names
-        // no loaded attr and fails the request loudly — see
-        // validateFilter), so attrCols are rejected up front
-        require(attrCols.isEmpty,
-          s"registered '$name' is an hnsw graph - attribute-filtered " +
-            "search is not supported for this family")
+        // the graph IS the serveable artifact; attr columns (round 18)
+        // ride the saved nodes table — read them id-sorted so row i
+        // aligns with graph node i (both ascending-id)
         val g = ModelRegistry.loadHnsw(spark, root, name, version)
+        val attrs =
+          if (attrCols.isEmpty) Map.empty[String, Array[Long]]
+          else {
+            val nodes = ModelRegistry.loadHnswNodes(spark, root, name, version)
+            val rows = nodes.collect().sortBy(_.getLong(nodes.schema.fieldIndex("id")))
+            readAttrs(rows, nodes.schema, attrCols, name)
+          }
         Index(name, family, None, None, g.ids, g.vecs, Array.empty,
-          Array.empty, Array.empty, Map.empty, None, Some(g))
+          Array.empty, Array.empty, attrs, None, Some(g))
       case "ivf" =>
         val idx = ModelRegistry.loadIvf(spark, root, name, version)
         val cents = idx.centroids.orderBy("centroid_id").collect()
@@ -304,9 +307,15 @@ object LocalAnn {
       case "hnsw" =>
         // `shortlist` is efSearch here (the nProbe convention: one
         // breadth knob per family); Hnsw.search already emits the
-        // canonical (sim desc, id asc) rounded-cosine hits
+        // canonical (sim desc, id asc) rounded-cosine hits. A filter
+        // becomes a node-index predicate over the loaded attrs — the
+        // hnswlib semantics (failing nodes traversed, never returned),
+        // so the result is the top-k OF THE FILTERED CORPUS like every
+        // other family's pre-filtering arm.
         Hnsw.search(idx.hnsw.get, query, efSearch = shortlist, topK = topK,
-            dropId = if (dropSelf) Some(queryId) else None)
+            dropId = if (dropSelf) Some(queryId) else None,
+            allow = if (allow.isEmpty) None
+                    else Some((i: Int) => passes(idx, i, allow)))
           .map { case (id, sim) => Hit(id, sim) }
       case other => throw new IllegalStateException(s"unserveable family $other")
     }

@@ -149,12 +149,16 @@ object ModelRegistry {
 
   /** Register an HNSW graph (round 17) — nodes (vectors + id-keyed
     * per-level links) and meta ride parquet; the artifact is the
-    * complete serveable index. */
+    * complete serveable index. `attrs` (round 18): per-node integer
+    * metadata columns (aligned with `g.ids` order) riding the nodes
+    * table for attribute-filtered serving, the same substrate the
+    * pq/opq/sq8 codes tables carry. */
   def registerHnsw(spark: SparkSession, root: String, name: String,
                    g: graft.operators.Hnsw.Graph,
+                   attrs: Seq[(String, Array[Long])] = Nil,
                    metrics: Map[String, Double] = Map.empty): Long =
     registerArtifact(spark, root, name, metrics) { p =>
-      graft.operators.Hnsw.save(spark, g, p)
+      graft.operators.Hnsw.save(spark, g, p, attrs)
     }
 
   /** Register an OPQ rotation, optionally together with the PQ
@@ -242,6 +246,14 @@ object ModelRegistry {
   def loadHnsw(spark: SparkSession, root: String, name: String,
                version: Long = -1L): graft.operators.Hnsw.Graph =
     graft.operators.Hnsw.load(spark, artifactPath(spark, root, name, version))
+
+  /** The raw nodes table of a registered HNSW artifact — the substrate
+    * LocalAnn reads attr columns from for filtered search (q178); rows
+    * align with the graph's ascending-id node order after an id sort. */
+  def loadHnswNodes(spark: SparkSession, root: String, name: String,
+                    version: Long = -1L): DataFrame =
+    spark.read.parquet(
+      s"${artifactPath(spark, root, name, version)}/hnsw_nodes")
 
   /** Load a registered OPQ rotation; latest version when `version` ≤ 0.
     * Companion codebooks/codes (if registered) load via loadPq /

@@ -54,6 +54,17 @@ object SqProbe {
           q, "vec_id", "embedding", shortlist, topK = 5, dropSelf = true))
       }
       println(f"[sq-probe] flat SQ8 shortlist=$shortlist recall@5=$rec%.3f")
+      // round-18 (r17 verdict #5 pricing): the same flat decode-and-scan
+      // with the shortlist taken by the BoundedTopK AGGREGATE instead of
+      // the window rank — partial combine bounds the shuffle at
+      // shortlist·partitions·queries instead of n_corpus·n_queries rows
+      var recA = 0.0
+      timed(s"Sq.searchReranked AGG-shortlist=$shortlist + recall") {
+        recA = recallOf(Sq.searchReranked(enc, "vec_id", "embedding", qz,
+          q, "vec_id", "embedding", shortlist, topK = 5, dropSelf = true,
+          shortlistViaAgg = true))
+      }
+      println(f"[sq-probe] flat SQ8 AGG shortlist=$shortlist recall@5=$recA%.3f")
     }
 
     val index = timed("Ivf.build nLists=64")(

@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** BoundedTopK contracts: exact parity with the row_number window
+  * shortlist under (key desc, id asc), at any partitioning. */
+class BoundedTopKSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val scored = {
+    val rnd = new scala.util.Random(7)
+    // duplicate keys included so tie-break-by-id is exercised
+    (0 until 5000).map { i =>
+      (i % 7L, math.floor(rnd.nextDouble() * 50) / 50.0, i.toLong)
+    }.toDF("g", "key", "id")
+  }
+
+  test("aggregate shortlist equals the window-rank shortlist, at 1 and " +
+    "32 partitions") {
+    val w = Window.partitionBy("g").orderBy(col("key").desc, col("id").asc)
+    val expected = scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 25).select("g", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (parts <- Seq(1, 32)) {
+      val got = BoundedTopK.shortlist(scored.repartition(parts), "g", "key",
+          "id", 25)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected, s"parity failed at $parts partitions")
+    }
+  }
+
+  test("k larger than the group returns the whole group, ranked") {
+    val tiny = Seq((1L, 0.5, 10L), (1L, 0.9, 11L), (1L, 0.5, 9L))
+      .toDF("g", "key", "id")
+    val got = BoundedTopK.shortlist(tiny, "g", "key", "id", 10)
+      .collect().map(_.getLong(1)).toSeq
+    // explode preserves buffer order: (key desc, id asc)
+    assert(got == Seq(11L, 9L, 10L))
+  }
+}

@@ -63,13 +63,97 @@ class HnswSpec extends SparkSpec {
         .map(h => (h.neighborId, h.sim))
       assert(served == Hnsw.search(g, qv, 64, 5, dropId = Some(qid)))
     }
-    // filters are a loud error for this family
+    // a filter naming an attr the index did not load stays a loud error
     intercept[IllegalArgumentException] {
       graft.serve.LocalAnn.search(idx, 0L, rows.head._2, 64, 5,
         allow = Map("label" -> Set(1L)))
     }
     intercept[IllegalArgumentException] {
       graft.serve.LocalAnn.load(spark, root, "hnsw", attrCols = Seq("label"))
+    }
+  }
+
+  test("append ≡ rebuild bit-for-bit (ascending-id replay); interleaved " +
+    "or duplicate ids are a loud error; the input graph is untouched") {
+    val (prefix, suffix) = rows.splitAt(300)
+    val gPre = Hnsw.build(prefix, m = 8, efConstruction = 64)
+    val preLinks = gPre.links.map(_.map(_.toSeq).toSeq).toSeq
+    val gApp = Hnsw.append(gPre, suffix)
+    val gFull = Hnsw.build(rows, m = 8, efConstruction = 64)
+    assert(gApp.ids.toSeq == gFull.ids.toSeq)
+    assert(gApp.levels.toSeq == gFull.levels.toSeq)
+    assert(gApp.entry == gFull.entry && gApp.maxLevel == gFull.maxLevel)
+    assert(gApp.links.map(_.map(_.toSeq).toSeq).toSeq ==
+      gFull.links.map(_.map(_.toSeq).toSeq).toSeq)
+    // copy-on-append: gPre's structure is unchanged
+    assert(gPre.links.map(_.map(_.toSeq).toSeq).toSeq == preLinks)
+    // contract errors
+    intercept[IllegalArgumentException] {
+      Hnsw.append(gFull, Seq((10L, rows.head._2))) // interleaved id
+    }
+    intercept[IllegalArgumentException] {
+      Hnsw.append(gPre, Seq((500L, rows.head._2), (500L, rows(1)._2)))
+    }
+  }
+
+  test("heuristic build: deterministic, input-order independent, degree " +
+    "caps hold, and append parity carries over") {
+    val g1 = Hnsw.build(rows, m = 8, efConstruction = 64, heuristic = true)
+    val g2 = Hnsw.build(scala.util.Random.shuffle(rows), m = 8,
+      efConstruction = 64, heuristic = true)
+    assert(g1.links.map(_.map(_.toSeq).toSeq).toSeq ==
+      g2.links.map(_.map(_.toSeq).toSeq).toSeq)
+    g1.links.zipWithIndex.foreach { case (ls, _) =>
+      ls.zipWithIndex.foreach { case (nbrs, lvl) =>
+        val cap = if (lvl == 0) 16 else 8
+        assert(nbrs.length <= cap)
+        assert(nbrs.distinct.length == nbrs.length)
+      }
+    }
+    val (prefix, suffix) = rows.splitAt(300)
+    val gApp = Hnsw.append(
+      Hnsw.build(prefix, m = 8, efConstruction = 64, heuristic = true), suffix)
+    assert(gApp.links.map(_.map(_.toSeq).toSeq).toSeq ==
+      g1.links.map(_.map(_.toSeq).toSeq).toSeq)
+    // recall still clears the random-corpus floor
+    val exact = Embeddings.cosineTopK(vecs.filter($"vid" < 10), vecs,
+        "vid", "vid", "v", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = rows.take(10).flatMap { case (qid, qv) =>
+      Hnsw.search(g1, qv, efSearch = 64, topK = 5, dropId = Some(qid))
+        .map(h => (qid, h._1))
+    }
+    assert(hits.count(exact.contains).toDouble / exact.size >= 0.9)
+  }
+
+  test("filtered search: exhaustive-ef filtered top-k equals the filtered " +
+    "brute force; failing nodes never surface; LocalAnn serves the filter") {
+    val g = Hnsw.build(rows, m = 8, efConstruction = 64)
+    val label = rows.map { case (id, _) => id -> (id % 3) }.toMap
+    val pass = (i: Int) => label(g.ids(i)) == 1L
+    // exhaustive ef visits every reachable node, so the filtered result
+    // must be the exact top-5 of the label==1 sub-corpus
+    val exact = Embeddings.cosineTopK(vecs.filter($"vid" < 10),
+        vecs.filter($"vid" % 3 === 1), "vid", "vid", "v", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val hits = rows.take(10).flatMap { case (qid, qv) =>
+      Hnsw.search(g, qv, efSearch = 400, topK = 5, dropId = Some(qid),
+        allow = Some(pass)).map(h => (qid, h._1, h._2))
+    }.toSet
+    assert(hits == exact, "exhaustive filtered hnsw must equal filtered brute force")
+    assert(hits.forall { case (_, n, _) => n % 3 == 1 })
+    // serving path: register with the attr column, filter over HTTP-shape
+    val root = java.nio.file.Files.createTempDirectory("graft_hnsw_f").toString
+    graft.serve.ModelRegistry.registerHnsw(spark, root, "hnswf", g,
+      attrs = Seq("label" -> g.ids.map(label)))
+    val idx = graft.serve.LocalAnn.load(spark, root, "hnswf",
+      attrCols = Seq("label"))
+    for ((qid, qv) <- rows.take(5)) {
+      val served = graft.serve.LocalAnn.search(idx, qid, qv, 400, 5,
+        allow = Map("label" -> Set(1L))).map(h => (h.neighborId, h.sim))
+      val direct = Hnsw.search(g, qv, 400, 5, dropId = Some(qid),
+        allow = Some(pass))
+      assert(served == direct)
     }
   }
 }
