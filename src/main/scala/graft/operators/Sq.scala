@@ -107,7 +107,7 @@ object Sq {
                      q: Quantizer, queries: DataFrame,
                      qid: String, qvec: String, shortlist: Int, topK: Int,
                      dropSelf: Boolean = false,
-                     shortlistViaAgg: Boolean = false): DataFrame = {
+                     shortlistViaAgg: Boolean = true): DataFrame = {
     NativeVector.register(encoded.sparkSession)
     val corpus = encoded
       .select(col(id).as("neighbor_id"),
@@ -127,8 +127,11 @@ object Sq {
       // row. Same (approx desc, id asc) selection; null approx
       // (zero-norm decode) is excluded rather than ranked last, which
       // diverges from the window form only when a query has fewer than
-      // `shortlist` non-null candidates. Priced at the 15 M probe
-      // (BASELINE.md round 18) before being made the default.
+      // `shortlist` non-null candidates. ADOPTED as the default after
+      // the 15 M probe showed the rank shuffle dominating the flat
+      // tier: 108.1 → 24.1 s at shortlist=20, 70.5 → 16.6 s at 100,
+      // recall 1.000 both forms (BASELINE.md round 18); the window
+      // form stays reachable for the null-tail semantics.
       val cands =
         if (shortlistViaAgg)
           BoundedTopK.shortlist(scored.filter(col("__approx").isNotNull),
@@ -159,7 +162,8 @@ object Sq {
   def ivfSearchReranked(index: Ivf.Index, q: Quantizer, encoded: DataFrame,
                         queries: DataFrame, qid: String, qvec: String,
                         nProbe: Int, shortlist: Int, topK: Int,
-                        dropSelf: Boolean = false): DataFrame = {
+                        dropSelf: Boolean = false,
+                        shortlistViaAgg: Boolean = true): DataFrame = {
     NativeVector.register(encoded.sparkSession)
     val qdf = queries.select(col(qid).cast("long").as("query_id"),
       col(qvec).as("__qv"))
@@ -180,11 +184,18 @@ object Sq {
       val scored = (if (dropSelf) paired.filter(col("neighbor_id") =!= col("query_id"))
                     else paired)
         .withColumn("__approx", NativeVector.cosine(col("__qv"), col("__dec")))
-      val w = Window.partitionBy("query_id")
-        .orderBy(col("__approx").desc_nulls_last, col("neighbor_id").asc)
-      val cands = scored.withColumn("__rk", row_number().over(w))
-        .filter(col("__rk") <= shortlist)
-        .select("query_id", "neighbor_id")
+      // same adoption as [[searchReranked]]: the probed-cell candidate
+      // set still shuffles through the rank at depth; the bounded
+      // aggregate carries only k-sized buffers
+      val cands =
+        if (shortlistViaAgg)
+          BoundedTopK.shortlist(scored.filter(col("__approx").isNotNull),
+            "query_id", "__approx", "neighbor_id", shortlist)
+        else scored.withColumn("__rk", row_number().over(
+            Window.partitionBy("query_id")
+              .orderBy(col("__approx").desc_nulls_last, col("neighbor_id").asc)))
+          .filter(col("__rk") <= shortlist)
+          .select("query_id", "neighbor_id")
       Pq.rerank(cands, encoded, index.idCol, index.vecCol, queries, qid,
         qvec, topK)
     } finally { corpus.unpersist(); () }

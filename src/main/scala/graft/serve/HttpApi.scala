@@ -85,7 +85,9 @@ object HttpApi {
                                        val inventory: () => Seq[ModelInfo],
                                        val model: Option[(String, Transaction => Double)],
                                        val seqModel: Option[(String, Seq[Transaction] => Double)],
-                                       val annModels: Seq[(String, Seq[LocalAnn.Index])]) {
+                                       val annModels: Seq[(String, Seq[LocalAnn.Index])],
+                                       val annRoutes: Seq[(String, Seq[Int])] = Seq.empty) {
+    private[HttpApi] lazy val routeClient = java.net.http.HttpClient.newHttpClient()
     private[HttpApi] val predictionCount = new LongAdder
     private[HttpApi] val totalLatencyMs = new DoubleAdder
     def port: Int = srv.getAddress.getPort
@@ -112,7 +114,8 @@ object HttpApi {
             seqModel: Option[(String, Seq[Transaction] => Double)] = None,
             annModel: Option[(String, LocalAnn.Index)] = None,
             annModels: Seq[(String, LocalAnn.Index)] = Seq.empty,
-            annShards: Seq[(String, Seq[LocalAnn.Index])] = Seq.empty): Server = {
+            annShards: Seq[(String, Seq[LocalAnn.Index])] = Seq.empty,
+            annRoutes: Seq[(String, Seq[Int])] = Seq.empty): Server = {
     // one server may hold SEVERAL named ANN indexes (round-16 verdict
     // "Missing #3" — a serving fleet wants name-addressed artifacts, the
     // /models registry convention applied to search); `annModel` stays
@@ -123,8 +126,19 @@ object HttpApi {
     val allAnn: Seq[(String, Seq[LocalAnn.Index])] =
       annModel.toSeq.map { case (n, i) => (n, Seq(i)) } ++
         annModels.map { case (n, i) => (n, Seq(i)) } ++ annShards
-    require(allAnn.map(_._1).distinct.length == allAnn.length,
-      s"duplicate ann index names: ${allAnn.map(_._1).mkString(", ")}")
+    // `annRoutes` (round 18 — the layer ABOVE one process: a ROUTER
+    // entry maps a name to downstream /ann/search server ports; the
+    // router holds no index, it scatter-gathers over real HTTP and
+    // merges per-shard top-k — the actual vector-DB fleet topology,
+    // where q168's in-process fan-out becomes a wire protocol). Every
+    // upstream must serve the routed name (the fleet convention:
+    // shard servers register the logical index name).
+    require((allAnn.map(_._1) ++ annRoutes.map(_._1)).distinct.length ==
+      allAnn.length + annRoutes.length,
+      s"duplicate ann index names: ${(allAnn.map(_._1) ++ annRoutes.map(_._1)).mkString(", ")}")
+    annRoutes.foreach { case (n, ports) =>
+      require(ports.nonEmpty, s"ann route '$n' has no upstream ports")
+    }
     allAnn.foreach { case (n, shards) =>
       require(shards.nonEmpty, s"ann index '$n' has no shards")
       require(shards.map(_.family).distinct.length == 1,
@@ -133,7 +147,8 @@ object HttpApi {
     val srv = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     val pool = Executors.newFixedThreadPool(nThreads)
     srv.setExecutor(pool)
-    val server = new Server(srv, pool, inventory, model, seqModel, allAnn)
+    val server = new Server(srv, pool, inventory, model, seqModel, allAnn,
+      annRoutes)
     srv.createContext("/", (ex: HttpExchange) => route(server, ex))
     srv.start()
     server
@@ -234,36 +249,49 @@ object HttpApi {
                               dropSelf: Boolean = true,
                               filter: Map[String, Seq[Long]] = Map.empty): Seq[JsonNode] = {
     val server = start(annShards = annShards)
-    try {
-      val client = java.net.http.HttpClient.newHttpClient()
-      queries.map { case (model, qid, vec) =>
-        val req = mapper.createObjectNode()
-        req.put("model", model)
-        req.put("query_id", qid)
-        val arr = req.putArray("embedding")
-        vec.foreach(arr.add)
-        req.put("shortlist", shortlistOf(model))
-        req.put("top_k", topK)
-        req.put("drop_self", dropSelf)
-        if (filter.nonEmpty) {
-          val f = req.putObject("filter")
-          filter.toSeq.sortBy(_._1).foreach { case (a, vs) =>
-            val arr2 = f.putArray(a)
-            vs.foreach(arr2.add)
-          }
+    try
+      annSearchAt(server.port,
+        queries.map { case (m, qid, v) => (m, qid, v, shortlistOf(m)) },
+        topK, dropSelf, filter)
+    finally server.stop()
+  }
+
+  /** Client round trips against an ALREADY-RUNNING /ann/search server
+    * (the q179 router gate's shape: the caller owns a whole fleet's
+    * lifecycles and addresses one member). Each query carries its own
+    * shortlist; responses return in input order. */
+  def annSearchAt(port: Int,
+                  queries: Seq[(String, Long, Array[Float], Int)],
+                  topK: Int, dropSelf: Boolean = true,
+                  filter: Map[String, Seq[Long]] = Map.empty): Seq[JsonNode] = {
+    val client = java.net.http.HttpClient.newHttpClient()
+    queries.map { case (model, qid, vec, shortlist) =>
+      val req = mapper.createObjectNode()
+      req.put("model", model)
+      req.put("query_id", qid)
+      val arr = req.putArray("embedding")
+      vec.foreach(arr.add)
+      req.put("shortlist", shortlist)
+      req.put("top_k", topK)
+      req.put("drop_self", dropSelf)
+      if (filter.nonEmpty) {
+        val f = req.putObject("filter")
+        filter.toSeq.sortBy(_._1).foreach { case (a, vs) =>
+          val arr2 = f.putArray(a)
+          vs.foreach(arr2.add)
         }
-        val resp = client.send(
-          java.net.http.HttpRequest
-            .newBuilder(URI.create(s"http://127.0.0.1:${server.port}/ann/search"))
-            .header("Content-Type", "application/json")
-            .POST(java.net.http.HttpRequest.BodyPublishers
-              .ofByteArray(mapper.writeValueAsBytes(req)))
-            .build(),
-          java.net.http.HttpResponse.BodyHandlers.ofByteArray())
-        require(resp.statusCode == 200, s"ann search failed: HTTP ${resp.statusCode}")
-        mapper.readTree(resp.body())
       }
-    } finally server.stop()
+      val resp = client.send(
+        java.net.http.HttpRequest
+          .newBuilder(URI.create(s"http://127.0.0.1:$port/ann/search"))
+          .header("Content-Type", "application/json")
+          .POST(java.net.http.HttpRequest.BodyPublishers
+            .ofByteArray(mapper.writeValueAsBytes(req)))
+          .build(),
+        java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+      require(resp.statusCode == 200, s"ann search failed: HTTP ${resp.statusCode}")
+      mapper.readTree(resp.body())
+    }
   }
 
   /** One Transaction → its request-JSON fields (shared by the batch and
@@ -383,6 +411,14 @@ object HttpApi {
         shards.head.attrs.keys.toSeq.sorted.foreach(aa.add)
       }
     }
+    // routed names are inventory too — a client addressing the fleet
+    // through the router sees one logical index per route
+    s.annRoutes.foreach { case (name, ports) =>
+      val e = m.putObject(name)
+      e.put("loaded", true)
+      e.put("kind", "ann_route")
+      e.put("upstreams", ports.size)
+    }
     o.put("total_loaded", inv.size + s.annModels.size)
     o
   }
@@ -469,20 +505,33 @@ object HttpApi {
     * Results are bit-identical to the in-process Spark search over the
     * same artifact (LocalAnn's parity contract, gated by q162/q166). */
   private def annSearch(s: Server, ex: HttpExchange): Unit = {
-    if (s.annModels.isEmpty) { respond(ex, 503, err("no ann index loaded")); return }
+    if (s.annModels.isEmpty && s.annRoutes.isEmpty) {
+      respond(ex, 503, err("no ann index loaded")); return
+    }
     val body = mapper.readTree(ex.getRequestBody)
     val modelNode = body.path("model")
+    // routed names resolve FIRST: the router holds no index, it
+    // scatter-gathers the request over its upstream shard servers
+    if (modelNode.isTextual && s.annRoutes.exists(_._1 == modelNode.asText)) {
+      routerSearch(s, ex, modelNode.asText,
+        s.annRoutes.find(_._1 == modelNode.asText).get._2, body)
+      return
+    }
+    if ((modelNode.isMissingNode || modelNode.isNull) &&
+        s.annModels.isEmpty && s.annRoutes.size == 1) {
+      routerSearch(s, ex, s.annRoutes.head._1, s.annRoutes.head._2, body)
+      return
+    }
+    def allNames = (s.annModels.map(_._1) ++ s.annRoutes.map(_._1)).mkString(", ")
     val picked: Either[(Int, String), (String, Seq[LocalAnn.Index])] =
       if (modelNode.isTextual) {
         val nm = modelNode.asText
         s.annModels.find(_._1 == nm)
-          .toRight((404, s"no ann index named '$nm' " +
-            s"(loaded: ${s.annModels.map(_._1).mkString(", ")})"))
+          .toRight((404, s"no ann index named '$nm' (loaded: $allNames)"))
       } else if (modelNode.isMissingNode || modelNode.isNull) {
-        if (s.annModels.size == 1) Right(s.annModels.head)
-        else Left((422, s"${s.annModels.size} ann indexes loaded " +
-          s"(${s.annModels.map(_._1).mkString(", ")}) - request must name one " +
-          "via the 'model' field"))
+        if (s.annModels.size == 1 && s.annRoutes.isEmpty) Right(s.annModels.head)
+        else Left((422, s"${s.annModels.size + s.annRoutes.size} ann indexes " +
+          s"loaded ($allNames) - request must name one via the 'model' field"))
       } else Left((422, "model must be a string"))
     picked match {
       case Left((code, msg)) => respond(ex, code, err(msg))
@@ -585,6 +634,86 @@ object HttpApi {
         o.put("processing_time_ms", round2(ms))
         respond(ex, 200, o)
     }
+  }
+
+  /** The fleet layer (round 18 — the "routing above this layer" every
+    * serving doc pointed at, made concrete): scatter the request to
+    * every upstream shard server OVER REAL HTTP, gather their per-shard
+    * top-k, merge on the canonical key ((sim desc, id asc), NaN last —
+    * exactly [[LocalAnn.searchSharded]]'s merge, which is correct
+    * because every global top-k hit ranks inside its own shard's
+    * top-k). The router holds NO index: dim/filter/attr validation is
+    * the shard servers' (a 4xx from any upstream propagates verbatim;
+    * 5xx/transport failures become 502 — a partial merge would
+    * silently return a WRONG top-k, so any upstream failure fails the
+    * whole request loudly). In-JVM the upstreams are ports; nothing in
+    * the protocol knows or cares whether they are processes or hosts —
+    * this IS the wire topology of a vector-DB fleet. */
+  private def routerSearch(s: Server, ex: HttpExchange, name: String,
+                           ports: Seq[Int], body: JsonNode): Unit = {
+    val topK = body.path("top_k").asInt(5)
+    if (topK < 1) { respond(ex, 422, err("shortlist and top_k must be >= 1")); return }
+    val t0 = System.nanoTime()
+    val raw = mapper.writeValueAsBytes(body)
+    val futs = ports.map { p =>
+      s.routeClient.sendAsync(
+        java.net.http.HttpRequest
+          .newBuilder(URI.create(s"http://127.0.0.1:$p/ann/search"))
+          .header("Content-Type", "application/json")
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofByteArray(raw))
+          .build(),
+        java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+    }
+    val resps = try futs.map(_.join()) catch {
+      case e: java.util.concurrent.CompletionException =>
+        respond(ex, 502, err(s"upstream shard unreachable: ${e.getCause}"))
+        return
+    }
+    resps.find(_.statusCode != 200) match {
+      case Some(bad) =>
+        val msg =
+          try mapper.readTree(bad.body()).path("error").asText("upstream error")
+          catch { case _: Exception => "upstream error" }
+        val code = if (bad.statusCode >= 400 && bad.statusCode < 500)
+          bad.statusCode else 502
+        respond(ex, code, err(s"upstream shard (HTTP ${bad.statusCode}): $msg"))
+        return
+      case None => ()
+    }
+    val parsed = resps.map(r => mapper.readTree(r.body()))
+    var shardCount = 0
+    val hits = collection.mutable.ArrayBuffer[(Long, Double)]()
+    parsed.foreach { o =>
+      shardCount += (if (o.path("shards").isInt) o.path("shards").asInt else 1)
+      val rs = o.path("results")
+      (0 until rs.size()).foreach { i =>
+        val h = rs.get(i)
+        val simNode = h.path("sim")
+        hits += ((h.path("neighbor_id").asLong,
+          if (simNode.isNull || simNode.isMissingNode) Double.NaN
+          else simNode.asDouble))
+      }
+    }
+    val merged = hits.sortBy { case (id, sim) => (sim.isNaN, -sim, id) }
+      .take(topK)
+    val ms = (System.nanoTime() - t0) / 1e6
+    s.predictionCount.increment()
+    s.totalLatencyMs.add(ms)
+    val o = mapper.createObjectNode()
+    val qidNode = body.path("query_id")
+    if (qidNode.isIntegralNumber) o.put("query_id", qidNode.asLong)
+    else o.putNull("query_id")
+    o.put("model_used", name)
+    o.put("family", parsed.head.path("family").asText())
+    o.put("shards", shardCount)
+    val arr = o.putArray("results")
+    merged.foreach { case (id, sim) =>
+      val e = arr.addObject()
+      e.put("neighbor_id", id)
+      if (sim.isNaN) e.putNull("sim") else e.put("sim", sim)
+    }
+    o.put("processing_time_ms", round2(ms))
+    respond(ex, 200, o)
   }
 
   // ---- scoring ------------------------------------------------------

@@ -48,21 +48,22 @@ object SqProbe {
       c.count(); c
     }
     for (shortlist <- Seq(20, 100)) {
+      // round-18 (r17 verdict #5 pricing): window-rank shortlist vs the
+      // BoundedTopK AGGREGATE (partial combine bounds the shuffle at
+      // shortlist·partitions·queries instead of n_corpus·n_queries
+      // rows). Measured 4.3-4.5× at 15 M → the aggregate is now the
+      // default; the window arm stays measured here.
       var rec = 0.0
-      timed(s"Sq.searchReranked shortlist=$shortlist + recall") {
+      timed(s"Sq.searchReranked WINDOW-shortlist=$shortlist + recall") {
         rec = recallOf(Sq.searchReranked(enc, "vec_id", "embedding", qz,
-          q, "vec_id", "embedding", shortlist, topK = 5, dropSelf = true))
+          q, "vec_id", "embedding", shortlist, topK = 5, dropSelf = true,
+          shortlistViaAgg = false))
       }
-      println(f"[sq-probe] flat SQ8 shortlist=$shortlist recall@5=$rec%.3f")
-      // round-18 (r17 verdict #5 pricing): the same flat decode-and-scan
-      // with the shortlist taken by the BoundedTopK AGGREGATE instead of
-      // the window rank — partial combine bounds the shuffle at
-      // shortlist·partitions·queries instead of n_corpus·n_queries rows
+      println(f"[sq-probe] flat SQ8 WINDOW shortlist=$shortlist recall@5=$rec%.3f")
       var recA = 0.0
       timed(s"Sq.searchReranked AGG-shortlist=$shortlist + recall") {
         recA = recallOf(Sq.searchReranked(enc, "vec_id", "embedding", qz,
-          q, "vec_id", "embedding", shortlist, topK = 5, dropSelf = true,
-          shortlistViaAgg = true))
+          q, "vec_id", "embedding", shortlist, topK = 5, dropSelf = true))
       }
       println(f"[sq-probe] flat SQ8 AGG shortlist=$shortlist recall@5=$recA%.3f")
     }
@@ -73,13 +74,15 @@ object SqProbe {
       val c = Sq.encode(index.assigned, index.vecCol, qz).cache()
       c.count(); c
     }
-    for (nProbe <- Seq(8, 16)) {
+    for (nProbe <- Seq(8, 16); viaAgg <- Seq(false, true)) {
+      val arm = if (viaAgg) "AGG" else "WINDOW"
       var rec = 0.0
-      timed(s"Sq.ivfSearchReranked nProbe=$nProbe shortlist=100 + recall") {
+      timed(s"Sq.ivfSearchReranked $arm nProbe=$nProbe shortlist=100 + recall") {
         rec = recallOf(Sq.ivfSearchReranked(index, qz, encI, q, "vec_id",
-          "embedding", nProbe, shortlist = 100, topK = 5, dropSelf = true))
+          "embedding", nProbe, shortlist = 100, topK = 5, dropSelf = true,
+          shortlistViaAgg = viaAgg))
       }
-      println(f"[sq-probe] IVF,SQ8 nProbe=$nProbe recall@5=$rec%.3f")
+      println(f"[sq-probe] IVF,SQ8 $arm nProbe=$nProbe recall@5=$rec%.3f")
     }
     spark.stop()
   }

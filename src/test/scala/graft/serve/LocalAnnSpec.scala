@@ -464,4 +464,83 @@ class LocalAnnSpec extends SparkSpec {
       LocalAnn.load(spark, root, "pq", attrCols = Seq("absent"))
     }
   }
+
+  test("fleet router (round 18): scatter-gather over real upstream " +
+    "servers is bit-identical to in-process searchSharded; upstream " +
+    "errors propagate; /models lists the route") {
+    val cb = Pq.train(corpus, "vec_id", "embedding", m = 2, k = 8)
+    val encAll = Pq.encode(corpus.select("vec_id", "embedding"), "embedding", cb)
+    val root = java.nio.file.Files.createTempDirectory("graft_lann_route").toString
+    ModelRegistry.registerPq(spark, root, "s0", cb,
+      Some(encAll.filter($"vec_id" % 2 === 0)))
+    ModelRegistry.registerPq(spark, root, "s1", cb,
+      Some(encAll.filter($"vec_id" % 2 === 1)))
+    val s0 = LocalAnn.load(spark, root, "s0")
+    val s1 = LocalAnn.load(spark, root, "s1")
+    val up0 = HttpApi.start(annModel = Some(("pq", s0)))
+    val up1 = HttpApi.start(annModel = Some(("pq", s1)))
+    val router = HttpApi.start(annRoutes = Seq(("pq", Seq(up0.port, up1.port))))
+    try {
+      val qs = queries.collect().map(r =>
+        r.getLong(0) -> r.getAs[scala.collection.Seq[Float]](1).toArray).toSeq
+      for (shortlist <- Seq(10, 200)) {
+        val routed = HttpApi.annSearchAt(router.port,
+          qs.map { case (qid, v) => ("pq", qid, v, shortlist) }, topK = 5)
+          .flatMap { o =>
+            assert(o.path("shards").asInt == 2)
+            assert(o.path("model_used").asText == "pq")
+            val rs = o.path("results")
+            (0 until rs.size()).map(i => (o.path("query_id").asLong,
+              rs.get(i).path("neighbor_id").asLong,
+              java.lang.Double.doubleToLongBits(rs.get(i).path("sim").asDouble)))
+          }
+        val local = qs.flatMap { case (qid, v) =>
+          LocalAnn.searchSharded(Seq(s0, s1), qid, v, shortlist, 5)
+            .map(h => (qid, h.neighborId,
+              java.lang.Double.doubleToLongBits(h.sim)))
+        }
+        assert(routed == local,
+          s"router must mirror in-process sharded search at shortlist=$shortlist")
+      }
+      // upstream 422 (bad dim) propagates with its code, not as a 502
+      val bad = client.send(
+        HttpRequest.newBuilder(
+            URI.create(s"http://127.0.0.1:${router.port}/ann/search"))
+          .header("Content-Type", "application/json")
+          .POST(HttpRequest.BodyPublishers.ofString(
+            """{"model":"pq","embedding":[1,0]}"""))
+          .build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(bad.statusCode == 422, s"got ${bad.statusCode}: ${bad.body}")
+      // a dead upstream fails the whole request loudly (502), never a
+      // silent partial merge
+      val deadUp = HttpApi.start(annModel = Some(("pq", s0)))
+      deadUp.stop()
+      val half = HttpApi.start(annRoutes = Seq(("pq", Seq(up0.port, deadUp.port))))
+      try {
+        val r = client.send(
+          HttpRequest.newBuilder(
+              URI.create(s"http://127.0.0.1:${half.port}/ann/search"))
+            .header("Content-Type", "application/json")
+            .POST(HttpRequest.BodyPublishers.ofString(
+              """{"model":"pq","embedding":[1,0,0,0]}"""))
+            .build(),
+          HttpResponse.BodyHandlers.ofString())
+        assert(r.statusCode == 502, s"got ${r.statusCode}: ${r.body}")
+      } finally half.stop()
+      // /models lists the route as a logical index
+      val inv = mapper.readTree(client.send(
+        HttpRequest.newBuilder(
+            URI.create(s"http://127.0.0.1:${router.port}/models")).GET().build(),
+        HttpResponse.BodyHandlers.ofString()).body())
+      assert(inv.path("models").path("pq").path("kind").asText == "ann_route")
+      assert(inv.path("models").path("pq").path("upstreams").asInt == 2)
+      // duplicate logical names across local indexes and routes refuse
+      // to start
+      intercept[IllegalArgumentException] {
+        HttpApi.start(annModel = Some(("pq", s0)),
+          annRoutes = Seq(("pq", Seq(up0.port))))
+      }
+    } finally { router.stop(); up0.stop(); up1.stop() }
+  }
 }
