@@ -201,6 +201,67 @@ object Sq {
     } finally { corpus.unpersist(); () }
   }
 
+  /** HNSW over SQ8 codes — FAISS's `HNSW<M>,SQ8` (round 18, the q173
+    * composition applied to the GRAPH tier): the graph's stored
+    * vectors are the 8-bit RECONSTRUCTIONS of the codes (the same
+    * code·span + min arithmetic as [[decodeCol]]/the serving scan,
+    * narrowed to float for graph storage), so graph build and
+    * traversal pay SQ8-quality distances, and the exact rerank on the
+    * true vectors rides on top exactly like every other quantized
+    * tier. FAISS's SQ distance kernel also computes on
+    * reconstructions — holding codes (1 B/dim) vs decoded floats
+    * (4 B/dim) in RAM is a memory-layout choice, not a semantics one;
+    * the driver-side Graph keeps floats to reuse the one
+    * deterministic build/search path (and its append/filter/persist
+    * surface) unchanged. Rows with parked (null) codes never enter
+    * the graph, the [[encode]] convention. */
+  def hnswFromCodes(codes: DataFrame, id: String, q: Quantizer,
+                    m: Int = 16, efConstruction: Int = 100,
+                    seed: Long = 42L, heuristic: Boolean = false): Hnsw.Graph = {
+    val spans = q.spans
+    val rows = codes.select(col(id).cast("long"), col("sq_codes")).collect()
+      .flatMap { r =>
+        val cs = if (r.isNullAt(1)) null else r.getAs[scala.collection.Seq[Any]](1)
+        if (cs == null || cs.length != q.dim || cs.exists(_ == null)) None
+        else {
+          val dec = new Array[Float](q.dim)
+          var d = 0
+          while (d < q.dim) {
+            dec(d) = (cs(d).asInstanceOf[Int].toDouble * spans(d) +
+              q.mins(d).toDouble).toFloat
+            d += 1
+          }
+          Some(r.getLong(0) -> dec)
+        }
+      }
+    Hnsw.build(rows.toSeq, m, efConstruction, seed, heuristic)
+  }
+
+  /** Search an [[hnswFromCodes]] graph and exact-rerank on the TRUE
+    * vectors — the graph-tier sibling of [[searchReranked]]'s
+    * decode-scan + rerank contract: the beam pays SQ8-quality
+    * distances over reconstructions, the emitted sims are exact. With
+    * `efSearch` = `shortlist` = graph size the candidate set is the
+    * whole (connected) corpus and the result reproduces
+    * [[Embeddings.cosineTopK]] bit-for-bit (the q180 gate's lever).
+    * `encoded` must carry the true vec column alongside the codes. */
+  def hnswSearchReranked(g: Hnsw.Graph, encoded: DataFrame, id: String,
+                         vec: String, queries: DataFrame, qid: String,
+                         qvec: String, efSearch: Int, shortlist: Int,
+                         topK: Int, dropSelf: Boolean = true): DataFrame = {
+    val spark = encoded.sparkSession
+    NativeVector.register(spark)
+    import spark.implicits._
+    val qs = queries.select(col(qid).cast("long"), col(qvec)).collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]](1).toArray)
+      .sortBy(_._1).toSeq
+    val cands = qs.flatMap { case (i, v) =>
+      Hnsw.search(g, v, efSearch, shortlist,
+        dropId = if (dropSelf) Some(i) else None).map(h => (i, h._1))
+    }.toDF("query_id", "neighbor_id")
+    Pq.rerank(cands, encoded, id, vec, queries, qid, qvec, topK)
+  }
+
   /** Persist the quantizer + codes as a registry-shaped artifact
     * (`sq_meta` ranges + the caller's codes frame via
     * [[Pq.saveCodes]]'s layout discipline). */

@@ -103,6 +103,11 @@ object EmbeddingQueries {
   private val hnswFilterMemo = new java.util.concurrent.ConcurrentHashMap[
     String, (String, Set[(Long, Long, Long)])]()
 
+  /** q180's build-once HNSW,SQ8 composition: the quantizer + the graph
+    * over the byte-code reconstructions. */
+  private val hnswSqMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (graft.operators.Sq.Quantizer, graft.operators.Hnsw.Graph)]()
+
   /** q176 budgets — both arms get IDENTICAL (m, efConstruction,
     * efSearch); chosen with `graft.tools.HnswProbe` on the mixture
     * fixture so closest-M sits below saturation (the regime where the
@@ -1433,6 +1438,65 @@ object EmbeddingQueries {
       } finally { router.stop(); up0.stop(); up1.stop() }
     }),
 
+    // HNSW OVER SQ8 CODES (round 18 — FAISS's HNSW<M>,SQ8, the q173
+    // composition applied to the GRAPH tier): the graph's stored
+    // vectors are the byte-code RECONSTRUCTIONS (decode arithmetic
+    // verbatim), traversal pays SQ8-quality distances, and the exact
+    // rerank on true vectors rides on top. STRONG real-row mold: with
+    // an exhaustive beam the candidate set is the whole (connected)
+    // corpus, so the exact rerank IS brute force and DuckDB recomputes
+    // the rows. Two derived flags discriminate the composition:
+    // decode_ok proves the graph's stored vectors bit-equal the
+    // decodeCol reconstructions (a graph quietly built on true floats
+    // fails it), recall_ok holds the tight-beam SQ8-graph tier to the
+    // floor.
+    "q180_hnsw_sq8" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir).filter(col("vec_id") < 20000)
+      val (qz, g) = hnswSqMemo.computeIfAbsent(dir, _ => {
+        val qz = graft.operators.Sq.train(e, "embedding", dim = 64)
+        val enc = graft.operators.Sq.encode(
+          e.select("vec_id", "embedding"), "embedding", qz)
+        (qz, graft.operators.Sq.hnswFromCodes(enc, "vec_id", qz,
+          m = 16, efConstruction = 100))
+      })
+      val enc = graft.operators.Sq.encode(
+        e.select("vec_id", "embedding"), "embedding", qz).persist()
+      try {
+        val qdf = e.filter(col("vec_id") < 20)
+        def arm(ef: Int) = graft.operators.Sq.hnswSearchReranked(g, enc,
+          "vec_id", "embedding", qdf, "vec_id", "embedding",
+          efSearch = ef, shortlist = ef, topK = 5)
+        val exhaustive = arm(g.size).persist()
+        val tightHits = arm(64)
+        val recallOk = exhaustive.join(tightHits,
+          Seq("query_id", "neighbor_id"), "left_semi").count().toDouble /
+          exhaustive.count() >= 0.8
+        // the graph's stored vectors must BE the reconstructions
+        val gvecs = g.ids.zip(g.vecs).toSeq.toDF("vec_id", "gvec")
+        val decodeOk = enc
+          .select(col("vec_id"),
+            transform(graft.operators.Sq.decodeCol(col("sq_codes"), qz),
+              x => x.cast("float")).as("dec"))
+          .join(gvecs, Seq("vec_id"))
+          .filter(!(col("dec") <=> col("gvec"))).isEmpty
+        val out = exhaustive
+          .withColumn("recall_ok", lit(recallOk))
+          .withColumn("decode_ok", lit(decodeOk))
+          .orderBy("query_id", "neighbor_id")
+          .collect().toSeq
+        exhaustive.unpersist()
+        // read sim through the null guard (a null would otherwise unbox
+        // to a silent 0.0 — the round-16 BoxesRunTime lesson); the
+        // corpus has no zero-norm rows, so a NaN here diverges the
+        // hashed row loudly instead of fabricating a value
+        out.map(r => (r.getLong(0), r.getLong(1),
+            if (r.isNullAt(2)) Double.NaN else r.getDouble(2),
+            r.getBoolean(3), r.getBoolean(4)))
+          .toDF("query_id", "neighbor_id", "sim", "recall_ok", "decode_ok")
+      } finally { enc.unpersist(); () }
+    }),
+
     // MMR DIVERSIFIED RE-RANKING (round 17 — Carbonell & Goldstein
     // 1998, the diversity selector of the retrieval/curation tier):
     // per-query exact top-20 candidates greedily re-ranked to 5 picks
@@ -1790,6 +1854,30 @@ object EmbeddingQueries {
         | CAST(5 * count(*) AS BIGINT) AS n_results,
         | TRUE AS append_http_eq, TRUE AS struct_eq
         |FROM embeddings WHERE vec_id < 20""".stripMargin,
+
+    // q172's real-row mold for the HNSW,SQ8 composition: the
+    // exhaustive-beam candidate set is the whole corpus and the rerank
+    // is exact, so the rows ARE brute force; recall_ok/decode_ok
+    // derive in-query.
+    "q180_hnsw_sq8" ->
+      """WITH e AS MATERIALIZED (
+        | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        | FROM embeddings WHERE vec_id < 20000),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+        |sims AS (
+        | SELECT q.query_id, e.vec_id AS neighbor_id,
+        |  round((list_dot_product(q.qv, e.v)
+        |   / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v)))) * 1000000.0) / 1000000.0 + 0.0 AS sim
+        | FROM q JOIN e ON e.vec_id <> q.query_id)
+        |SELECT query_id, neighbor_id, sim, TRUE AS recall_ok,
+        | TRUE AS decode_ok
+        |FROM (
+        | SELECT query_id, neighbor_id, sim,
+        |  row_number() OVER (PARTITION BY query_id
+        |   ORDER BY sim DESC, neighbor_id ASC) AS rk
+        | FROM sims)
+        |WHERE rk <= 5
+        |ORDER BY query_id, neighbor_id""".stripMargin,
 
     // q172's real-row mold through the FLEET: the exhaustive routed
     // merge is exact brute force over the union corpus, so the rows

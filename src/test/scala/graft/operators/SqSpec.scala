@@ -112,4 +112,33 @@ class SqSpec extends SparkSpec {
     assert(composed == ref)
     enc.unpersist()
   }
+
+  test("hnswFromCodes: the graph stores the byte-code reconstructions " +
+    "bit-for-bit, parked rows never enter, and exhaustive-beam + exact " +
+    "rerank reproduces brute force") {
+    val withBad = vecs
+      .unionByName(Seq((9000L, Array(1f, 2f))).toDF("vid", "v")) // parks
+    val q = Sq.train(vecs, "v", dim = 8)
+    val enc = Sq.encode(withBad, "v", q)
+    val g = Sq.hnswFromCodes(enc, "vid", q, m = 8, efConstruction = 64)
+    assert(g.size == 300 && !g.ids.contains(9000L))
+    // stored vectors ≡ decodeCol reconstructions, float-narrowed
+    val dec = enc.filter($"vid" < 9000L)
+      .select($"vid", Sq.decodeCol($"sq_codes", q).as("d"))
+      .collect().map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Double]](1).map(_.toFloat).toSeq).toMap
+    g.ids.zip(g.vecs).foreach { case (id, v) =>
+      assert(v.toSeq == dec(id), s"node $id stores non-reconstruction values")
+    }
+    // exhaustive beam = whole corpus candidates; exact rerank = brute force
+    val queries = vecs.filter($"vid" < 8)
+    val exact = Embeddings.cosineTopK(queries, vecs, "vid", "vid", "v", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSet
+    val got = Sq.hnswSearchReranked(g, enc, "vid", "v", queries, "vid", "v",
+        efSearch = g.size, shortlist = g.size, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSet
+    assert(got == exact)
+  }
 }
