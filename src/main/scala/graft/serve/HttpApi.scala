@@ -260,11 +260,16 @@ object HttpApi {
     * (the q179 router gate's shape: the caller owns a whole fleet's
     * lifecycles and addresses one member). Each query carries its own
     * shortlist; responses return in input order. */
+  // one client for all client-side helpers: HttpClient construction
+  // costs ~5-10 ms (connection pool + selector setup) — per-request
+  // construction dominated the RouterProbe latencies until hoisted
+  private lazy val sharedClient = java.net.http.HttpClient.newHttpClient()
+
   def annSearchAt(port: Int,
                   queries: Seq[(String, Long, Array[Float], Int)],
                   topK: Int, dropSelf: Boolean = true,
                   filter: Map[String, Seq[Long]] = Map.empty): Seq[JsonNode] = {
-    val client = java.net.http.HttpClient.newHttpClient()
+    val client = sharedClient
     queries.map { case (model, qid, vec, shortlist) =>
       val req = mapper.createObjectNode()
       req.put("model", model)
