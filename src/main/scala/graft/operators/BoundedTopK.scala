@@ -33,9 +33,22 @@ object BoundedTopK {
   final case class State(keys: Array[Double], ids: Array[Long])
 
   /** True when (a, ai) ranks strictly AFTER (b, bi) under
-    * (key desc, id asc). */
-  private def after(a: Double, ai: Long, b: Double, bi: Long): Boolean =
-    a < b || (a == b && ai > bi)
+    * (key desc, id asc) with NaN keys ranking LAST (ties by id asc).
+    *
+    * NaN-totality matters (round-18 advice): with the naive
+    * `a < b || (a == b && ...)` comparator a NaN key compares "not
+    * after" everything, so one NaN row would insert at position 0 and
+    * permanently win — and merge-order independence (the determinism
+    * claim) breaks. NaN-LAST matches [[graft.serve.LocalAnn]]'s
+    * canonical merge key ((sim desc, id asc), NaN last); note a raw
+    * Spark `desc` sort ranks NaN FIRST, so callers replacing a window
+    * rank over possibly-NaN scores get the serving tier's semantics
+    * here, not the window's. */
+  private def after(a: Double, ai: Long, b: Double, bi: Long): Boolean = {
+    val an = java.lang.Double.isNaN(a); val bn = java.lang.Double.isNaN(b)
+    if (an || bn) an && (!bn || ai > bi)
+    else a < b || (a == b && ai > bi)
+  }
 
   final class TopK(k: Int)
       extends Aggregator[(Double, Long), State, Seq[Long]] {

@@ -429,9 +429,17 @@ object Hnsw {
       .repartition(1).write.mode("overwrite").parquet(s"$path/hnsw_meta")
   }
 
-  /** Load a graph saved by [[save]]; bit-identical search behavior. */
+  /** Load a graph saved by [[save]]; bit-identical search behavior.
+    * Round-17 artifacts predate the `heuristic` meta column (round-18
+    * advice: selecting it unconditionally broke their load with an
+    * AnalysisException) — absent column defaults to false, which IS
+    * those artifacts' build mode, so old graphs reload bit-identically. */
   def load(spark: SparkSession, path: String): Graph = {
-    val meta = spark.read.parquet(s"$path/hnsw_meta")
+    val metaDf = spark.read.parquet(s"$path/hnsw_meta")
+    val withHeur =
+      if (metaDf.columns.contains("heuristic")) metaDf
+      else metaDf.withColumn("heuristic", lit(false))
+    val meta = withHeur
       .select("m", "ef_construction", "seed", "entry_id", "max_level",
         "heuristic").head()
     val rows = spark.read.parquet(s"$path/hnsw_nodes")

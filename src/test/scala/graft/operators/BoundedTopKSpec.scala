@@ -31,6 +31,26 @@ class BoundedTopKSpec extends SparkSpec {
     }
   }
 
+  test("NaN keys rank LAST and deterministically (round-18 advice): a " +
+    "NaN score never displaces a real one, at any partitioning") {
+    // 3 NaN rows seeded among 40 real ones; with the pre-fix comparator
+    // a NaN inserted at position 0 and always won
+    val rows = (0 until 40).map(i => (1L, i / 40.0, i.toLong)) ++
+      Seq((1L, Double.NaN, 100L), (1L, Double.NaN, 101L), (1L, Double.NaN, 99L))
+    val df = rows.toDF("g", "key", "id")
+    for (parts <- Seq(1, 32)) {
+      val top5 = BoundedTopK.shortlist(df.repartition(parts), "g", "key", "id", 5)
+        .collect().map(_.getLong(1)).toSeq
+      assert(top5 == Seq(39L, 38L, 37L, 36L, 35L),
+        s"NaN displaced a real key at $parts partitions: $top5")
+    }
+    // when k exceeds the real rows, NaNs fill the TAIL, ties by id asc —
+    // LocalAnn's canonical (sim desc, id asc, NaN last) merge key
+    val all = BoundedTopK.shortlist(df, "g", "key", "id", 43)
+      .collect().map(_.getLong(1)).toSeq
+    assert(all.takeRight(3) == Seq(99L, 100L, 101L))
+  }
+
   test("k larger than the group returns the whole group, ranked") {
     val tiny = Seq((1L, 0.5, 10L), (1L, 0.9, 11L), (1L, 0.5, 9L))
       .toDF("g", "key", "id")

@@ -73,6 +73,27 @@ class HnswSpec extends SparkSpec {
     }
   }
 
+  test("round-17 artifact compatibility: a saved graph whose meta " +
+    "predates the heuristic column reloads with heuristic=false and " +
+    "searches bit-identically (round-18 advice)") {
+    val g = Hnsw.build(rows, m = 8, efConstruction = 64) // closest-M build
+    val path = java.nio.file.Files.createTempDirectory("graft_hnsw_r17").toString
+    Hnsw.save(spark, g, path)
+    // rewrite hnsw_meta WITHOUT the heuristic column — byte-shape of a
+    // round-17 artifact
+    val legacy = spark.read.parquet(s"$path/hnsw_meta").drop("heuristic")
+      .collect()
+    val legacyDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(legacy.toIndexedSeq, 1),
+      spark.read.parquet(s"$path/hnsw_meta").drop("heuristic").schema)
+    legacyDf.write.mode("overwrite").parquet(s"$path/hnsw_meta")
+    val g2 = Hnsw.load(spark, path)
+    assert(!g2.heuristic)
+    for ((qid, qv) <- rows.take(8))
+      assert(Hnsw.search(g2, qv, 64, 5, dropId = Some(qid)) ==
+        Hnsw.search(g, qv, 64, 5, dropId = Some(qid)))
+  }
+
   test("append ≡ rebuild bit-for-bit (ascending-id replay); interleaved " +
     "or duplicate ids are a loud error; the input graph is untouched") {
     val (prefix, suffix) = rows.splitAt(300)

@@ -541,6 +541,61 @@ class LocalAnnSpec extends SparkSpec {
         HttpApi.start(annModel = Some(("pq", s0)),
           annRoutes = Seq(("pq", Seq(up0.port))))
       }
+      // total_loaded counts routes alongside local indexes (r18 advice)
+      assert(inv.path("total_loaded").asInt == 1)
     } finally { router.stop(); up0.stop(); up1.stop() }
+  }
+
+  test("fleet router (round 19): a HUNG upstream trips the per-upstream " +
+    "timeout as a loud 504 within ~budget — never a partial merge; a " +
+    "route listing the router's own port refuses to start") {
+    // a STALLING upstream: accepts the connection, answers only after
+    // sleeping far past the router's budget (a dead upstream would fail
+    // fast with connect-refused → 502; the hang is the case the timeout
+    // exists for)
+    val stall = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    stall.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      Thread.sleep(10000)
+      val b = """{"results":[]}""".getBytes("UTF-8")
+      ex.sendResponseHeaders(200, b.length)
+      ex.getResponseBody.write(b); ex.close()
+    })
+    stall.start()
+    val router = HttpApi.start(
+      annRoutes = Seq(("pq", Seq(stall.getAddress.getPort))),
+      routeTimeoutMs = 300L)
+    try {
+      val t0 = System.nanoTime()
+      val r = client.send(
+        HttpRequest.newBuilder(
+            URI.create(s"http://127.0.0.1:${router.port}/ann/search"))
+          .header("Content-Type", "application/json")
+          .POST(HttpRequest.BodyPublishers.ofString(
+            """{"model":"pq","embedding":[1,0,0,0]}"""))
+          .build(),
+        HttpResponse.BodyHandlers.ofString())
+      val elapsedMs = (System.nanoTime() - t0) / 1e6
+      assert(r.statusCode == 504, s"got ${r.statusCode}: ${r.body}")
+      assert(mapper.readTree(r.body).path("detail").asText.contains("timed out"))
+      // within ~budget: generous ceiling for CI jitter, but nowhere near
+      // the upstream's 10 s sleep (i.e. the router did NOT wait it out)
+      assert(elapsedMs < 5000, s"504 took ${elapsedMs} ms — budget not applied")
+    } finally { router.stop(); stall.stop(0) }
+    // self-cycle: reserve a concrete port, then route to it from itself
+    val probe = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val p = probe.getAddress.getPort
+    probe.stop(0)
+    intercept[IllegalArgumentException] {
+      HttpApi.start(port = p, annRoutes = Seq(("pq", Seq(p))))
+    }
+    // ...and the failed startup released the socket (no leak): the port
+    // can be bound again immediately
+    HttpApi.start(port = p).stop()
+    // a zero/negative budget is a startup error, not a silent no-timeout
+    intercept[IllegalArgumentException] {
+      HttpApi.start(annRoutes = Seq(("pq", Seq(1))), routeTimeoutMs = 0L)
+    }
   }
 }
