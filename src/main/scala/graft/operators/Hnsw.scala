@@ -399,6 +399,100 @@ object Hnsw {
       .take(topK)
   }
 
+  /** Bit-level structural equality — ids, vectors, levels, links,
+    * entry, maxLevel, and build params. The check behind every
+    * "replay" claim (append ≡ rebuild, executor build ≡ driver build):
+    * two graphs that pass search identically at every (ef, k). */
+  def structEq(a: Graph, b: Graph): Boolean =
+    a.size == b.size && a.ids.sameElements(b.ids) &&
+      a.levels.sameElements(b.levels) &&
+      a.entry == b.entry && a.maxLevel == b.maxLevel &&
+      a.m == b.m && a.efC == b.efC && a.seed == b.seed &&
+      a.heuristic == b.heuristic &&
+      a.vecs.zip(b.vecs).forall { case (x, y) => x.sameElements(y) } &&
+      a.links.zip(b.links).forall { case (x, y) =>
+        x.length == y.length &&
+          x.zip(y).forall { case (p, q) => p.sameElements(q) }
+      }
+
+  /** Build one graph PER SHARD in a single Spark job (round-19 verdict
+    * #4 — the fleet-construction path: q179's topology wants N shard
+    * graphs, and N sequential driver [[fromDataFrame]] calls serialize
+    * the expensive part on the driver). groupBy shard →
+    * [[build]] inside flatMapGroups ON THE EXECUTOR → emit rows in the
+    * [[save]] nodes layout (links as neighbor IDS) plus per-shard
+    * entry/max_level. Determinism is a REPLAY, not a new algorithm:
+    * build() sorts its rows by id, so the incoming partitioning and
+    * row order cannot affect any shard's graph
+    * (`Pq.trainDistributed`'s layout-independence discipline;
+    * HnswSpec asserts driver-vs-executor bit-identity at 1 and 32
+    * partitions). Each shard's rows materialize in ONE task — the
+    * caller owns the shard-size contract (one serving node's worth,
+    * same as [[build]]; at 100 TB: thousands of bounded shards, one
+    * job, no driver bottleneck). Persist with [[saveShards]]; reload
+    * one serving node's graph with [[loadShard]]. */
+  def buildShardsDistributed(df: DataFrame, id: String, vec: String,
+                             shard: String, m: Int = 16,
+                             efConstruction: Int = 100, seed: Long = 42L,
+                             heuristic: Boolean = false): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(shard).cast("long"), col(id).cast("long"),
+        col(vec).cast("array<float>"))
+      .as[(Long, Long, Array[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (sh: Long, it: Iterator[(Long, Long, Array[Float])]) =>
+        val rows = it.map(t => t._2 -> t._3).toSeq
+        val g = build(rows, m, efConstruction, seed, heuristic)
+        g.ids.indices.iterator.map { i =>
+          (sh, g.ids(i), g.vecs(i).toSeq, g.levels(i),
+            g.links(i).map(_.map(g.ids(_)).toSeq).toSeq,
+            g.ids(g.entry), g.maxLevel)
+        }
+      }
+      .toDF("shard", "id", "vec", "level", "links", "entry_id", "max_level")
+  }
+
+  /** Persist a [[buildShardsDistributed]] result: ONE partitioned
+    * parquet write (partition pruning makes [[loadShard]] a
+    * single-directory read) + one meta row carrying the build params
+    * every shard shares. */
+  def saveShards(spark: SparkSession, nodes: DataFrame, path: String,
+                 m: Int, efConstruction: Int, seed: Long = 42L,
+                 heuristic: Boolean = false): Unit = {
+    import spark.implicits._
+    nodes.write.mode("overwrite").partitionBy("shard")
+      .parquet(s"$path/hnsw_shard_nodes")
+    Seq((m, efConstruction, seed, heuristic))
+      .toDF("m", "ef_construction", "seed", "heuristic")
+      .repartition(1).write.mode("overwrite")
+      .parquet(s"$path/hnsw_shard_meta")
+  }
+
+  /** Load ONE shard's graph from a [[saveShards]] artifact —
+    * bit-identical to a driver-side [[build]] of that shard's rows
+    * (the serving node's startup read; the shard filter prunes to one
+    * partition directory). */
+  def loadShard(spark: SparkSession, path: String, shard: Long): Graph = {
+    val meta = spark.read.parquet(s"$path/hnsw_shard_meta")
+      .select("m", "ef_construction", "seed", "heuristic").head()
+    val rows = spark.read.parquet(s"$path/hnsw_shard_nodes")
+      .filter(col("shard") === shard)
+      .select("id", "vec", "level", "links", "entry_id", "max_level")
+      .collect().sortBy(_.getLong(0))
+    require(rows.nonEmpty, s"no shard $shard under $path")
+    val ids = rows.map(_.getLong(0))
+    val ix = ids.zipWithIndex.toMap
+    val vecs = rows.map(_.getAs[scala.collection.Seq[Float]](1).toArray)
+    val levels = rows.map(_.getInt(2))
+    val links = rows.map(
+      _.getAs[scala.collection.Seq[scala.collection.Seq[Long]]](3)
+        .map(_.map(ix(_)).toArray).toArray)
+    Graph(ids, vecs, levels, links, ix(rows.head.getLong(4)),
+      rows.head.getInt(5), meta.getInt(0), meta.getInt(1),
+      meta.getLong(2), meta.getBoolean(3))
+  }
+
   /** Persist: one parquet row per node (id, level, per-level links as
     * neighbor IDS — stable across reload re-sorts) + vecs + meta.
     * `attrs` (q178 — attribute-filtered serving): per-node integer

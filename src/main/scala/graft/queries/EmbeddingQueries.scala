@@ -108,6 +108,19 @@ object EmbeddingQueries {
   private val hnswSqMemo = new java.util.concurrent.ConcurrentHashMap[
     String, (graft.operators.Sq.Quantizer, graft.operators.Hnsw.Graph)]()
 
+  /** q181's build-once five-family deletion registry: one corpus, five
+    * registered artifacts, the planted top-1-neighbor tombstones
+    * applied to each (double-applied — idempotence rides the build). */
+  private val annDeleteMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q182's build-once distributed fleet artifact: one Spark job
+    * builds both shard graphs (Hnsw.buildShardsDistributed), saved as
+    * one partitioned parquet; the driver-vs-executor bit-identity
+    * verdict is computed once alongside. */
+  private val hnswFleetMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Boolean)]()
+
   /** q176 budgets — both arms get IDENTICAL (m, efConstruction,
     * efSearch); chosen with `graft.tools.HnswProbe` on the mixture
     * fixture so closest-M sits below saturation (the regime where the
@@ -1438,6 +1451,87 @@ object EmbeddingQueries {
       } finally { router.stop(); up0.stop(); up1.stop() }
     }),
 
+    // DISTRIBUTED HNSW FLEET BUILD (round 19 — verdict #4: q179's
+    // topology wants N shard graphs, but Hnsw.fromDataFrame builds are
+    // serial on the driver; here ONE Spark job builds every shard
+    // graph executor-side — groupBy shard → build inside flatMapGroups
+    // → one partitioned-parquet write — and the SERVING fleet runs off
+    // that artifact). Determinism is a replay (build() sorts by id, so
+    // partitioning can't leak in): dist_eq derives from structEq of
+    // each loadShard graph against a from-scratch driver build of the
+    // same rows — links, levels, entry, params, bit-for-bit. The
+    // serving arm is the q179 mold: two upstream servers (each wraps
+    // its distributed-built shard graph) behind the scatter-gather
+    // router; the EXHAUSTIVE routed rows are exact brute force over
+    // the union corpus (per-shard ef = shard size visits every
+    // reachable node; per-shard exact top-k merges on the canonical
+    // key) and hash against DuckDB's replay; router_tight_eq holds the
+    // tight-budget routed path bit-equal to in-process searchSharded.
+    "q182_hnsw_fleet" -> ((s, dir) => {
+      import s.implicits._
+      val (path, distEq) = hnswFleetMemo.computeIfAbsent(dir, _ => {
+        val e = Tables.embeddings(s, dir).filter(col("vec_id") < 4000)
+          .select(col("vec_id"), col("embedding"),
+            (col("vec_id") % 2).as("shard"))
+        val nodes = graft.operators.Hnsw.buildShardsDistributed(e,
+          "vec_id", "embedding", "shard", m = 16, efConstruction = 100)
+        val p = tempRegistryDir("graft_hnsw_fleet")
+        graft.operators.Hnsw.saveShards(s, nodes, p, m = 16,
+          efConstruction = 100)
+        val rows = e.select("vec_id", "embedding").collect()
+          .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]](1).toArray)
+        val eq = (0L to 1L).forall { sh =>
+          graft.operators.Hnsw.structEq(
+            graft.operators.Hnsw.loadShard(s, p, sh),
+            graft.operators.Hnsw.build(
+              rows.filter(_._1 % 2 == sh).toSeq, m = 16,
+              efConstruction = 100))
+        }
+        (p, eq)
+      })
+      val g0 = graft.operators.Hnsw.loadShard(s, path, 0L)
+      val g1 = graft.operators.Hnsw.loadShard(s, path, 1L)
+      val i0 = graft.serve.LocalAnn.fromGraph("ann_hnsw_fleet", g0)
+      val i1 = graft.serve.LocalAnn.fromGraph("ann_hnsw_fleet", g1)
+      val queries = Tables.embeddings(s, dir).filter(col("vec_id") < 20)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]](1).toArray)
+        .sortBy(_._1).toSeq
+      val up0 = graft.serve.HttpApi.start(annModel = Some(("ann_hnsw_fleet", i0)))
+      val up1 = graft.serve.HttpApi.start(annModel = Some(("ann_hnsw_fleet", i1)))
+      val router = graft.serve.HttpApi.start(
+        annRoutes = Seq(("ann_hnsw_fleet", Seq(up0.port, up1.port))))
+      try {
+        def routed(ef: Int): Seq[(Long, Long, Double)] =
+          graft.serve.HttpApi.annSearchAt(router.port,
+            queries.map { case (qid, v) => ("ann_hnsw_fleet", qid, v, ef) },
+            topK = 5)
+            .flatMap { o =>
+              val qid = o.path("query_id").asLong
+              require(o.path("shards").asInt == 2,
+                "router must report both shards")
+              val rs = o.path("results")
+              (0 until rs.size()).map(i => (qid,
+                rs.get(i).path("neighbor_id").asLong,
+                rs.get(i).path("sim").asDouble))
+            }
+        def local(ef: Int): Seq[(Long, Long, Double)] =
+          queries.flatMap { case (qid, v) =>
+            graft.serve.LocalAnn.searchSharded(Seq(i0, i1), qid, v, ef, 5)
+              .map(h => (qid, h.neighborId, h.sim))
+          }
+        def bits(r: Seq[(Long, Long, Double)]) =
+          r.map(t => (t._1, t._2, java.lang.Double.doubleToLongBits(t._3))).toSet
+        val exhEf = math.max(g0.size, g1.size)
+        val exh = routed(exhEf)
+        val tightEq = bits(routed(64)) == bits(local(64))
+        exh.toDF("query_id", "neighbor_id", "sim")
+          .withColumn("dist_eq", lit(distEq))
+          .withColumn("router_tight_eq", lit(tightEq))
+          .orderBy("query_id", "neighbor_id")
+      } finally { router.stop(); up0.stop(); up1.stop() }
+    }),
+
     // HNSW OVER SQ8 CODES (round 18 — FAISS's HNSW<M>,SQ8, the q173
     // composition applied to the GRAPH tier): the graph's stored
     // vectors are the byte-code RECONSTRUCTIONS (decode arithmetic
@@ -1495,6 +1589,121 @@ object EmbeddingQueries {
             r.getBoolean(3), r.getBoolean(4)))
           .toDF("query_id", "neighbor_id", "sim", "recall_ok", "decode_ok")
       } finally { enc.unpersist(); () }
+    }),
+
+    // ANN DELETION (round 19 — FAISS remove_ids for the registry tier;
+    // the takedown path: data deletion must be effective at serving
+    // time WITHOUT a rebuild). All five families register over one
+    // corpus; every query's exact TOP-1 neighbor is tombstoned
+    // (ModelRegistry.deleteIds — ids a post-filtering shortcut would
+    // mishandle BY CONSTRUCTION, since each was a rank-1 hit); every
+    // family's exhaustive masked search must then return the
+    // brute-force top-5 OF THE SURVIVING corpus. STRONG real-row mold:
+    // the hashed rows are the ivf arm's (full probe + exact cosine =
+    // brute force over survivors) and DuckDB recomputes the top-1 set,
+    // the mask, and the surviving top-5 from scratch with
+    // `WHERE ... NOT IN`. Derived flags: the pq/sq8/hnsw arms must
+    // bit-equal the hashed rows (each exhaustive — full shortlist /
+    // full probe / ef=n — so equality is exactness, not luck; the
+    // graph arm additionally proves hnswlib MARK-DELETED semantics:
+    // deleted nodes stay traversable, never surface); the opq arm —
+    // whose rotated-space sims are not bit-comparable across metrics —
+    // proves masked ≡ post-hoc-dropped-exhaustive in its own metric
+    // (the pre≡post identity at exhaustive breadth); http_eq serves
+    // the masked sq8 artifact over real HTTP. Deletes are append-only
+    // and idempotent (the build double-deletes); COMPACTION = register
+    // the next version from the filtered corpus + prune (documented at
+    // ModelRegistry.deleteIds). At 100 TB this mask is the difference
+    // between an immediate takedown and waiting on a scheduled rebuild.
+    "q181_ann_delete" -> ((s, dir) => {
+      import s.implicits._
+      val root = annDeleteMemo.computeIfAbsent(dir, _ => {
+        val e = Tables.embeddings(s, dir).filter(col("vec_id") < 5000).cache()
+        val doomed = graft.operators.Embeddings
+          .cosineTopK(e.filter(col("vec_id") < 20), e,
+            "vec_id", "vec_id", "embedding", k = 1)
+          .select("neighbor_id").distinct().collect().map(_.getLong(0)).toSeq
+        val reg = tempRegistryDir("graft_ann_del")
+        graft.serve.ModelRegistry.registerIvf(s, reg, "del_ivf",
+          graft.operators.Ivf.build(e, "vec_id", "embedding", nLists = 16))
+        val cb = graft.operators.Pq.train(e, "vec_id", "embedding", m = 8, k = 64)
+        graft.serve.ModelRegistry.registerPq(s, reg, "del_pq", cb,
+          Some(graft.operators.Pq.encode(
+            e.select("vec_id", "embedding"), "embedding", cb)))
+        val rot = graft.operators.Opq.trainRotation(e, "embedding", dim = 64, m = 8)
+        val er = graft.operators.Opq.rotate(e, "vec_id", "embedding", rot)
+        val cbr = graft.operators.Pq.train(er, "vec_id", "embedding", m = 8, k = 64)
+        graft.serve.ModelRegistry.registerOpq(s, reg, "del_opq", rot,
+          Some(cbr), Some(graft.operators.Pq.encode(er, "embedding", cbr)))
+        val qz = graft.operators.Sq.train(e, "embedding", dim = 64)
+        graft.serve.ModelRegistry.registerSq(s, reg, "del_sq8", qz,
+          Some(graft.operators.Sq.encode(
+            e.select("vec_id", "embedding"), "embedding", qz)))
+        graft.serve.ModelRegistry.registerHnsw(s, reg, "del_hnsw",
+          graft.operators.Hnsw.fromDataFrame(e, "vec_id", "embedding",
+            m = 16, efConstruction = 100))
+        for (n <- Seq("del_ivf", "del_pq", "del_opq", "del_sq8", "del_hnsw")) {
+          graft.serve.ModelRegistry.deleteIds(s, reg, n, doomed)
+          graft.serve.ModelRegistry.deleteIds(s, reg, n, doomed) // idempotent
+        }
+        e.unpersist()
+        reg
+      })
+      val queries = Tables.embeddings(s, dir).filter(col("vec_id") < 20)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]](1).toArray)
+        .sortBy(_._1).toSeq
+      def armOf(name: String): Seq[(Long, Long, Double)] = {
+        val idx = graft.serve.LocalAnn.load(s, root, name)
+        queries.flatMap { case (qid, v) =>
+          graft.serve.LocalAnn.search(idx, qid, v,
+            shortlist = idx.size, topK = 5).map(h => (qid, h.neighborId, h.sim))
+        }.sortBy(t => (t._1, t._2))
+      }
+      val ivfRows = armOf("del_ivf")
+      val pqEq = armOf("del_pq") == ivfRows
+      // the OPQ arm reranks in ROTATED coordinates — mathematically the
+      // same cosine, but not bit-comparable to the unrotated arms after
+      // 1e-6 rounding. Its deletion property is proven EXACTLY instead:
+      // masked search ≡ exhaustive UNMASKED search with the tombstones
+      // dropped post-hoc (at exhaustive breadth pre-filtering and
+      // post-filtering coincide — the q169 identity), bit-for-bit in
+      // the family's own metric.
+      val opqEq = {
+        val masked = graft.serve.LocalAnn.load(s, root, "del_opq")
+        val doomedSet = graft.serve.ModelRegistry
+          .loadDeletedIds(s, root, "del_opq")
+        val unmasked = masked.copy(deleted = Array.empty)
+        val post = queries.flatMap { case (qid, v) =>
+          graft.serve.LocalAnn.search(unmasked, qid, v,
+              shortlist = unmasked.size, topK = 5 + doomedSet.size)
+            .filterNot(h => doomedSet.contains(h.neighborId)).take(5)
+            .map(h => (qid, h.neighborId, h.sim))
+        }.sortBy(t => (t._1, t._2))
+        armOf("del_opq") == post
+      }
+      val sq8Eq = armOf("del_sq8") == ivfRows
+      val hnswEq = armOf("del_hnsw") == ivfRows
+      val sqIdx = graft.serve.LocalAnn.load(s, root, "del_sq8")
+      val server = graft.serve.HttpApi.start(annModel = Some(("del_sq8", sqIdx)))
+      val httpEq = try {
+        graft.serve.HttpApi.annSearchAt(server.port,
+          queries.map { case (qid, v) => ("del_sq8", qid, v, sqIdx.size) },
+          topK = 5)
+          .flatMap { o =>
+            val rs = o.path("results")
+            (0 until rs.size()).map(i => (o.path("query_id").asLong,
+              rs.get(i).path("neighbor_id").asLong,
+              rs.get(i).path("sim").asDouble))
+          }.sortBy(t => (t._1, t._2)) == ivfRows
+      } finally server.stop()
+      ivfRows.toDF("query_id", "neighbor_id", "sim")
+        .withColumn("pq_eq", lit(pqEq))
+        .withColumn("opq_eq", lit(opqEq))
+        .withColumn("sq8_eq", lit(sq8Eq))
+        .withColumn("hnsw_eq", lit(hnswEq))
+        .withColumn("http_eq", lit(httpEq))
+        .orderBy("query_id", "neighbor_id")
     }),
 
     // MMR DIVERSIFIED RE-RANKING (round 17 — Carbonell & Goldstein
@@ -1871,6 +2080,67 @@ object EmbeddingQueries {
         | FROM q JOIN e ON e.vec_id <> q.query_id)
         |SELECT query_id, neighbor_id, sim, TRUE AS recall_ok,
         | TRUE AS decode_ok
+        |FROM (
+        | SELECT query_id, neighbor_id, sim,
+        |  row_number() OVER (PARTITION BY query_id
+        |   ORDER BY sim DESC, neighbor_id ASC) AS rk
+        | FROM sims)
+        |WHERE rk <= 5
+        |ORDER BY query_id, neighbor_id""".stripMargin,
+
+    // full replay of the deletion pipeline: DuckDB recomputes the
+    // exact top-1-neighbor set (the planted tombstones), masks it with
+    // NOT IN, and re-ranks the survivors — the Spark rows (the masked
+    // ivf arm) must hash against this from-scratch reconstruction; the
+    // five equality flags derive in-query (each exhaustive family arm
+    // and the HTTP arm bit-compare against the hashed rows).
+    "q181_ann_delete" ->
+      """WITH e AS MATERIALIZED (
+        | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        | FROM embeddings WHERE vec_id < 5000),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+        |sims AS MATERIALIZED (
+        | SELECT q.query_id, e.vec_id AS neighbor_id,
+        |  round((list_dot_product(q.qv, e.v)
+        |   / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v)))) * 1000000.0) / 1000000.0 + 0.0 AS sim
+        | FROM q JOIN e ON e.vec_id <> q.query_id),
+        |doomed AS (
+        | SELECT DISTINCT neighbor_id FROM (
+        |  SELECT neighbor_id,
+        |   row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, neighbor_id ASC) AS rk
+        |  FROM sims)
+        | WHERE rk = 1),
+        |surv AS (
+        | SELECT * FROM sims
+        | WHERE neighbor_id NOT IN (SELECT neighbor_id FROM doomed))
+        |SELECT query_id, neighbor_id, sim, TRUE AS pq_eq, TRUE AS opq_eq,
+        | TRUE AS sq8_eq, TRUE AS hnsw_eq, TRUE AS http_eq
+        |FROM (
+        | SELECT query_id, neighbor_id, sim,
+        |  row_number() OVER (PARTITION BY query_id
+        |   ORDER BY sim DESC, neighbor_id ASC) AS rk
+        | FROM surv)
+        |WHERE rk <= 5
+        |ORDER BY query_id, neighbor_id""".stripMargin,
+
+    // q179's mold for the DISTRIBUTED-BUILD fleet: the exhaustive
+    // routed merge over the two executor-built shard graphs is exact
+    // brute force over the union corpus, so the rows replay from
+    // parquet; dist_eq (executor build ≡ driver build per shard,
+    // structEq) and router_tight_eq derive in-query.
+    "q182_hnsw_fleet" ->
+      """WITH e AS MATERIALIZED (
+        | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        | FROM embeddings WHERE vec_id < 4000),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+        |sims AS (
+        | SELECT q.query_id, e.vec_id AS neighbor_id,
+        |  round((list_dot_product(q.qv, e.v)
+        |   / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v)))) * 1000000.0) / 1000000.0 + 0.0 AS sim
+        | FROM q JOIN e ON e.vec_id <> q.query_id)
+        |SELECT query_id, neighbor_id, sim, TRUE AS dist_eq,
+        | TRUE AS router_tight_eq
         |FROM (
         | SELECT query_id, neighbor_id, sim,
         |  row_number() OVER (PARTITION BY query_id

@@ -152,7 +152,10 @@ object HttpApi {
     // the bound port is known here, so the cycle is a startup error, not
     // a per-request hang. (Cycles ACROSS routers stay out of scope.)
     annRoutes.find(_._2.contains(srv.getAddress.getPort)).foreach { case (n, _) =>
-      srv.stop(0) // release the bound socket before failing startup
+      // release the bound socket before failing startup — stop() on a
+      // NEVER-STARTED HttpServer leaks the bind (JDK quirk), so cycle
+      // start→stop; no context is registered, nothing can be served
+      srv.start(); srv.stop(0)
       throw new IllegalArgumentException(
         s"ann route '$n' lists this server's own port ${srv.getAddress.getPort} as an upstream")
     }
@@ -420,6 +423,10 @@ object HttpApi {
       e.put("kind", s"ann_${shards.head.family}")
       e.put("size", shards.map(_.size).sum)
       if (shards.size > 1) e.put("shards", shards.size)
+      // tombstoned rows (round 19): loaded but masked — a client sees
+      // how much of the artifact a compacting rebuild would reclaim
+      val delCount = shards.map(_.deletedCount).sum
+      if (delCount > 0) e.put("deleted", delCount)
       // filterable attributes are inventory facts: a client learns what
       // `filter` keys /ann/search accepts for this index from /models
       if (shards.head.attrs.nonEmpty) {

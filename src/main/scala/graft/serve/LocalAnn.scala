@@ -50,8 +50,14 @@ object LocalAnn {
                          cellOf: Array[Int],
                          attrs: Map[String, Array[Long]] = Map.empty,
                          sq: Option[Sq.Quantizer] = None,
-                         hnsw: Option[Hnsw.Graph] = None) {
+                         hnsw: Option[Hnsw.Graph] = None,
+                         deleted: Array[Boolean] = Array.empty) {
     def size: Int = ids.length
+    /** Row i survives the registry tombstone mask (round 19 — FAISS
+      * remove_ids semantics: deleted rows stay IN the artifact and the
+      * loaded arrays, they just never surface from a search). */
+    def live(i: Int): Boolean = deleted.isEmpty || !deleted(i)
+    def deletedCount: Int = if (deleted.isEmpty) 0 else deleted.count(identity)
   }
 
   /** True when row i passes every attribute constraint in `allow`
@@ -90,7 +96,7 @@ object LocalAnn {
   def load(spark: SparkSession, root: String, name: String,
            version: Long = -1L, attrCols: Seq[String] = Nil): Index = {
     val family = ModelRegistry.kindOf(spark, root, name, version)
-    family match {
+    val base = family match {
       case "opq" | "pq" =>
         val rot =
           if (family == "opq") Some(ModelRegistry.loadOpq(spark, root, name, version).rows)
@@ -144,7 +150,22 @@ object LocalAnn {
       case other => throw new IllegalArgumentException(
         s"registered '$name' is family '$other' - not a serveable ANN artifact")
     }
+    // registry tombstones (round 19): materialize the deleted-id set as
+    // a row-aligned mask once at load — the hot scans then pay one
+    // boolean read per row, never a set lookup
+    val del = ModelRegistry.loadDeletedIds(spark, root, name, version)
+    if (del.isEmpty) base else base.copy(deleted = base.ids.map(del.contains))
   }
+
+  /** Wrap an in-memory HNSW graph as a serveable index — the serving
+    * node's startup path when its graph arrives from the distributed
+    * fleet build ([[graft.operators.Hnsw.loadShard]] off a
+    * `saveShards` artifact) rather than a per-name registry entry.
+    * No attrs/tombstones ride this path (those are registry-artifact
+    * concerns; a fleet with either registers per-shard artifacts). */
+  def fromGraph(name: String, g: Hnsw.Graph): Index =
+    Index(name, "hnsw", None, None, g.ids, g.vecs, Array.empty,
+      Array.empty, Array.empty, Map.empty, None, Some(g))
 
   /** Collect a codes table (`codesCol` = "codes" for pq/opq, "sq_codes"
     * for sq8) into serving arrays, resolving the id/vec columns by
@@ -311,11 +332,17 @@ object LocalAnn {
         // becomes a node-index predicate over the loaded attrs — the
         // hnswlib semantics (failing nodes traversed, never returned),
         // so the result is the top-k OF THE FILTERED CORPUS like every
-        // other family's pre-filtering arm.
+        // other family's pre-filtering arm. The registry tombstone mask
+        // (round 19) composes into the same predicate: deleted nodes
+        // stay TRAVERSABLE — cutting them out of the beam would orphan
+        // their neighbors and crater recall near deletions — but never
+        // surface, exactly hnswlib's mark-deleted behavior.
+        val pred: Option[Int => Boolean] =
+          if (allow.isEmpty && idx.deleted.isEmpty) None
+          else Some((i: Int) => idx.live(i) && passes(idx, i, allow))
         Hnsw.search(idx.hnsw.get, query, efSearch = shortlist, topK = topK,
             dropId = if (dropSelf) Some(queryId) else None,
-            allow = if (allow.isEmpty) None
-                    else Some((i: Int) => passes(idx, i, allow)))
+            allow = pred)
           .map { case (id, sim) => Hit(id, sim) }
       case other => throw new IllegalStateException(s"unserveable family $other")
     }
@@ -338,7 +365,7 @@ object LocalAnn {
     var i = 0
     while (i < idx.size) {
       val cs = idx.codes(i)
-      if (cs != null && !(dropSelf && idx.ids(i) == queryId) &&
+      if (cs != null && idx.live(i) && !(dropSelf && idx.ids(i) == queryId) &&
           passes(idx, i, allow)) {
         // decode + cosine fused: dec_d = cs(d)·span_d + min_d
         var dab = 0.0; var daa = 0.0; var dbb = 0.0
@@ -412,7 +439,7 @@ object LocalAnn {
     i = 0
     while (i < idx.size) {
       val cs = idx.codes(i)
-      if (cs != null && !(dropSelf && idx.ids(i) == queryId) &&
+      if (cs != null && idx.live(i) && !(dropSelf && idx.ids(i) == queryId) &&
           passes(idx, i, allow)) {
         var adc = 0.0
         var m = 0
@@ -451,7 +478,7 @@ object LocalAnn {
     val hits = collection.mutable.ArrayBuffer[Hit]()
     var i = 0
     while (i < idx.size) {
-      if (probed.contains(idx.cellOf(i)) &&
+      if (probed.contains(idx.cellOf(i)) && idx.live(i) &&
           !(dropSelf && idx.ids(i) == queryId) &&
           passes(idx, i, allow)) {
         val c = cosine(q, idx.vecs(i))

@@ -262,6 +262,51 @@ object ModelRegistry {
               version: Long = -1L): graft.operators.Opq.Rotation =
     graft.operators.Opq.load(spark, artifactPath(spark, root, name, version))
 
+  /** ANN deletion (round-19 — FAISS `remove_ids` for the registry
+    * tier): append `ids` to the tombstone set of a registered ANN
+    * artifact. The artifact bytes stay immutable (codes/assigned
+    * rows/graph untouched — an in-place rewrite of a shared artifact
+    * would race every reader); instead the ids land in a
+    * `deleted_ids` parquet under the version directory, and every
+    * serving path ([[graft.serve.LocalAnn.load]], hence /ann/search
+    * and the router) pre-filters them out of the candidate scan, so
+    * results are the top-k OF THE SURVIVING corpus — the q169
+    * pre-filter discipline applied to a not-deleted predicate. For
+    * the graph family the mask rides [[graft.operators.Hnsw]]'s allow
+    * predicate: deleted nodes stay TRAVERSABLE (hnswlib semantics —
+    * removing them from the graph would orphan their neighbors) but
+    * never surface.
+    *
+    * Deletes are append-only and idempotent (readers dedup); deleting
+    * an id the corpus never held is a no-op mask entry. COMPACTION —
+    * physical removal — happens at rebuild: register the next version
+    * from the filtered corpus and [[prune]] the old one; the tombstone
+    * mask is the serving-time bridge until then (at 100 TB a takedown
+    * must be effective immediately, while the rebuild is a scheduled
+    * job). Parquet appends commit atomically, so a crash mid-delete
+    * leaves the previous mask intact — same doctrine as [[prune]].
+    * Single-writer per root, like registration. */
+  def deleteIds(spark: SparkSession, root: String, name: String,
+                ids: Seq[Long], version: Long = -1L): Unit = {
+    require(ids.nonEmpty, "deleteIds needs at least one id")
+    val path = artifactPath(spark, root, name, version)
+    import spark.implicits._
+    ids.toDF("id").repartition(1).write.mode("append")
+      .parquet(s"$path/deleted_ids")
+  }
+
+  /** The tombstoned ids of a registered artifact (empty when none were
+    * ever deleted). Deduped — [[deleteIds]] appends blindly. */
+  def loadDeletedIds(spark: SparkSession, root: String, name: String,
+                     version: Long = -1L): Set[Long] = {
+    val path = s"${artifactPath(spark, root, name, version)}/deleted_ids"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    if (!p.getFileSystem(conf).exists(p)) Set.empty
+    else spark.read.parquet(path).select("id").distinct()
+      .collect().map(_.getLong(0)).toSet
+  }
+
   /** Registry retention (round-14 verdict #5: versions accumulated
     * forever). Keep the newest `keepLast` versions of `name`; drop the
     * rest. Crash-safety (round-15 advice — the old in-place overwrite

@@ -73,6 +73,44 @@ class HnswSpec extends SparkSpec {
     }
   }
 
+  test("distributed per-shard build (round 19): one Spark job builds " +
+    "every shard graph; each is BIT-IDENTICAL to the driver build of " +
+    "the same rows, at 1 and 32 input partitions") {
+    val df = rows.map { case (id, v) => (id % 3, id, v) }
+      .toDF("shard", "vid", "v")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_hnsw_dist").toString
+    for (parts <- Seq(1, 32)) {
+      val nodes = Hnsw.buildShardsDistributed(df.repartition(parts),
+        "vid", "v", "shard", m = 8, efConstruction = 64)
+      Hnsw.saveShards(spark, nodes, path, m = 8, efConstruction = 64)
+      for (sh <- 0L to 2L) {
+        val driver = Hnsw.build(rows.filter(_._1 % 3 == sh),
+          m = 8, efConstruction = 64)
+        val dist = Hnsw.loadShard(spark, path, sh)
+        assert(Hnsw.structEq(dist, driver),
+          s"shard $sh diverged from the driver build at $parts partitions")
+        // search equality follows from structEq, but assert one query
+        // end-to-end anyway (the property a serving node actually uses)
+        val (qid, qv) = rows.head
+        assert(Hnsw.search(dist, qv, 64, 5, dropId = Some(qid)) ==
+          Hnsw.search(driver, qv, 64, 5, dropId = Some(qid)))
+      }
+    }
+    // heuristic builds replay identically too
+    val nodesH = Hnsw.buildShardsDistributed(df, "vid", "v", "shard",
+      m = 8, efConstruction = 64, heuristic = true)
+    val pathH = java.nio.file.Files
+      .createTempDirectory("graft_hnsw_dist_h").toString
+    Hnsw.saveShards(spark, nodesH, pathH, m = 8, efConstruction = 64,
+      heuristic = true)
+    assert(Hnsw.structEq(Hnsw.loadShard(spark, pathH, 1L),
+      Hnsw.build(rows.filter(_._1 % 3 == 1), m = 8, efConstruction = 64,
+        heuristic = true)))
+    // unknown shard fails loudly, not as an empty graph
+    intercept[IllegalArgumentException] { Hnsw.loadShard(spark, path, 9L) }
+  }
+
   test("round-17 artifact compatibility: a saved graph whose meta " +
     "predates the heuristic column reloads with heuristic=false and " +
     "searches bit-identically (round-18 advice)") {

@@ -546,6 +546,81 @@ class LocalAnnSpec extends SparkSpec {
     } finally { router.stop(); up0.stop(); up1.stop() }
   }
 
+  test("ANN deletion (round 19, FAISS remove_ids): registry tombstones " +
+    "are respected by every family's search — exhaustive masked results " +
+    "equal brute force over the SURVIVING corpus; deletes are idempotent; " +
+    "deleted ids never surface; /models reports the mask") {
+    // delete exactly the ids that WOULD have been top hits: each
+    // query's exact top-1 neighbor (post-filtering an unfiltered top-k
+    // would lose these — the mask must act in the candidate scan)
+    val top1 = Embeddings.cosineTopK(queries, corpus, "vec_id", "vec_id",
+        "embedding", k = 1)
+      .select("neighbor_id").distinct().collect().map(_.getLong(0)).toSeq
+    assert(top1.nonEmpty)
+    val survivors = corpus.filter(!$"vec_id".isin(top1: _*))
+    val expected = rows(Embeddings.cosineTopK(queries, survivors,
+      "vec_id", "vec_id", "embedding", k = 5))
+
+    val enc = { // shared PQ substrate for the pq arm
+      val cb = Pq.train(corpus, "vec_id", "embedding", m = 2, k = 8)
+      (cb, Pq.encode(corpus.select("vec_id", "embedding"), "embedding", cb))
+    }
+    val sq = graft.operators.Sq.train(corpus, "embedding", dim = 4)
+    val root = java.nio.file.Files.createTempDirectory("graft_lann_del").toString
+    ModelRegistry.registerPq(spark, root, "dpq", enc._1, Some(enc._2))
+    ModelRegistry.registerSq(spark, root, "dsq", sq,
+      Some(graft.operators.Sq.encode(corpus.select("vec_id", "embedding"),
+        "embedding", sq)))
+    ModelRegistry.registerIvf(spark, root, "divf",
+      Ivf.build(corpus, "vec_id", "embedding", nLists = 8))
+    ModelRegistry.registerHnsw(spark, root, "dhnsw",
+      graft.operators.Hnsw.fromDataFrame(corpus, "vec_id", "embedding",
+        m = 8, efConstruction = 64, heuristic = true))
+    val rotD = Opq.trainRotation(corpus, "embedding", dim = 4, m = 2)
+    val er = Opq.rotate(corpus, "vec_id", "embedding", rotD)
+    val cbR = Pq.train(er, "vec_id", "embedding", m = 2, k = 8)
+    ModelRegistry.registerOpq(spark, root, "dopq", rotD, Some(cbR),
+      Some(Pq.encode(er, "embedding", cbR)))
+
+    for (name <- Seq("dpq", "dsq", "divf", "dhnsw", "dopq")) {
+      // pre-delete sanity: the planted ids DO surface without the mask
+      val before = hitsOf(LocalAnn.load(spark, root, name), 160, 5)
+      assert(before.exists(t => top1.contains(t._2)),
+        s"$name: planted ids never surfaced — the deletion proves nothing")
+      ModelRegistry.deleteIds(spark, root, name, top1)
+      ModelRegistry.deleteIds(spark, root, name, top1 :+ 99999L) // idempotent + unknown-id no-op
+      val idx = LocalAnn.load(spark, root, name)
+      assert(idx.deletedCount == top1.size, s"$name deletedCount")
+      val got = hitsOf(idx, 160, 5)
+      assert(got.forall(t => !top1.contains(t._2)),
+        s"$name surfaced a deleted id")
+      assert(got == expected,
+        s"$name masked exhaustive search != brute force over survivors")
+    }
+
+    // served-over-HTTP arm: the masked index behind /ann/search + /models
+    val idx = LocalAnn.load(spark, root, "dsq")
+    val server = HttpApi.start(annModel = Some(("dsq", idx)))
+    try {
+      val qs = queries.collect().map(r =>
+        r.getLong(0) -> r.getAs[scala.collection.Seq[Float]](1).toArray).toSeq
+      val served = HttpApi.annSearchAt(server.port,
+        qs.map { case (qid, v) => ("dsq", qid, v, 160) }, topK = 5)
+        .flatMap { o =>
+          val rs = o.path("results")
+          (0 until rs.size()).map(i => (o.path("query_id").asLong,
+            rs.get(i).path("neighbor_id").asLong,
+            java.lang.Double.doubleToLongBits(rs.get(i).path("sim").asDouble)))
+        }.sortBy(t => (t._1, t._2)).toSeq
+      assert(served == expected)
+      val inv = mapper.readTree(client.send(
+        HttpRequest.newBuilder(
+            URI.create(s"http://127.0.0.1:${server.port}/models")).GET().build(),
+        HttpResponse.BodyHandlers.ofString()).body())
+      assert(inv.path("models").path("dsq").path("deleted").asInt == top1.size)
+    } finally server.stop()
+  }
+
   test("fleet router (round 19): a HUNG upstream trips the per-upstream " +
     "timeout as a loud 504 within ~budget — never a partial merge; a " +
     "route listing the router's own port refuses to start") {
@@ -582,14 +657,26 @@ class LocalAnnSpec extends SparkSpec {
       // the upstream's 10 s sleep (i.e. the router did NOT wait it out)
       assert(elapsedMs < 5000, s"504 took ${elapsedMs} ms — budget not applied")
     } finally { router.stop(); stall.stop(0) }
-    // self-cycle: reserve a concrete port, then route to it from itself
-    val probe = com.sun.net.httpserver.HttpServer.create(
-      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
-    val p = probe.getAddress.getPort
-    probe.stop(0)
-    intercept[IllegalArgumentException] {
+    // self-cycle: reserve a concrete port, then route to it from itself.
+    // The probe socket can take a beat to release, so retry BindException
+    // (the race is the test harness's, not the contract's).
+    val probe = new java.net.ServerSocket(0, 0,
+      java.net.InetAddress.getByName("127.0.0.1"))
+    val p = probe.getLocalPort
+    probe.close()
+    def startSelfRoute(): HttpApi.Server =
       HttpApi.start(port = p, annRoutes = Seq(("pq", Seq(p))))
+    var selfRouteErr: Option[Throwable] = None
+    var attempts = 0
+    while (selfRouteErr.isEmpty && attempts < 40) {
+      try { val s = startSelfRoute(); s.stop(); fail("self-route started") }
+      catch {
+        case _: java.net.BindException => attempts += 1; Thread.sleep(50)
+        case e: IllegalArgumentException => selfRouteErr = Some(e)
+      }
     }
+    assert(selfRouteErr.exists(_.getMessage.contains("own port")),
+      s"expected the self-route IllegalArgumentException, got $selfRouteErr")
     // ...and the failed startup released the socket (no leak): the port
     // can be bound again immediately
     HttpApi.start(port = p).stop()
