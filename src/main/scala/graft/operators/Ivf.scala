@@ -373,6 +373,70 @@ object Ivf {
     * scoring), then exact cosine top-k inside the probed lists only.
     * Probe ranking uses raw dots — ‖q‖ is constant within a query
     * partition, so the ordering equals the cosine ordering. */
+  /** HNSW graph over the coarse centroids (round 19 — FAISS's
+    * IVF_HNSW shape: at nlist ~10⁵–10⁶ the per-row argmax scan over
+    * EVERY centroid becomes the assignment/probe bottleneck, and the
+    * standard answer is a graph over the CENTROIDS searched per
+    * vector). Centroid ids become node ids; centroids are unit
+    * vectors, so the graph's cosine geometry and [[assemble]]'s
+    * dot-argmax rank cells identically up to rounding — which is why
+    * [[assignGraph]] re-scores proposals exactly. */
+  def centroidGraph(index: Index, m: Int = 16,
+                    efConstruction: Int = 100): Hnsw.Graph =
+    Hnsw.build(
+      index.centroids.orderBy("centroid_id").collect()
+        .map(r => r.getInt(0).toLong ->
+          r.getAs[scala.collection.Seq[Float]]("cvec").toArray).toSeq,
+      m, efConstruction)
+
+  /** Graph-assisted assignment — the IVF_HNSW composition's build
+    * side. The centroid graph's beam PROPOSES `cand` cells per row and
+    * an EXACT in-order-double dot argmax — ties toward the lower
+    * centroid_id, [[assemble]]'s array_position semantics, the same
+    * accumulation NativeVector.dot generates — DECIDES among them: the
+    * shortlist-then-exact-rerank doctrine applied to the quantizer
+    * itself (the beam's 1e-6-rounded cosine may merge near-tied cells;
+    * the exact re-score keeps the decision bit-faithful). With
+    * `efSearch ≥ nLists` over a connected graph the beam visits every
+    * cell, so assignment reproduces assemble()'s argmax BIT-FOR-BIT
+    * (the exactness lever — q184 derives the flag); a tight ef is the
+    * scale path: O(ef·log nlist) proposals per row instead of the
+    * O(nlist) scan, distributed as mapPartitions over the broadcast
+    * graph (centroids are KiB–MiB at any real nlist). Non-finite rows
+    * park in cell −1, exactly like assemble(). */
+  def assignGraph(df: DataFrame, id: String, vec: String, g: Hnsw.Graph,
+                  efSearch: Int, cand: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bg = spark.sparkContext.broadcast(g)
+    df.select(col(id).cast("long"), col(vec).cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val graph = bg.value
+        val ix = graph.ids.zipWithIndex.toMap
+        it.map { case (rid, v) =>
+          val finite = v != null &&
+            v.forall(x => !x.isNaN && !x.isInfinite)
+          if (!finite) (rid, v, -1)
+          else {
+            val proposed = Hnsw.search(graph, v, efSearch, cand)
+              .map(_._1).sorted // ascending cid: first strict max wins ties
+            var best = -1; var bestDot = Double.NegativeInfinity
+            proposed.foreach { cid =>
+              val c = graph.vecs(ix(cid))
+              var s = 0.0; var i = 0
+              while (i < v.length) {
+                s += v(i).toDouble * c(i).toDouble; i += 1
+              }
+              if (s > bestDot) { bestDot = s; best = cid.toInt }
+            }
+            (rid, v, best)
+          }
+        }
+      }
+      .toDF(id, vec, "centroid_id")
+  }
+
   def search(index: Index, queries: DataFrame, qid: String, vec: String,
              nProbe: Int, topK: Int): DataFrame = {
     NativeVector.register(queries.sparkSession)

@@ -121,6 +121,11 @@ object EmbeddingQueries {
   private val hnswFleetMemo = new java.util.concurrent.ConcurrentHashMap[
     String, (String, Boolean)]()
 
+  /** q184's build-once IVF index + centroid graph (the IVF_HNSW
+    * composition's quantizer pair). */
+  private val ivfHnswMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (graft.operators.Ivf.Index, graft.operators.Hnsw.Graph)]()
+
   /** q176 budgets — both arms get IDENTICAL (m, efConstruction,
     * efSearch); chosen with `graft.tools.HnswProbe` on the mixture
     * fixture so closest-M sits below saturation (the regime where the
@@ -1451,6 +1456,62 @@ object EmbeddingQueries {
       } finally { router.stop(); up0.stop(); up1.stop() }
     }),
 
+    // IVF_HNSW COMPOSITION (round 19 stretch — FAISS's shape for huge
+    // nlist: the coarse quantizer's per-row ARGMAX SCAN over every
+    // centroid is O(nlist) and becomes the assignment/probe bottleneck
+    // at nlist ~10⁵–10⁶; a graph over the CENTROIDS makes it
+    // O(ef·log nlist)). Composition discipline: the beam PROPOSES
+    // cells, an exact in-order-double dot argmax (assemble()'s
+    // tie-break) DECIDES — so the exactness lever holds:
+    // assign_exact_eq derives from a full-corpus join proving the
+    // exhaustive-ef graph assignment reproduces the argmax scan
+    // BIT-FOR-BIT (cell by cell, every row), and tight_agree_ok floors
+    // the tight-beam scale path's cell agreement (broken traversal
+    // degenerates to ~1/nlist ≈ 0.02, working sits ≥0.9 — the floor
+    // separates regardless of seed). The hashed rows flow THROUGH the
+    // graph-assigned index: full-probe search over it IS brute force,
+    // replayed by DuckDB. Pricing at real nlist: tools/IvfHnswProbe
+    // (BASELINE.md) — at gate-scale nlist=64 the scan wins, as
+    // expected; the composition exists for the nlist regime where it
+    // doesn't.
+    "q184_ivf_hnsw" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir).filter(col("vec_id") < 50000)
+      val (index, g) = ivfHnswMemo.computeIfAbsent(dir, _ => {
+        val idx = graft.operators.Ivf.build(e, "vec_id", "embedding",
+          nLists = 64)
+        (idx, graft.operators.Ivf.centroidGraph(idx, m = 8,
+          efConstruction = 64))
+      })
+      val argmax = index.assigned
+        .select(col("vec_id"), col("centroid_id")).persist()
+      val exact = graft.operators.Ivf.assignGraph(e, "vec_id", "embedding",
+          g, efSearch = 64, cand = 64)
+        .select(col("vec_id"), col("embedding"),
+          col("centroid_id").as("gcid")).persist()
+      try {
+        val assignExactEq = argmax.join(exact, "vec_id")
+          .filter(col("centroid_id") =!= col("gcid")).isEmpty
+        val tight = graft.operators.Ivf.assignGraph(e, "vec_id",
+            "embedding", g, efSearch = 8, cand = 4)
+          .select(col("vec_id"), col("centroid_id").as("tcid"))
+        val agree = argmax.join(tight, "vec_id")
+          .agg(count(lit(1)).cast("double").as("n"),
+            sum(when(col("centroid_id") === col("tcid"), 1L).otherwise(0L))
+              .cast("double").as("ok")).head()
+        val tightAgreeOk = agree.getDouble(1) / agree.getDouble(0) >= 0.5
+        val gIndex = index.copy(assigned = exact
+          .select(col("vec_id"), col("embedding"),
+            col("gcid").as("centroid_id")))
+        val q = e.filter(col("vec_id") < 20)
+        graft.operators.Ivf.search(gIndex, q, "vec_id", "embedding",
+            nProbe = 64, topK = 5)
+          .withColumn("assign_exact_eq", lit(assignExactEq))
+          .withColumn("tight_agree_ok", lit(tightAgreeOk))
+          .orderBy("query_id", "neighbor_id")
+      } finally { argmax.unpersist(); exact.unpersist(); () }
+    }),
+
     // DISTRIBUTED HNSW FLEET BUILD (round 19 — verdict #4: q179's
     // topology wants N shard graphs, but Hnsw.fromDataFrame builds are
     // serial on the driver; here ONE Spark job builds every shard
@@ -2121,6 +2182,31 @@ object EmbeddingQueries {
         |  row_number() OVER (PARTITION BY query_id
         |   ORDER BY sim DESC, neighbor_id ASC) AS rk
         | FROM surv)
+        |WHERE rk <= 5
+        |ORDER BY query_id, neighbor_id""".stripMargin,
+
+    // full-probe search through the graph-assigned index is exact
+    // brute force (assignment partitions the corpus; probing every
+    // cell scans all of it) — DuckDB replays the rows; the bit-exact
+    // assignment equality and the tight-beam agreement floor derive
+    // in-query.
+    "q184_ivf_hnsw" ->
+      """WITH e AS MATERIALIZED (
+        | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        | FROM embeddings WHERE vec_id < 50000),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+        |sims AS (
+        | SELECT q.query_id, e.vec_id AS neighbor_id,
+        |  round((list_dot_product(q.qv, e.v)
+        |   / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v)))) * 1000000.0) / 1000000.0 + 0.0 AS sim
+        | FROM q JOIN e ON e.vec_id <> q.query_id)
+        |SELECT query_id, neighbor_id, sim, TRUE AS assign_exact_eq,
+        | TRUE AS tight_agree_ok
+        |FROM (
+        | SELECT query_id, neighbor_id, sim,
+        |  row_number() OVER (PARTITION BY query_id
+        |   ORDER BY sim DESC, neighbor_id ASC) AS rk
+        | FROM sims)
         |WHERE rk <= 5
         |ORDER BY query_id, neighbor_id""".stripMargin,
 
