@@ -55,15 +55,22 @@ object IvfHnswProbe {
       }
       val centDf = cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
         .toSeq.toDF("centroid_id", "cvec")
-      val index = Ivf.Index(centDf, corpus.limit(0), "id", "v")
+      // empty assigned must carry the 3-col assigned shape — append()
+      // unions the delta's (id, v, centroid_id) onto it
+      val index = Ivf.Index(centDf,
+        corpus.limit(0).withColumn("centroid_id", lit(-1)), "id", "v")
 
       val (g, buildS) = time(Ivf.centroidGraph(index, m = 16,
         efConstruction = 100))
-      // argmax scan arm: assignedTopR(r=1) is assemble()'s expression
-      val idxFull = index.copy(assigned = corpus)
-      val (_, scanS) = time {
-        Ivf.assignedTopR(idxFull, 1)
-          .agg(sum(col("centroid_id"))).collect()
+      // argmax scan arm: Ivf.append runs assemble()'s codegen'd
+      // array_max/array_position argmax on the delta — the REAL
+      // assignment expression (assignedTopR's array_sort shape is
+      // O(nlist log nlist) interpreted compares per row and would
+      // overprice the scan ~10×)
+      val (truth, scanS) = time {
+        val t = Ivf.append(index, corpus).assigned
+          .select(col("id"), col("centroid_id").as("tcid")).cache()
+        t.count(); t
       }
       // graph arm, tight beam (the scale path)
       val (gAssigned, graphS) = time {
@@ -71,9 +78,6 @@ object IvfHnswProbe {
           cand = 8).cache()
         a.count(); a
       }
-      // agreement vs the argmax ground truth
-      val truth = Ivf.assignedTopR(idxFull, 1)
-        .select(col("id"), col("centroid_id").as("tcid"))
       val ag = gAssigned.join(truth, "id")
         .agg(count(lit(1)).cast("double"),
           sum(when(col("centroid_id") === col("tcid"), 1L).otherwise(0L))
@@ -81,7 +85,7 @@ object IvfHnswProbe {
       println(f"[ivf-hnsw-probe] nlist=$nl%6d graph_build=${buildS}%7.1fs " +
         f"argmax_scan=${scanS}%7.1fs graph_assign(ef=64,cand=8)=${graphS}%7.1fs " +
         f"agreement=${ag.getDouble(1) / ag.getDouble(0)}%.4f")
-      gAssigned.unpersist()
+      gAssigned.unpersist(); truth.unpersist()
     }
     spark.stop()
   }

@@ -32,6 +32,29 @@ class IvfSpec extends SparkSpec {
     assert(listSizes.length == 4 && listSizes.max < 400)
   }
 
+  test("IVF_HNSW (round 19): exhaustive-ef graph assignment reproduces " +
+    "the argmax scan bit-for-bit; non-finite rows park in -1; tight " +
+    "beam stays cell-accurate on separated clusters") {
+    val index = Ivf.build(clustered, "vec_id", "embedding", nLists = 4)
+    val g = Ivf.centroidGraph(index, m = 4, efConstruction = 32)
+    val withBad = clustered.unionByName(
+      Seq((9999L, Array.fill(16)(Float.NaN))).toDF("vec_id", "embedding"))
+    val exact = Ivf.assignGraph(withBad, "vec_id", "embedding", g,
+        efSearch = 4, cand = 4)
+      .select($"vec_id", $"centroid_id".as("gcid"))
+    val truth = index.assigned.select($"vec_id", $"centroid_id")
+    assert(truth.join(exact, "vec_id")
+      .filter($"centroid_id" =!= $"gcid").isEmpty,
+      "exhaustive-ef graph assignment diverged from the argmax scan")
+    assert(exact.filter($"vec_id" === 9999L).head().getInt(1) == -1)
+    // tight beam on well-separated clusters: full agreement
+    val tight = Ivf.assignGraph(clustered, "vec_id", "embedding", g,
+        efSearch = 2, cand = 1)
+      .select($"vec_id", $"centroid_id".as("tcid"))
+    val agree = truth.join(tight, "vec_id")
+    assert(agree.filter($"centroid_id" === $"tcid").count() == agree.count())
+  }
+
   test("non-finite vectors are parked in list -1 and surfaced, not lost") {
     val poisoned = clustered.unionByName(
       Seq((9999L, Array(Float.NaN) ++ Array.fill(15)(0f)),
