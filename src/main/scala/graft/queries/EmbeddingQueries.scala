@@ -1714,8 +1714,12 @@ object EmbeddingQueries {
         .select(col("vec_id"), col("embedding")).collect()
         .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]](1).toArray)
         .sortBy(_._1).toSeq
+      // one registry load per family per execution (the load IS the
+      // deployment path being gated; reloading per arm just re-paid it)
+      val loaded = Seq("del_ivf", "del_pq", "del_opq", "del_sq8", "del_hnsw")
+        .map(n => n -> graft.serve.LocalAnn.load(s, root, n)).toMap
       def armOf(name: String): Seq[(Long, Long, Double)] = {
-        val idx = graft.serve.LocalAnn.load(s, root, name)
+        val idx = loaded(name)
         queries.flatMap { case (qid, v) =>
           graft.serve.LocalAnn.search(idx, qid, v,
             shortlist = idx.size, topK = 5).map(h => (qid, h.neighborId, h.sim))
@@ -1731,7 +1735,7 @@ object EmbeddingQueries {
       // post-filtering coincide — the q169 identity), bit-for-bit in
       // the family's own metric.
       val opqEq = {
-        val masked = graft.serve.LocalAnn.load(s, root, "del_opq")
+        val masked = loaded("del_opq")
         val doomedSet = graft.serve.ModelRegistry
           .loadDeletedIds(s, root, "del_opq")
         val unmasked = masked.copy(deleted = Array.empty)
@@ -1745,7 +1749,7 @@ object EmbeddingQueries {
       }
       val sq8Eq = armOf("del_sq8") == ivfRows
       val hnswEq = armOf("del_hnsw") == ivfRows
-      val sqIdx = graft.serve.LocalAnn.load(s, root, "del_sq8")
+      val sqIdx = loaded("del_sq8")
       val server = graft.serve.HttpApi.start(annModel = Some(("del_sq8", sqIdx)))
       val httpEq = try {
         graft.serve.HttpApi.annSearchAt(server.port,
