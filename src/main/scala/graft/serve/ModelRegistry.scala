@@ -307,6 +307,25 @@ object ModelRegistry {
       .collect().map(_.getLong(0)).toSet
   }
 
+  /** The BATCH-path twin of LocalAnn's serving-time mask: filter a
+    * frame (a codes/assigned table about to feed `Pq.searchReranked` /
+    * `Ivf.search`, or any per-id corpus) down to rows surviving the
+    * artifact's tombstones. A left-anti join against the (tiny,
+    * broadcastable) deleted-id table — at 100 TB the mask is KiB–MiB
+    * and never shuffles the corpus. No tombstones → the frame returns
+    * unchanged (no join in the plan). */
+  def filterDeleted(spark: SparkSession, df: DataFrame, idCol: String,
+                    root: String, name: String,
+                    version: Long = -1L): DataFrame = {
+    val path = s"${artifactPath(spark, root, name, version)}/deleted_ids"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    if (!p.getFileSystem(conf).exists(p)) df
+    else df.join(
+      broadcast(spark.read.parquet(path).select(col("id").as(idCol)).distinct()),
+      Seq(idCol), "left_anti")
+  }
+
   /** Registry retention (round-14 verdict #5: versions accumulated
     * forever). Keep the newest `keepLast` versions of `name`; drop the
     * rest. Crash-safety (round-15 advice — the old in-place overwrite

@@ -598,6 +598,24 @@ class LocalAnnSpec extends SparkSpec {
         s"$name masked exhaustive search != brute force over survivors")
     }
 
+    // batch-path twin (round 19): filterDeleted feeds the SPARK search
+    // the surviving corpus — exhaustive searchReranked over the
+    // filtered codes equals brute force over survivors, same as the
+    // serving mask
+    val fdCodes = ModelRegistry.filterDeleted(spark,
+      ModelRegistry.loadPqCodes(spark, root, "dpq"), "vec_id", root, "dpq")
+    assert(fdCodes.filter($"vec_id".isin(top1: _*)).isEmpty)
+    val batchRows = rows(Pq.searchReranked(fdCodes, "vec_id", "embedding",
+      ModelRegistry.loadPq(spark, root, "dpq"), queries, "vec_id",
+      "embedding", shortlist = 160, topK = 5, dropSelf = true))
+    assert(batchRows == expected,
+      "batch-path filterDeleted search != brute force over survivors")
+    // an artifact version without tombstones passes through unjoined
+    ModelRegistry.registerPq(spark, root, "dpq", enc._1, Some(enc._2))
+    val clean = corpus
+    assert(ModelRegistry.filterDeleted(spark, clean, "vec_id", root,
+      "dpq") eq clean)
+
     // served-over-HTTP arm: the masked index behind /ann/search + /models
     val idx = LocalAnn.load(spark, root, "dsq")
     val server = HttpApi.start(annModel = Some(("dsq", idx)))
