@@ -402,14 +402,23 @@ object Hnsw {
   /** Bit-level structural equality — ids, vectors, levels, links,
     * entry, maxLevel, and build params. The check behind every
     * "replay" claim (append ≡ rebuild, executor build ≡ driver build):
-    * two graphs that pass search identically at every (ef, k). */
+    * two graphs that pass search identically at every (ef, k).
+    * Vectors compare by floatToIntBits (round-19 advice: IEEE `==`
+    * would call identical NaN components unequal and +0.0/−0.0 equal
+    * despite differing bits — the doc says BIT-level, so compare
+    * bits). NaN payloads all canonicalize through floatToIntBits'
+    * single-NaN mapping, which is also what parquet round-trips. */
   def structEq(a: Graph, b: Graph): Boolean =
     a.size == b.size && a.ids.sameElements(b.ids) &&
       a.levels.sameElements(b.levels) &&
       a.entry == b.entry && a.maxLevel == b.maxLevel &&
       a.m == b.m && a.efC == b.efC && a.seed == b.seed &&
       a.heuristic == b.heuristic &&
-      a.vecs.zip(b.vecs).forall { case (x, y) => x.sameElements(y) } &&
+      a.vecs.zip(b.vecs).forall { case (x, y) =>
+        x.length == y.length && x.indices.forall(i =>
+          java.lang.Float.floatToIntBits(x(i)) ==
+            java.lang.Float.floatToIntBits(y(i)))
+      } &&
       a.links.zip(b.links).forall { case (x, y) =>
         x.length == y.length &&
           x.zip(y).forall { case (p, q) => p.sameElements(q) }

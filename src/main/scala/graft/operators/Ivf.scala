@@ -408,6 +408,13 @@ object Ivf {
                   efSearch: Int, cand: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // the output schema narrows node ids to Int centroid_ids (the index
+    // schema) — safe for centroidGraph-built graphs by construction, but
+    // the public API accepts any Hnsw.Graph, where an id above
+    // Int.MaxValue would silently wrap (round-19 advice)
+    require(g.ids.forall(_.isValidInt),
+      "assignGraph needs a centroid graph: every node id must be a " +
+        "valid Int centroid_id (build it with Ivf.centroidGraph)")
     val bg = spark.sparkContext.broadcast(g)
     df.select(col(id).cast("long"), col(vec).cast("array<float>"))
       .as[(Long, Array[Float])]

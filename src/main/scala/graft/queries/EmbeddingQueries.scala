@@ -1420,8 +1420,14 @@ object EmbeddingQueries {
         .sortBy(_._1).toSeq
       val up0 = graft.serve.HttpApi.start(annModel = Some(("ann_pq", s0)))
       val up1 = graft.serve.HttpApi.start(annModel = Some(("ann_pq", s1)))
+      // generous per-upstream budget (round-19 advice): the exhaustive
+      // arm legitimately scans a whole shard per request — the default
+      // 5 s budget exists to catch HANGS, and a slow-but-working
+      // exhaustive search at a larger scale factor must not trip a
+      // spurious 504 and flake the gate
       val router = graft.serve.HttpApi.start(
-        annRoutes = Seq(("ann_pq", Seq(up0.port, up1.port))))
+        annRoutes = Seq(("ann_pq", Seq(up0.port, up1.port))),
+        routeTimeoutMs = 120000L)
       try {
         def routed(shortlist: Int): Seq[(Long, Long, Double)] =
           graft.serve.HttpApi.annSearchAt(router.port,
@@ -1560,8 +1566,11 @@ object EmbeddingQueries {
         .sortBy(_._1).toSeq
       val up0 = graft.serve.HttpApi.start(annModel = Some(("ann_hnsw_fleet", i0)))
       val up1 = graft.serve.HttpApi.start(annModel = Some(("ann_hnsw_fleet", i1)))
+      // generous budget on the exhaustive-arm router (round-19 advice —
+      // see q179): the default catches hangs, not slow exhaustive scans
       val router = graft.serve.HttpApi.start(
-        annRoutes = Seq(("ann_hnsw_fleet", Seq(up0.port, up1.port))))
+        annRoutes = Seq(("ann_hnsw_fleet", Seq(up0.port, up1.port))),
+        routeTimeoutMs = 120000L)
       try {
         def routed(ef: Int): Seq[(Long, Long, Double)] =
           graft.serve.HttpApi.annSearchAt(router.port,

@@ -583,7 +583,16 @@ object StreamingQueries {
     // batch. EXACTLY-ONCE here is the ID WATERMARK: append's
     // ascending-id contract means a replayed batch (all ids ≤ the
     // graph's max) filters to empty and no-ops — idempotence without
-    // sink-side state. Unlike IVF's per-shard append-only layout, the
+    // sink-side state. Scope (round-19 advice): the watermark covers
+    // CLEAN restarts (replayed micro-batches); a crash DURING the
+    // in-place overwrite save can leave a corrupt artifact the replay
+    // cannot heal. The production refresh doctrine is write-then-swap:
+    // save each refresh as the next REGISTRY version and prune
+    // (ModelRegistry.registerHnsw + prune — the q186/q187 compaction
+    // path), so readers only ever see complete artifacts; this gate
+    // keeps the bare-path overwrite because what it proves is the
+    // append replay identity, not crash recovery. Unlike IVF's
+    // per-shard append-only layout, the
     // graph artifact REWRITES per refresh (its links are global
     // state); at 100 TB that is one bounded-shard rewrite per
     // micro-batch per serving node, amortized exactly like q177's
@@ -631,8 +640,10 @@ object StreamingQueries {
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (b: DataFrame, _: Long) =>
           val g = graft.operators.Hnsw.load(s, root)
-          // the id watermark IS the exactly-once state: a replayed
-          // batch's ids all sit ≤ the graph's max and filter to empty
+          // the id watermark IS the exactly-once state (clean-restart
+          // scope — see the gate header for the crash-mid-save
+          // doctrine): a replayed batch's ids all sit ≤ the graph's
+          // max and filter to empty
           val fresh = b.select(col("vec_id").cast("long"), col("embedding"))
             .collect()
             .map(r => r.getLong(0) ->

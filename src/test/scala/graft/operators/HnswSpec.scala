@@ -31,6 +31,18 @@ class HnswSpec extends SparkSpec {
     assert(hits.forall { case (q, n) => q != n })
   }
 
+  test("structEq compares vectors at the BIT level (round-19 advice): " +
+    "identical NaN components are equal, +0.0 vs -0.0 are not") {
+    val g = Hnsw.build(rows.take(20), m = 4, efConstruction = 16)
+    def withVec0(x: Float) =
+      g.copy(vecs = g.vecs.updated(0, g.vecs(0).updated(0, x)))
+    assert(Hnsw.structEq(withVec0(Float.NaN), withVec0(Float.NaN)),
+      "bit-identical NaN components must compare equal")
+    assert(!Hnsw.structEq(withVec0(0.0f), withVec0(-0.0f)),
+      "+0.0 and -0.0 differ at the bit level and must compare unequal")
+    assert(Hnsw.structEq(g, g))
+  }
+
   test("build is input-order independent (nodes sort by id; levels are " +
     "a pure function of the id)") {
     val g1 = Hnsw.build(rows, m = 8, efConstruction = 64)
