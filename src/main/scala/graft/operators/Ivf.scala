@@ -445,15 +445,102 @@ object Ivf {
   }
 
   def search(index: Index, queries: DataFrame, qid: String, vec: String,
-             nProbe: Int, topK: Int): DataFrame = {
+             nProbe: Int, topK: Int): DataFrame =
+    scanProbed(index, probeCells(index, queries, qid, vec, nProbe), topK)
+
+  /** Probe-cell selection, SCAN form (the O(nlist)-per-query arm):
+    * score every centroid against every query via the broadcast
+    * centroid table and rank-window the top nProbe. Probe ranking uses
+    * raw dots — ‖q‖ is constant within a query partition, so the
+    * ordering equals the cosine ordering; ties break toward the lower
+    * centroid_id. Output: (query_id, qv, centroid_id), one row per
+    * probed cell. */
+  def probeCells(index: Index, queries: DataFrame, qid: String,
+                 vec: String, nProbe: Int): DataFrame = {
     NativeVector.register(queries.sparkSession)
     val q = queries.select(col(qid).as("query_id"), col(vec).as("qv"))
     val wProbe = Window.partitionBy("query_id").orderBy(desc("csim"), col("centroid_id"))
-    val probes = q.crossJoin(broadcast(index.centroids))
+    q.crossJoin(broadcast(index.centroids))
       .withColumn("csim", NativeVector.dot(col("qv"), col("cvec")))
       .withColumn("pr", row_number().over(wProbe))
       .filter(col("pr") <= nProbe)
       .select("query_id", "qv", "centroid_id")
+  }
+
+  /** Probe-cell selection, GRAPH form (round 20 — the IVF_HNSW
+    * composition's QUERY side, closing round-19 verdict #1: [[search]]
+    * still paid the O(nlist)-per-query centroid scan that
+    * [[assignGraph]] already replaced on the corpus side — the
+    * identical shape IvfHnswProbe priced 19× at 16K cells, now on the
+    * latency-critical path). Same discipline as [[assignGraph]]: the
+    * centroid graph's beam PROPOSES `cand` cells per query, an EXACT
+    * in-order-double dot ordering — ties toward the lower centroid_id,
+    * [[probeCells]]'s window semantics — DECIDES the top-nProbe probe
+    * set. With `efSearch ≥ nLists` and `cand ≥ nLists` over a
+    * connected graph the beam visits every cell, so the probe set
+    * reproduces the scan's BIT-FOR-BIT (the exactness lever — q185
+    * derives the flag); tight (ef, cand) is the scale path:
+    * O(ef·log nlist) per query instead of O(nlist). Distributed as
+    * mapPartitions over the broadcast graph (KiB–MiB at any real
+    * nlist). Queries must be finite — [[Hnsw.search]] rejects NaN/Inf
+    * loudly (the scan arm's NaN dots would rank junk cells silently;
+    * a non-finite QUERY is caller error, unlike corpus rows, which
+    * [[build]] parks). */
+  def probeCellsGraph(index: Index, g: Hnsw.Graph, queries: DataFrame,
+                      qid: String, vec: String, nProbe: Int,
+                      efSearch: Int, cand: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    require(g.ids.forall(_.isValidInt),
+      "probeCellsGraph needs a centroid graph: every node id must be a " +
+        "valid Int centroid_id (build it with Ivf.centroidGraph)")
+    val bg = spark.sparkContext.broadcast(g)
+    queries.select(col(qid).cast("long"), col(vec).cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val graph = bg.value
+        val ix = graph.ids.zipWithIndex.toMap
+        it.flatMap { case (queryId, qv) =>
+          val proposed = Hnsw.search(graph, qv, efSearch, cand).map(_._1)
+          proposed
+            .map { cid =>
+              val c = graph.vecs(ix(cid))
+              var s = 0.0; var i = 0
+              while (i < qv.length) {
+                s += qv(i).toDouble * c(i).toDouble; i += 1
+              }
+              (s, cid.toInt)
+            }
+            .sortBy { case (s, cid) => (-s, cid) }
+            .take(nProbe)
+            .map { case (_, cid) => (queryId, qv, cid) }
+        }
+      }
+      .toDF("query_id", "qv", "centroid_id")
+  }
+
+  /** Graph-assisted [[search]]: probe cells proposed by the centroid
+    * graph ([[probeCellsGraph]] — O(ef·log nlist) per query instead of
+    * the O(nlist) scan), then the same exact-cosine top-k inside the
+    * probed lists. With `efSearch`/`cand ≥ nLists` this is [[search]]
+    * bit-for-bit (IvfSpec + the q185 gate); tight budgets trade cell
+    * recall for the scan, exactly like the corpus-side [[assignGraph]]. */
+  def searchGraph(index: Index, g: Hnsw.Graph, queries: DataFrame,
+                  qid: String, vec: String, nProbe: Int, topK: Int,
+                  efSearch: Int, cand: Int): DataFrame =
+    scanProbed(index,
+      probeCellsGraph(index, g, queries, qid, vec, nProbe, efSearch, cand),
+      topK)
+
+  /** The shared probed-scan half of [[search]]/[[searchGraph]]: join
+    * the (query_id, qv, centroid_id) probe rows with the inverted
+    * lists on centroid_id — only probed cells' rows are ever scanned —
+    * and exact-cosine top-k. The candidate join shuffles on
+    * centroid_id; at nProbe ≪ nLists it touches ~nProbe/nLists of the
+    * corpus. */
+  private def scanProbed(index: Index, probes: DataFrame,
+                         topK: Int): DataFrame = {
+    NativeVector.register(index.assigned.sparkSession)
     val wTop = Window.partitionBy("query_id").orderBy(desc("sim"), col("neighbor_id"))
     probes.join(index.assigned, Seq("centroid_id"))
       .withColumnRenamed(index.idCol, "neighbor_id")

@@ -121,10 +121,34 @@ object EmbeddingQueries {
   private val hnswFleetMemo = new java.util.concurrent.ConcurrentHashMap[
     String, (String, Boolean)]()
 
-  /** q184's build-once IVF index + centroid graph (the IVF_HNSW
-    * composition's quantizer pair). */
+  /** q186's build-once compaction registry: four masked families, the
+    * pre-compaction MASKED exhaustive results (bit-captured before
+    * compact prunes the masked version), the survivor count, and the
+    * compacted registry root. */
+  private val annCompactMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Map[String, Seq[(Long, Long, Double)]], Long)]()
+
+  /** q187's build-once deletion-composition registry: two per-shard
+    * masked HNSW artifacts (the fleet arm) + the refreshed-and-carried
+    * artifact (the refresh arm). */
+  private val annDeleteFleetMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q184/q185's build-once IVF index + centroid graph (the IVF_HNSW
+    * composition's quantizer pair — q184 gates the corpus-side
+    * assignment, q185 the query-side probe selection, over ONE build). */
   private val ivfHnswMemo = new java.util.concurrent.ConcurrentHashMap[
     String, (graft.operators.Ivf.Index, graft.operators.Hnsw.Graph)]()
+
+  private def ivfHnswPair(s: org.apache.spark.sql.SparkSession, dir: String):
+      (graft.operators.Ivf.Index, graft.operators.Hnsw.Graph) =
+    ivfHnswMemo.computeIfAbsent(dir, _ => {
+      val e = Tables.embeddings(s, dir).filter(col("vec_id") < 50000)
+      val idx = graft.operators.Ivf.build(e, "vec_id", "embedding",
+        nLists = 64)
+      (idx, graft.operators.Ivf.centroidGraph(idx, m = 8,
+        efConstruction = 64))
+    })
 
   /** q176 budgets — both arms get IDENTICAL (m, efConstruction,
     * efSearch); chosen with `graft.tools.HnswProbe` on the mixture
@@ -1483,12 +1507,7 @@ object EmbeddingQueries {
     "q184_ivf_hnsw" -> ((s, dir) => {
       import s.implicits._
       val e = Tables.embeddings(s, dir).filter(col("vec_id") < 50000)
-      val (index, g) = ivfHnswMemo.computeIfAbsent(dir, _ => {
-        val idx = graft.operators.Ivf.build(e, "vec_id", "embedding",
-          nLists = 64)
-        (idx, graft.operators.Ivf.centroidGraph(idx, m = 8,
-          efConstruction = 64))
-      })
+      val (index, g) = ivfHnswPair(s, dir)
       val argmax = index.assigned
         .select(col("vec_id"), col("centroid_id")).persist()
       val exact = graft.operators.Ivf.assignGraph(e, "vec_id", "embedding",
@@ -1510,12 +1529,74 @@ object EmbeddingQueries {
           .select(col("vec_id"), col("embedding"),
             col("gcid").as("centroid_id")))
         val q = e.filter(col("vec_id") < 20)
-        graft.operators.Ivf.search(gIndex, q, "vec_id", "embedding",
-            nProbe = 64, topK = 5)
+        // collect INSIDE the try (round-19 advice: the returned plan
+        // references `exact` through gIndex, so unpersisting in the
+        // finally before the harness executes it recomputed the whole
+        // assignGraph pass at collection time — wall-clock only)
+        val out = graft.operators.Ivf.search(gIndex, q, "vec_id",
+            "embedding", nProbe = 64, topK = 5)
+          .orderBy("query_id", "neighbor_id").collect().toSeq
+        out.map(r => (r.getLong(0), r.getLong(1),
+            if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))
+          .toDF("query_id", "neighbor_id", "sim")
           .withColumn("assign_exact_eq", lit(assignExactEq))
           .withColumn("tight_agree_ok", lit(tightAgreeOk))
           .orderBy("query_id", "neighbor_id")
       } finally { argmax.unpersist(); exact.unpersist(); () }
+    }),
+
+    // GRAPH-ASSISTED PROBE SELECTION FOR QUERIES (round 20 — verdict
+    // #1: q184 replaced the O(nlist) argmax scan on the CORPUS side,
+    // but Ivf.search still picked probe cells by
+    // crossJoin(broadcast(centroids)) per QUERY — the identical shape
+    // IvfHnswProbe priced 19× at 16K cells, on the latency-critical
+    // path). Same composition discipline over the SAME memoized
+    // index+graph as q184: the centroid graph's beam PROPOSES cells,
+    // the exact in-order-double dot ordering (probeCells' window
+    // tie-break) DECIDES the probe set. Flags: probe_exact_eq derives
+    // from a full-outer join proving the exhaustive-budget
+    // (ef=cand=nlist) graph probe set reproduces the scan's
+    // BIT-FOR-BIT — every (query, cell) pair, 200 queries;
+    // tight_recall_ok floors the tight-budget scale path's top-5
+    // recall against brute force (broken traversal probes ~random
+    // cells → recall ~nProbe/nlist ≈ 0.1; the floor separates at any
+    // seed). Hashed rows: searchGraph probing EVERY cell is exact
+    // brute force — DuckDB replays them. Pricing at real nlist:
+    // IvfHnswProbe's query-side columns (BASELINE.md round 20).
+    "q185_ivf_graph_probe" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir).filter(col("vec_id") < 50000)
+      val (index, g) = ivfHnswPair(s, dir)
+      val q200 = e.filter(col("vec_id") < 200)
+      val scanP = graft.operators.Ivf.probeCells(index, q200,
+          "vec_id", "embedding", nProbe = 8)
+        .select(col("query_id").cast("long").as("query_id"),
+          col("centroid_id")).withColumn("in_scan", lit(1))
+      val graphP = graft.operators.Ivf.probeCellsGraph(index, g, q200,
+          "vec_id", "embedding", nProbe = 8, efSearch = 64, cand = 64)
+        .select(col("query_id"), col("centroid_id"))
+        .withColumn("in_graph", lit(1))
+      val probeExactEq = scanP
+        .join(graphP, Seq("query_id", "centroid_id"), "full_outer")
+        .filter(col("in_scan").isNull || col("in_graph").isNull).isEmpty
+      val q20 = e.filter(col("vec_id") < 20)
+      val exh = graft.operators.Ivf.searchGraph(index, g, q20,
+        "vec_id", "embedding", nProbe = 64, topK = 5,
+        efSearch = 64, cand = 64).persist()
+      try {
+        val tight = graft.operators.Ivf.searchGraph(index, g, q20,
+          "vec_id", "embedding", nProbe = 8, topK = 5,
+          efSearch = 8, cand = 8)
+        val recallOk = exh.join(tight, Seq("query_id", "neighbor_id"),
+          "left_semi").count().toDouble / exh.count() >= 0.4
+        val out = exh.orderBy("query_id", "neighbor_id").collect().toSeq
+        out.map(r => (r.getLong(0), r.getLong(1),
+            if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))
+          .toDF("query_id", "neighbor_id", "sim")
+          .withColumn("probe_exact_eq", lit(probeExactEq))
+          .withColumn("tight_recall_ok", lit(recallOk))
+          .orderBy("query_id", "neighbor_id")
+      } finally { exh.unpersist(); () }
     }),
 
     // DISTRIBUTED HNSW FLEET BUILD (round 19 — verdict #4: q179's
@@ -2215,6 +2296,30 @@ object EmbeddingQueries {
         | FROM q JOIN e ON e.vec_id <> q.query_id)
         |SELECT query_id, neighbor_id, sim, TRUE AS assign_exact_eq,
         | TRUE AS tight_agree_ok
+        |FROM (
+        | SELECT query_id, neighbor_id, sim,
+        |  row_number() OVER (PARTITION BY query_id
+        |   ORDER BY sim DESC, neighbor_id ASC) AS rk
+        | FROM sims)
+        |WHERE rk <= 5
+        |ORDER BY query_id, neighbor_id""".stripMargin,
+
+    // q184's replay mold for the QUERY side: probing every cell scans
+    // the whole partitioned corpus, so the graph-probed search IS
+    // brute force — DuckDB recomputes the rows; the bit-exact probe
+    // set equality and the tight-budget recall floor derive in-query.
+    "q185_ivf_graph_probe" ->
+      """WITH e AS MATERIALIZED (
+        | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        | FROM embeddings WHERE vec_id < 50000),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+        |sims AS (
+        | SELECT q.query_id, e.vec_id AS neighbor_id,
+        |  round((list_dot_product(q.qv, e.v)
+        |   / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v)))) * 1000000.0) / 1000000.0 + 0.0 AS sim
+        | FROM q JOIN e ON e.vec_id <> q.query_id)
+        |SELECT query_id, neighbor_id, sim, TRUE AS probe_exact_eq,
+        | TRUE AS tight_recall_ok
         |FROM (
         | SELECT query_id, neighbor_id, sim,
         |  row_number() OVER (PARTITION BY query_id

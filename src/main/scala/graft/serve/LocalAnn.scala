@@ -51,7 +51,8 @@ object LocalAnn {
                          attrs: Map[String, Array[Long]] = Map.empty,
                          sq: Option[Sq.Quantizer] = None,
                          hnsw: Option[Hnsw.Graph] = None,
-                         deleted: Array[Boolean] = Array.empty) {
+                         deleted: Array[Boolean] = Array.empty,
+                         centGraph: Option[CentroidProbe] = None) {
     def size: Int = ids.length
     /** Row i survives the registry tombstone mask (round 19 — FAISS
       * remove_ids semantics: deleted rows stay IN the artifact and the
@@ -79,6 +80,35 @@ object LocalAnn {
 
   /** One search hit: (neighbor id, exact cosine rounded to 1e−6). */
   final case class Hit(neighborId: Long, sim: Double)
+
+  /** Graph-assisted probe selection for the ivf serving arm (round 20
+    * — verdict #1's latency-critical half: [[searchIvf]] scanned ALL
+    * centroids per request, the same O(nlist) shape `Ivf.assignGraph`
+    * replaced corpus-side). `g` is an HNSW graph over the centroids
+    * (`Ivf.centroidGraph`); per request the beam proposes `cand`
+    * cells at breadth `efSearch` and an exact in-order-double dot
+    * ordering decides the top-nProbe probe set — `Ivf
+    * .probeCellsGraph`'s arithmetic verbatim, so with `efSearch`/
+    * `cand ≥ nlist` the served results are BIT-IDENTICAL to the scan
+    * arm (LocalAnnSpec pins it); tight budgets are the latency path:
+    * O(ef·log nlist) per request instead of O(nlist). */
+  final case class CentroidProbe(g: Hnsw.Graph, efSearch: Int, cand: Int)
+
+  /** Attach graph-assisted probe selection to a loaded ivf index: the
+    * centroid graph builds once at load (nlist nodes — milliseconds up
+    * to ~10⁵ cells) and every subsequent request pays the beam instead
+    * of the full centroid scan. No-op knobs (`efSearch`/`cand` ≥
+    * nlist) reproduce the scan bit-for-bit. */
+  def withCentroidGraph(idx: Index, efSearch: Int, cand: Int,
+                        m: Int = 16, efConstruction: Int = 100): Index = {
+    require(idx.family == "ivf",
+      s"centroid-graph probing applies to the ivf family, not '${idx.family}'")
+    require(idx.centroids.nonEmpty, "ivf index has no centroids")
+    val g = Hnsw.build(
+      idx.centroids.zipWithIndex.map { case (c, i) => (i.toLong, c) }.toSeq,
+      m, efConstruction)
+    idx.copy(centGraph = Some(CentroidProbe(g, efSearch, cand)))
+  }
 
   /** Load a registered artifact into a serveable in-memory index.
     * Family comes from the on-disk layout (ModelRegistry.kindOf):
@@ -348,7 +378,7 @@ object LocalAnn {
     }
   }
 
-  /** sq8: decode-and-scan shortlist + exact rerank, mirroring
+  /** sq8:  /** sq8: decode-and-scan shortlist + exact rerank, mirroring
     * [[Sq.searchReranked]] operation for operation — decode is
     * (code · span) + min in double, the approximate cosine is
     * NativeVector.cosine's in-order double dot (null → NaN marker,
@@ -466,8 +496,18 @@ object LocalAnn {
     require(idx.centroids.nonEmpty, "ivf index has no centroids")
     require(q.length == idx.centroids(0).length,
       s"query dim ${q.length} does not match the index")
-    // probe ranking: raw dot desc, centroid_id asc (Ivf.search's window)
-    val probed = idx.centroids.indices
+    // probe ranking: raw dot desc, centroid_id asc (Ivf.search's
+    // window). With a centroid graph attached (round 20) the beam
+    // PROPOSES the cells and the same exact dot ordering DECIDES among
+    // the proposals — Ivf.probeCellsGraph's discipline; exhaustive
+    // knobs reproduce the scan bit-for-bit, tight knobs skip the
+    // O(nlist) sweep on the request path.
+    val candidateCells: Seq[Int] = idx.centGraph match {
+      case Some(cp) =>
+        Hnsw.search(cp.g, q, cp.efSearch, cp.cand).map(_._1.toInt)
+      case None => idx.centroids.indices
+    }
+    val probed = candidateCells
       .map { c =>
         var s = 0.0; var i = 0
         while (i < q.length) { s += q(i).toDouble * idx.centroids(c)(i); i += 1 }

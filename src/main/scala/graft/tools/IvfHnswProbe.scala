@@ -14,6 +14,14 @@ import graft.operators.{Hnsw, Ivf}
   * Also reports the tight-beam agreement vs the argmax ground truth
   * (the q184 floor's empirical headroom) and the one-time centroid
   * graph build cost.
+  *
+  * Round 20 (q185 — the QUERY side): two more columns price probe
+  * SELECTION for a query batch — `probe_scan` (`Ivf.probeCells`, the
+  * crossJoin(broadcast(centroids)) + rank window, O(nlist)/query) vs
+  * `probe_graph` (`Ivf.probeCellsGraph`, beam proposals + exact
+  * re-score, O(ef·log nlist)/query) at nProbe=8, ef=64, cand=16,
+  * 20 K queries — the shape `LocalAnn`'s ivf serving arm pays per
+  * request, measured through the batch API.
   * Usage: runMain graft.tools.IvfHnswProbe [nRows] [nlists csv] [dim]
   */
 object IvfHnswProbe {
@@ -82,9 +90,19 @@ object IvfHnswProbe {
         .agg(count(lit(1)).cast("double"),
           sum(when(col("centroid_id") === col("tcid"), 1L).otherwise(0L))
             .cast("double")).head()
+      // query-side probe selection (round 20, q185): 20 K queries
+      val queries = corpus.filter(col("id") < 20000)
+      val (_, probeScanS) = time {
+        Ivf.probeCells(index, queries, "id", "v", nProbe = 8).count()
+      }
+      val (_, probeGraphS) = time {
+        Ivf.probeCellsGraph(index, g, queries, "id", "v", nProbe = 8,
+          efSearch = 64, cand = 16).count()
+      }
       println(f"[ivf-hnsw-probe] nlist=$nl%6d graph_build=${buildS}%7.1fs " +
         f"argmax_scan=${scanS}%7.1fs graph_assign(ef=64,cand=8)=${graphS}%7.1fs " +
-        f"agreement=${ag.getDouble(1) / ag.getDouble(0)}%.4f")
+        f"agreement=${ag.getDouble(1) / ag.getDouble(0)}%.4f " +
+        f"probe_scan(20K q)=${probeScanS}%7.1fs probe_graph=${probeGraphS}%7.1fs")
       gAssigned.unpersist(); truth.unpersist()
     }
     spark.stop()

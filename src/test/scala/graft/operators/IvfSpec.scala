@@ -55,6 +55,47 @@ class IvfSpec extends SparkSpec {
     assert(agree.filter($"centroid_id" === $"tcid").count() == agree.count())
   }
 
+  test("graph-assisted probe selection (round 20): exhaustive-budget " +
+    "probe set and search reproduce the scan bit-for-bit; tight budget " +
+    "stays recall-accurate on separated clusters") {
+    val index = Ivf.build(clustered, "vec_id", "embedding", nLists = 4)
+    val g = Ivf.centroidGraph(index, m = 4, efConstruction = 32)
+    val queries = clustered.filter($"vec_id" < 10)
+    // exhaustive budget (ef, cand >= nlist): probe set bit-equal to the scan's
+    val scanProbes = Ivf.probeCells(index, queries, "vec_id", "embedding",
+        nProbe = 2)
+      .select($"query_id".cast("long"), $"centroid_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val graphProbes = Ivf.probeCellsGraph(index, g, queries, "vec_id",
+        "embedding", nProbe = 2, efSearch = 4, cand = 4)
+      .select($"query_id", $"centroid_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(scanProbes == graphProbes, "exhaustive-budget graph probe set diverged")
+    // ... and so is the full search, every rounded sim included
+    def bits(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSet
+    assert(bits(Ivf.searchGraph(index, g, queries, "vec_id", "embedding",
+        nProbe = 2, topK = 5, efSearch = 4, cand = 4)) ==
+      bits(Ivf.search(index, queries, "vec_id", "embedding",
+        nProbe = 2, topK = 5)))
+    // tight budget (cand=1, nProbe=1): on separated clusters the beam's
+    // home cell is the argmax cell, so recall matches the scan's
+    val tight = Ivf.searchGraph(index, g, queries, "vec_id", "embedding",
+        nProbe = 1, topK = 5, efSearch = 2, cand = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Embeddings.cosineTopK(queries, clustered,
+        "vec_id", "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((tight & brute).size.toDouble / brute.size >= 0.9)
+    // a graph with non-Int node ids is rejected loudly, not wrapped
+    val bad = g.copy(ids = g.ids.map(_ + Int.MaxValue.toLong + 10))
+    intercept[IllegalArgumentException] {
+      Ivf.probeCellsGraph(index, bad, queries, "vec_id", "embedding",
+        nProbe = 1, efSearch = 2, cand = 1)
+    }
+  }
+
   test("non-finite vectors are parked in list -1 and surfaced, not lost") {
     val poisoned = clustered.unionByName(
       Seq((9999L, Array(Float.NaN) ++ Array.fill(15)(0f)),

@@ -91,6 +91,33 @@ class LocalAnnSpec extends SparkSpec {
     assert(hitsOf(idx, 2, 5) == sparkSide) // shortlist == nProbe for ivf
   }
 
+  test("ivf centroid-graph probing (round 20): exhaustive knobs serve " +
+    "bit-identically to the scan arm; tight knobs keep recall on " +
+    "separated clusters; non-ivf families reject the graph") {
+    val index = Ivf.build(corpus, "vec_id", "embedding", nLists = 4)
+    val root = java.nio.file.Files.createTempDirectory("graft_lann_ivfg").toString
+    ModelRegistry.registerIvf(spark, root, "ivf", index)
+    val idx = LocalAnn.load(spark, root, "ivf")
+    val scanArm = hitsOf(idx, 2, 5)
+    // exhaustive budget (ef, cand >= nlist): the beam visits every cell,
+    // the exact-dot ordering decides — bit-identical to the scan
+    val exhaustive = LocalAnn.withCentroidGraph(idx, efSearch = 4, cand = 4)
+    assert(hitsOf(exhaustive, 2, 5) == scanArm,
+      "exhaustive-budget graph probing diverged from the centroid scan")
+    // tight budget (cand=1): the beam's home cell is the argmax cell on
+    // separated clusters, so nProbe=1 matches the scan's nProbe=1
+    val tight = LocalAnn.withCentroidGraph(idx, efSearch = 2, cand = 1)
+    assert(hitsOf(tight, 1, 5) == hitsOf(idx, 1, 5))
+    // attaching a centroid graph to a non-ivf family fails loudly
+    val cb = Pq.train(corpus, "vec_id", "embedding", m = 2, k = 8)
+    ModelRegistry.registerPq(spark, root, "pq", cb,
+      Some(Pq.encode(corpus.select("vec_id", "embedding"), "embedding", cb)))
+    intercept[IllegalArgumentException] {
+      LocalAnn.withCentroidGraph(LocalAnn.load(spark, root, "pq"),
+        efSearch = 4, cand = 4)
+    }
+  }
+
   test("/ann/search endpoint: transport parity, 422 validation, 503 " +
     "without an index, 405 on GET") {
     val cb = Pq.train(corpus, "vec_id", "embedding", m = 2, k = 8)
