@@ -1861,6 +1861,213 @@ object EmbeddingQueries {
         .orderBy("query_id", "neighbor_id")
     }),
 
+    // ANN COMPACTION (round 20 — verdict #3: ModelRegistry.deleteIds
+    // documented compaction as a manual recipe; ModelRegistry.compact
+    // is now the one-call lifecycle close — rebuild from survivors as
+    // the NEXT version, prune, empty mask). q181's planting (every
+    // query's exact top-1 tombstoned) over four families; the MASKED
+    // exhaustive results are bit-captured BEFORE compaction (compact
+    // prunes the masked version), then each compacted artifact must
+    // return the SAME results: the quantizer families bit-for-bit
+    // (centroids/codebooks/quantizer are untouched bytes — the scan
+    // just loses exactly the masked rows), the graph family by result
+    // set (the rebuild re-draws levels per id; at exhaustive beam both
+    // sides are brute force over survivors, so the sorted hit lists
+    // coincide). Lifecycle postconditions gate alongside: empty mask
+    // (registry AND loaded serving index), survivor-sized artifacts,
+    // exactly one surviving version per family. STRONG real-row mold:
+    // the hashed rows are the compacted ivf arm's (full probe = brute
+    // force over survivors) and DuckDB recomputes the top-1 set, the
+    // mask, and the surviving top-5 from scratch with NOT IN.
+    "q186_ann_compact" -> ((s, dir) => {
+      import s.implicits._
+      val fams = Seq("cpt_ivf", "cpt_pq", "cpt_sq8", "cpt_hnsw")
+      val queries = Tables.embeddings(s, dir).filter(col("vec_id") < 20)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]](1).toArray)
+        .sortBy(_._1).toSeq
+      def armOf(idx: graft.serve.LocalAnn.Index): Seq[(Long, Long, Double)] =
+        queries.flatMap { case (qid, v) =>
+          graft.serve.LocalAnn.search(idx, qid, v,
+            shortlist = idx.size, topK = 5).map(h => (qid, h.neighborId, h.sim))
+        }.sortBy(t => (t._1, t._2))
+      val (root, maskedArms, survivors) = annCompactMemo.computeIfAbsent(dir, _ => {
+        val e = Tables.embeddings(s, dir).filter(col("vec_id") < 3000).cache()
+        val doomed = graft.operators.Embeddings
+          .cosineTopK(e.filter(col("vec_id") < 20), e,
+            "vec_id", "vec_id", "embedding", k = 1)
+          .select("neighbor_id").distinct().collect().map(_.getLong(0)).toSeq
+        val reg = tempRegistryDir("graft_ann_cpt")
+        graft.serve.ModelRegistry.registerIvf(s, reg, "cpt_ivf",
+          graft.operators.Ivf.build(e, "vec_id", "embedding", nLists = 16))
+        val cb = graft.operators.Pq.train(e, "vec_id", "embedding", m = 8, k = 64)
+        graft.serve.ModelRegistry.registerPq(s, reg, "cpt_pq", cb,
+          Some(graft.operators.Pq.encode(
+            e.select("vec_id", "embedding"), "embedding", cb)))
+        val qz = graft.operators.Sq.train(e, "embedding", dim = 64)
+        graft.serve.ModelRegistry.registerSq(s, reg, "cpt_sq8", qz,
+          Some(graft.operators.Sq.encode(
+            e.select("vec_id", "embedding"), "embedding", qz)))
+        graft.serve.ModelRegistry.registerHnsw(s, reg, "cpt_hnsw",
+          graft.operators.Hnsw.fromDataFrame(e, "vec_id", "embedding",
+            m = 16, efConstruction = 100))
+        fams.foreach(n => graft.serve.ModelRegistry.deleteIds(s, reg, n, doomed))
+        // the masked reference arms, captured while the masked version lives
+        val masked = fams.map(n =>
+          n -> armOf(graft.serve.LocalAnn.load(s, reg, n))).toMap
+        fams.foreach(n => graft.serve.ModelRegistry.compact(s, reg, n))
+        val n = e.count()
+        e.unpersist()
+        (reg, masked, n - doomed.size)
+      })
+      val loaded = fams.map(n =>
+        n -> graft.serve.LocalAnn.load(s, root, n)).toMap
+      val compacted = fams.map(n => n -> armOf(loaded(n))).toMap
+      val ivfRows = compacted("cpt_ivf")
+      val ivfEq = ivfRows == maskedArms("cpt_ivf")
+      val pqEq = compacted("cpt_pq") == maskedArms("cpt_pq")
+      val sq8Eq = compacted("cpt_sq8") == maskedArms("cpt_sq8")
+      // the graph family's rebuild legitimately re-draws levels — the
+      // sorted (query, neighbor, sim) lists ARE the result-set compare
+      val hnswEq = compacted("cpt_hnsw") == maskedArms("cpt_hnsw")
+      val maskEmptyOk = fams.forall(n =>
+        graft.serve.ModelRegistry.loadDeletedIds(s, root, n).isEmpty &&
+          loaded(n).deletedCount == 0)
+      val countsOk = fams.forall(n => loaded(n).size == survivors)
+      val versionOk = graft.serve.ModelRegistry.list(s, root)
+        .groupBy("name").agg(countDistinct("version").as("nv"))
+        .filter(col("nv") =!= 1).isEmpty
+      ivfRows.toDF("query_id", "neighbor_id", "sim")
+        .withColumn("ivf_eq", lit(ivfEq))
+        .withColumn("pq_eq", lit(pqEq))
+        .withColumn("sq8_eq", lit(sq8Eq))
+        .withColumn("hnsw_eq", lit(hnswEq))
+        .withColumn("mask_empty_ok", lit(maskEmptyOk))
+        .withColumn("counts_ok", lit(countsOk))
+        .withColumn("version_ok", lit(versionOk))
+        .orderBy("query_id", "neighbor_id")
+    }),
+
+    // DELETION × FLEET and DELETION × REFRESH (round 20 — verdict #4:
+    // q181 proved tombstones on ONE serving node; the machinery
+    // composes with q182's routed fleet and q183's refresh by
+    // construction, and this gate makes both compositions PROVEN).
+    // Fleet arm: two per-shard registered HNSW artifacts (parity
+    // split), every query's union-corpus exact top-1 tombstoned on
+    // BOTH shards (mask entries for ids a shard never held are no-op
+    // by the deleteIds contract); the exhaustive routed merge over the
+    // masked shards IS brute force over the union's SURVIVORS — DuckDB
+    // replays the rows with NOT IN; router_tight_eq holds the
+    // tight-budget routed path bit-equal to in-process masked
+    // searchSharded. Refresh arm: a registered graph over the union is
+    // masked, then refreshed — Hnsw.append of exact query twins under
+    // fresh ids, registered as the NEXT version with
+    // ModelRegistry.carryDeletedIds bridging the mask (a refresh
+    // starts mask-less; without the carry every takedown would
+    // silently resurrect). Flags: the twins are searchable
+    // (refresh_live_ok), the tombstones still never surface
+    // (refresh_masked_ok), the carried mask equals the original
+    // (refresh_carry_ok), and the mask is LOAD-BEARING — the unmasked
+    // copy of the refreshed graph DOES surface doomed ids
+    // (refresh_discriminates; each doomed id sits at rank 2 behind its
+    // query's twin, so a resurrection is inside top-5 by construction).
+    "q187_ann_delete_fleet" -> ((s, dir) => {
+      import s.implicits._
+      val queries = Tables.embeddings(s, dir).filter(col("vec_id") < 20)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]](1).toArray)
+        .sortBy(_._1).toSeq
+      val root = annDeleteFleetMemo.computeIfAbsent(dir, _ => {
+        val e = Tables.embeddings(s, dir).filter(col("vec_id") < 4000).cache()
+        val doomed = graft.operators.Embeddings
+          .cosineTopK(e.filter(col("vec_id") < 20), e,
+            "vec_id", "vec_id", "embedding", k = 1)
+          .select("neighbor_id").distinct().collect().map(_.getLong(0)).toSeq
+        val rows = e.select("vec_id", "embedding").collect()
+          .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]](1).toArray)
+          .sortBy(_._1).toSeq
+        e.unpersist()
+        val reg = tempRegistryDir("graft_ann_dflt")
+        graft.serve.ModelRegistry.registerHnsw(s, reg, "flt_s0",
+          graft.operators.Hnsw.build(rows.filter(_._1 % 2 == 0),
+            m = 16, efConstruction = 100))
+        graft.serve.ModelRegistry.registerHnsw(s, reg, "flt_s1",
+          graft.operators.Hnsw.build(rows.filter(_._1 % 2 == 1),
+            m = 16, efConstruction = 100))
+        graft.serve.ModelRegistry.deleteIds(s, reg, "flt_s0", doomed)
+        graft.serve.ModelRegistry.deleteIds(s, reg, "flt_s1", doomed)
+        // refresh arm: mask v1, append exact twins of every query under
+        // fresh ids, register as v2, carry the mask forward
+        graft.serve.ModelRegistry.registerHnsw(s, reg, "del_refresh",
+          graft.operators.Hnsw.build(rows, m = 16, efConstruction = 100))
+        graft.serve.ModelRegistry.deleteIds(s, reg, "del_refresh", doomed)
+        val g1 = graft.serve.ModelRegistry.loadHnsw(s, reg, "del_refresh")
+        val twins = queries.map { case (qid, v) => (1000000L + qid, v) }
+        graft.serve.ModelRegistry.registerHnsw(s, reg, "del_refresh",
+          graft.operators.Hnsw.append(g1, twins))
+        graft.serve.ModelRegistry.carryDeletedIds(s, reg, "del_refresh",
+          fromVersion = 1L)
+        reg
+      })
+      val i0 = graft.serve.LocalAnn.load(s, root, "flt_s0")
+      val i1 = graft.serve.LocalAnn.load(s, root, "flt_s1")
+      val up0 = graft.serve.HttpApi.start(annModel = Some(("flt_hnsw", i0)))
+      val up1 = graft.serve.HttpApi.start(annModel = Some(("flt_hnsw", i1)))
+      val router = graft.serve.HttpApi.start(
+        annRoutes = Seq(("flt_hnsw", Seq(up0.port, up1.port))),
+        routeTimeoutMs = 120000L)
+      try {
+        def routed(ef: Int): Seq[(Long, Long, Double)] =
+          graft.serve.HttpApi.annSearchAt(router.port,
+            queries.map { case (qid, v) => ("flt_hnsw", qid, v, ef) },
+            topK = 5)
+            .flatMap { o =>
+              val qid = o.path("query_id").asLong
+              require(o.path("shards").asInt == 2,
+                "router must report both shards")
+              val rs = o.path("results")
+              (0 until rs.size()).map(i => (qid,
+                rs.get(i).path("neighbor_id").asLong,
+                rs.get(i).path("sim").asDouble))
+            }
+        def bits(r: Seq[(Long, Long, Double)]) =
+          r.map(t => (t._1, t._2, java.lang.Double.doubleToLongBits(t._3))).toSet
+        val exh = routed(math.max(i0.size, i1.size))
+        val tightEq = bits(routed(64)) == bits(
+          queries.flatMap { case (qid, v) =>
+            graft.serve.LocalAnn.searchSharded(Seq(i0, i1), qid, v, 64, 5)
+              .map(h => (qid, h.neighborId, h.sim))
+          })
+        // refresh arm checks (driver-side — the HTTP surface is q181's)
+        val rIdx = graft.serve.LocalAnn.load(s, root, "del_refresh")
+        val doomedSet = graft.serve.ModelRegistry
+          .loadDeletedIds(s, root, "del_refresh")
+        val refreshRes = queries.map { case (qid, v) =>
+          qid -> graft.serve.LocalAnn.search(rIdx, qid, v,
+            shortlist = rIdx.size, topK = 5)
+        }
+        val refreshLiveOk = refreshRes.forall { case (qid, hits) =>
+          hits.exists(_.neighborId == 1000000L + qid) }
+        val refreshMaskedOk = refreshRes.forall { case (_, hits) =>
+          hits.forall(h => !doomedSet.contains(h.neighborId)) }
+        val carryOk = doomedSet.nonEmpty && doomedSet ==
+          graft.serve.ModelRegistry.loadDeletedIds(s, root, "del_refresh", 1L)
+        val unmasked = rIdx.copy(deleted = Array.empty)
+        val discriminates = queries.exists { case (qid, v) =>
+          graft.serve.LocalAnn.search(unmasked, qid, v,
+              shortlist = unmasked.size, topK = 5)
+            .exists(h => doomedSet.contains(h.neighborId))
+        }
+        exh.toDF("query_id", "neighbor_id", "sim")
+          .withColumn("router_tight_eq", lit(tightEq))
+          .withColumn("refresh_live_ok", lit(refreshLiveOk))
+          .withColumn("refresh_masked_ok", lit(refreshMaskedOk))
+          .withColumn("refresh_carry_ok", lit(carryOk))
+          .withColumn("refresh_discriminates", lit(discriminates))
+          .orderBy("query_id", "neighbor_id")
+      } finally { router.stop(); up0.stop(); up1.stop() }
+    }),
+
     // MMR DIVERSIFIED RE-RANKING (round 17 — Carbonell & Goldstein
     // 1998, the diversity selector of the retrieval/curation tier):
     // per-query exact top-20 candidates greedily re-ranked to 5 picks
@@ -2271,6 +2478,77 @@ object EmbeddingQueries {
         | WHERE neighbor_id NOT IN (SELECT neighbor_id FROM doomed))
         |SELECT query_id, neighbor_id, sim, TRUE AS pq_eq, TRUE AS opq_eq,
         | TRUE AS sq8_eq, TRUE AS hnsw_eq, TRUE AS http_eq
+        |FROM (
+        | SELECT query_id, neighbor_id, sim,
+        |  row_number() OVER (PARTITION BY query_id
+        |   ORDER BY sim DESC, neighbor_id ASC) AS rk
+        | FROM surv)
+        |WHERE rk <= 5
+        |ORDER BY query_id, neighbor_id""".stripMargin,
+
+    // q181's NOT IN replay over the compaction corpus: the compacted
+    // ivf arm's full-probe search is brute force over the survivors;
+    // the masked≡compacted equalities and the lifecycle postconditions
+    // (empty mask, survivor counts, single version) derive in-query.
+    "q186_ann_compact" ->
+      """WITH e AS MATERIALIZED (
+        | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        | FROM embeddings WHERE vec_id < 3000),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+        |sims AS MATERIALIZED (
+        | SELECT q.query_id, e.vec_id AS neighbor_id,
+        |  round((list_dot_product(q.qv, e.v)
+        |   / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v)))) * 1000000.0) / 1000000.0 + 0.0 AS sim
+        | FROM q JOIN e ON e.vec_id <> q.query_id),
+        |doomed AS (
+        | SELECT DISTINCT neighbor_id FROM (
+        |  SELECT neighbor_id,
+        |   row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, neighbor_id ASC) AS rk
+        |  FROM sims)
+        | WHERE rk = 1),
+        |surv AS (
+        | SELECT * FROM sims
+        | WHERE neighbor_id NOT IN (SELECT neighbor_id FROM doomed))
+        |SELECT query_id, neighbor_id, sim, TRUE AS ivf_eq, TRUE AS pq_eq,
+        | TRUE AS sq8_eq, TRUE AS hnsw_eq, TRUE AS mask_empty_ok,
+        | TRUE AS counts_ok, TRUE AS version_ok
+        |FROM (
+        | SELECT query_id, neighbor_id, sim,
+        |  row_number() OVER (PARTITION BY query_id
+        |   ORDER BY sim DESC, neighbor_id ASC) AS rk
+        | FROM surv)
+        |WHERE rk <= 5
+        |ORDER BY query_id, neighbor_id""".stripMargin,
+
+    // q181's NOT IN replay through the FLEET: the exhaustive routed
+    // merge over the two masked shard graphs is brute force over the
+    // union corpus's survivors, so DuckDB recomputes the rows; the
+    // tight-budget router identity and the four refresh-composition
+    // flags derive in-query.
+    "q187_ann_delete_fleet" ->
+      """WITH e AS MATERIALIZED (
+        | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        | FROM embeddings WHERE vec_id < 4000),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+        |sims AS MATERIALIZED (
+        | SELECT q.query_id, e.vec_id AS neighbor_id,
+        |  round((list_dot_product(q.qv, e.v)
+        |   / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v)))) * 1000000.0) / 1000000.0 + 0.0 AS sim
+        | FROM q JOIN e ON e.vec_id <> q.query_id),
+        |doomed AS (
+        | SELECT DISTINCT neighbor_id FROM (
+        |  SELECT neighbor_id,
+        |   row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, neighbor_id ASC) AS rk
+        |  FROM sims)
+        | WHERE rk = 1),
+        |surv AS (
+        | SELECT * FROM sims
+        | WHERE neighbor_id NOT IN (SELECT neighbor_id FROM doomed))
+        |SELECT query_id, neighbor_id, sim, TRUE AS router_tight_eq,
+        | TRUE AS refresh_live_ok, TRUE AS refresh_masked_ok,
+        | TRUE AS refresh_carry_ok, TRUE AS refresh_discriminates
         |FROM (
         | SELECT query_id, neighbor_id, sim,
         |  row_number() OVER (PARTITION BY query_id

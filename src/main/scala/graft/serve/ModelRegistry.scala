@@ -147,7 +147,7 @@ object ModelRegistry {
       codes.foreach(graft.operators.Pq.saveCodes(_, p))
     }
 
-  /** Register an HNSW graph (round 17) — nodes (vectors + id-keyed
+  /** Register an HNSW graph  /** Register an HNSW graph (round 17) — nodes (vectors + id-keyed
     * per-level links) and meta ride parquet; the artifact is the
     * complete serveable index. `attrs` (round 18): per-node integer
     * metadata columns (aligned with `g.ids` order) riding the nodes
@@ -242,7 +242,7 @@ object ModelRegistry {
              version: Long = -1L): graft.operators.Sq.Quantizer =
     graft.operators.Sq.load(spark, artifactPath(spark, root, name, version))
 
-  /** Load a registered HNSW graph; latest version when `version` ≤ 0. */
+  /** Load a registered HNSW graph  /** Load a registered HNSW graph; latest version when `version` ≤ 0. */
   def loadHnsw(spark: SparkSession, root: String, name: String,
                version: Long = -1L): graft.operators.Hnsw.Graph =
     graft.operators.Hnsw.load(spark, artifactPath(spark, root, name, version))
@@ -295,6 +295,25 @@ object ModelRegistry {
       .parquet(s"$path/deleted_ids")
   }
 
+  /** Carry an ANN artifact's tombstone mask onto a NEWER version (the
+    * deletion × refresh composition, round 20 — q187's gate): a
+    * refresh registered as the next version starts mask-less, so a
+    * takedown applied to the old version would silently RESURRECT on
+    * the refreshed one without this. Appends the source version's
+    * deduped mask to `toVersion`'s (idempotent, append-only — the
+    * [[deleteIds]] doctrine; ids the new corpus legitimately re-added
+    * under NEW identifiers are unaffected, masks key on ids). No-op
+    * when the source mask is empty. Call it immediately after
+    * registering a refreshed version; [[compact]] is the one path
+    * that intentionally does NOT carry — its new corpus already
+    * excludes the masked rows. */
+  def carryDeletedIds(spark: SparkSession, root: String, name: String,
+                      fromVersion: Long, toVersion: Long = -1L): Unit = {
+    val ids = loadDeletedIds(spark, root, name, fromVersion)
+    if (ids.nonEmpty)
+      deleteIds(spark, root, name, ids.toSeq.sorted, toVersion)
+  }
+
   /** The tombstoned ids of a registered artifact (empty when none were
     * ever deleted). Deduped — [[deleteIds]] appends blindly. */
   def loadDeletedIds(spark: SparkSession, root: String, name: String,
@@ -324,6 +343,113 @@ object ModelRegistry {
     else df.join(
       broadcast(spark.read.parquet(path).select(col("id").as(idCol)).distinct()),
       Seq(idCol), "left_anti")
+  }
+
+  /** COMPACTION — the tombstone lifecycle's terminal step (round-20
+    * verdict #3; until now the doctrine documented at [[deleteIds]]
+    * was a manual recipe). One call physically rebuilds a masked ANN
+    * artifact from its SURVIVORS: register the filtered corpus as the
+    * NEXT version (write-then-swap — readers of the old version are
+    * never raced, exactly the [[prune]] doctrine), then prune down to
+    * `keepLast` versions. The new version starts with an EMPTY
+    * tombstone mask; its search results equal the masked search's by
+    * construction — the quantizer families drop exactly the masked
+    * rows from the scan (codebooks/centroids/rotations are untouched
+    * bytes, so surviving rows' codes and sims are bit-identical),
+    * and the graph family rebuilds deterministically from the
+    * surviving (id, vec) rows (levels re-draw per id, so COMPARE
+    * RESULT SETS, not structure — the q186 gate does). No tombstones
+    * → no-op (returns the current version untouched). Non-ANN
+    * families have no tombstone mask and are rejected. At 100 TB this
+    * is the scheduled rebuild the takedown mask bridges to: the mask
+    * is immediate, compact reclaims the bytes.
+    *
+    * `idCol`: the codes-table id column for pq/opq/sq8 artifacts —
+    * auto-detected when the table carries exactly one long column
+    * besides the codes (the LocalAnn serving convention); registered
+    * long ATTR columns make that ambiguous, so pass it explicitly
+    * then. Single-writer per root, like registration. Returns the
+    * surviving registered version. */
+  def compact(spark: SparkSession, root: String, name: String,
+              keepLast: Int = 1, idCol: Option[String] = None): Long = {
+    val v = latestVersion(spark, root, name)
+    require(v > 0, s"no registered model named '$name' under $root")
+    val deleted = loadDeletedIds(spark, root, name, v)
+    if (deleted.isEmpty) return v
+    val family = kindOf(spark, root, name, v)
+    val path = artifactPath(spark, root, name, v)
+    val conf = spark.sparkContext.hadoopConfiguration
+    def exists(sub: String) = {
+      val p = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      p.getFileSystem(conf).exists(p)
+    }
+    def survivorCodes(): DataFrame = {
+      val codes = graft.operators.Pq.loadCodes(spark, path)
+      val id = idCol.getOrElse {
+        val hits = codes.schema.fields.filter(f =>
+          f.dataType == org.apache.spark.sql.types.LongType &&
+            f.name != "codes" && f.name != "sq_codes")
+        require(hits.length == 1,
+          s"cannot auto-detect the id column of '$name' v$v's codes table " +
+            s"(long columns: ${hits.map(_.name).mkString("[", ", ", "]")}) - " +
+            "pass compact(..., idCol = Some(...))")
+        hits.head.name
+      }
+      filterDeleted(spark, codes, id, root, name, v)
+    }
+    val metrics = Map("compacted_from" -> v.toDouble)
+    val newV = family match {
+      case "ivf" =>
+        val idx = loadIvf(spark, root, name, v)
+        registerIvf(spark, root, name, idx.copy(assigned =
+          filterDeleted(spark, idx.assigned, idx.idCol, root, name, v)),
+          metrics)
+      case "pq" =>
+        registerPq(spark, root, name, loadPq(spark, root, name, v),
+          Some(survivorCodes()), metrics)
+      case "sq8" =>
+        registerSq(spark, root, name, loadSq(spark, root, name, v),
+          Some(survivorCodes()), metrics)
+      case "opq" =>
+        registerOpq(spark, root, name, loadOpq(spark, root, name, v),
+          if (exists("pq_codebooks")) Some(loadPq(spark, root, name, v)) else None,
+          if (exists("pq_codes")) Some(survivorCodes()) else None,
+          metrics)
+      case "hnsw" =>
+        val g = loadHnsw(spark, root, name, v)
+        val keep = g.ids.indices.filterNot(i => deleted.contains(g.ids(i)))
+        require(keep.nonEmpty,
+          s"compacting '$name' v$v would delete every node - prune the " +
+            "version instead")
+        // attr columns ride the nodes table (anything beyond the graph's
+        // own id/vec/level/links) — carry them onto the rebuilt artifact,
+        // aligned with the survivors' ascending-id node order
+        val nodes = loadHnswNodes(spark, root, name, v)
+        val attrCols = nodes.columns.toSeq
+          .filterNot(Set("id", "vec", "level", "links"))
+        val attrs: Seq[(String, Array[Long])] =
+          if (attrCols.isEmpty) Nil
+          else {
+            val rows = nodes
+              .select(("id" +: attrCols).map(org.apache.spark.sql.functions.col): _*)
+              .collect()
+              .filter(r => !deleted.contains(r.getLong(0)))
+              .sortBy(_.getLong(0))
+            attrCols.zipWithIndex.map { case (a, i) =>
+              a -> rows.map(_.getLong(i + 1))
+            }
+          }
+        registerHnsw(spark, root, name,
+          graft.operators.Hnsw.build(
+            keep.map(i => g.ids(i) -> g.vecs(i)),
+            g.m, g.efC, g.seed, g.heuristic),
+          attrs, metrics)
+      case other => throw new IllegalArgumentException(
+        s"registered '$name' is family '$other' - compaction applies to " +
+          "ANN artifacts with tombstone masks")
+    }
+    prune(spark, root, name, keepLast)
+    newV
   }
 
   /** Registry retention (round-14 verdict #5: versions accumulated

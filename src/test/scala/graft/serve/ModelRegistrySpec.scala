@@ -139,6 +139,103 @@ class ModelRegistrySpec extends SparkSpec {
     assert(ModelRegistry.gc(spark, root).isEmpty)
   }
 
+  // a small clustered vector corpus for the ANN lifecycle tests
+  private lazy val vecCorpus = (0 until 80).map { i =>
+    val c = i % 4
+    val base = Array.tabulate(8)(d => if (d == c) 1.0f else 0.05f)
+    (i.toLong, base.map(x => x + ((i * 7) % 13 - 6) / 120.0f))
+  }.toDF("vec_id", "embedding")
+
+  private def annHits(idx: LocalAnn.Index): Seq[(Long, Long, Long)] =
+    (0L until 6L).flatMap { qid =>
+      val v = vecCorpus.filter($"vec_id" === qid).collect()(0)
+        .getAs[scala.collection.Seq[Float]](1).toArray
+      LocalAnn.search(idx, qid, v, shortlist = idx.size, topK = 5)
+        .map(h => (qid, h.neighborId, java.lang.Double.doubleToLongBits(h.sim)))
+    }
+
+  test("compact (round 20): masked search == compacted search; old version " +
+    "pruned; mask empty; survivor-sized artifact; no-op without tombstones; " +
+    "non-ANN families rejected") {
+    val root = Files.createTempDirectory("graft_registry_cpt").toString
+    val index = graft.operators.Ivf.build(vecCorpus, "vec_id", "embedding",
+      nLists = 4)
+    ModelRegistry.registerIvf(spark, root, "ivf", index)
+    // no tombstones -> no-op, version untouched
+    assert(ModelRegistry.compact(spark, root, "ivf") == 1L)
+    assert(ModelRegistry.latestVersion(spark, root, "ivf") == 1L)
+    ModelRegistry.deleteIds(spark, root, "ivf", Seq(7L, 11L, 13L))
+    val masked = annHits(LocalAnn.load(spark, root, "ivf"))
+    assert(ModelRegistry.compact(spark, root, "ivf") == 2L)
+    val idx = LocalAnn.load(spark, root, "ivf")
+    assert(annHits(idx) == masked,
+      "compacted search must bit-equal the masked search")
+    assert(idx.size == 77 && idx.deletedCount == 0)
+    assert(ModelRegistry.loadDeletedIds(spark, root, "ivf").isEmpty)
+    // old version pruned; provenance metric rides the new one
+    val meta = ModelRegistry.list(spark, root)
+    assert(meta.select("version").distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(2L))
+    assert(meta.filter($"metric" === "compacted_from" && $"value" === 1.0)
+      .count() == 1)
+    // non-ANN family: no tombstone mask to compact
+    val m = FraudModel.gbtPipeline(cols, "is_fraud", maxIter = 3).fit(data)
+    ModelRegistry.register(spark, root, "gbt", m)
+    ModelRegistry.deleteIds(spark, root, "gbt", Seq(1L)) // a stray mask
+    intercept[IllegalArgumentException] {
+      ModelRegistry.compact(spark, root, "gbt")
+    }
+  }
+
+  test("compact (round 20): hnsw rebuild carries attr columns; ambiguous " +
+    "codes-table id columns fail loudly unless idCol is passed; " +
+    "carryDeletedIds bridges a refresh version") {
+    val root = Files.createTempDirectory("graft_registry_cpt2").toString
+    // hnsw with an attr column: compaction must carry survivors' attrs
+    val g = graft.operators.Hnsw.fromDataFrame(vecCorpus, "vec_id",
+      "embedding", m = 4, efConstruction = 16)
+    ModelRegistry.registerHnsw(spark, root, "hnsw", g,
+      attrs = Seq("label" -> Array.tabulate(80)(i => (i % 3).toLong)))
+    ModelRegistry.deleteIds(spark, root, "hnsw", Seq(9L, 10L))
+    val maskedFiltered = {
+      val idx = LocalAnn.load(spark, root, "hnsw", attrCols = Seq("label"))
+      LocalAnn.search(idx, 0L, Array.tabulate(8)(d => if (d == 0) 1.0f else 0.05f),
+        shortlist = idx.size, topK = 5, allow = Map("label" -> Set(0L)))
+    }
+    ModelRegistry.compact(spark, root, "hnsw")
+    val idx2 = LocalAnn.load(spark, root, "hnsw", attrCols = Seq("label"))
+    assert(idx2.size == 78 && idx2.attrs("label").length == 78)
+    // attrs stay id-aligned: label of id i is i % 3 for every survivor
+    assert(idx2.ids.zip(idx2.attrs("label")).forall { case (id, l) => l == id % 3 })
+    assert(LocalAnn.search(idx2, 0L,
+      Array.tabulate(8)(d => if (d == 0) 1.0f else 0.05f),
+      shortlist = idx2.size, topK = 5,
+      allow = Map("label" -> Set(0L))) == maskedFiltered)
+    // pq codes table with a SECOND long column: auto-detect must refuse
+    val cb = graft.operators.Pq.train(vecCorpus, "vec_id", "embedding",
+      m = 2, k = 8)
+    val enc = graft.operators.Pq.encode(
+        vecCorpus.select("vec_id", "embedding"), "embedding", cb)
+      .withColumn("label", $"vec_id" % 3)
+    ModelRegistry.registerPq(spark, root, "pq", cb, Some(enc))
+    ModelRegistry.deleteIds(spark, root, "pq", Seq(3L))
+    intercept[IllegalArgumentException] {
+      ModelRegistry.compact(spark, root, "pq")
+    }
+    assert(ModelRegistry.compact(spark, root, "pq",
+      idCol = Some("vec_id")) == 2L)
+    assert(ModelRegistry.loadPqCodes(spark, root, "pq").count() == 79)
+    // carryDeletedIds: a refresh version starts mask-less; the carry
+    // brings the takedown forward
+    ModelRegistry.registerHnsw(spark, root, "ref", g)
+    ModelRegistry.deleteIds(spark, root, "ref", Seq(5L))
+    ModelRegistry.registerHnsw(spark, root, "ref",
+      graft.operators.Hnsw.append(g, Seq((200L, Array.fill(8)(0.3f)))))
+    assert(ModelRegistry.loadDeletedIds(spark, root, "ref").isEmpty)
+    ModelRegistry.carryDeletedIds(spark, root, "ref", fromVersion = 1L)
+    assert(ModelRegistry.loadDeletedIds(spark, root, "ref") == Set(5L))
+  }
+
   test("all three model families register, report their kind, and reload bit-equal") {
     val root = Files.createTempDirectory("graft_registry_k").toString
     // LeafBoost: tiny deterministic trainer over the synthetic frame
