@@ -22,6 +22,11 @@ package graft
   *     ("q169" → "169" — still unique, numbers stay plain seconds;
   *     fits up to ~185 queries). Full names always live in
   *     BENCH_DETAIL.json.
+  *   - tier B3 (round 20, the 185-query battery pushed B2 past the
+  *     bound): stripped keys at 0 decimals — whole seconds, so the
+  *     inline map stays a per-query sanity signal (which queries ran,
+  *     which are multi-second) while sub-second precision lives ONLY
+  *     in BENCH_DETAIL.json; fits to ~250 queries.
   *   - tier C: summary-only — totals + failures + env, with
   *     `"detail":"BENCH_DETAIL.json"` pointing at the full-precision
   *     per-query file Bench ALWAYS writes beside the record.
@@ -69,7 +74,8 @@ object BenchRecord {
     }
     val summary =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","nq":${results.size},"detail":"BENCH_DETAIL.json",${failedPart(stripQ = false)}"env":$env,"sf":"$sf"}"""
-    val record = Seq(withMap(2), withMap(1), withMap(1, stripQ = true), summary)
+    val record = Seq(withMap(2), withMap(1), withMap(1, stripQ = true),
+        withMap(0, stripQ = true), summary)
       .find(_.length <= MaxRecordBytes)
       .getOrElse(summary)
     // tier C grows only with `failed` — if even IT overflows, something
