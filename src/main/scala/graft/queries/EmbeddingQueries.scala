@@ -134,6 +134,11 @@ object EmbeddingQueries {
   private val annDeleteFleetMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q188's build-once binary-quantization registry (planes + packed
+    * signatures over the corpus). */
+  private val bqMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** q184/q185's build-once IVF index + centroid graph (the IVF_HNSW
     * composition's quantizer pair — q184 gates the corpus-side
     * assignment, q185 the query-side probe selection, over ONE build). */
@@ -2068,6 +2073,70 @@ object EmbeddingQueries {
       } finally { router.stop(); up0.stop(); up1.stop() }
     }),
 
+    // BINARY QUANTIZATION / HAMMING TIER (round 20 stretch — verdict
+    // #8; FAISS IndexBinaryFlat shape): 256-bit SRP sign signatures
+    // pack a 64-d float vector into 32 B — the cheapest memory tier,
+    // 8× under raw floats, 2× under SQ8 — and the candidate scan is
+    // XOR+popcount on four longs: INTEGER arithmetic, zero float-
+    // accumulation-order sensitivity, so the whole stage replays
+    // cross-engine and cross-layout by construction. Hamming rank
+    // approximates cosine rank (sign-random-projection: P[bit flips]
+    // = θ/π — Charikar 2002), the exact rerank restores exactness on
+    // the shortlist. STRONG real-row mold: with an exhaustive
+    // shortlist the rerank IS brute force — DuckDB replays the rows.
+    // Flags: recall_ok floors the tight-shortlist scale path;
+    // serving_eq proves LocalAnn's bq arm (registry round trip + the
+    // scalar serving mirror) bit-equal to the Spark arm at BOTH
+    // budgets. Pricing vs the other families: FrontierProbe's bq row
+    // (BASELINE.md round 20).
+    "q188_bq_hamming" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir).filter(col("vec_id") < 50000)
+      val root = bqMemo.computeIfAbsent(dir, _ => {
+        val q = graft.operators.Bq.train(dim = 64, nBits = 256)
+        val reg = tempRegistryDir("graft_bq")
+        graft.serve.ModelRegistry.registerBq(s, reg, "bq", q,
+          Some(graft.operators.Bq.encode(
+            e.select("vec_id", "embedding"), "embedding", q)))
+        reg
+      })
+      val q = graft.serve.ModelRegistry.loadBq(s, root, "bq")
+      val codes = graft.serve.ModelRegistry.loadPqCodes(s, root, "bq")
+      val qdf = e.filter(col("vec_id") < 20)
+      def arm(shortlist: Int) = graft.operators.Bq.searchReranked(codes,
+        "vec_id", "embedding", q, qdf, "vec_id", "embedding",
+        shortlist, topK = 5, dropSelf = true)
+      val idx = graft.serve.LocalAnn.load(s, root, "bq")
+      val exh = arm(idx.size).persist()
+      try {
+        val tight = arm(128)
+        val recallOk = exh.join(tight, Seq("query_id", "neighbor_id"),
+          "left_semi").count().toDouble / exh.count() >= 0.4
+        val queries = qdf.select(col("vec_id"), col("embedding")).collect()
+          .map(r => r.getLong(0) ->
+            r.getAs[scala.collection.Seq[Float]](1).toArray)
+          .sortBy(_._1).toSeq
+        def served(shortlist: Int) = queries.flatMap { case (qid, v) =>
+          graft.serve.LocalAnn.search(idx, qid, v, shortlist, 5)
+            .map(h => (qid, h.neighborId,
+              java.lang.Double.doubleToLongBits(h.sim)))
+        }.toSet
+        def bitsOf(df: org.apache.spark.sql.DataFrame) =
+          df.collect().map(r => (r.getLong(0), r.getLong(1),
+            java.lang.Double.doubleToLongBits(
+              if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))).toSet
+        val servingEq = served(idx.size) == bitsOf(exh) &&
+          served(128) == bitsOf(tight)
+        val out = exh.orderBy("query_id", "neighbor_id").collect().toSeq
+        out.map(r => (r.getLong(0), r.getLong(1),
+            if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))
+          .toDF("query_id", "neighbor_id", "sim")
+          .withColumn("recall_ok", lit(recallOk))
+          .withColumn("serving_eq", lit(servingEq))
+          .orderBy("query_id", "neighbor_id")
+      } finally { exh.unpersist(); () }
+    }),
+
     // MMR DIVERSIFIED RE-RANKING (round 17 — Carbonell & Goldstein
     // 1998, the diversity selector of the retrieval/curation tier):
     // per-query exact top-20 candidates greedily re-ranked to 5 picks
@@ -2598,6 +2667,29 @@ object EmbeddingQueries {
         | FROM q JOIN e ON e.vec_id <> q.query_id)
         |SELECT query_id, neighbor_id, sim, TRUE AS probe_exact_eq,
         | TRUE AS tight_recall_ok
+        |FROM (
+        | SELECT query_id, neighbor_id, sim,
+        |  row_number() OVER (PARTITION BY query_id
+        |   ORDER BY sim DESC, neighbor_id ASC) AS rk
+        | FROM sims)
+        |WHERE rk <= 5
+        |ORDER BY query_id, neighbor_id""".stripMargin,
+
+    // exhaustive Hamming shortlist + exact rerank is brute force over
+    // the corpus — DuckDB replays the rows; the tight-shortlist recall
+    // floor and the serving bit-parity derive in-query.
+    "q188_bq_hamming" ->
+      """WITH e AS MATERIALIZED (
+        | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        | FROM embeddings WHERE vec_id < 50000),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+        |sims AS (
+        | SELECT q.query_id, e.vec_id AS neighbor_id,
+        |  round((list_dot_product(q.qv, e.v)
+        |   / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v)))) * 1000000.0) / 1000000.0 + 0.0 AS sim
+        | FROM q JOIN e ON e.vec_id <> q.query_id)
+        |SELECT query_id, neighbor_id, sim, TRUE AS recall_ok,
+        | TRUE AS serving_eq
         |FROM (
         | SELECT query_id, neighbor_id, sim,
         |  row_number() OVER (PARTITION BY query_id

@@ -578,6 +578,7 @@ object HttpApi {
         val expectDim = idx.family match {
           case "ivf"  => idx.centroids.headOption.map(_.length).getOrElse(0)
           case "sq8"  => idx.sq.map(_.dim).getOrElse(0)
+          case "bq"   => idx.bq.map(_.dim).getOrElse(0)
           case "hnsw" => idx.vecs.headOption.map(_.length).getOrElse(0)
           case _ if idx.rot.isDefined => idx.rot.get.length
           case _ => idx.cb.map(_.dim).getOrElse(0)

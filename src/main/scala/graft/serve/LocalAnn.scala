@@ -2,7 +2,7 @@ package graft.serve
 
 import org.apache.spark.sql.SparkSession
 
-import graft.operators.{Hnsw, Ivf, Opq, Pq, Sq}
+import graft.operators.{Bq, Hnsw, Ivf, Opq, Pq, Sq}
 
 /** Driver-local ANN searcher over a REGISTERED artifact — the serving
   * half of the ANN tier (round-15 verdict #4: registry artifacts were
@@ -32,7 +32,7 @@ import graft.operators.{Hnsw, Ivf, Opq, Pq, Sq}
 object LocalAnn {
 
   /** A loaded, serveable index.
-    * `family` ∈ {"ivf", "pq", "opq", "sq8", "hnsw"}.
+    * `family` ∈ {"ivf", "pq", "opq", "sq8", "hnsw", "bq"}.
     *  - pq/opq: `cb`+`ids`/`codes`/`vecs` drive ADC + rerank; `rot` is
     *    the OPQ rotation (identity absent).
     *  - ivf: `centroids`+`cellOf` drive the probe; vecs are exact.
@@ -52,7 +52,9 @@ object LocalAnn {
                          sq: Option[Sq.Quantizer] = None,
                          hnsw: Option[Hnsw.Graph] = None,
                          deleted: Array[Boolean] = Array.empty,
-                         centGraph: Option[CentroidProbe] = None) {
+                         centGraph: Option[CentroidProbe] = None,
+                         bq: Option[Bq.Quantizer] = None,
+                         lcodes: Array[Array[Long]] = Array.empty) {
     def size: Int = ids.length
     /** Row i survives the registry tombstone mask (round 19 — FAISS
       * remove_ids semantics: deleted rows stay IN the artifact and the
@@ -135,15 +137,22 @@ object LocalAnn {
         val (ids, vecs, codes, attrs) = loadCodesTable(
           ModelRegistry.loadPqCodes(spark, root, name, version),
           "codes", attrCols, name)
-        Index(name, family, rot, Some(cb), ids, vecs, codes,
+        Index(name, family, rot, Some(cb), ids, vecs, narrow(codes),
           Array.empty, Array.empty, attrs)
       case "sq8" =>
         val q = ModelRegistry.loadSq(spark, root, name, version)
         val (ids, vecs, codes, attrs) = loadCodesTable(
           ModelRegistry.loadPqCodes(spark, root, name, version),
           "sq_codes", attrCols, name)
-        Index(name, family, None, None, ids, vecs, codes,
+        Index(name, family, None, None, ids, vecs, narrow(codes),
           Array.empty, Array.empty, attrs, Some(q))
+      case "bq" =>
+        val q = ModelRegistry.loadBq(spark, root, name, version)
+        val (ids, vecs, codes, attrs) = loadCodesTable(
+          ModelRegistry.loadPqCodes(spark, root, name, version),
+          "bq_codes", attrCols, name)
+        Index(name, family, None, None, ids, vecs, Array.empty,
+          Array.empty, Array.empty, attrs, bq = Some(q), lcodes = codes)
       case "hnsw" =>
         // the graph IS the serveable artifact; attr columns (round 18)
         // ride the saved nodes table — read them id-sorted so row i
@@ -210,7 +219,7 @@ object LocalAnn {
   private def loadCodesTable(codesDf: org.apache.spark.sql.DataFrame,
                              codesCol: String, attrCols: Seq[String],
                              name: String):
-      (Array[Long], Array[Array[Float]], Array[Array[Int]], Map[String, Array[Long]]) = {
+      (Array[Long], Array[Array[Float]], Array[Array[Long]], Map[String, Array[Long]]) = {
     val schema = codesDf.schema
     require(schema.fieldNames.contains(codesCol),
       s"registered '$name' codes table has no `$codesCol` column " +
@@ -242,7 +251,9 @@ object LocalAnn {
     val n = rows.length
     val ids = new Array[Long](n)
     val vecs = new Array[Array[Float]](n)
-    val codes = new Array[Array[Int]](n)
+    // codes widen to Long here (bq packs 64-bit words; pq/sq8 narrow
+    // back to Int arrays once at load — never in a hot loop)
+    val codes = new Array[Array[Long]](n)
     var i = 0
     while (i < n) {
       val r = rows(i)
@@ -251,11 +262,22 @@ object LocalAnn {
       val cs = r.getAs[scala.collection.Seq[Any]](codeIx)
       codes(i) =
         if (cs == null || cs.exists(_ == null)) null // parked: never ranked
-        else cs.map(_.asInstanceOf[Int]).toArray
+        else cs.map {
+          case x: Int  => x.toLong
+          case x: Long => x
+          case other => throw new IllegalArgumentException(
+            s"registered '$name' codes must be integral, found " +
+              s"${if (other == null) "null" else other.getClass.getSimpleName}")
+        }.toArray
       i += 1
     }
     (ids, vecs, codes, readAttrs(rows, schema, attrCols, name))
   }
+
+  /** Narrow a widened codes table back to Int arrays (pq/sq8 codes are
+    * byte-range; the widening exists only for bq's packed words). */
+  private def narrow(codes: Array[Array[Long]]): Array[Array[Int]] =
+    codes.map(c => if (c == null) null else c.map(_.toInt))
 
   /** Load `attrCols` off the collected codes/assigned rows as per-row
     * long arrays (integral column types only; nulls fail loudly — a
@@ -354,6 +376,7 @@ object LocalAnn {
     idx.family match {
       case "opq" | "pq" => searchPq(idx, queryId, query, shortlist, topK, dropSelf, allow)
       case "sq8"        => searchSq(idx, queryId, query, shortlist, topK, dropSelf, allow)
+      case "bq"         => searchBq(idx, queryId, query, shortlist, topK, dropSelf, allow)
       case "ivf"        => searchIvf(idx, queryId, query, shortlist, topK, dropSelf, allow)
       case "hnsw" =>
         // `shortlist` is efSearch here (the nProbe convention: one
@@ -378,7 +401,61 @@ object LocalAnn {
     }
   }
 
-  /** sq8:  /** sq8: decode-and-scan shortlist + exact rerank, mirroring
+  /** bq (round 20): Hamming-scan shortlist + exact rerank, mirroring
+    * [[Bq.searchReranked]] operation for operation — the query encodes
+    * under the artifact's planes with [[NativeVector.dot]]'s in-order
+    * double accumulation and the strictly-positive sign convention
+    * (`Bq.encode` verbatim), the scan is XOR+popcount on packed longs
+    * (integer arithmetic — no accumulation-order sensitivity at all),
+    * shortlist ties (ham asc, id asc), exact rerank identical to every
+    * other family. */
+  private def searchBq(idx: Index, queryId: Long, q: Array[Float],
+                       shortlist: Int, topK: Int, dropSelf: Boolean,
+                       allow: Map[String, Set[Long]]): Seq[Hit] = {
+    val bq = idx.bq.get
+    require(q.length == bq.dim,
+      s"query dim ${q.length} does not match the index")
+    val nWords = bq.nWords
+    val qcodes = new Array[Long](nWords)
+    var w = 0
+    while (w < nWords) {
+      var word = 0L
+      var b = 0
+      while (b < 64) {
+        val p = bq.planes(w * 64 + b)
+        var s = 0.0; var d = 0
+        while (d < bq.dim) { s += q(d).toDouble * p(d); d += 1 }
+        if (s > 0) word |= (1L << b)
+        b += 1
+      }
+      qcodes(w) = word
+      w += 1
+    }
+    val cand = collection.mutable.ArrayBuffer[(Int, Long, Int)]()
+    var i = 0
+    while (i < idx.size) {
+      val cs = idx.lcodes(i)
+      if (cs != null && idx.live(i) && !(dropSelf && idx.ids(i) == queryId) &&
+          passes(idx, i, allow)) {
+        var ham = 0
+        var j = 0
+        while (j < nWords) {
+          ham += java.lang.Long.bitCount(qcodes(j) ^ cs(j)); j += 1
+        }
+        cand += ((ham, idx.ids(i), i))
+      }
+      i += 1
+    }
+    val short = cand.sortBy(t => (t._1, t._2)).take(shortlist)
+    short.map { case (_, id, row) =>
+      val c = cosine(q, idx.vecs(row))
+      Hit(id, if (c.isNaN) Double.NaN else sparkRound(c * 1e6) / 1e6)
+    }
+      .sortBy(h => (h.sim.isNaN, -h.sim, h.neighborId))
+      .take(topK).toSeq
+  }
+
+  /** sq8: decode-and-scan shortlist + exact rerank, mirroring
     * [[Sq.searchReranked]] operation for operation — decode is
     * (code · span) + min in double, the approximate cosine is
     * NativeVector.cosine's in-order double dot (null → NaN marker,

@@ -147,7 +147,20 @@ object ModelRegistry {
       codes.foreach(graft.operators.Pq.saveCodes(_, p))
     }
 
-  /** Register an HNSW graph  /** Register an HNSW graph (round 17) — nodes (vectors + id-keyed
+  /** Register a binary quantizer (round 20 — the Hamming memory tier),
+    * optionally with the packed-signature corpus; the codes frame
+    * rides the shared `pq_codes` table convention carrying `bq_codes`
+    * (array<long> packed words). */
+  def registerBq(spark: SparkSession, root: String, name: String,
+                 q: graft.operators.Bq.Quantizer,
+                 codes: Option[DataFrame] = None,
+                 metrics: Map[String, Double] = Map.empty): Long =
+    registerArtifact(spark, root, name, metrics) { p =>
+      graft.operators.Bq.save(spark, q, p)
+      codes.foreach(graft.operators.Pq.saveCodes(_, p))
+    }
+
+  /** Register an HNSW graph (round 17) — nodes (vectors + id-keyed
     * per-level links) and meta ride parquet; the artifact is the
     * complete serveable index. `attrs` (round 18): per-node integer
     * metadata columns (aligned with `g.ids` order) riding the nodes
@@ -200,6 +213,7 @@ object ModelRegistry {
     else if (has("opq_rotation")) "opq" // before pq: an OPQ artifact may carry codebooks too
     else if (has("pq_codebooks")) "pq"
     else if (has("sq_meta")) "sq8"
+    else if (has("bq_meta")) "bq"
     else if (has("hnsw_meta")) "hnsw"
     else "pipeline"
   }
@@ -242,7 +256,14 @@ object ModelRegistry {
              version: Long = -1L): graft.operators.Sq.Quantizer =
     graft.operators.Sq.load(spark, artifactPath(spark, root, name, version))
 
-  /** Load a registered HNSW graph  /** Load a registered HNSW graph; latest version when `version` ≤ 0. */
+  /** Load a registered binary quantizer; latest version when
+    * `version` ≤ 0. Its codes frame loads via [[loadPqCodes]] — the
+    * families share one codes-table convention. */
+  def loadBq(spark: SparkSession, root: String, name: String,
+             version: Long = -1L): graft.operators.Bq.Quantizer =
+    graft.operators.Bq.load(spark, artifactPath(spark, root, name, version))
+
+  /** Load a registered HNSW graph; latest version when `version` ≤ 0. */
   def loadHnsw(spark: SparkSession, root: String, name: String,
                version: Long = -1L): graft.operators.Hnsw.Graph =
     graft.operators.Hnsw.load(spark, artifactPath(spark, root, name, version))
@@ -409,6 +430,9 @@ object ModelRegistry {
           Some(survivorCodes()), metrics)
       case "sq8" =>
         registerSq(spark, root, name, loadSq(spark, root, name, v),
+          Some(survivorCodes()), metrics)
+      case "bq" =>
+        registerBq(spark, root, name, loadBq(spark, root, name, v),
           Some(survivorCodes()), metrics)
       case "opq" =>
         registerOpq(spark, root, name, loadOpq(spark, root, name, v),

@@ -2,7 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Embeddings, Hnsw, Ivf, Opq, Pq, Sq}
+import graft.operators.{Bq, Embeddings, Hnsw, Ivf, Opq, Pq, Sq}
 import graft.serve.{LocalAnn, ModelRegistry}
 
 /** The serving tier's OPERATING MANUAL (round-19 verdict stretch #8):
@@ -56,6 +56,9 @@ object FrontierProbe {
     val qz = Sq.train(e, "embedding", dim = 64)
     ModelRegistry.registerSq(spark, reg, "sq8", qz,
       Some(Sq.encode(e.select("vec_id", "embedding"), "embedding", qz)))
+    val bqz = Bq.train(dim = 64, nBits = 256)
+    ModelRegistry.registerBq(spark, reg, "bq", bqz,
+      Some(Bq.encode(e.select("vec_id", "embedding"), "embedding", bqz)))
     val rows = e.select(col("vec_id"), col("embedding")).collect()
       .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]](1).toArray)
       .toSeq
@@ -70,7 +73,7 @@ object FrontierProbe {
     }
     println(s"[frontier] n=$n queries=$nq corpus=clustered-mixture " +
       "(family, knob, recall@5, p50 ms, p99 ms)")
-    for (name <- Seq("ivf", "pq", "opq", "sq8", "hnsw_c", "hnsw_h")) {
+    for (name <- Seq("ivf", "pq", "opq", "sq8", "bq", "hnsw_c", "hnsw_h")) {
       val idx = LocalAnn.load(spark, reg, name)
       val knobs = name match {
         case "ivf" => Seq(1, 2, 4, 8, 16)
