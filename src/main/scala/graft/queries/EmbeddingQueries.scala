@@ -139,6 +139,11 @@ object EmbeddingQueries {
   private val bqMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q189's build-once replica-fleet registry (one shared SQ8
+    * quantizer, parity-split shard codes). */
+  private val hedgedFleetMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** q184/q185's build-once IVF index + centroid graph (the IVF_HNSW
     * composition's quantizer pair — q184 gates the corpus-side
     * assignment, q185 the query-side probe selection, over ONE build). */
@@ -2137,6 +2142,152 @@ object EmbeddingQueries {
       } finally { exh.unpersist(); () }
     }),
 
+    // HEDGED REPLICAS (round 20 — verdict stretch #7: the router's
+    // failure story). Production fleets run a replica SET per shard;
+    // the router tries replicas in order and hedges to the next on a
+    // TRANSPORT failure (dead: connect refused; hung: per-attempt
+    // timeout), so one lost replica costs latency, not the request —
+    // and the loud 502/504 doctrine now fires only when a whole
+    // replica set is down, the earliest moment a correct
+    // (non-partial-merge) answer is impossible. Answers are
+    // bit-unchanged by construction (replicas serve the SAME
+    // artifact); this gate makes that LIVE: the exhaustive routed
+    // merge through a fleet whose shard-1 PRIMARY IS DEAD is brute
+    // force over the union corpus — DuckDB replays the rows. Flags
+    // (all derived in-query): healthy_no_hedge (an all-healthy twin
+    // fleet returns bit-identical rows with zero failovers),
+    // hedge_exact_eq (every request through the degraded fleet
+    // reports exactly one failover; tight-budget routed ≡ in-process
+    // searchSharded bit-for-bit — hedging composes with real budgets),
+    // hung_ok (a replica that ACCEPTS and never answers: the
+    // per-attempt timeout trips, the live replica answers, rows
+    // bit-equal — without waiting out the hang), loud_ok (both
+    // replicas down → 502, never a partial merge), stats_ok
+    // (/stats hedged_failovers counts exactly the degraded requests).
+    "q189_ann_hedged_fleet" -> ((s, dir) => {
+      import s.implicits._
+      val queries = Tables.embeddings(s, dir).filter(col("vec_id") < 20)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]](1).toArray)
+        .sortBy(_._1).toSeq
+      val root = hedgedFleetMemo.computeIfAbsent(dir, _ => {
+        val e = Tables.embeddings(s, dir).filter(col("vec_id") < 4000)
+          .select("vec_id", "embedding").cache()
+        // one quantizer for the logical index; shards split by parity
+        val qz = graft.operators.Sq.train(e, "embedding", dim = 64)
+        val codes = graft.operators.Sq.encode(e, "embedding", qz).cache()
+        val reg = tempRegistryDir("graft_ann_hedge")
+        graft.serve.ModelRegistry.registerSq(s, reg, "hg_s0", qz,
+          Some(codes.filter(col("vec_id") % 2 === 0)))
+        graft.serve.ModelRegistry.registerSq(s, reg, "hg_s1", qz,
+          Some(codes.filter(col("vec_id") % 2 === 1)))
+        codes.unpersist(); e.unpersist()
+        reg
+      })
+      val i0 = graft.serve.LocalAnn.load(s, root, "hg_s0")
+      val i1 = graft.serve.LocalAnn.load(s, root, "hg_s1")
+      val up0  = graft.serve.HttpApi.start(annModel = Some(("hedge", i0)))
+      val up1a = graft.serve.HttpApi.start(annModel = Some(("hedge", i1)))
+      val up1b = graft.serve.HttpApi.start(annModel = Some(("hedge", i1)))
+      // a DEAD primary: the port answered once, now refuses connections
+      val dead = graft.serve.HttpApi.start(annModel = Some(("hedge", i1)))
+      dead.stop()
+      val healthy = graft.serve.HttpApi.start(annReplicaRoutes =
+        Seq(("hedge", Seq(Seq(up0.port), Seq(up1a.port, up1b.port)))))
+      val hedgy = graft.serve.HttpApi.start(
+        annReplicaRoutes =
+          Seq(("hedge", Seq(Seq(up0.port), Seq(dead.port, up1b.port)))),
+        routeTimeoutMs = 120000L)
+      try {
+        val exhN = math.max(i0.size, i1.size)
+        def routed(port: Int, shortlist: Int,
+                   qs: Seq[(Long, Array[Float])] = queries):
+            (Seq[(Long, Long, Double)], Seq[Int]) = {
+          val os = graft.serve.HttpApi.annSearchAt(port,
+            qs.map { case (qid, v) => ("hedge", qid, v, shortlist) }, topK = 5)
+          (os.flatMap { o =>
+            val qid = o.path("query_id").asLong
+            require(o.path("shards").asInt == 2, "router must report both shards")
+            val rs = o.path("results")
+            (0 until rs.size()).map(i => (qid,
+              rs.get(i).path("neighbor_id").asLong,
+              rs.get(i).path("sim").asDouble))
+          }, os.map(_.path("hedged").asInt))
+        }
+        def bits(r: Seq[(Long, Long, Double)]) =
+          r.map(t => (t._1, t._2, java.lang.Double.doubleToLongBits(t._3))).toSet
+        val (exh, exhHedged) = routed(hedgy.port, exhN)
+        val (hExh, hHedged) = routed(healthy.port, exhN)
+        val healthyNoHedge = bits(hExh) == bits(exh) && hHedged.forall(_ == 0)
+        val (tight, tightHedged) = routed(hedgy.port, 64)
+        val tightLocal = queries.flatMap { case (qid, v) =>
+          graft.serve.LocalAnn.searchSharded(Seq(i0, i1), qid, v, 64, 5)
+            .map(h => (qid, h.neighborId, h.sim))
+        }
+        val hedgeExactEq = (exhHedged ++ tightHedged).forall(_ == 1) &&
+          bits(tight) == bits(tightLocal)
+        // a HUNG primary: accepts the connection, never answers inside
+        // the budget — bounded to 3 queries so the arm costs ~1.5 s,
+        // not a per-query wait-out of the hang
+        val stall = com.sun.net.httpserver.HttpServer.create(
+          new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+        stall.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+          Thread.sleep(30000)
+          val b = """{"results":[]}""".getBytes("UTF-8")
+          ex.sendResponseHeaders(200, b.length)
+          ex.getResponseBody.write(b); ex.close()
+        })
+        stall.start()
+        val hungOk = try {
+          val hung = graft.serve.HttpApi.start(
+            annReplicaRoutes = Seq(("hedge",
+              Seq(Seq(up0.port), Seq(stall.getAddress.getPort, up1b.port)))),
+            routeTimeoutMs = 500L)
+          try {
+            val sub = queries.take(3)
+            val (hr, hh) = routed(hung.port, exhN, sub)
+            bits(hr) == bits(exh.filter(t => sub.exists(_._1 == t._1))) &&
+              hh.forall(_ == 1)
+          } finally hung.stop()
+        } finally stall.stop(0)
+        // the WHOLE replica set down: loud 502, never a partial merge
+        val dead2 = graft.serve.HttpApi.start(annModel = Some(("hedge", i1)))
+        dead2.stop()
+        val doomed = graft.serve.HttpApi.start(annReplicaRoutes =
+          Seq(("hedge", Seq(Seq(up0.port), Seq(dead.port, dead2.port)))))
+        val loudOk = try {
+          val c = java.net.http.HttpClient.newHttpClient()
+          val r = c.send(
+            java.net.http.HttpRequest
+              .newBuilder(java.net.URI.create(
+                s"http://127.0.0.1:${doomed.port}/ann/search"))
+              .header("Content-Type", "application/json")
+              .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+                s"""{"model":"hedge","embedding":[${queries.head._2.mkString(",")}]}"""))
+              .build(),
+            java.net.http.HttpResponse.BodyHandlers.ofString())
+          r.statusCode == 502
+        } finally doomed.stop()
+        // the degraded router absorbed exactly one failover per routed
+        // request (exhaustive + tight passes), and surfaces the count
+        val statsOk = {
+          val c = java.net.http.HttpClient.newHttpClient()
+          val st = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+            c.send(java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+                s"http://127.0.0.1:${hedgy.port}/stats")).GET().build(),
+              java.net.http.HttpResponse.BodyHandlers.ofString()).body())
+          st.path("hedged_failovers").asLong == 2L * queries.size
+        }
+        exh.toDF("query_id", "neighbor_id", "sim")
+          .withColumn("healthy_no_hedge", lit(healthyNoHedge))
+          .withColumn("hedge_exact_eq", lit(hedgeExactEq))
+          .withColumn("hung_ok", lit(hungOk))
+          .withColumn("loud_ok", lit(loudOk))
+          .withColumn("stats_ok", lit(statsOk))
+          .orderBy("query_id", "neighbor_id")
+      } finally { hedgy.stop(); healthy.stop(); up0.stop(); up1a.stop(); up1b.stop() }
+    }),
+
     // MMR DIVERSIFIED RE-RANKING (round 17 — Carbonell & Goldstein
     // 1998, the diversity selector of the retrieval/curation tier):
     // per-query exact top-20 candidates greedily re-ranked to 5 picks
@@ -2690,6 +2841,31 @@ object EmbeddingQueries {
         | FROM q JOIN e ON e.vec_id <> q.query_id)
         |SELECT query_id, neighbor_id, sim, TRUE AS recall_ok,
         | TRUE AS serving_eq
+        |FROM (
+        | SELECT query_id, neighbor_id, sim,
+        |  row_number() OVER (PARTITION BY query_id
+        |   ORDER BY sim DESC, neighbor_id ASC) AS rk
+        | FROM sims)
+        |WHERE rk <= 5
+        |ORDER BY query_id, neighbor_id""".stripMargin,
+
+    // the exhaustive routed merge through the DEGRADED replica fleet
+    // (shard-1 primary dead, every request hedged to the live replica)
+    // is exact brute force over the union corpus — DuckDB replays the
+    // rows; the five failure-story flags derive in-query.
+    "q189_ann_hedged_fleet" ->
+      """WITH e AS MATERIALIZED (
+        | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        | FROM embeddings WHERE vec_id < 4000),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+        |sims AS (
+        | SELECT q.query_id, e.vec_id AS neighbor_id,
+        |  round((list_dot_product(q.qv, e.v)
+        |   / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v)))) * 1000000.0) / 1000000.0 + 0.0 AS sim
+        | FROM q JOIN e ON e.vec_id <> q.query_id)
+        |SELECT query_id, neighbor_id, sim, TRUE AS healthy_no_hedge,
+        | TRUE AS hedge_exact_eq, TRUE AS hung_ok, TRUE AS loud_ok,
+        | TRUE AS stats_ok
         |FROM (
         | SELECT query_id, neighbor_id, sim,
         |  row_number() OVER (PARTITION BY query_id

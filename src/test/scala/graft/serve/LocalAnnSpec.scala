@@ -730,4 +730,119 @@ class LocalAnnSpec extends SparkSpec {
       HttpApi.start(annRoutes = Seq(("pq", Seq(1))), routeTimeoutMs = 0L)
     }
   }
+
+  test("hedged replicas (round 20): a dead or HUNG primary fails over to " +
+    "its shard replica with answers bit-unchanged; the loud 502 fires only " +
+    "when a whole replica set is down; healthy fleets never hedge") {
+    val cb = Pq.train(corpus, "vec_id", "embedding", m = 2, k = 8)
+    val encAll = Pq.encode(corpus.select("vec_id", "embedding"), "embedding", cb)
+    val root = java.nio.file.Files.createTempDirectory("graft_lann_hedge").toString
+    ModelRegistry.registerPq(spark, root, "s0", cb,
+      Some(encAll.filter($"vec_id" % 2 === 0)))
+    ModelRegistry.registerPq(spark, root, "s1", cb,
+      Some(encAll.filter($"vec_id" % 2 === 1)))
+    val s0 = LocalAnn.load(spark, root, "s0")
+    val s1 = LocalAnn.load(spark, root, "s1")
+    // replicas of a shard serve the SAME artifact — that is the whole
+    // reason hedging cannot change an answer
+    val up0  = HttpApi.start(annModel = Some(("pq", s0)))
+    val up1a = HttpApi.start(annModel = Some(("pq", s1)))
+    val up1b = HttpApi.start(annModel = Some(("pq", s1)))
+    val qs = queries.collect().map(r =>
+      r.getLong(0) -> r.getAs[scala.collection.Seq[Float]](1).toArray).toSeq
+    val expected = qs.flatMap { case (qid, v) =>
+      LocalAnn.searchSharded(Seq(s0, s1), qid, v, 200, 5)
+        .map(h => (qid, h.neighborId, java.lang.Double.doubleToLongBits(h.sim)))
+    }
+    def routedHits(port: Int): (Seq[(Long, Long, Long)], Seq[Int]) = {
+      val os = HttpApi.annSearchAt(port,
+        qs.map { case (qid, v) => ("pq", qid, v, 200) }, topK = 5)
+      (os.flatMap { o =>
+        val rs = o.path("results")
+        (0 until rs.size()).map(i => (o.path("query_id").asLong,
+          rs.get(i).path("neighbor_id").asLong,
+          java.lang.Double.doubleToLongBits(rs.get(i).path("sim").asDouble)))
+      }, os.map(_.path("hedged").asInt))
+    }
+    try {
+      // healthy fleet: no failovers, answers == in-process sharded search
+      val healthy = HttpApi.start(annReplicaRoutes =
+        Seq(("pq", Seq(Seq(up0.port), Seq(up1a.port, up1b.port)))))
+      try {
+        val (hits, hedged) = routedHits(healthy.port)
+        assert(hits == expected)
+        assert(hedged.forall(_ == 0), s"healthy fleet hedged: $hedged")
+      } finally healthy.stop()
+      // DEAD primary on shard 1: every request hedges exactly once to
+      // the live replica — bit-identical answers, never a 502
+      val dead = HttpApi.start(annModel = Some(("pq", s1)))
+      dead.stop()
+      val hedgy = HttpApi.start(annReplicaRoutes =
+        Seq(("pq", Seq(Seq(up0.port), Seq(dead.port, up1b.port)))))
+      try {
+        val (hits, hedged) = routedHits(hedgy.port)
+        assert(hits == expected, "failover changed an answer")
+        assert(hedged.forall(_ == 1), s"expected one failover/request: $hedged")
+        // /stats counts the churn; /models shows the redundancy level
+        val st = mapper.readTree(client.send(
+          HttpRequest.newBuilder(
+              URI.create(s"http://127.0.0.1:${hedgy.port}/stats")).GET().build(),
+          HttpResponse.BodyHandlers.ofString()).body())
+        assert(st.path("hedged_failovers").asLong == qs.size.toLong)
+        val inv = mapper.readTree(client.send(
+          HttpRequest.newBuilder(
+              URI.create(s"http://127.0.0.1:${hedgy.port}/models")).GET().build(),
+          HttpResponse.BodyHandlers.ofString()).body())
+        assert(inv.path("models").path("pq").path("upstreams").asInt == 2)
+        assert(inv.path("models").path("pq").path("replicas").asInt == 3)
+      } finally hedgy.stop()
+      // HUNG primary (accepts, never answers inside budget): the
+      // per-attempt timeout trips, the replica answers, and the request
+      // completes correctly WITHOUT waiting out the hang
+      val stall = com.sun.net.httpserver.HttpServer.create(
+        new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+      stall.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+        Thread.sleep(10000)
+        val b = """{"results":[]}""".getBytes("UTF-8")
+        ex.sendResponseHeaders(200, b.length)
+        ex.getResponseBody.write(b); ex.close()
+      })
+      stall.start()
+      val hungFleet = HttpApi.start(
+        annReplicaRoutes =
+          Seq(("pq", Seq(Seq(up0.port), Seq(stall.getAddress.getPort, up1b.port)))),
+        routeTimeoutMs = 300L)
+      try {
+        val t0 = System.nanoTime()
+        val (hits, hedged) = routedHits(hungFleet.port)
+        val elapsedMs = (System.nanoTime() - t0) / 1e6
+        assert(hits == expected, "hedge-on-timeout changed an answer")
+        assert(hedged.forall(_ == 1))
+        // 12 requests x ~300 ms sequential budget, generous CI ceiling —
+        // but nowhere near 12 x 10 s (the router did NOT wait out hangs)
+        assert(elapsedMs < 30000, s"hedged requests took ${elapsedMs} ms")
+      } finally { hungFleet.stop(); stall.stop(0) }
+      // the WHOLE replica set down: loud 502, never a partial merge
+      val dead2 = HttpApi.start(annModel = Some(("pq", s1)))
+      dead2.stop()
+      val doomed = HttpApi.start(annReplicaRoutes =
+        Seq(("pq", Seq(Seq(up0.port), Seq(dead.port, dead2.port)))))
+      try {
+        val r = client.send(
+          HttpRequest.newBuilder(
+              URI.create(s"http://127.0.0.1:${doomed.port}/ann/search"))
+            .header("Content-Type", "application/json")
+            .POST(HttpRequest.BodyPublishers.ofString(
+              """{"model":"pq","embedding":[1,0,0,0]}"""))
+            .build(),
+          HttpResponse.BodyHandlers.ofString())
+        assert(r.statusCode == 502, s"got ${r.statusCode}: ${r.body}")
+      } finally doomed.stop()
+      // startup validation: an empty replica set and a self-route inside
+      // a replica set both refuse to start
+      intercept[IllegalArgumentException] {
+        HttpApi.start(annReplicaRoutes = Seq(("pq", Seq(Seq(up0.port), Seq()))))
+      }
+    } finally { up0.stop(); up1a.stop(); up1b.stop() }
+  }
 }
