@@ -2228,14 +2228,20 @@ object EmbeddingQueries {
           bits(tight) == bits(tightLocal)
         // a HUNG primary: accepts the connection, never answers inside
         // the budget — bounded to 3 queries so the arm costs ~1.5 s,
-        // not a per-query wait-out of the hang
+        // not a per-query wait-out of the hang. The hang must be a
+        // latch, NOT Thread.sleep: HttpServer.stop joins the dispatcher
+        // thread, so a sleeping handler makes TEARDOWN wait out the
+        // whole fake hang (measured +30 s/execution in the bench).
+        val release = new java.util.concurrent.CountDownLatch(1)
         val stall = com.sun.net.httpserver.HttpServer.create(
           new java.net.InetSocketAddress("127.0.0.1", 0), 0)
         stall.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
-          Thread.sleep(30000)
-          val b = """{"results":[]}""".getBytes("UTF-8")
-          ex.sendResponseHeaders(200, b.length)
-          ex.getResponseBody.write(b); ex.close()
+          release.await(30, java.util.concurrent.TimeUnit.SECONDS)
+          try {
+            val b = """{"results":[]}""".getBytes("UTF-8")
+            ex.sendResponseHeaders(200, b.length)
+            ex.getResponseBody.write(b); ex.close()
+          } catch { case _: Exception => () } // torn-down exchange
         })
         stall.start()
         val hungOk = try {
@@ -2249,7 +2255,7 @@ object EmbeddingQueries {
             bits(hr) == bits(exh.filter(t => sub.exists(_._1 == t._1))) &&
               hh.forall(_ == 1)
           } finally hung.stop()
-        } finally stall.stop(0)
+        } finally { release.countDown(); stall.stop(0) }
         // the WHOLE replica set down: loud 502, never a partial merge
         val dead2 = graft.serve.HttpApi.start(annModel = Some(("hedge", i1)))
         dead2.stop()

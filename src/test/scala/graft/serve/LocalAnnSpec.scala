@@ -670,16 +670,21 @@ class LocalAnnSpec extends SparkSpec {
     "timeout as a loud 504 within ~budget — never a partial merge; a " +
     "route listing the router's own port refuses to start") {
     // a STALLING upstream: accepts the connection, answers only after
-    // sleeping far past the router's budget (a dead upstream would fail
+    // waiting far past the router's budget (a dead upstream would fail
     // fast with connect-refused → 502; the hang is the case the timeout
-    // exists for)
+    // exists for). Latch, not Thread.sleep: HttpServer.stop joins the
+    // dispatcher thread, so a sleeping handler would make teardown wait
+    // out the whole fake hang.
+    val release = new java.util.concurrent.CountDownLatch(1)
     val stall = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", 0), 0)
     stall.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
-      Thread.sleep(10000)
-      val b = """{"results":[]}""".getBytes("UTF-8")
-      ex.sendResponseHeaders(200, b.length)
-      ex.getResponseBody.write(b); ex.close()
+      release.await(10, java.util.concurrent.TimeUnit.SECONDS)
+      try {
+        val b = """{"results":[]}""".getBytes("UTF-8")
+        ex.sendResponseHeaders(200, b.length)
+        ex.getResponseBody.write(b); ex.close()
+      } catch { case _: Exception => () } // torn-down exchange
     })
     stall.start()
     val router = HttpApi.start(
@@ -699,9 +704,9 @@ class LocalAnnSpec extends SparkSpec {
       assert(r.statusCode == 504, s"got ${r.statusCode}: ${r.body}")
       assert(mapper.readTree(r.body).path("detail").asText.contains("timed out"))
       // within ~budget: generous ceiling for CI jitter, but nowhere near
-      // the upstream's 10 s sleep (i.e. the router did NOT wait it out)
+      // the upstream's 10 s hang (i.e. the router did NOT wait it out)
       assert(elapsedMs < 5000, s"504 took ${elapsedMs} ms — budget not applied")
-    } finally { router.stop(); stall.stop(0) }
+    } finally { router.stop(); release.countDown(); stall.stop(0) }
     // self-cycle: reserve a concrete port, then route to it from itself.
     // The probe socket can take a beat to release, so retry BindException
     // (the race is the test harness's, not the contract's).
@@ -798,14 +803,19 @@ class LocalAnnSpec extends SparkSpec {
       } finally hedgy.stop()
       // HUNG primary (accepts, never answers inside budget): the
       // per-attempt timeout trips, the replica answers, and the request
-      // completes correctly WITHOUT waiting out the hang
+      // completes correctly WITHOUT waiting out the hang. Latch, not
+      // Thread.sleep — HttpServer.stop joins the dispatcher thread and
+      // a sleeping handler stalls teardown for the whole fake hang.
+      val release2 = new java.util.concurrent.CountDownLatch(1)
       val stall = com.sun.net.httpserver.HttpServer.create(
         new java.net.InetSocketAddress("127.0.0.1", 0), 0)
       stall.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
-        Thread.sleep(10000)
-        val b = """{"results":[]}""".getBytes("UTF-8")
-        ex.sendResponseHeaders(200, b.length)
-        ex.getResponseBody.write(b); ex.close()
+        release2.await(10, java.util.concurrent.TimeUnit.SECONDS)
+        try {
+          val b = """{"results":[]}""".getBytes("UTF-8")
+          ex.sendResponseHeaders(200, b.length)
+          ex.getResponseBody.write(b); ex.close()
+        } catch { case _: Exception => () } // torn-down exchange
       })
       stall.start()
       val hungFleet = HttpApi.start(
@@ -821,7 +831,7 @@ class LocalAnnSpec extends SparkSpec {
         // 12 requests x ~300 ms sequential budget, generous CI ceiling —
         // but nowhere near 12 x 10 s (the router did NOT wait out hangs)
         assert(elapsedMs < 30000, s"hedged requests took ${elapsedMs} ms")
-      } finally { hungFleet.stop(); stall.stop(0) }
+      } finally { hungFleet.stop(); release2.countDown(); stall.stop(0) }
       // the WHOLE replica set down: loud 502, never a partial merge
       val dead2 = HttpApi.start(annModel = Some(("pq", s1)))
       dead2.stop()
