@@ -17,10 +17,27 @@ divergence observable locally. Floats canonicalize via np.float64 repr
 (shortest round-trip), so two bit-identical doubles always hash equal
 and two different bit patterns never do.
 """
-import json, sys, glob, os, hashlib
+import json, sys, glob, os, hashlib, gc
 import duckdb
 import pandas as pd
 import numpy as np
+
+def release_heap():
+    """Return freed heap to the OS between queries. Per-query duckdb
+    connections are NOT enough at replica scale: glibc retains freed
+    pandas/duckdb pages in its arenas, so a long walk's RSS ratchets up
+    until some query's allocation fails — and once that happens every
+    later query dies on byte-sized allocations ("Failed to allocate
+    block of 8 bytes"), reading as a cascade of engine failures when
+    the engine output was never at fault (round-20 sf5: q164→q166
+    in-run, all green in fresh processes). malloc_trim gives the freed
+    arenas back; no-op where unavailable."""
+    gc.collect()
+    try:
+        import ctypes
+        ctypes.CDLL("libc.so.6").malloc_trim(0)
+    except Exception:
+        pass
 
 def canon_cell(v):
     """Canonical string of one cell: bit-faithful for floats."""
@@ -149,6 +166,10 @@ def main(sfdir, outdir, json_out=None, hash_mode=False,
             print(f"  [FAIL] {name}: {e}")
             results[name] = {"rows_match": False, "err": str(e)[:500]}
             n_fail += 1
+        finally:
+            # drop this query's frames before trimming, or they pin the heap
+            spark_df = duck_df = a = b = None
+            release_heap()
     print(f"\n{n_pass} pass, {n_fail} fail")
     if json_out:
         with open(json_out, "w") as f:
