@@ -760,6 +760,124 @@ object PqEncodeCodes {
   }
 }
 
+/** Native binary-quantization signature packing (round-20 optimization):
+  * sign(v·plane_b) for nBits fixed hyperplanes, packed into nBits/64
+  * long words — bit i of word w is 1 iff v·plane(w·64+i) > 0 (strictly
+  * positive, the `Embeddings.srpBucket` convention), each projection
+  * the same in-order double accumulation as [[FloatDotProduct]].
+  *
+  * The expression-tree form ([[graft.operators.Bq]] round-20 build:
+  * 256 × (float_dot over a 64-literal array) under a when-ladder)
+  * generated >64 KB of code in one method — Janino refused
+  * ("Code grows beyond 64 KB") and EVERY action on a plan containing
+  * the encode re-attempted the giant compile (failures are not
+  * cached), then fell back to interpreted evaluation: the corpus
+  * encode ran interpreted and each q188 arm re-paid the failed
+  * compile. One reference-object loop fixes both. Exact-parity
+  * contract with the replaced tree (BqSpec pins it bit-for-bit):
+  * same per-plane in-order double dot, same strict `> 0` sign, same
+  * NULL result for a null or wrong-width vector. `right` must be a
+  * FOLDABLE literal (the planes), prepared once per task. */
+case class BqPackWords(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    val leftOk = left.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    val rightOk = right.foldable && (right.dataType match {
+      case ArrayType(ArrayType(DoubleType, _), _) => true
+      case _ => false
+    })
+    if (leftOk && rightOk) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "bq_pack expects (array<float|double>, foldable array<array<double>>), " +
+        s"got (${left.dataType.simpleString}, ${right.dataType.simpleString}" +
+        s"${if (right.foldable) "" else ", non-foldable"})")
+  }
+
+  private def leftIsDouble: Boolean = left.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  @transient private lazy val state: BqPackWords.State =
+    BqPackWords.prepare(right.eval(null).asInstanceOf[ArrayData])
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = left.eval(input)
+    if (v == null) null
+    else BqPackWords.pack(v.asInstanceOf[ArrayData], state, leftIsDouble)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val st = ctx.addReferenceObj("bqPlanes", state,
+      classOf[BqPackWords.State].getName)
+    val ld = leftIsDouble
+    nullSafeCodeGen(ctx, ev, (v, _) => {
+      s"""
+         |${ev.value} = graft.functions.BqPackWords.pack($v, $st, $ld);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object BqPackWords {
+
+  /** Planes flattened row-major for the hot loop: pf(b*dim + d) =
+    * plane(b)(d). Prepared once per task from the foldable child. */
+  final case class State(nBits: Int, dim: Int, pf: Array[Double])
+
+  def prepare(outer: ArrayData): State = {
+    val nBits = outer.numElements()
+    require(nBits >= 64 && nBits % 64 == 0,
+      s"bq_pack: nBits must be a positive multiple of 64, got $nBits")
+    val dim = outer.getArray(0).numElements()
+    val pf = new Array[Double](nBits * dim)
+    var b = 0
+    while (b < nBits) {
+      val p = outer.getArray(b)
+      require(p.numElements() == dim, "bq_pack: ragged planes")
+      var d = 0
+      while (d < dim) { pf(b * dim + d) = p.getDouble(d); d += 1 }
+      b += 1
+    }
+    State(nBits, dim, pf)
+  }
+
+  /** Null for a wrong-width vector (the encode's `when(size(v) === dim)`
+    * parking contract); otherwise the packed words. */
+  def pack(v: ArrayData, st: State, leftIsDouble: Boolean): ArrayData = {
+    if (v.numElements() != st.dim) return null
+    val words = new Array[Long](st.nBits / 64)
+    var b = 0
+    while (b < st.nBits) {
+      var s = 0.0
+      val off = b * st.dim
+      var d = 0
+      if (leftIsDouble) {
+        while (d < st.dim) { s += v.getDouble(d) * st.pf(off + d); d += 1 }
+      } else {
+        while (d < st.dim) { s += v.getFloat(d).toDouble * st.pf(off + d); d += 1 }
+      }
+      if (s > 0) words(b >> 6) |= 1L << (b & 63)
+      b += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(words)
+  }
+}
+
 object NativeVector {
   val FnName = "float_dot"
   val IntersectFnName = "sorted_long_intersect"
@@ -769,6 +887,7 @@ object NativeVector {
   val BpeMergeFnName = "bpe_merge"
   val BpeApplyFnName = "bpe_apply"
   val PqEncodeFnName = "pq_encode"
+  val BqPackFnName = "bq_pack"
 
   /** Register once per session; then `dot`/`sortedIntersect` resolve to
     * the native expressions through the function registry. Arity is
@@ -805,6 +924,9 @@ object NativeVector {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       PqEncodeFnName, checked(PqEncodeFnName, 2)(
         e => PqEncodeCodes(e(0), e(1))), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      BqPackFnName, checked(BqPackFnName, 2)(
+        e => BqPackWords(e(0), e(1))), "built-in")
   }
 
   def dot(a: Column, b: Column): Column = call_function(FnName, a, b)
@@ -820,6 +942,8 @@ object NativeVector {
     call_function(BpeApplyFnName, syms, merges)
   def pqEncode(vec: Column, centers: Column): Column =
     call_function(PqEncodeFnName, vec, centers)
+  def bqPack(vec: Column, planes: Column): Column =
+    call_function(BqPackFnName, vec, planes)
 
   /** cos(a,b) from raw float arrays: dot/(‖a‖·‖b‖), every norm evaluated
     * once per row via the native dot. THE single cosine form — Embeddings

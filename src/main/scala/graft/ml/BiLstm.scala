@@ -494,10 +494,11 @@ object BiLstm {
       .repartition(1).write.mode("overwrite").parquet(s"$path/bilstm_weights")
   }
 
-  /** Load a model previously written by [[save]]. */
+  /** Load a model previously written by [[save]]. Driver-local read
+    * (round-20): no Spark job for one KiB weights row. */
   def loadModel(spark: org.apache.spark.sql.SparkSession, path: String): BiLstmModel = {
-    val r = spark.read.parquet(s"$path/bilstm_weights")
-      .select("dim", "hidden", "attDim", "params").head()
+    val r = graft.sources.DriverParquet.headRow(spark,
+      s"$path/bilstm_weights", Seq("dim", "hidden", "attDim", "params"))
     new BiLstmModel(r.getInt(0), r.getInt(1), r.getInt(2),
       r.getAs[scala.collection.Seq[Double]](3).toArray)
   }

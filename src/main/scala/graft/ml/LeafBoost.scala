@@ -944,21 +944,23 @@ object LeafBoost {
       .parquet(s"$path/leafboost_cats")
   }
 
-  /** Load a model previously written by [[save]]; bit-identical scores. */
+  /** Load a model previously written by [[save]]; bit-identical scores.
+    * Driver-local reads (round-20): the three tables are KiB-scale and
+    * the model is driver-resident — no Spark jobs. */
   def loadModel(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
-    val nodeRows = spark.read.parquet(s"$path/leafboost_nodes")
-      .select("tree", "id", "feature", "thresholdBin", "left", "right",
-        "value", "isLeaf", "isCat", "cats")
-      .collect()
+    val nodeRows = graft.sources.DriverParquet.readRows(spark,
+      s"$path/leafboost_nodes",
+      Seq("tree", "id", "feature", "thresholdBin", "left", "right",
+        "value", "isLeaf", "isCat", "cats"))
     val trees = nodeRows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (_, rs) =>
       Tree(rs.sortBy(_.getInt(1)).map(r => Node(r.getInt(2), r.getInt(3),
         r.getInt(4), r.getInt(5), r.getDouble(6), r.getBoolean(7),
         r.getBoolean(8), r.getLong(9))).toIndexedSeq)
     }.toIndexedSeq
-    val meta = spark.read.parquet(s"$path/leafboost_meta")
-      .select("features", "bestRound", "valLoss", "edges").head()
-    val catRows = spark.read.parquet(s"$path/leafboost_cats")
-      .select("feature", "key", "code").collect()
+    val meta = graft.sources.DriverParquet.headRow(spark,
+      s"$path/leafboost_meta", Seq("features", "bestRound", "valLoss", "edges"))
+    val catRows = graft.sources.DriverParquet.readRows(spark,
+      s"$path/leafboost_cats", Seq("feature", "key", "code"))
     val catDicts = catRows.groupBy(_.getInt(0)).map { case (f, rs) =>
       f -> rs.map(r => r.getString(1) -> r.getInt(2)).toMap
     }

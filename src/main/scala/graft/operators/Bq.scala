@@ -55,34 +55,42 @@ object Bq {
     Quantizer(Array.fill(nBits)(Array.fill(dim)(rnd.nextDouble() - 0.5)), seed)
   }
 
-  /** The packed-signature expression for one 64-bit word: bit i of
+  /** Append `bq_codes` (array<long>, nWords packed words): bit i of
     * word w is sign(dot(v, plane(w·64+i))) — [[NativeVector.dot]]'s
     * in-order double accumulation, strictly-positive convention
-    * (`Embeddings.srpBucket` verbatim), summed into the word. */
-  private def wordCol(v: Column, q: Quantizer, w: Int): Column =
-    (0 until 64).map { i =>
-      val p = q.planes(w * 64 + i)
-      val proj = NativeVector.dot(v, array(p.map(lit): _*))
-      when(proj > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-
-  /** Append `bq_codes` (array<long>, nWords packed words). Rows of the
-    * wrong width park as null codes (never ranked — the [[Pq.encode]]
-    * convention). Map-side only: at 100 TB this is one codegen'd scan,
-    * no shuffle. */
+    * (`Embeddings.srpBucket` verbatim). Rows of the wrong width park
+    * as null codes (never ranked — the [[Pq.encode]] convention).
+    * Map-side only: at 100 TB this is one codegen'd scan, no shuffle.
+    *
+    * Round-20 optimization: the packing runs as ONE native expression
+    * ([[NativeVector.bqPack]], the pq_encode doctrine) instead of the
+    * round-20-build tree of 256 float_dots under a when-ladder — that
+    * tree exceeded Janino's 64 KB method limit, so every action
+    * re-attempted (and re-failed) the giant compile and the scan ran
+    * INTERPRETED. Bit-identical by BqSpec's expression-parity test. */
   def encode(df: DataFrame, vec: String, q: Quantizer): DataFrame = {
     NativeVector.register(df.sparkSession)
-    val v = col(vec)
-    df.withColumn("bq_codes",
-      when(size(v) === q.dim,
-        array((0 until q.nWords).map(wordCol(v, q, _)): _*)))
+    df.withColumn("bq_codes", NativeVector.bqPack(col(vec),
+      typedlit(q.planes.map(_.toSeq).toSeq)))
   }
 
   /** Hamming distance between two packed signatures:
-    * Σ_w popcount(a_w XOR b_w) — all codegen'd builtins. */
+    * Σ_w popcount(a_w XOR b_w). Generic (unknown word count) form —
+    * the higher-order functions evaluate INTERPRETED per row, so the
+    * hot scan uses [[hammingColUnrolled]] (round-20). */
   def hammingCol(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))),
       lit(0), (acc, x) => acc + x.cast("int"))
+
+  /** The same integer arithmetic unrolled over a KNOWN word count:
+    * element_at/xor/bit_count are all whole-stage-codegen builtins,
+    * where aggregate(zip_with(...)) allocates and interprets lambdas
+    * per row (guide §4: no non-codegen expressions in the hot path).
+    * Identical results — integer ops, no accumulation-order issue. */
+  private def hammingColUnrolled(a: Column, b: Column, nWords: Int): Column =
+    (1 to nWords).map(w =>
+      bit_count(element_at(a, w).bitwiseXOR(element_at(b, w))).cast("int"))
+      .reduce(_ + _)
 
   /** Hamming-scan shortlist + EXACT re-rank (the [[Sq.searchReranked]]
     * deployment contract on binary codes): queries encode map-side
@@ -112,9 +120,43 @@ object Bq {
       else paired
     // negate: BoundedTopK keeps maxima; (-ham desc, id asc) == (ham asc, id asc)
     val scored = scoredAll.withColumn("__approx",
-      -hammingCol(col("__qcodes"), col("bq_codes")).cast("double"))
+      -hammingColUnrolled(col("__qcodes"), col("bq_codes"), q.nWords).cast("double"))
     val cands = BoundedTopK.shortlist(scored, "query_id", "__approx",
       "neighbor_id", shortlist)
+    Pq.rerank(cands, encoded, id, vec, queries, qid, qvec, topK)
+  }
+
+  /** [[searchReranked]] at a provably-exhaustive shortlist, minus the
+    * dead selection scan (round-20 optimization, guide §1.2 "don't
+    * compute things you throw away"): when `shortlist ≥` the candidate
+    * count, the Hamming ordering selects EVERYTHING regardless of its
+    * values — the scan and the k-sized shortlist buffers contribute
+    * nothing to the result (the exact re-rank re-scores every selected
+    * pair by true cosine anyway), so this feeds all (query, candidate)
+    * pairs straight to the re-rank. Same parked-row contract: null
+    * codes never rank, wrong-width queries drop (the encode's parking,
+    * expressed directly on the vector width). Results are bit-identical
+    * to `searchReranked(..., shortlist = corpus size)` — BqSpec pins
+    * it — and the exhaustive arm stays what it claims to be: brute
+    * force over the survivors. Callers must pass shortlist-intent
+    * honestly: this is only the identity when nothing would be cut. */
+  def searchExhaustive(encoded: DataFrame, id: String, vec: String,
+                       q: Quantizer, queries: DataFrame,
+                       qid: String, qvec: String, topK: Int,
+                       dropSelf: Boolean = false): DataFrame = {
+    NativeVector.register(encoded.sparkSession)
+    val corpus = encoded
+      .select(col(id).as("neighbor_id"), col("bq_codes"))
+      .filter(col("bq_codes").isNotNull)
+      .select("neighbor_id")
+    val qv = broadcast(
+      queries.select(col(qid).cast("long").as("query_id"), col(qvec).as("__qv"))
+        .filter(size(col("__qv")) === q.dim)
+        .select("query_id"))
+    val paired = corpus.crossJoin(qv)
+    val cands =
+      if (dropSelf) paired.filter(col("neighbor_id") =!= col("query_id"))
+      else paired
     Pq.rerank(cands, encoded, id, vec, queries, qid, qvec, topK)
   }
 
@@ -128,10 +170,11 @@ object Bq {
       .repartition(1).write.mode("overwrite").parquet(s"$path/bq_meta")
   }
 
-  /** Load planes written by [[save]]; bit-identical encode/search. */
+  /** Load planes written by [[save]]; bit-identical encode/search.
+    * Driver-local read (round-20): no Spark job for a KiB meta table. */
   def load(spark: SparkSession, path: String): Quantizer = {
-    val rows = spark.read.parquet(s"$path/bq_meta")
-      .select("bit", "plane", "seed").collect().sortBy(_.getInt(0))
+    val rows = graft.sources.DriverParquet.readRows(spark,
+      s"$path/bq_meta", Seq("bit", "plane", "seed")).sortBy(_.getInt(0))
     require(rows.nonEmpty, s"no bq_meta table at $path")
     Quantizer(
       rows.map(_.getAs[scala.collection.Seq[Double]](1).toArray),

@@ -483,12 +483,19 @@ object Hnsw {
     * (the serving node's startup read; the shard filter prunes to one
     * partition directory). */
   def loadShard(spark: SparkSession, path: String, shard: Long): Graph = {
-    val meta = spark.read.parquet(s"$path/hnsw_shard_meta")
-      .select("m", "ef_construction", "seed", "heuristic").head()
-    val rows = spark.read.parquet(s"$path/hnsw_shard_nodes")
-      .filter(col("shard") === shard)
-      .select("id", "vec", "level", "links", "entry_id", "max_level")
-      .collect().sortBy(_.getLong(0))
+    // driver-local reads (round-20): the serving node's startup read
+    // must not pay Spark jobs; the shard filter stays a partition-
+    // directory prune, now literally a path
+    val meta = graft.sources.DriverParquet.headRow(spark,
+      s"$path/hnsw_shard_meta", Seq("m", "ef_construction", "seed", "heuristic"))
+    val shardDir = s"$path/hnsw_shard_nodes/shard=$shard"
+    val fs = new org.apache.hadoop.fs.Path(shardDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(shardDir)),
+      s"no shard $shard under $path")
+    val rows = graft.sources.DriverParquet.readRows(spark, shardDir,
+        Seq("id", "vec", "level", "links", "entry_id", "max_level"))
+      .sortBy(_.getLong(0))
     require(rows.nonEmpty, s"no shard $shard under $path")
     val ids = rows.map(_.getLong(0))
     val ix = ids.zipWithIndex.toMap
@@ -538,15 +545,19 @@ object Hnsw {
     * AnalysisException) — absent column defaults to false, which IS
     * those artifacts' build mode, so old graphs reload bit-identically. */
   def load(spark: SparkSession, path: String): Graph = {
-    val metaDf = spark.read.parquet(s"$path/hnsw_meta")
-    val withHeur =
-      if (metaDf.columns.contains("heuristic")) metaDf
-      else metaDf.withColumn("heuristic", lit(false))
-    val meta = withHeur
-      .select("m", "ef_construction", "seed", "entry_id", "max_level",
-        "heuristic").head()
-    val rows = spark.read.parquet(s"$path/hnsw_nodes")
-      .select("id", "vec", "level", "links").collect()
+    // driver-local reads (round-20): a graph reload ran 4+ Spark jobs
+    // (meta schema, meta head, nodes read, collect) for an artifact the
+    // driver holds in memory anyway; DriverParquetSpec pins value
+    // bit-equality vs the Spark read
+    val metaCols = graft.sources.DriverParquet
+      .columnNames(spark, s"$path/hnsw_meta")
+    val hasHeur = metaCols.contains("heuristic")
+    val meta = graft.sources.DriverParquet.headRow(spark, s"$path/hnsw_meta",
+      Seq("m", "ef_construction", "seed", "entry_id", "max_level") ++
+        (if (hasHeur) Seq("heuristic") else Nil))
+    val heuristic = if (hasHeur) meta.getBoolean(5) else false
+    val rows = graft.sources.DriverParquet.readRows(spark, s"$path/hnsw_nodes",
+        Seq("id", "vec", "level", "links"))
       .sortBy(_.getLong(0))
     val ids = rows.map(_.getLong(0))
     val ix = ids.zipWithIndex.toMap
@@ -555,6 +566,6 @@ object Hnsw {
     val links = rows.map(_.getAs[scala.collection.Seq[scala.collection.Seq[Long]]](3)
       .map(_.map(ix(_)).toArray).toArray)
     Graph(ids, vecs, levels, links, ix(meta.getLong(3)), meta.getInt(4),
-      meta.getInt(0), meta.getInt(1), meta.getLong(2), meta.getBoolean(5))
+      meta.getInt(0), meta.getInt(1), meta.getLong(2), heuristic)
   }
 }

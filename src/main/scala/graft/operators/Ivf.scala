@@ -369,6 +369,38 @@ object Ivf {
       meta.getString(0), meta.getString(1))
   }
 
+  /** DRIVER-LOCAL twin of [[load]] for serving nodes (round-20
+    * optimization): the same files with the same union-of-committed-
+    * shards semantics, read without Spark jobs — `LocalAnn.load`
+    * collected the loaded DataFrames to driver arrays anyway, paying
+    * plan+schedule orchestration per tiny table. Returns
+    * (idCol, vecCol, centroid rows, assigned rows, assigned schema). */
+  def loadLocal(spark: org.apache.spark.sql.SparkSession, path: String):
+      (String, String, Array[org.apache.spark.sql.Row],
+        Array[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType) = {
+    val meta = graft.sources.DriverParquet.headRow(spark,
+      s"$path/ivf_meta", Seq("idCol", "vecCol"))
+    val shardsDir = new org.apache.hadoop.fs.Path(s"$path/ivf_shards")
+    val fs = shardsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // union only COMMITTED batch=* shard directories — [[load]]'s
+    // crash-residue contract verbatim
+    val shardPaths =
+      if (fs.exists(shardsDir))
+        fs.listStatus(shardsDir).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+          .sortBy(_.getPath.getName)
+          .map(_.getPath.toString)
+      else Seq.empty
+    val assigned = graft.sources.DriverParquet
+      .readRows(spark, s"$path/ivf_assigned") ++
+      shardPaths.flatMap(graft.sources.DriverParquet.readRows(spark, _))
+    (meta.getString(0), meta.getString(1),
+      graft.sources.DriverParquet.readRows(spark, s"$path/ivf_centroids",
+        Seq("centroid_id", "cvec")),
+      assigned,
+      graft.sources.DriverParquet.schemaOf(spark, s"$path/ivf_assigned"))
+  }
+
   /** Probe the nProbe nearest lists per query (broadcast centroid
     * scoring), then exact cosine top-k inside the probed lists only.
     * Probe ranking uses raw dots — ‖q‖ is constant within a query

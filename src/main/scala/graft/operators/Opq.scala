@@ -475,9 +475,9 @@ object Opq {
   /** Load a rotation previously written by [[save]] — rotations with a
     * reloaded model are bit-identical to the fresh fit's (OpqSpec). */
   def load(spark: org.apache.spark.sql.SparkSession, path: String): Rotation = {
-    val rows = spark.read.parquet(s"$path/opq_rotation")
-      .select("out_dim", "eigen_rank", "eigenvalue", "row")
-      .collect()
+    // driver-local read (round-20): no Spark job for a KiB rotation table
+    val rows = graft.sources.DriverParquet.readRows(spark,
+        s"$path/opq_rotation", Seq("out_dim", "eigen_rank", "eigenvalue", "row"))
       .sortBy(_.getInt(0))
     require(rows.nonEmpty, s"no opq_rotation table under $path")
     Rotation(rows.length,

@@ -347,12 +347,15 @@ object Pq {
   }
 
   /** Load codebooks previously written by [[save]]; bit-identical
-    * encode/ADC/search behavior. */
+    * encode/ADC/search behavior. Reads DRIVER-LOCALLY (round-20
+    * optimization — the serving-load path must not pay a Spark job per
+    * KiB table; DriverParquetSpec pins bit-equality vs the Spark read). */
   def load(spark: org.apache.spark.sql.SparkSession, path: String): Codebooks = {
-    val meta = spark.read.parquet(s"$path/pq_meta").select("m", "k", "dim").head()
+    val meta = graft.sources.DriverParquet
+      .headRow(spark, s"$path/pq_meta", Seq("m", "k", "dim"))
     val (m, k, dim) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
-    val rows = spark.read.parquet(s"$path/pq_codebooks")
-      .select("subspace", "center_id", "center").collect()
+    val rows = graft.sources.DriverParquet.readRows(spark,
+      s"$path/pq_codebooks", Seq("subspace", "center_id", "center"))
     val bySub = rows.groupBy(_.getInt(0))
     val centers = Array.tabulate(m) { j =>
       bySub.getOrElse(j, throw new IllegalStateException(

@@ -272,10 +272,11 @@ object Sq {
       .repartition(1).write.mode("overwrite").parquet(s"$path/sq_meta")
   }
 
-  /** Load ranges written by [[save]]; bit-identical encode/search. */
+  /** Load ranges written by [[save]]; bit-identical encode/search.
+    * Driver-local read (round-20): no Spark job for a KiB meta table. */
   def load(spark: SparkSession, path: String): Quantizer = {
-    val rows = spark.read.parquet(s"$path/sq_meta")
-      .select("dim", "mn", "mx").collect().sortBy(_.getInt(0))
+    val rows = graft.sources.DriverParquet.readRows(spark,
+      s"$path/sq_meta", Seq("dim", "mn", "mx")).sortBy(_.getInt(0))
     require(rows.nonEmpty, s"no sq_meta table at $path")
     Quantizer(rows.map(_.getFloat(1)), rows.map(_.getFloat(2)))
   }

@@ -667,6 +667,15 @@ object EmbeddingQueries {
             qr, "vec_id", "embedding", shortlist = 50, topK = 5, dropSelf = true)
           .select(col("query_id"), col("neighbor_id"), lit(1).as(mark))
       }
+      // round-20 optimization NEGATIVE RESULT (kept serial on purpose):
+      // overlapping the three arms' driver-side training on a 3-thread
+      // pool (guide §2.6) measured 11.6 s vs 10.5 s serial (isolated
+      // clean-JVM k=3 A/B) — the arms' Spark stages already overlap
+      // inside the one sink action, the trains' own 8-way subspace
+      // parallelism saturates the memory bus, and extra concurrency
+      // only added contention. The experiment is recorded in
+      // OPTIMIZATION_r20.md; the cost of this query IS the experiment
+      // (three PQ trainings + NP alternation — r17 adjudication).
       val rawHit = hitsOf(None, "raw_h")
       val rotP = graft.operators.Opq.trainRotation(e, "embedding", dim = 64, m = 8)
       val pHit = hitsOf(Some(rotP), "p_h")
@@ -2112,7 +2121,15 @@ object EmbeddingQueries {
         "vec_id", "embedding", q, qdf, "vec_id", "embedding",
         shortlist, topK = 5, dropSelf = true)
       val idx = graft.serve.LocalAnn.load(s, root, "bq")
-      val exh = arm(idx.size).persist()
+      // the exhaustive arm rides the searchReranked(shortlist = corpus
+      // size) identity minus its dead selection scan (round-20, the
+      // operator's searchExhaustive doc): selecting ALL candidates
+      // makes the Hamming values irrelevant to THIS arm, so nothing
+      // about the gate weakens — Hamming arithmetic stays gated by the
+      // tight arm's recall floor and by serving_eq at both budgets.
+      val exh = graft.operators.Bq.searchExhaustive(codes,
+        "vec_id", "embedding", q, qdf, "vec_id", "embedding",
+        topK = 5, dropSelf = true).persist()
       try {
         val tight = arm(128)
         val recallOk = exh.join(tight, Seq("query_id", "neighbor_id"),

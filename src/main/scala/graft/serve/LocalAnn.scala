@@ -127,30 +127,42 @@ object LocalAnn {
     * columns fail at load with registry context. */
   def load(spark: SparkSession, root: String, name: String,
            version: Long = -1L, attrCols: Seq[String] = Nil): Index = {
+    // every artifact table reads DRIVER-LOCALLY (round-20 optimization):
+    // a serving node's load is once-per-deployment work over KiB-MB
+    // parquet the node holds in memory anyway, and the old
+    // spark.read+collect path paid a full Spark job's plan+schedule
+    // orchestration per table (8-10 jobs, ~1.2 s per load; measured
+    // ~5.8 s of q181's ~7 s). Same files, bit-identical arrays
+    // (DriverParquetSpec pins it against the Spark reads).
     val family = ModelRegistry.kindOf(spark, root, name, version)
+    def codesTable(codesCol: String) = {
+      val path = s"${ModelRegistry.artifactPathOf(spark, root, name, version)}/pq_codes"
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      require(fs.exists(new org.apache.hadoop.fs.Path(path)),
+        s"registered '$name' has no codes table " +
+          "- register with codes to make the artifact serveable")
+      loadCodesTable(graft.sources.DriverParquet.schemaOf(spark, path),
+        graft.sources.DriverParquet.readRows(spark, path),
+        codesCol, attrCols, name)
+    }
     val base = family match {
       case "opq" | "pq" =>
         val rot =
           if (family == "opq") Some(ModelRegistry.loadOpq(spark, root, name, version).rows)
           else None
         val cb = ModelRegistry.loadPq(spark, root, name, version)
-        val (ids, vecs, codes, attrs) = loadCodesTable(
-          ModelRegistry.loadPqCodes(spark, root, name, version),
-          "codes", attrCols, name)
+        val (ids, vecs, codes, attrs) = codesTable("codes")
         Index(name, family, rot, Some(cb), ids, vecs, narrow(codes),
           Array.empty, Array.empty, attrs)
       case "sq8" =>
         val q = ModelRegistry.loadSq(spark, root, name, version)
-        val (ids, vecs, codes, attrs) = loadCodesTable(
-          ModelRegistry.loadPqCodes(spark, root, name, version),
-          "sq_codes", attrCols, name)
+        val (ids, vecs, codes, attrs) = codesTable("sq_codes")
         Index(name, family, None, None, ids, vecs, narrow(codes),
           Array.empty, Array.empty, attrs, Some(q))
       case "bq" =>
         val q = ModelRegistry.loadBq(spark, root, name, version)
-        val (ids, vecs, codes, attrs) = loadCodesTable(
-          ModelRegistry.loadPqCodes(spark, root, name, version),
-          "bq_codes", attrCols, name)
+        val (ids, vecs, codes, attrs) = codesTable("bq_codes")
         Index(name, family, None, None, ids, vecs, Array.empty,
           Array.empty, Array.empty, attrs, bq = Some(q), lcodes = codes)
       case "hnsw" =>
@@ -161,17 +173,20 @@ object LocalAnn {
         val attrs =
           if (attrCols.isEmpty) Map.empty[String, Array[Long]]
           else {
-            val nodes = ModelRegistry.loadHnswNodes(spark, root, name, version)
-            val rows = nodes.collect().sortBy(_.getLong(nodes.schema.fieldIndex("id")))
-            readAttrs(rows, nodes.schema, attrCols, name)
+            val nodesPath =
+              s"${ModelRegistry.artifactPathOf(spark, root, name, version)}/hnsw_nodes"
+            val schema = graft.sources.DriverParquet.schemaOf(spark, nodesPath)
+            val rows = graft.sources.DriverParquet.readRows(spark, nodesPath)
+              .sortBy(_.getLong(schema.fieldIndex("id")))
+            readAttrs(rows, schema, attrCols, name)
           }
         Index(name, family, None, None, g.ids, g.vecs, Array.empty,
           Array.empty, Array.empty, attrs, None, Some(g))
       case "ivf" =>
-        val idx = ModelRegistry.loadIvf(spark, root, name, version)
-        val cents = idx.centroids.orderBy("centroid_id").collect()
+        val (idCol, vecCol, centRows, rows, schema) = graft.operators.Ivf
+          .loadLocal(spark, ModelRegistry.artifactPathOf(spark, root, name, version))
+        val cents = centRows.sortBy(_.getInt(0))
           .map(_.getAs[scala.collection.Seq[Float]]("cvec").toArray)
-        val rows = idx.assigned.collect()
         val n = rows.length
         val ids = new Array[Long](n)
         val vecs = new Array[Array[Float]](n)
@@ -179,13 +194,13 @@ object LocalAnn {
         var i = 0
         while (i < n) {
           val r = rows(i)
-          ids(i) = r.getLong(r.schema.fieldIndex(idx.idCol))
-          vecs(i) = r.getAs[scala.collection.Seq[Float]](r.schema.fieldIndex(idx.vecCol)).toArray
+          ids(i) = r.getLong(r.schema.fieldIndex(idCol))
+          vecs(i) = r.getAs[scala.collection.Seq[Float]](r.schema.fieldIndex(vecCol)).toArray
           cellOf(i) = r.getInt(r.schema.fieldIndex("centroid_id"))
           i += 1
         }
         Index(name, family, None, None, ids, vecs, Array.empty, cents, cellOf,
-          readAttrs(rows, idx.assigned.schema, attrCols, name))
+          readAttrs(rows, schema, attrCols, name))
       case other => throw new IllegalArgumentException(
         s"registered '$name' is family '$other' - not a serveable ANN artifact")
     }
@@ -216,11 +231,11 @@ object LocalAnn {
     * codes and declared attr columns — ambiguity fails loudly with the
     * registry context instead of silently reranking against the wrong
     * column. Rows with null codes park (never ranked). */
-  private def loadCodesTable(codesDf: org.apache.spark.sql.DataFrame,
+  private def loadCodesTable(schema: org.apache.spark.sql.types.StructType,
+                             rows: Array[org.apache.spark.sql.Row],
                              codesCol: String, attrCols: Seq[String],
                              name: String):
       (Array[Long], Array[Array[Float]], Array[Array[Long]], Map[String, Array[Long]]) = {
-    val schema = codesDf.schema
     require(schema.fieldNames.contains(codesCol),
       s"registered '$name' codes table has no `$codesCol` column " +
         s"(columns: ${schema.fieldNames.mkString(", ")})")
@@ -244,7 +259,6 @@ object LocalAnn {
         case _ => false
       }
     }
-    val rows = codesDf.collect()
     require(rows.nonEmpty, s"registered '$name' has no codes table " +
       "- register with codes to make the artifact serveable")
     val codeIx = schema.fieldIndex(codesCol)

@@ -61,10 +61,36 @@ object ModelRegistry {
           "(corrupt table or storage error) - repair or remove it", e)
     }
 
+  /** (name, version, metric) of every metadata row, tombstones
+    * included, read DRIVER-LOCALLY (round-20 optimization): version
+    * resolution runs before every artifact read — 3-5 times per
+    * `LocalAnn.load` — and each resolution was a full Spark job over a
+    * KiB-scale table (~0.2 s of orchestration for a ~5 ms read). Same
+    * missing-table/corrupt-table contract as [[listRaw]]. */
+  private def metaRaw(spark: SparkSession, root: String): Array[(String, Long, String)] = {
+    val p = new org.apache.hadoop.fs.Path(metaPath(root))
+    val exists =
+      try p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+      catch { case e: Exception => throw new IllegalStateException(
+        s"model registry metadata at ${metaPath(root)} is unreadable " +
+          "(corrupt table or storage error) - repair or remove it", e) }
+    if (!exists) Array.empty
+    else try graft.sources.DriverParquet
+      .readRows(spark, metaPath(root), Seq("name", "version", "metric"))
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    catch { case e: Exception => throw new IllegalStateException(
+      s"model registry metadata at ${metaPath(root)} is unreadable " +
+        "(corrupt table or storage error) - repair or remove it", e) }
+  }
+
   /** Latest registered version per model name (0 when absent). */
-  def latestVersion(spark: SparkSession, root: String, name: String): Long =
-    list(spark, root).filter(col("name") === name)
-      .agg(coalesce(max("version"), lit(0L))).first().getLong(0)
+  def latestVersion(spark: SparkSession, root: String, name: String): Long = {
+    val rows = metaRaw(spark, root)
+    val tomb = rows.collect { case (n, v, m) if m == Tombstone => (n, v) }.toSet
+    rows.iterator
+      .filter { case (n, v, _) => n == name && !tomb((n, v)) }
+      .map(_._2).foldLeft(0L)(math.max)
+  }
 
   /** Shared register core: claim the next version, run the artifact
     * `write` against the claimed path, THEN append metadata — so a
@@ -79,8 +105,8 @@ object ModelRegistry {
     // claim over the RAW table (tombstones included): re-using a pruned
     // version number would put live rows behind that version's
     // tombstone and hide the new artifact from every reader
-    val v = listRaw(spark, root).filter(col("name") === name)
-      .agg(coalesce(max("version"), lit(0L))).first().getLong(0) + 1
+    val v = metaRaw(spark, root).iterator
+      .filter(_._1 == name).map(_._2).foldLeft(0L)(math.max) + 1
     val path = s"$root/$name/v$v"
     write(path)
     import spark.implicits._
@@ -195,6 +221,13 @@ object ModelRegistry {
     require(v > 0, s"no registered model named '$name' under $root")
     s"$root/$name/v$v"
   }
+
+  /** The resolved on-disk directory of a registered version — the
+    * serving loader ([[graft.serve.LocalAnn.load]]) reads artifact
+    * tables driver-locally from it (round-20). */
+  private[serve] def artifactPathOf(spark: SparkSession, root: String,
+                                    name: String, version: Long = -1L): String =
+    artifactPath(spark, root, name, version)
 
   /** Which family a registered artifact belongs to, from its on-disk
     * layout: "leafboost" ($path/leafboost_nodes), "bilstm"
@@ -343,8 +376,8 @@ object ModelRegistry {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(path)
     if (!p.getFileSystem(conf).exists(p)) Set.empty
-    else spark.read.parquet(path).select("id").distinct()
-      .collect().map(_.getLong(0)).toSet
+    else graft.sources.DriverParquet.readRows(spark, path, Seq("id"))
+      .map(_.getLong(0)).toSet
   }
 
   /** The BATCH-path twin of LocalAnn's serving-time mask: filter a

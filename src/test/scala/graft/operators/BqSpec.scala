@@ -57,6 +57,38 @@ class BqSpec extends SparkSpec {
     assert(parked.filter($"vec_id" === 999L).head().isNullAt(2))
   }
 
+  test("round-20 native bq_pack equals the replaced expression tree " +
+    "bit-for-bit; searchExhaustive equals searchReranked at corpus size") {
+    val q = Bq.train(dim = 8, nBits = 128)
+    graft.functions.NativeVector.register(spark)
+    // the round-20-BUILD expression form, reconstructed verbatim: per
+    // word, 64 float_dots against literal planes under a when-ladder
+    def wordCol(v: org.apache.spark.sql.Column, w: Int) =
+      (0 until 64).map { i =>
+        val p = q.planes(w * 64 + i)
+        val proj = graft.functions.NativeVector.dot(v, array(p.map(lit): _*))
+        when(proj > 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val v = $"embedding"
+    val mixed = corpus.unionByName(
+      Seq((999L, Array(1.0f))).toDF("vec_id", "embedding")) // parks
+    val oldForm = mixed.select($"vec_id",
+      when(size(v) === q.dim,
+        array((0 until q.nWords).map(wordCol(v, _)): _*)).as("bq_codes"))
+    val native = Bq.encode(mixed.select("vec_id", "embedding"), "embedding", q)
+      .select("vec_id", "bq_codes")
+    assert(native.except(oldForm).isEmpty && oldForm.except(native).isEmpty,
+      "native bq_pack diverged from the expression tree it replaced")
+    // exhaustive fast path: identical rows to the shortlist-at-corpus-size arm
+    val enc = Bq.encode(corpus.select("vec_id", "embedding"), "embedding", q)
+    val viaShortlist = rows(Bq.searchReranked(enc, "vec_id", "embedding", q,
+      queries, "vec_id", "embedding", shortlist = 160, topK = 5, dropSelf = true))
+    val viaExhaustive = rows(Bq.searchExhaustive(enc, "vec_id", "embedding", q,
+      queries, "vec_id", "embedding", topK = 5, dropSelf = true))
+    assert(viaExhaustive == viaShortlist,
+      "searchExhaustive must be the searchReranked(shortlist >= corpus) identity")
+  }
+
   test("registry round trip: reloaded planes search bit-identically; " +
     "LocalAnn serving arm mirrors the Spark arm at both budgets") {
     val q = Bq.train(dim = 8, nBits = 128)
