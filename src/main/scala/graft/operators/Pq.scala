@@ -514,6 +514,44 @@ object Pq {
       adcSearch(encoded, id, cb, queries, qid, qvec, shortlist, dropSelf),
       encoded, id, vec, queries, qid, qvec, topK)
 
+  /** [[searchReranked]] at a provably-exhaustive shortlist, minus the
+    * dead ADC scan (round-20 optimization — the [[Bq.searchExhaustive]]
+    * identity applied to the PQ tier): with shortlist ≥ candidate
+    * count the ADC ordering selects everything, so the per-pair table
+    * lookups and the rank compute nothing the exact re-rank doesn't
+    * redo. The candidate set is replicated verbatim: unparked rows
+    * (non-null codes — PQ does NOT park zero-norm vectors, see the
+    * contract note above [[searchReranked]]) × queries, minus self
+    * pairs. Bit-identical by PqSpec. Callers must pass
+    * shortlist-intent honestly: this is only the identity when
+    * nothing would be cut. */
+  def searchExhaustive(encoded: DataFrame, id: String, vec: String,
+                       queries: DataFrame, qid: String, qvec: String,
+                       topK: Int, dropSelf: Boolean = false): DataFrame = {
+    val corpus = materializedCodes(encoded, Seq(id, "codes"))
+      .filter(!parked)
+      .select(col(id).as("neighbor_id"))
+    val qv = broadcast(
+      queries.select(col(qid).cast("long").as("query_id")))
+    val paired = corpus.crossJoin(qv)
+    val cands =
+      if (dropSelf) paired.filter(col("neighbor_id") =!= col("query_id"))
+      else paired
+    rerank(cands, encoded, id, vec, queries, qid, qvec, topK)
+  }
+
+  /** The filtered twin of [[searchExhaustive]] —
+    * [[searchRerankedFiltered]]'s pre-filter composition at exhaustive
+    * breadth: true top-k of the filtered corpus, computed as exact
+    * re-rank over every surviving candidate. */
+  def searchExhaustiveFiltered(encoded: DataFrame,
+                               pred: org.apache.spark.sql.Column,
+                               id: String, vec: String,
+                               queries: DataFrame, qid: String, qvec: String,
+                               topK: Int, dropSelf: Boolean = false): DataFrame =
+    searchExhaustive(encoded.filter(pred), id, vec, queries, qid, qvec,
+      topK, dropSelf)
+
   /** Attribute-FILTERED ANN search (round 17 — the FAISS-IDSelector /
     * vector-DB metadata-filter semantics, `LocalAnn.search(allow=...)`'s
     * batch twin): top-k of the corpus rows satisfying `pred`, found by

@@ -146,6 +146,76 @@ object Sq {
     } finally { corpus.unpersist(); () }
   }
 
+  /** [[searchReranked]] at a provably-exhaustive shortlist, minus the
+    * dead selection scan (round-20 optimization, the
+    * [[Bq.searchExhaustive]] identity): when shortlist ≥ candidate
+    * count the approx ordering selects everything, so the per-pair
+    * decode-cosine and the k-sized shortlist buffers contribute
+    * nothing — the exact re-rank re-scores every pair anyway. The ONE
+    * live effect of the approx scan at exhaustive breadth is its
+    * NULL-approx exclusion (cosine is null iff √(q·q)·√(dec·dec) ≯ 0 —
+    * zero-norm or non-finite rows), replicated verbatim as a staged
+    * per-row norm + a per-pair product test: IEEE multiplication is
+    * commutative, so the kept set is bit-identical (SqSpec pins it).
+    * Callers must pass shortlist-intent honestly: this is only the
+    * identity when nothing would be cut. */
+  def searchExhaustive(encoded: DataFrame, id: String, vec: String,
+                       q: Quantizer, queries: DataFrame,
+                       qid: String, qvec: String, topK: Int,
+                       dropSelf: Boolean = false): DataFrame = {
+    NativeVector.register(encoded.sparkSession)
+    val corpus = encoded
+      .select(col(id).as("neighbor_id"), decodeCol(col("sq_codes"), q).as("__dec"))
+      .filter(col("__dec").isNotNull)
+      .select(col("neighbor_id"),
+        sqrt(NativeVector.dot(col("__dec"), col("__dec"))).as("__cn"))
+    val qv = broadcast(
+      queries.select(col(qid).cast("long").as("query_id"), col(qvec).as("__qv"))
+        .select(col("query_id"),
+          sqrt(NativeVector.dot(col("__qv"), col("__qv"))).as("__qn")))
+    val paired = corpus.crossJoin(qv)
+    val kept = (if (dropSelf) paired.filter(col("neighbor_id") =!= col("query_id"))
+                else paired)
+      .filter(col("__qn") * col("__cn") > 0)
+      .select("query_id", "neighbor_id")
+    Pq.rerank(kept, encoded, id, vec, queries, qid, qvec, topK)
+  }
+
+  /** [[ivfSearchReranked]] at a provably-exhaustive shortlist — the
+    * same dead-scan elision as [[searchExhaustive]], with the probe
+    * selection (raw dot desc, centroid_id asc) kept verbatim: the
+    * candidate set stays exactly the probed cells' members surviving
+    * the null-approx exclusion. */
+  def ivfSearchExhaustive(index: Ivf.Index, q: Quantizer, encoded: DataFrame,
+                          queries: DataFrame, qid: String, qvec: String,
+                          nProbe: Int, topK: Int,
+                          dropSelf: Boolean = false): DataFrame = {
+    NativeVector.register(encoded.sparkSession)
+    val qdf = queries.select(col(qid).cast("long").as("query_id"),
+      col(qvec).as("__qv"))
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(desc("csim"), col("centroid_id"))
+    val probes = qdf.crossJoin(broadcast(index.centroids))
+      .withColumn("csim", NativeVector.dot(col("__qv"), col("cvec")))
+      .withColumn("__pr", row_number().over(wProbe))
+      .filter(col("__pr") <= nProbe)
+      .select(col("query_id"),
+        sqrt(NativeVector.dot(col("__qv"), col("__qv"))).as("__qn"),
+        col("centroid_id"))
+    val corpus = encoded
+      .select(col("centroid_id"), col(index.idCol).as("neighbor_id"),
+        decodeCol(col("sq_codes"), q).as("__dec"))
+      .filter(col("__dec").isNotNull)
+      .select(col("centroid_id"), col("neighbor_id"),
+        sqrt(NativeVector.dot(col("__dec"), col("__dec"))).as("__cn"))
+    val paired = corpus.join(broadcast(probes), Seq("centroid_id"))
+    val kept = (if (dropSelf) paired.filter(col("neighbor_id") =!= col("query_id"))
+                else paired)
+      .filter(col("__qn") * col("__cn") > 0)
+      .select("query_id", "neighbor_id")
+    Pq.rerank(kept, encoded, index.idCol, index.vecCol, queries, qid, qvec, topK)
+  }
+
   /** IVF × SQ8 composition — FAISS's `IVF<n>,SQ8` index (the taxonomy's
     * middle tier between IVF,Flat and IVF,PQ): the coarse quantizer
     * prunes the scan to the nProbe cells nearest each query (the SAME

@@ -970,10 +970,12 @@ object EmbeddingQueries {
       // PRE arm (Spark): filtered search with an exhaustive shortlist —
       // every filtered row is reranked exactly, so this IS the filtered
       // brute force (searchRerankedFiltered's contract)
-      val pre = graft.operators.Pq.searchRerankedFiltered(codes,
-        col("label").isin(allowed: _*), "vec_id", "embedding", cb,
-        q, "vec_id", "embedding", shortlist = 50000, topK = 5,
-        dropSelf = true)
+      // round-20: the exhaustive filtered brute force rides
+      // searchExhaustiveFiltered (same rows, no dead ADC scan); the
+      // HTTP arm below still runs the real ADC path at full breadth
+      val pre = graft.operators.Pq.searchExhaustiveFiltered(codes,
+        col("label").isin(allowed: _*), "vec_id", "embedding",
+        q, "vec_id", "embedding", topK = 5, dropSelf = true)
       // HTTP arm: the same artifact served with attrCols + the request
       // filter — results must be bit-identical to the Spark arm
       val idx = graft.serve.LocalAnn.load(s, root, "ann_filt",
@@ -1044,9 +1046,12 @@ object EmbeddingQueries {
           shortlist = 20, topK = 5, dropSelf = true)
         val recall = tight.join(exact, Seq("query_id", "neighbor_id"),
           "left_semi").count().toDouble / exact.count()
-        val exhaustive = graft.operators.Sq.searchReranked(enc, "vec_id",
-          "embedding", qz, q, "vec_id", "embedding",
-          shortlist = 50000, topK = 5, dropSelf = true)
+        // exhaustive arm rides the searchReranked(shortlist ≥ corpus)
+        // identity minus its dead selection scan (round-20, the
+        // operator's searchExhaustive doc — null-approx parking kept
+        // verbatim); the approx scan stays gated by the tight arm
+        val exhaustive = graft.operators.Sq.searchExhaustive(enc, "vec_id",
+          "embedding", qz, q, "vec_id", "embedding", topK = 5, dropSelf = true)
         val bitEq = exhaustive
           .withColumnRenamed("sim", "xsim")
           .join(exact.withColumnRenamed("sim", "bsim"),
@@ -1085,9 +1090,11 @@ object EmbeddingQueries {
       val qz = graft.serve.ModelRegistry.loadSq(s, root, "ann_sq8")
       val codes = graft.serve.ModelRegistry.loadPqCodes(s, root, "ann_sq8")
       val q = Tables.embeddings(s, dir).filter(col("vec_id") < 20)
-      val sparkRes = graft.operators.Sq.searchReranked(codes, "vec_id",
-        "embedding", qz, q, "vec_id", "embedding",
-        shortlist = 50000, topK = 5, dropSelf = true)
+      // the in-process exhaustive reference rides searchExhaustive
+      // (round-20): identical rows, no dead selection scan; the served
+      // arm below still runs the real decode-and-scan at full breadth
+      val sparkRes = graft.operators.Sq.searchExhaustive(codes, "vec_id",
+        "embedding", qz, q, "vec_id", "embedding", topK = 5, dropSelf = true)
       val idx = graft.serve.LocalAnn.load(s, root, "ann_sq8")
       val queries = q.select(col("vec_id"), col("embedding")).collect()
         .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]](1).toArray)
@@ -1136,9 +1143,10 @@ object EmbeddingQueries {
           dropSelf = true)
           .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
         val recall = (tight & exact).size.toDouble / exact.size
-        val exhaustive = graft.operators.Sq.ivfSearchReranked(index, qz, enc,
-          q, "vec_id", "embedding", nProbe = 8, shortlist = 50000, topK = 5,
-          dropSelf = true)
+        // exhaustive composition arm via ivfSearchExhaustive (round-20:
+        // same probed candidate set, no dead selection scan)
+        val exhaustive = graft.operators.Sq.ivfSearchExhaustive(index, qz, enc,
+          q, "vec_id", "embedding", nProbe = 8, topK = 5, dropSelf = true)
         val ivfRef = graft.operators.Ivf.search(index, q, "vec_id",
           "embedding", nProbe = 8, topK = 5)
         val bitEq = exhaustive.withColumnRenamed("sim", "xsim")

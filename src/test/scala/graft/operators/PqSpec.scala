@@ -183,6 +183,33 @@ class PqSpec extends SparkSpec {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("round-20 searchExhaustive[Filtered] equals the shortlist-at-corpus-" +
+    "size forms bit-for-bit (incl. parked-row exclusion)") {
+    val withParked = vecs.unionByName(
+      Seq((9100L, Array.fill(32)(Float.NaN))).toDF("vid", "v")) // parks
+    val cb = Pq.train(vecs, "vid", "v", m = 4, k = 16)
+    val enc = Pq.encode(withParked, "v", cb)
+    val q = vecs.filter($"vid" < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          java.lang.Double.doubleToLongBits(
+            if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))).toSeq
+    val viaShortlist = rows(Pq.searchReranked(enc, "vid", "v", cb, q,
+      "vid", "v", shortlist = 400, topK = 3, dropSelf = true))
+    val viaExhaustive = rows(Pq.searchExhaustive(enc, "vid", "v", q,
+      "vid", "v", topK = 3, dropSelf = true))
+    assert(viaExhaustive == viaShortlist,
+      "searchExhaustive must be the searchReranked(shortlist >= corpus) identity")
+    val pred = $"vid" % 3 === 0
+    val filtShort = rows(Pq.searchRerankedFiltered(enc, pred, "vid", "v", cb,
+      q, "vid", "v", shortlist = 400, topK = 3, dropSelf = true))
+    val filtExh = rows(Pq.searchExhaustiveFiltered(enc, pred, "vid", "v",
+      q, "vid", "v", topK = 3, dropSelf = true))
+    assert(filtExh == filtShort,
+      "searchExhaustiveFiltered must match the filtered shortlist form")
+  }
+
   test("residual IVFPQ, full probes + full shortlist == brute force exactly") {
     val index = Ivf.build(vecs, "vid", "v", nLists = 8)
     val cb = Pq.trainResidual(index, m = 4, k = 16)

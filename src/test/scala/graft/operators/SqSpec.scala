@@ -113,6 +113,37 @@ class SqSpec extends SparkSpec {
     enc.unpersist()
   }
 
+  test("round-20 searchExhaustive/ivfSearchExhaustive equal the " +
+    "shortlist-at-corpus-size forms bit-for-bit (incl. zero-norm parking)") {
+    // a zero vector exercises the null-approx exclusion both paths share
+    val withZero = vecs.unionByName(
+      Seq((9100L, Array.fill(8)(0f))).toDF("vid", "v"))
+    val q = Sq.train(withZero, "v", dim = 8)
+    val enc = Sq.encode(withZero, "v", q).persist()
+    val queries = withZero.filter($"vid" < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          java.lang.Double.doubleToLongBits(
+            if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))).toSeq
+    val viaShortlist = rows(Sq.searchReranked(enc, "vid", "v", q, queries,
+      "vid", "v", shortlist = 400, topK = 5, dropSelf = true))
+    val viaExhaustive = rows(Sq.searchExhaustive(enc, "vid", "v", q, queries,
+      "vid", "v", topK = 5, dropSelf = true))
+    assert(viaExhaustive == viaShortlist,
+      "searchExhaustive must be the searchReranked(shortlist >= corpus) identity")
+    val index = Ivf.build(withZero, "vid", "v", nLists = 6)
+    val q2 = Sq.train(index.assigned, index.vecCol, dim = 8)
+    val enc2 = Sq.encode(index.assigned, index.vecCol, q2).persist()
+    val ivfShort = rows(Sq.ivfSearchReranked(index, q2, enc2, queries,
+      "vid", "v", nProbe = 2, shortlist = 400, topK = 5, dropSelf = true))
+    val ivfExh = rows(Sq.ivfSearchExhaustive(index, q2, enc2, queries,
+      "vid", "v", nProbe = 2, topK = 5, dropSelf = true))
+    assert(ivfExh == ivfShort,
+      "ivfSearchExhaustive must be the ivfSearchReranked(shortlist >= corpus) identity")
+    enc.unpersist(); enc2.unpersist()
+  }
+
   test("hnswFromCodes: the graph stores the byte-code reconstructions " +
     "bit-for-bit, parked rows never enter, and exhaustive-beam + exact " +
     "rerank reproduces brute force") {
