@@ -517,26 +517,38 @@ object Hnsw {
     * search, the same substrate the pq/opq/sq8 codes tables carry. */
   def save(spark: SparkSession, g: Graph, path: String,
            attrs: Seq[(String, Array[Long])] = Nil): Unit = {
-    import spark.implicits._
     attrs.foreach { case (a, vs) =>
       require(vs.length == g.size,
         s"attr '$a' has ${vs.length} values for ${g.size} nodes")
     }
-    val base = g.ids.indices.map { i =>
-      (g.ids(i), g.vecs(i).toSeq, g.levels(i),
-        g.links(i).map(_.map(g.ids(_)).toSeq).toSeq,
-        attrs.map(_._2(i)))
-    }.toDF("id", "vec", "level", "links", "attr_vals")
-    val withAttrs = attrs.map(_._1).zipWithIndex
-      .foldLeft(base) { case (df, (a, ix)) =>
-        df.withColumn(a, col("attr_vals").getItem(ix))
-      }
-      .drop("attr_vals")
-    withAttrs.repartition(1).write.mode("overwrite")
-      .parquet(s"$path/hnsw_nodes")
-    Seq((g.m, g.efC, g.seed, g.ids(g.entry), g.maxLevel, g.heuristic))
-      .toDF("m", "ef_construction", "seed", "entry_id", "max_level", "heuristic")
-      .repartition(1).write.mode("overwrite").parquet(s"$path/hnsw_meta")
+    // driver-local writes (round-20): the graph is driver-resident and
+    // the tables are KiB-MB — the two repartition(1) Spark writes cost
+    // ~0.5 s of orchestration per save, which q183's per-micro-batch
+    // load→append→save paid 5x per execution. Same parquet layout
+    // (DriverParquetSpec pins spark.read/readRows equality on written
+    // files); crash residue stays hidden (write-then-rename), which is
+    // no weaker than the overwrite contract documented at the q183
+    // gate (clean-restart scope).
+    import org.apache.spark.sql.types._
+    val nodeSchema = StructType(Seq(
+      StructField("id", LongType), StructField("vec", ArrayType(FloatType)),
+      StructField("level", IntegerType),
+      StructField("links", ArrayType(ArrayType(LongType)))) ++
+      attrs.map { case (a, _) => StructField(a, LongType) })
+    val nodeRows = g.ids.indices.map { i =>
+      org.apache.spark.sql.Row.fromSeq(Seq(
+        g.ids(i), g.vecs(i).toSeq, g.levels(i),
+        g.links(i).map(_.map(g.ids(_)).toSeq).toSeq) ++ attrs.map(_._2(i)))
+    }
+    graft.sources.DriverParquet.writeRows(spark, s"$path/hnsw_nodes",
+      nodeSchema, nodeRows)
+    val metaSchema = StructType(Seq(
+      StructField("m", IntegerType), StructField("ef_construction", IntegerType),
+      StructField("seed", LongType), StructField("entry_id", LongType),
+      StructField("max_level", IntegerType), StructField("heuristic", BooleanType)))
+    graft.sources.DriverParquet.writeRows(spark, s"$path/hnsw_meta", metaSchema,
+      Seq(org.apache.spark.sql.Row(g.m, g.efC, g.seed, g.ids(g.entry),
+        g.maxLevel, g.heuristic)))
   }
 
   /** Load a graph saved by [[save]]; bit-identical search behavior.

@@ -153,6 +153,86 @@ object DriverParquet {
     finally r.close()
   }
 
+  /** Driver-local parquet WRITE of a serving-sized table (the write
+    * twin of [[readRows]]): one part file under `path`, snappy, the
+    * standard 3-level list layout — readable by spark.read and
+    * [[readRows]] alike (DriverParquetSpec pins both). The file is
+    * written HIDDEN (`.part-*.tmp`) and renamed into place, so a crash
+    * mid-write leaves only residue every parquet reader ignores —
+    * no weaker than the Spark writer's _temporary staging. `overwrite`
+    * clears the directory first (the `mode("overwrite")` it replaces). */
+  def writeRows(spark: SparkSession, path: String, schema: StructType,
+                rows: Seq[Row], overwrite: Boolean = true): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    if (overwrite && fs.exists(dir)) fs.delete(dir, true)
+    fs.mkdirs(dir)
+    val message = new org.apache.parquet.schema.MessageType("spark_schema",
+      schema.fields.map(f => parquetType(f.name, f.dataType, path)): _*)
+    val name = s"part-${java.util.UUID.randomUUID().toString}.parquet"
+    val tmp = new Path(dir, s".$name.tmp")
+    val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(tmp, conf))
+      .withConf(conf)
+      .withType(message)
+      .withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+    try {
+      val factory = new org.apache.parquet.example.data.simple.SimpleGroupFactory(message)
+      rows.foreach { r =>
+        val g = factory.newGroup()
+        var i = 0
+        while (i < schema.fields.length) {
+          if (!r.isNullAt(i))
+            addValue(g, schema.fields(i).name, schema.fields(i).dataType, r.get(i))
+          i += 1
+        }
+        writer.write(g)
+      }
+    } finally writer.close()
+    require(fs.rename(tmp, new Path(dir, name)),
+      s"[DriverParquet] rename failed for $tmp")
+  }
+
+  private def parquetType(name: String, dt: DataType, ctx: String): Type = {
+    import org.apache.parquet.schema.Types
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    dt match {
+      case IntegerType => Types.optional(PrimitiveTypeName.INT32).named(name)
+      case LongType    => Types.optional(PrimitiveTypeName.INT64).named(name)
+      case FloatType   => Types.optional(PrimitiveTypeName.FLOAT).named(name)
+      case DoubleType  => Types.optional(PrimitiveTypeName.DOUBLE).named(name)
+      case BooleanType => Types.optional(PrimitiveTypeName.BOOLEAN).named(name)
+      case StringType  => Types.optional(PrimitiveTypeName.BINARY)
+        .as(LogicalTypeAnnotation.stringType()).named(name)
+      case ArrayType(elem, _) =>
+        Types.optionalList()
+          .setElementType(parquetType("element", elem, ctx)).named(name)
+      case other => throw new IllegalArgumentException(
+        s"[DriverParquet] unsupported write type $other (field $name, $ctx)")
+    }
+  }
+
+  private def addValue(g: Group, name: String, dt: DataType, v: Any): Unit =
+    dt match {
+      case IntegerType => g.add(name, v.asInstanceOf[Int])
+      case LongType    => g.add(name, v.asInstanceOf[Long])
+      case FloatType   => g.add(name, v.asInstanceOf[Float])
+      case DoubleType  => g.add(name, v.asInstanceOf[Double])
+      case BooleanType => g.add(name, v.asInstanceOf[Boolean])
+      case StringType  => g.add(name, v.asInstanceOf[String])
+      case ArrayType(elem, _) =>
+        val listG = g.addGroup(name)
+        v.asInstanceOf[scala.collection.Seq[Any]].foreach { e =>
+          val bag = listG.addGroup("list")
+          if (e != null) addValue(bag, "element", elem, e)
+        }
+      case other => throw new IllegalArgumentException(
+        s"[DriverParquet] unsupported write type $other (field $name)")
+    }
+
   private def isList(t: Type): Boolean = !t.isPrimitive &&
     t.getLogicalTypeAnnotation == LogicalTypeAnnotation.listType()
 

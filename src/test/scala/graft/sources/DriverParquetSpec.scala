@@ -87,6 +87,36 @@ class DriverParquetSpec extends SparkSpec {
     assert(DriverParquet.columnNames(spark, s"$p/t") == Seq("id", "k", "v"))
   }
 
+  test("writeRows round-trips through BOTH readers (hnsw artifact layout)") {
+    import org.apache.spark.sql.types._
+    val p = tmp("dp_write")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("vec", ArrayType(FloatType)),
+      StructField("level", IntegerType),
+      StructField("links", ArrayType(ArrayType(LongType))),
+      StructField("label", LongType),
+      StructField("heuristic", BooleanType), StructField("note", StringType)))
+    val rows = Seq(
+      Row(1L, Seq(0.5f, -0.0f, Float.NaN), 2, Seq(Seq(2L, 3L), Seq.empty[Long]),
+        7L, true, "a"),
+      Row(2L, Seq.empty[Float], 0, Seq(Seq(1L)), 8L, false, null))
+    DriverParquet.writeRows(spark, s"$p/t", schema, rows)
+    // the Spark reader sees the same values
+    val viaSpark = spark.read.parquet(s"$p/t")
+      .select(schema.fieldNames.map(col): _*).collect().toSeq
+    assert(canonRows(viaSpark).sortBy(_.toString()) ==
+      canonRows(rows).sortBy(_.toString()),
+      "spark.read of a DriverParquet-written file diverged")
+    // and the driver-local reader round-trips
+    val viaDriver = DriverParquet.readRows(spark, s"$p/t",
+      schema.fieldNames.toSeq).toSeq
+    assert(canonRows(viaDriver).sortBy(_.toString()) ==
+      canonRows(rows).sortBy(_.toString()))
+    // overwrite replaces, not appends
+    DriverParquet.writeRows(spark, s"$p/t", schema, rows.take(1))
+    assert(DriverParquet.readRows(spark, s"$p/t").length == 1)
+  }
+
   test("missing path / missing column fail loudly") {
     intercept[IllegalArgumentException] {
       DriverParquet.readRows(spark, "/nonexistent/dp_path")
