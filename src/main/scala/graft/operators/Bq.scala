@@ -146,18 +146,16 @@ object Bq {
                        dropSelf: Boolean = false): DataFrame = {
     NativeVector.register(encoded.sparkSession)
     val corpus = encoded
-      .select(col(id).as("neighbor_id"), col("bq_codes"))
       .filter(col("bq_codes").isNotNull)
-      .select("neighbor_id")
+      .select(col(id).as("neighbor_id"), col(vec).as("__nv"))
     val qv = broadcast(
       queries.select(col(qid).cast("long").as("query_id"), col(qvec).as("__qv"))
-        .filter(size(col("__qv")) === q.dim)
-        .select("query_id"))
+        .filter(size(col("__qv")) === q.dim))
     val paired = corpus.crossJoin(qv)
-    val cands =
+    val pairs =
       if (dropSelf) paired.filter(col("neighbor_id") =!= col("query_id"))
       else paired
-    Pq.rerank(cands, encoded, id, vec, queries, qid, qvec, topK)
+    Pq.exactTopKPairs(pairs, topK)
   }
 
   /** Persist the planes (`bq_meta`: one row per bit, plane as

@@ -514,6 +514,24 @@ object Pq {
       adcSearch(encoded, id, cb, queries, qid, qvec, shortlist, dropSelf),
       encoded, id, vec, queries, qid, qvec, topK)
 
+  /** [[rerank]]'s scoring + ranking over ALREADY-PAIRED
+    * (query_id, neighbor_id, __qv, __nv) rows — the exhaustive paths'
+    * shared tail (round-20): their pairing carries the vectors
+    * already, so rerank's dedup-distinct (a full shuffle of every
+    * pair) and its two re-attach joins compute nothing. Same sim
+    * expression, same (sim desc, id asc) window, so results are
+    * bit-identical GIVEN unique (query, neighbor) pairs — which a
+    * cross join of unique-id sides produces by construction. */
+  private[operators] def exactTopKPairs(pairs: DataFrame, topK: Int): DataFrame = {
+    val scored = pairs.withColumn("sim",
+      round(NativeVector.cosine(col("__qv"), col("__nv")) * 1e6) / 1e6)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+  }
+
   /** [[searchReranked]] at a provably-exhaustive shortlist, minus the
     * dead ADC scan (round-20 optimization — the [[Bq.searchExhaustive]]
     * identity applied to the PQ tier): with shortlist ≥ candidate
@@ -523,21 +541,23 @@ object Pq {
     * (non-null codes — PQ does NOT park zero-norm vectors, see the
     * contract note above [[searchReranked]]) × queries, minus self
     * pairs. Bit-identical by PqSpec. Callers must pass
-    * shortlist-intent honestly: this is only the identity when
-    * nothing would be cut. */
+    * shortlist-intent honestly (this is only the identity when nothing
+    * would be cut) and unique ids on both sides (the codes-table
+    * contract — rerank's dedup is skipped here). */
   def searchExhaustive(encoded: DataFrame, id: String, vec: String,
                        queries: DataFrame, qid: String, qvec: String,
                        topK: Int, dropSelf: Boolean = false): DataFrame = {
-    val corpus = materializedCodes(encoded, Seq(id, "codes"))
+    NativeVector.register(encoded.sparkSession)
+    val corpus = encoded
       .filter(!parked)
-      .select(col(id).as("neighbor_id"))
-    val qv = broadcast(
-      queries.select(col(qid).cast("long").as("query_id")))
+      .select(col(id).as("neighbor_id"), col(vec).as("__nv"))
+    val qv = broadcast(queries.select(col(qid).cast("long").as("query_id"),
+      col(qvec).as("__qv")))
     val paired = corpus.crossJoin(qv)
-    val cands =
+    val pairs =
       if (dropSelf) paired.filter(col("neighbor_id") =!= col("query_id"))
       else paired
-    rerank(cands, encoded, id, vec, queries, qid, qvec, topK)
+    exactTopKPairs(pairs, topK)
   }
 
   /** The filtered twin of [[searchExhaustive]] —

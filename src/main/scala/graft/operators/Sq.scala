@@ -165,20 +165,20 @@ object Sq {
                        dropSelf: Boolean = false): DataFrame = {
     NativeVector.register(encoded.sparkSession)
     val corpus = encoded
-      .select(col(id).as("neighbor_id"), decodeCol(col("sq_codes"), q).as("__dec"))
+      .select(col(id).as("neighbor_id"), col(vec).as("__nv"),
+        decodeCol(col("sq_codes"), q).as("__dec"))
       .filter(col("__dec").isNotNull)
-      .select(col("neighbor_id"),
+      .select(col("neighbor_id"), col("__nv"),
         sqrt(NativeVector.dot(col("__dec"), col("__dec"))).as("__cn"))
     val qv = broadcast(
       queries.select(col(qid).cast("long").as("query_id"), col(qvec).as("__qv"))
-        .select(col("query_id"),
-          sqrt(NativeVector.dot(col("__qv"), col("__qv"))).as("__qn")))
+        .withColumn("__qn", sqrt(NativeVector.dot(col("__qv"), col("__qv")))))
     val paired = corpus.crossJoin(qv)
-    val kept = (if (dropSelf) paired.filter(col("neighbor_id") =!= col("query_id"))
-                else paired)
+    val pairs = (if (dropSelf) paired.filter(col("neighbor_id") =!= col("query_id"))
+                 else paired)
       .filter(col("__qn") * col("__cn") > 0)
-      .select("query_id", "neighbor_id")
-    Pq.rerank(kept, encoded, id, vec, queries, qid, qvec, topK)
+      .select("query_id", "neighbor_id", "__qv", "__nv")
+    Pq.exactTopKPairs(pairs, topK)
   }
 
   /** [[ivfSearchReranked]] at a provably-exhaustive shortlist — the
