@@ -50,13 +50,10 @@ object BoundedTopK {
     else a < b || (a == b && ai > bi)
   }
 
-  final class TopK(k: Int)
-      extends Aggregator[(Double, Long), State, Seq[Long]] {
-    require(k >= 1, s"k must be >= 1, got $k")
-
-    override def zero: State = State(Array.empty, Array.empty)
-
-    private def insert(s: State, key: Double, id: Long): State = {
+  /** Shared insert/merge of the two aggregators (round-20 refactor:
+    * [[TopKHits]] carries keys through `finish`, everything else is
+    * identical). */
+  private def insert(s: State, key: Double, id: Long, k: Int): State = {
       val n = s.keys.length
       // fast path: buffer full and the row ranks at-or-after the worst
       if (n >= k && !after(s.keys(n - 1), s.ids(n - 1), key, id)) s
@@ -81,28 +78,49 @@ object BoundedTopK {
       }
     }
 
-    override def reduce(s: State, x: (Double, Long)): State =
-      insert(s, x._1, x._2)
-
-    override def merge(a: State, b: State): State = {
-      // merge two sorted buffers, truncate at k
-      val m = math.min(a.keys.length + b.keys.length, k)
-      val ks = new Array[Double](m); val is = new Array[Long](m)
-      var i = 0; var j = 0; var o = 0
-      while (o < m) {
-        val takeB = i >= a.keys.length ||
-          (j < b.keys.length && after(a.keys(i), a.ids(i), b.keys(j), b.ids(j)))
-        if (takeB) { ks(o) = b.keys(j); is(o) = b.ids(j); j += 1 }
-        else { ks(o) = a.keys(i); is(o) = a.ids(i); i += 1 }
-        o += 1
-      }
-      State(ks, is)
+  private def mergeStates(a: State, b: State, k: Int): State = {
+    // merge two sorted buffers, truncate at k
+    val m = math.min(a.keys.length + b.keys.length, k)
+    val ks = new Array[Double](m); val is = new Array[Long](m)
+    var i = 0; var j = 0; var o = 0
+    while (o < m) {
+      val takeB = i >= a.keys.length ||
+        (j < b.keys.length && after(a.keys(i), a.ids(i), b.keys(j), b.ids(j)))
+      if (takeB) { ks(o) = b.keys(j); is(o) = b.ids(j); j += 1 }
+      else { ks(o) = a.keys(i); is(o) = a.ids(i); i += 1 }
+      o += 1
     }
+    State(ks, is)
+  }
 
+  final class TopK(k: Int)
+      extends Aggregator[(Double, Long), State, Seq[Long]] {
+    require(k >= 1, s"k must be >= 1, got $k")
+    override def zero: State = State(Array.empty, Array.empty)
+    override def reduce(s: State, x: (Double, Long)): State =
+      insert(s, x._1, x._2, k)
+    override def merge(a: State, b: State): State = mergeStates(a, b, k)
     override def finish(s: State): Seq[Long] = s.ids.toSeq
-
     override def bufferEncoder: Encoder[State] = Encoders.product[State]
     override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** Top-k WITH the ranking key (round-20): the window-rank replacement
+    * for final ranks whose output carries the key column (sim). Same
+    * buffer, same (key desc, id asc, NaN last) order; `finish` keeps
+    * the keys alongside the ids. */
+  final class TopKHits(k: Int)
+      extends Aggregator[(Double, Long), State, Seq[(Double, Long)]] {
+    require(k >= 1, s"k must be >= 1, got $k")
+    override def zero: State = State(Array.empty, Array.empty)
+    override def reduce(s: State, x: (Double, Long)): State =
+      insert(s, x._1, x._2, k)
+    override def merge(a: State, b: State): State = mergeStates(a, b, k)
+    override def finish(s: State): Seq[(Double, Long)] =
+      s.keys.zip(s.ids).toSeq
+    override def bufferEncoder: Encoder[State] = Encoders.product[State]
+    override def outputEncoder: Encoder[Seq[(Double, Long)]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
   }
 
@@ -121,4 +139,27 @@ object BoundedTopK {
       .groupBy(col(groupCol))
       .agg(topKIds(col(keyCol), col(idCol), k).as("__top"))
       .select(col(groupCol), explode(col("__top")).as(idCol))
+
+  /** The final-rank replacement (round-20): per-group top-k of
+    * (groupCol, keyCol, idCol) rows emitted WITH the key — a drop-in
+    * for `row_number().over(partitionBy(group).orderBy(key desc, id
+    * asc)) <= k` when ids are unique per group and keys are null or
+    * finite. The window shuffles and SORTS every scored row to rank
+    * them; this carries only k-bounded buffers across the exchange
+    * (the r17 shortlist pricing, applied to the rank that produces
+    * the output rows). Null keys map to NaN for the buffer's NaN-LAST
+    * total order — exactly the window's desc-nulls-last — and emerge
+    * as null again; selection is bit-identical because the order is
+    * total (ties by id) and the buffer's top-k set is merge-order
+    * independent. */
+  def rankHits(scored: DataFrame, groupCol: String, keyCol: String,
+               idCol: String, k: Int): DataFrame =
+    scored
+      .groupBy(col(groupCol))
+      .agg(udaf(new TopKHits(k)).apply(
+        coalesce(col(keyCol).cast("double"), lit(Double.NaN)),
+        col(idCol)).as("__top"))
+      .select(col(groupCol), explode(col("__top")).as("__h"))
+      .select(col(groupCol), col("__h._2").as(idCol),
+        when(!isnan(col("__h._1")), col("__h._1")).as(keyCol))
 }

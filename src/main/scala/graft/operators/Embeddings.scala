@@ -115,9 +115,12 @@ object Embeddings {
     val sims = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .withColumn("sim",
         round(nativeCosine(corpus.sparkSession, col("qv"), col("cv")) * 1e6) / 1e6)
-    val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("neighbor_id"))
-    sims.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
+    // round-20: the final rank rides the k-bounded aggregate instead of
+    // a row_number window — the window shuffled and SORTED every scored
+    // (query × corpus) pair; the aggregate ships k-sized buffers. Same
+    // (sim desc nulls-last, id asc) total order, bit-identical
+    // selection (EmbeddingsSpec pins it against the window form).
+    BoundedTopK.rankHits(sims, "query_id", "sim", "neighbor_id", k)
       .select("query_id", "neighbor_id", "sim")
   }
 

@@ -573,14 +573,16 @@ object Ivf {
   private def scanProbed(index: Index, probes: DataFrame,
                          topK: Int): DataFrame = {
     NativeVector.register(index.assigned.sparkSession)
-    val wTop = Window.partitionBy("query_id").orderBy(desc("sim"), col("neighbor_id"))
-    probes.join(index.assigned, Seq("centroid_id"))
+    val scored = probes.join(index.assigned, Seq("centroid_id"))
       .withColumnRenamed(index.idCol, "neighbor_id")
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim",
         round(NativeVector.cosine(col("qv"), col(index.vecCol)) * 1e6) / 1e6)
-      .withColumn("rn", row_number().over(wTop))
-      .filter(col("rn") <= topK)
+    // round-20: k-bounded rank instead of the row_number window — same
+    // (sim desc nulls-last, id asc) selection (IvfSpec's reload/search
+    // bit-equality pins it), k-sized buffers instead of a full sort of
+    // every probed pair
+    BoundedTopK.rankHits(scored, "query_id", "sim", "neighbor_id", topK)
       .select("query_id", "neighbor_id", "sim")
   }
 }

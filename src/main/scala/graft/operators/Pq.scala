@@ -525,10 +525,9 @@ object Pq {
   private[operators] def exactTopKPairs(pairs: DataFrame, topK: Int): DataFrame = {
     val scored = pairs.withColumn("sim",
       round(NativeVector.cosine(col("__qv"), col("__nv")) * 1e6) / 1e6)
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= topK)
+    // round-20: k-bounded rank instead of the row_number window (the
+    // cosineTopK swap's rationale; parity specs pin the identity)
+    BoundedTopK.rankHits(scored, "query_id", "sim", "neighbor_id", topK)
       .select(col("query_id"), col("neighbor_id"), col("sim"))
   }
 

@@ -51,6 +51,34 @@ class BoundedTopKSpec extends SparkSpec {
     assert(all.takeRight(3) == Seq(99L, 100L, 101L))
   }
 
+  test("round-20 rankHits equals the row_number window bit-for-bit: " +
+    "null keys last, boundary ties by id, every partitioning") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(7)
+    // duplicate key values force boundary ties; ~10% null keys
+    val rows = (0 until 500).map { i =>
+      (i % 7L, if (rnd.nextInt(10) == 0) null else java.lang.Double.valueOf(
+        (rnd.nextInt(25) / 10.0)), i.toLong)
+    }
+    val df = rows.toDF("g", "key", "id")
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) "null"
+        else java.lang.Double.doubleToLongBits(r.getDouble(2)).toString))
+        .sortBy(t => (t._1, t._2)).toSeq
+    for (k <- Seq(1, 3, 80); parts <- Seq(1, 4, 13)) {
+      val part = df.repartition(parts)
+      val w = Window.partitionBy("g").orderBy(desc("key"), col("id").asc)
+      val viaWindow = part.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k).select("g", "id", "key")
+      val viaAgg = BoundedTopK.rankHits(part, "g", "key", "id", k)
+        .select("g", "id", "key")
+      assert(canon(viaAgg) == canon(viaWindow),
+        s"rankHits diverged from the window at k=$k parts=$parts")
+    }
+  }
+
   test("k larger than the group returns the whole group, ranked") {
     val tiny = Seq((1L, 0.5, 10L), (1L, 0.9, 11L), (1L, 0.5, 9L))
       .toDF("g", "key", "id")
